@@ -1,13 +1,541 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, SqlTemplate, Tables}
+import graft.functions.{Dates, Text, Vectors}
+import graft.merge.Upsert
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops.{Cdc, Periods}
+import graft.reports.Feeds
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the large-scale pipeline operators), each with an
+ * equivalent DuckDB oracle in `oracleSql`.
+ *
+ * Determinism rules used throughout (so Spark parquet output hash-matches
+ * the DuckDB oracle):
+ *  - every query ends in a total ORDER BY on unique keys;
+ *  - sums over doubles go through DECIMAL casts (exact, order-independent)
+ *    and are emitted as DOUBLE;
+ *  - derived integers are emitted as BIGINT on both sides;
+ *  - event timestamps are µs-truncated on both sides (nanos parquet).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** decimal(18,2) cast for exact, order-independent money/qty sums. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(GraftSession.tune(s), dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A4/A6 — grouped aggregation report (pricing summary)
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(18,6)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P2/P3/P5 — projection with aliases, range + IN predicates
+    "q02_filter_project" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate").between(lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) &&
+          col("l_linenumber").isin(1, 2, 3))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          col("l_returnflag").as("flag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J1/J7-adjacent — multi-way equi-join with broadcast dims + aggregation
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(18,6)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    }),
+
+    // J2 — left outer join with null handling
+    "q04_left_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // W1 — latest-version-per-key (QUALIFY ROW_NUMBER = 1)
+    "q05_latest_event" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Cdc.latestVersion(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .orderBy("user_id")
+    }),
+
+    // W3 — effective/expiry intervals via LEAD - 1 minute
+    "q06_event_intervals" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Cdc.effectiveIntervals(e, Seq("user_id"), "ts", Seq(col("event_id").asc),
+          sentinel = "2199-12-31 00:00:00")
+        .select("user_id", "event_id", "eff_dt", "exp_dt")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W6/J7/J8 — whole-table analytics + 3-sigma outliers (exact moments)
+    "q07_outliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("s"),
+        sum(dec(col("o_totalprice")) * dec(col("o_totalprice"))).cast("double").as("ss"))
+      val mean = col("s") / col("n")
+      val std = sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      o.crossJoin(broadcast(stats))
+        .filter(abs(col("o_totalprice") - mean) > std * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round((col("o_totalprice") - mean) / std, 4).as("z"))
+        .orderBy("o_orderkey")
+    }),
+
+    // A3/A8 — duplicate detection via GROUP BY HAVING
+    "q08_dup_groups" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("err_count"))
+        .filter(col("err_count") > 2)
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
+
+    // A7 — rollup report with grand-total row (pandas concat → one ROLLUP)
+    "q09_rollup_totals" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Feeds.groupedReport(o, "o_orderpriority", Seq("o_totalprice" -> "total_price"))
+        .orderBy("row_kind", "o_orderpriority")
+    }),
+
+    // J5/J6 — anti-join (NOT EXISTS)
+    "q10_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+      Cdc.antiIn(c, f, c("c_custkey") === f("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // semi-join (EXISTS)
+    "q11_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      Cdc.semiIn(o, li.filter(col("l_discount") > 0.09),
+          o("o_orderkey") === li("l_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // U1 — UNION (distinct)
+    "q12_union_nations" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nationkey"))
+        .union(su.select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    }),
+
+    // J8/A10 — scalar-subquery count difference (custom DMF)
+    "q13_count_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val a = o.agg(count(lit(1)).as("n_orders"))
+      val b = li.agg(countDistinct(col("l_orderkey")).as("n_lineitem_orders"))
+      a.crossJoin(b).select(col("n_orders"), col("n_lineitem_orders"),
+        abs(col("n_orders") - col("n_lineitem_orders")).as("diff"))
+    }),
+
+    // F1 + §2.8 conditionals — working-days UDF as closed form, flags, clamp
+    "q14_working_days" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("cal_days"),
+          Dates.workingDaysBetween(col("o_orderdate"), col("l_shipdate")).as("work_days"),
+          when(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) <= 14, 1L)
+            .otherwise(0L).as("within_two_weeks"),
+          when(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 0,
+            datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).cast("long") - 1)
+            .otherwise(0L).as("clamped_days"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.8 string family — trim/substr/position/concat/upper/md5/try_cast
+    "q15_string_funcs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        substring_index(col("c_name"), "#", -1).as("suffix"),
+        expr("try_cast(substring_index(c_name, '#', -1) AS BIGINT)").as("suffix_num"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat(col("c_mktsegment"), lit("|"), trim(col("c_name"))).as("seg_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.8 date family — trunc/last_day/add_months/make_date/format
+    "q16_date_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("us_date"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).cast("timestamp").as("first_of_month"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F4 — generated monthly report periods (00:00:00.000 / 23:59:59.997)
+    "q17_periods" -> ((s, dir) =>
+      Periods.monthlyPeriods(s, 2024, 2025, "CARRIER_A")
+        // DATE → TIMESTAMP at the query boundary: parquet/pandas round-trips
+        // of date32 vs DuckDB's datetime64 disagree on dtype, not value
+        .withColumn("as_of_run_dt", col("as_of_run_dt").cast("timestamp"))
+        .orderBy("report_start_date")),
+
+    // M1 — MERGE upsert via full-outer join, with row accounting
+    "q18_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val source = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      Upsert.merge(target, source, Seq("o_orderkey")).result
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // J10 — as-of join (latest click at or before each purchase)
+    "q19_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+      Cdc.asOfJoin(purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("click_event_id", "click_ts"))
+        .orderBy("event_id")
+    }),
+
+    // S3/S4/P4 — templated SQL with session vars + incremental predicate
+    "q20_incremental_template" -> ((s, dir) => {
+      Tables.registerAll(GraftSession.tune(s), dir)
+      val template =
+        """SELECT event_type,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM {{SOURCE_TABLE}}
+          |WHERE 1=1 {{AND_CONDITION}} AND value > $MIN_VALUE
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin
+      val rendered = SqlTemplate.render(template,
+        placeholders = Map("SOURCE_TABLE" -> "events"),
+        sessionVars = Map("MIN_VALUE" -> "5.0"),
+        incrementalPredicate = Some("ts > TIMESTAMP '2024-01-20 00:00:00'"))
+      s.sql(rendered)
+    }),
+
+    // W3 + P8 — point-in-time snapshot over derived validity intervals
+    "q21_validity_snapshot" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      Cdc.effectiveIntervals(e, Seq("user_id"), "ts", Seq(col("event_id").asc),
+          sentinel = "2199-12-31 00:00:00")
+        .filter(Cdc.validAt(asOf, col("eff_dt"), col("exp_dt")))
+        .select("user_id", "event_id", "event_type", "eff_dt", "exp_dt")
+        .orderBy("user_id")
+    }),
+
+    // S5/P2 — config-driven fetch: EXCLUDE + filter + order
+    "q22_exclude_fetch" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      Feeds.fetchData(p,
+        excludeColumns = Seq("p_type", "p_retailprice"),
+        filterRows = Some(col("p_size").between(10, 30)),
+        sortingColumns = Seq("p_partkey"))
+    }),
+
+    // DQ suite — null / duplicate / orphan / domain / negative checks
+    "q23_dq_suite" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def check(id: String, offending: DataFrame, impact: String): DataFrame =
+        offending.agg(count(lit(1)).as("failed_rows")).select(
+          lit(id).as("test_id"),
+          when(col("failed_rows") === 0, "PASS").otherwise("FAIL").as("status"),
+          col("failed_rows"),
+          lit(impact).as("business_impact"))
+      check("DQ-001", c.filter(col("c_name").isNull || col("c_name") === ""), "missing customer name")
+        .unionByName(check("DQ-002",
+          li.groupBy(trim(col("l_orderkey").cast("string")), col("l_linenumber"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1), "duplicate line PK"))
+        .unionByName(check("DQ-003",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"), "orphaned lineitem"))
+        .unionByName(check("DQ-004",
+          o.filter(!col("o_orderstatus").isin("O", "F", "P")), "invalid order status"))
+        .unionByName(check("DQ-005", li.filter(col("l_quantity") < 0), "negative quantity"))
+        .orderBy("test_id")
+    }),
+
+    // §2.8 semi-structured — JSON props parse + OBJECT_CONSTRUCT analogue
+    "q24_json_props" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        to_json(struct(col("event_id"), col("user_id"))).as("obj"))
+        .orderBy("event_id")
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        | l_extendedprice * (1.0 - l_discount) AS revenue,
+        | l_returnflag AS flag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_linenumber IN (1,2,3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_left_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q05_latest_event" ->
+      """SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q06_event_intervals" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS eff_dt,
+        | CAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MINUTE,
+        |          TIMESTAMP '2199-12-31 00:00:00') AS TIMESTAMP) AS exp_dt
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q07_outliers" ->
+      """WITH stats AS (
+        |  SELECT COUNT(*) AS n,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        | ROUND((o_totalprice - s/n) / sqrt((ss - s*s/n) / (n-1)), 4) AS z
+        |FROM orders, stats
+        |WHERE ABS(o_totalprice - s/n) > 1.5 * sqrt((ss - s*s/n) / (n-1))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_dup_groups" ->
+      """SELECT o_custkey, o_orderstatus, COUNT(*) AS err_count
+        |FROM orders GROUP BY o_custkey, o_orderstatus
+        |HAVING COUNT(*) > 2
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+
+    "q09_rollup_totals" ->
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'Grand Total' ELSE o_orderpriority END AS o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n_rows,
+        | CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'TOTAL' ELSE 'GROUP' END AS row_kind
+        |FROM orders GROUP BY ROLLUP(o_orderpriority)
+        |ORDER BY row_kind, o_orderpriority""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_union_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q13_count_diff" ->
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+        | (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_lineitem_orders,
+        | ABS((SELECT COUNT(*) FROM orders) - (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)) AS diff""".stripMargin,
+
+    "q14_working_days" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS cal_days,
+        | CAST(CASE WHEN CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) THEN 0 ELSE
+        |   (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1) // 7 * 5
+        |   + (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1) % 7
+        |   - CASE WHEN (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1) % 7 > (6 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7 THEN 1 ELSE 0 END
+        |   - CASE WHEN (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1) % 7 > (7 - isodow(CAST(o_orderdate AS DATE)) + 7) % 7 THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS work_days,
+        | CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 14 THEN 1 ELSE 0 END AS BIGINT) AS within_two_weeks,
+        | CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 0
+        |      THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) - 1 ELSE 0 END AS BIGINT) AS clamped_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT c_custkey,
+        | UPPER(c_name) AS up_name,
+        | CASE WHEN strpos(c_name, '#') > 0 THEN substr(c_name, strpos(c_name, '#') + 1) ELSE c_name END AS suffix,
+        | TRY_CAST(CASE WHEN strpos(c_name, '#') > 0 THEN substr(c_name, strpos(c_name, '#') + 1) ELSE c_name END AS BIGINT) AS suffix_num,
+        | md5(c_name) AS name_md5,
+        | CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        | c_mktsegment || '|' || TRIM(c_name) AS seg_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q16_date_funcs" ->
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | date_trunc('quarter', o_orderdate) AS quarter_start,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | strftime(o_orderdate, '%m/%d/%Y') AS us_date,
+        | CAST(make_date(CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT), 1) AS TIMESTAMP) AS first_of_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_periods" ->
+      """SELECT 'MONTHLY' AS frequency,
+        | CAST(d AS TIMESTAMP) AS report_start_date,
+        | CAST(last_day(CAST(d AS DATE)) AS TIMESTAMP) + INTERVAL 86399997 MILLISECONDS AS report_end_date,
+        | CAST(last_day(CAST(d AS DATE)) AS TIMESTAMP) AS as_of_run_dt,
+        | 'CARRIER_A' AS carrier_name
+        |FROM generate_series(DATE '2024-01-01', DATE '2025-12-01', INTERVAL 1 MONTH) AS t(d)
+        |ORDER BY report_start_date""".stripMargin,
+
+    "q18_merge_upsert" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |     s AS (SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, 'U' AS o_orderstatus
+        |           FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_asof_join" ->
+      """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        | r.event_id AS click_event_id, CAST(r.ts AS TIMESTAMP) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q20_incremental_template" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE 1=1 AND ts > TIMESTAMP '2024-01-20 00:00:00' AND value > 5.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_validity_snapshot" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS eff_dt,
+        |   CAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MINUTE,
+        |            TIMESTAMP '2199-12-31 00:00:00') AS TIMESTAMP) AS exp_dt
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, eff_dt, exp_dt FROM iv
+        |WHERE TIMESTAMP '2024-01-15 00:00:00' >= eff_dt
+        |  AND TIMESTAMP '2024-01-15 00:00:00' < exp_dt
+        |ORDER BY user_id""".stripMargin,
+
+    "q22_exclude_fetch" ->
+      """SELECT * EXCLUDE (p_type, p_retailprice) FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q23_dq_suite" ->
+      """SELECT 'DQ-001' AS test_id,
+        |  CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        |  COUNT(*) AS failed_rows, 'missing customer name' AS business_impact
+        |FROM customer WHERE c_name IS NULL OR c_name = ''
+        |UNION ALL
+        |SELECT 'DQ-002', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'duplicate line PK'
+        |FROM (SELECT TRIM(CAST(l_orderkey AS VARCHAR)), l_linenumber FROM lineitem
+        |      GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'DQ-003', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'orphaned lineitem'
+        |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'DQ-004', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'invalid order status'
+        |FROM orders WHERE o_orderstatus NOT IN ('O','F','P')
+        |UNION ALL
+        |SELECT 'DQ-005', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'negative quantity'
+        |FROM lineitem WHERE l_quantity < 0
+        |ORDER BY test_id""".stripMargin,
+
+    "q24_json_props" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | to_json({'event_id': event_id, 'user_id': user_id}) AS obj
+        |FROM events ORDER BY event_id""".stripMargin)
 }

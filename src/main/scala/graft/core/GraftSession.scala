@@ -1,0 +1,105 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Session / catalog lifecycle layer.
+ *
+ * Spark-native analogue of the reference's connector lifecycle
+ * (ref: connector/snowpark_connector.py:40-98): builds a session with the
+ * engine's standard configs, exposes table/view/save/exists/truncate/drop
+ * primitives, and carries a mutable session-variable store used by the
+ * SQL template layer (ref: connector/snowpark_connector.py:170-238).
+ *
+ * Scale notes: shuffle partitions default to 32 for local[32]; on a real
+ * cluster callers pass e.g. 2000. AQE is enabled so skewed joins and
+ * too-small/too-large partitions are re-planned at runtime.
+ */
+object GraftSession {
+
+  /** Standard engine configs, applied on top of any existing builder. */
+  def builder(
+      master: String = "local[*]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+      // timestamp type — read as Long and convert (see Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(shufflePartitions = shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply engine configs to an externally-created session (Verify/Bench). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}
+
+/**
+ * A stateful "connection" wrapper: session variables + catalog helpers.
+ * Mirrors the reference connector's save modes
+ * (ref: definitions/custom_definitions.py:26-47 — append / overwrite /
+ * truncate / errorifexists / ignore) on Spark's catalog.
+ */
+final class GraftConnection(val spark: SparkSession) {
+  val sessionVars = new SessionVars
+
+  def table(name: String): DataFrame = spark.table(name)
+
+  def sql(query: String): DataFrame =
+    spark.sql(SqlTemplate.renderSessionVars(query, sessionVars.all))
+
+  /** ref: connector/snowpark_connector.py:466-509 (save_as_table). */
+  def saveAsTable(df: DataFrame, name: String, mode: String = "errorifexists"): Unit = {
+    val m = mode.toLowerCase match {
+      case "append"        => SaveMode.Append
+      case "overwrite"     => SaveMode.Overwrite
+      case "truncate"      => SaveMode.Overwrite // truncate-then-insert == overwrite data
+      case "ignore"        => SaveMode.Ignore
+      case "errorifexists" => SaveMode.ErrorIfExists
+      case other => throw new IllegalArgumentException(s"unknown save mode: $other")
+    }
+    df.write.mode(m).saveAsTable(name)
+  }
+
+  /** ref: connector/snowpark_connector.py:511-566 (save_as_view). */
+  def saveAsView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** ref: connector/snowpark_connector.py:1006-1020 (table_exists). */
+  def tableExists(name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** ref: connector/snowpark_connector.py:1022-1044 (truncate_table). */
+  def truncateTable(name: String): Unit = {
+    val empty = spark.table(name).limit(0)
+    empty.write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
+  /** ref: connector/snowpark_connector.py:1046-1071 (drop_table). */
+  def dropTable(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
+  /** ref: connector/snowpark_connector.py:1238-1272 (execute_multiple_statements):
+   *  run `;`-separated statements sequentially, return the last result. */
+  def executeMultipleStatements(script: String): DataFrame = {
+    val stmts = script.split(";").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql).last
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale document pipelines:
+ * tokenization, token counting, quality scoring, language ID, and
+ * fingerprinting. All are built from codegen'd `org.apache.spark.sql.functions`
+ * (no Scala UDFs) so they stay inside whole-stage codegen and are
+ * semantically reproducible in any ANSI engine (the DuckDB oracle mirrors
+ * each formula).
+ */
+object Text {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single other
+   *  non-space chars — a deterministic proxy for tokenizer load estimates. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of whitespace tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val sw = EnglishStopwords.map(w => s"\\b$w\\b").mkString("|")
+    size(regexp_extract_all(lower(c), lit(sw), lit(0))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+  }
+
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(trim(c), "\\s+", "")).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /**
+   * Heuristic quality score in [0,1]: rewards mid-length documents and
+   * typical word lengths, penalizes punctuation soup. Deterministic,
+   * codegen-friendly; tune weights per corpus.
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(400.0), lit(1.0))
+    val wordScore = when(avgTokenLen(c).between(3.0, 8.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 10.0, lit(1.0))
+    round(lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2, 6)
+  }
+
+  /**
+   * N-gram/stopword-heuristic language ID over a fixed language set.
+   * Scores each language by marker-token hits per whitespace token and takes
+   * the argmax (ties broken by language code asc — deterministic).
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "zai4"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val pat = markers.map(w => s"\\b$w\\b").mkString("|")
+    size(regexp_extract_all(lower(c), lit(pat), lit(0))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+  }
+
+  /** Best language by marker score; 'und' (undetermined) when all scores are 0. */
+  def langId(c: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) => (lang, langScore(c, markers)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        // strict > keeps the earlier (alphabetically smaller) language on ties
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0.0, best._1).otherwise(lit("und"))
+  }
+
+  /**
+   * Character k-gram shingles (positions 1..len-k+1). Used by the dedup
+   * family; array order is positional, so downstream mins are deterministic.
+   */
+  def charShingles(c: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k)))
+
+  /**
+   * Rolling-hash document fingerprint: the minimum md5 over all character
+   * k-grams (a 1-hash MinHash — stable under content moves, cheap at scale:
+   * one pass, no shuffle).
+   */
+  def fingerprint(c: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => md5(c.substr(i, lit(k)).cast("binary"))))
+}

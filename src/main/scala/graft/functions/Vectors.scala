@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector column functions over `array<float>` columns.
+ *
+ * Two tiers:
+ *  - `dotFast` / `cosineFast`: plain double arithmetic via `aggregate` /
+ *    `zip_with` — the hot path for the engine itself (codegen'd, one pass,
+ *    no shuffle).
+ *  - `dotExact` / `cosineExact`: quantize each component to a 1e-7 integer
+ *    grid (`floor(x * 1e7)` as long) so the dot/norm sums are exact integer
+ *    arithmetic — bit-identical across engines and across partition orders.
+ *    Used where results must hash-match an external oracle; the quantization
+ *    error (~1e-7 per component) is far below any similarity threshold.
+ */
+object Vectors {
+
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
+
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (norm2Fast(a) * norm2Fast(b))
+
+  /** floor(x*1e7) per component, as long — deterministic quantization. */
+  def quantize(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * lit(1.0e7)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (unscaled). */
+  def dotQ(aq: Column, bq: Column): Column =
+    aggregate(zip_with(aq, bq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Cosine similarity from quantized components: integer dot and norms, one
+   * final double division. Deterministic across engines/orders.
+   */
+  def cosineExact(a: Column, b: Column): Column = {
+    val aq = quantize(a)
+    val bq = quantize(b)
+    dotQ(aq, bq).cast("double") /
+      sqrt(dotQ(aq, aq).cast("double") * dotQ(bq, bq).cast("double"))
+  }
+}

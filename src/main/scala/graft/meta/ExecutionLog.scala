@@ -1,0 +1,70 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Execution / batch audit logging and the high-water-mark metadata store —
+ * Spark-native mirror of the reference's operational tables
+ * (ref: connector/snowpark_connector.py:1073-1236 DATAMART_EXECUTION_TABLE,
+ *  datafeeds/common/excel_csv_writer.py:159-192 BATCH_CONTROL,
+ *  models/load_models.py DATAMART_EXECUTION_LOG/METADATA tables).
+ *
+ * Logs are append-mode parquet Datasets of case classes; the metadata store
+ * holds `LAST_LOAD_TIMESTAMP` per (process, carrier) for incremental loads
+ * (ref: docs/KIMBALL_CDC_DATA_DESIGN.md:289-296).
+ */
+final case class ExecutionLogRow(
+    execution_id: String,
+    execution_start_ts: java.sql.Timestamp,
+    execution_end_ts: java.sql.Timestamp,
+    execution_status: String,
+    target_table: String,
+    records_inserted: Long,
+    records_updated: Long,
+    records_deleted: Long,
+    carrier_name: String,
+    error_message: String)
+
+final case class BatchControlRow(
+    batch_control_date: java.sql.Timestamp,
+    carrier_name: String,
+    job_name: String,
+    batch_status: String,
+    output_file_name: String,
+    record_count: Long)
+
+final case class HighWaterMark(
+    process_name: String,
+    carrier_name: String,
+    last_load_timestamp: java.sql.Timestamp)
+
+final class MetaStore(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private def path(name: String) = s"$dir/$name"
+
+  def appendExecutionLog(rows: Seq[ExecutionLogRow]): Unit =
+    rows.toDS().write.mode(SaveMode.Append).parquet(path("execution_log"))
+
+  def appendBatchControl(rows: Seq[BatchControlRow]): Unit =
+    rows.toDS().write.mode(SaveMode.Append).parquet(path("batch_control"))
+
+  def executionLog: DataFrame = spark.read.parquet(path("execution_log"))
+
+  /** Latest watermark per process/carrier; None on first run. */
+  def lastLoadTimestamp(process: String, carrier: String): Option[java.sql.Timestamp] = {
+    val p = new java.io.File(path("high_water_mark"))
+    if (!p.exists()) return None
+    spark.read.parquet(path("high_water_mark"))
+      .filter($"process_name" === process && $"carrier_name" === carrier)
+      .agg(max($"last_load_timestamp")).head().getAs[java.sql.Timestamp](0) match {
+      case null => None
+      case ts => Some(ts)
+    }
+  }
+
+  def recordLoad(process: String, carrier: String, ts: java.sql.Timestamp): Unit =
+    Seq(HighWaterMark(process, carrier, ts)).toDS()
+      .write.mode(SaveMode.Append).parquet(path("high_water_mark"))
+}

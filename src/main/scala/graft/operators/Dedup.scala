@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/**
+ * Document-deduplication operators for training-data pipelines, each designed
+ * around one shuffle and bounded candidate generation so they survive a 100×
+ * scale-up:
+ *
+ *  - exact:        hash-groupBy on md5(text) — one shuffle, no pairs.
+ *  - minhashLsh:   shingle → per-seed min-hash signature → band buckets →
+ *                  pair generation *within* buckets only.
+ *  - simhash:      64-bit xxhash64-based simhash; near-dups = equal simhash
+ *                  (or banded prefixes) — one shuffle.
+ *  - ngramJaccard: inverted-index pair join with a document-frequency cutoff
+ *                  on shingles (stopword-shingle removal) to bound fanout.
+ *
+ * Portable variants use md5-hex (lexicographic min as the hash order) so an
+ * external ANSI engine (the DuckDB oracle) reproduces results exactly;
+ * xxhash64 variants are the faster engine-native path.
+ */
+object Dedup {
+
+  /** Exact dedup: canonical = min(id) per md5(text); one hash shuffle. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("text_hash"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Rows minus exact duplicates (keeps min(id) of each group). */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(text).cast("binary"))).orderBy(col(id).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word k-shingles of a document (distinct, as exploded rows). */
+  def wordShingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val toks = Text.tokens(col(text))
+    val n = size(toks)
+    val sh = transform(
+      sequence(lit(0), greatest(n - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    df.select(col(id), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /**
+   * Portable MinHash signature: for seeds 0..numHashes-1, the minimum of
+   * md5(seed || ' ' || shingle) (hex-string order). Equivalent quality to
+   * integer minhash — md5 is uniform so the lexicographic min over hex is a
+   * uniform min-hash — and reproducible in any engine with md5().
+   */
+  def minhashSignature(shingled: DataFrame, id: String, numHashes: Int): DataFrame = {
+    val hashes = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit(" "), col("shingle")).cast("binary")))
+        .as(s"mh_$s"))
+    shingled.groupBy(col(id)).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH near-dup candidate pairs: signatures split into `bands`
+   * bands of `rowsPerBand` hashes; docs sharing any band bucket are
+   * candidates. Pair generation is a self-join *per band bucket* — fanout is
+   * bounded by bucket size, never all-pairs. Returns (id_a, id_b) with
+   * id_a < id_b, distinct.
+   */
+  def minhashLshPairs(
+      df: DataFrame, id: String, text: String,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(wordShingles(df, id, text, shingleK), id, numHashes)
+    val banded = sig.select(col(id),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(id).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /**
+   * Engine-native 64-bit SimHash from whitespace tokens: per-bit majority
+   * vote of xxhash64(token). One aggregation, no pairs; near-dups share the
+   * value (or a prefix band). `bits` ≤ 64.
+   */
+  def simhash(df: DataFrame, id: String, text: String, bits: Int = 64): DataFrame = {
+    val tok = df.select(col(id), explode(Text.tokens(col(text))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = tok.groupBy(col(id)).agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until bits).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(id), sim.as("simhash"))
+  }
+
+  /**
+   * N-gram Jaccard similarity pairs via inverted index: explode distinct
+   * shingles, drop "stopword shingles" whose document frequency exceeds
+   * `maxShingleDf` (bounds join fanout — the cutoff is exact and
+   * deterministic), self-join on shingle, then
+   * jaccard = |common| / (|a| + |b| - |common|). Returns pairs with
+   * jaccard >= threshold.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, id: String, text: String,
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 50): DataFrame = {
+    val sh = wordShingles(df, id, text, k)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = shRare.select(col("shingle"), col(id).as("id_a"))
+    val b = shRare.select(col("shingle"), col(id).as("id_b"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), common("id_a") === sizes(id))
+      .drop(id)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(id))
+      .drop(id)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-duplicates: candidates from sign-LSH buckets
+   * (see Similarity.signBucket), verified with exact-quantized cosine.
+   */
+  def embeddingNearDupPairs(
+      df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+    val bucketed = df.select(col(id), col(vec),
+      Similarity.signBucket(col(vec), signBits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(id).as("id_a"), col(vec).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(id).as("id_b"), col(vec).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.Vectors.cosineExact(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

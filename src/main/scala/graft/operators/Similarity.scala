@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/**
+ * Approximate-nearest-neighbor search over an `array<float>` embedding
+ * column.
+ *
+ *  - `bruteForceTopK`: the exact baseline — broadcast the (small) query set
+ *    against the corpus, rank per query. Corpus is scanned once; the join is
+ *    a broadcast nested loop with |queries| ≪ |corpus|, so it scales
+ *    linearly in corpus size (the 100 TB path is "queries are small,
+ *    corpus is huge", which is exactly this shape).
+ *  - `signLshTopK`: the scale path — both sides bucketed by the sign pattern
+ *    of the leading components (a fixed random-hyperplane LSH with
+ *    axis-aligned planes); candidates only within the query's bucket, then
+ *    exact re-rank. Trades recall for a `2^bits`-fold candidate reduction.
+ *  - An IVF variant would replace `signBucket` with nearest-centroid
+ *    assignment; the bucket-join + re-rank skeleton is identical.
+ */
+object Similarity {
+
+  /** Bucket id from the sign bits of the first `bits` components. */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, j + 1) > 0.0f, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Exact top-k neighbors for each query vector (cosine, quantized-exact).
+   * Ties broken by corpus id asc — fully deterministic.
+   */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosineExact(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed top-k: exact ranking within the query's sign bucket. */
+  def signLshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      signBucket(col(qVec), bits).as("bucket"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      signBucket(col(cVec), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vectors.cosineExact(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * CDC / effective-dating operator family — the workhorse operators of the
+ * reference's warehouse queries (ref: SURVEY.md §2.4).
+ *
+ * All helpers are single-shuffle window operators: one exchange on the
+ * partition keys, then a sorted scan per partition. At 100 TB the shuffle is
+ * the cost; none of these ever build a cross product or collect to the
+ * driver.
+ */
+object Cdc {
+
+  /**
+   * W1 — "latest version per business key": Snowflake
+   * `QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ord...) = 1`
+   * (ref: sql/new_rfb_and_total_claimants_active/new_rfb_and_total_claimants_active_detail.sql:32,47-50
+   *  and docs/KIMBALL_CDC_DATA_DESIGN.md:237). Spark has no QUALIFY, so this
+   * is the reusable helper.
+   *
+   * The ordering must be total per key (e.g. desc(sequenced_at),
+   * desc(sequence_no)) or results are nondeterministic.
+   */
+  def latestVersion(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Common CDC form: version columns (ts desc, seqno desc). */
+  def latestVersion(df: DataFrame, keys: Seq[String], versionTs: String, versionNo: String): DataFrame =
+    latestVersion(df, keys, Seq(col(versionTs).desc, col(versionNo).desc))
+
+  /**
+   * W3 — effective/expiry interval construction from an event sequence:
+   * `LEAD(eventTime - gap, 1, '9999-12-31') OVER (PARTITION BY key ORDER BY eventTime)`
+   * (ref: ...detail.sql:19-20,302-304). Adds `effCol` = event time and
+   * `expCol` = next event time minus `gap`, with the open-ended sentinel for
+   * the latest row.
+   */
+  val SentinelHighDate = "9999-12-31 00:00:00"
+
+  def effectiveIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      eventTime: String,
+      tiebreak: Seq[Column] = Seq.empty,
+      effCol: String = "eff_dt",
+      expCol: String = "exp_dt",
+      gap: String = "INTERVAL 1 MINUTE",
+      sentinel: String = SentinelHighDate): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(eventTime).asc +: tiebreak: _*)
+    df.withColumn(effCol, col(eventTime))
+      .withColumn(expCol,
+        coalesce(lead(col(eventTime) - expr(gap), 1).over(w),
+          lit(sentinel).cast("timestamp")))
+  }
+
+  /**
+   * P8 — point-in-time validity predicate with the '9999-12-31' open-end
+   * convention (ref: ...detail.sql:78-80): rows valid at `asOf`.
+   */
+  def validAt(asOf: Column, eff: Column, exp: Column, obsolete: Column = lit(null)): Column = {
+    val hi = lit(SentinelHighDate).cast("timestamp")
+    (asOf >= eff) &&
+      (asOf < coalesce(exp, hi)) &&
+      (asOf < coalesce(obsolete, hi))
+  }
+
+  /**
+   * J10 — as-of join (Kimball Subsystem 16 late-arriving-data matching,
+   * ref: docs/KIMBALL_CDC_DATA_DESIGN.md:100-104): for every left row, the
+   * most recent right row with the same key and rightTime <= leftTime.
+   *
+   * Implemented with the union+last_value trick rather than an
+   * equi-join + range filter + re-rank: tag both sides, union on a conformed
+   * schema, and carry the right payload forward with
+   * `last(payload, ignoreNulls) OVER (PARTITION BY key ORDER BY time, side)`.
+   * One shuffle on the key, no candidate-pair blowup — an equi-join first
+   * would materialize |left| × |versions-per-key| rows before re-ranking,
+   * which at 100 TB is the difference between a sort and an explosion.
+   *
+   * Right rows sort before left rows at equal timestamps, so a right row
+   * with rightTime == leftTime matches (inclusive as-of).
+   */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val lConformed = payloadCols.foldLeft(l) { (d, c) =>
+      d.withColumn("__p_" + c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+    val rConformed = payloadCols.foldLeft(r0) { (d, c) =>
+      d.withColumn("__p_" + c, col(c))
+    }
+    val unionCols = Seq("__k", "__t", "__side") ++ payloadCols.map("__p_" + _)
+    val lSel = lConformed.select((unionCols ++ leftCols).map(col): _*)
+    val rSel = rConformed.select(unionCols.map(col) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(lSel.unionByName(rSel)) { (d, c) =>
+      d.withColumn("__f_" + c, last(col("__p_" + c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col("__f_" + c).as(c)): _*)
+  }
+
+  /**
+   * J5/J6 — anti-join helpers. SQL `NOT IN (subquery)` returns zero rows when
+   * the subquery yields any NULL; `left_anti` does not. We deliberately use
+   * anti-join semantics (the reference's evident intent — its NOT IN keys are
+   * non-null business keys, ref: ...detail.sql:142) and document the
+   * divergence here.
+   */
+  def antiIn(df: DataFrame, sub: DataFrame, joinExpr: Column): DataFrame =
+    df.join(sub, joinExpr, "left_anti")
+
+  def semiIn(df: DataFrame, sub: DataFrame, joinExpr: Column): DataFrame =
+    df.join(sub, joinExpr, "left_semi")
+
+  /**
+   * M3 — idempotent append: `INSERT ... SELECT ... WHERE NOT EXISTS`
+   * (ref: sql/.../report_period_config.sql:66-81) as anti-join-then-union.
+   */
+  def idempotentAppend(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val joinExpr = keys.map(k => target(k) <=> incoming(k)).reduce(_ && _)
+    target.unionByName(incoming.join(target, joinExpr, "left_anti"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Report-period generation — Spark-native re-expression of the reference's
+ * `generate_monthly_periods` stored procedure (WHILE loop + idempotent
+ * INSERT, ref: sql/new_rfb_and_total_claimants_active/report_period_config.sql:39-91)
+ * and the six-frequency period view (ref: report_period_config.sql:149-188).
+ *
+ * Conventions preserved exactly (ref: report_period_config.sql:7-8):
+ * period start = 00:00:00.000, period end = 23:59:59.997 of the last day.
+ *
+ * Generation is `spark.range`-based (distributed, no driver loop) even though
+ * period tables are tiny — the same pattern generates a billion-row date
+ * dimension unchanged.
+ */
+object Periods {
+
+  /** End-of-day with the reference's 23:59:59.997 convention, given a date column. */
+  def endOfDay(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_millis(unix_millis(d.cast("timestamp")) + lit(86399997L))
+
+  /**
+   * Monthly periods covering [startYear, endYear], one row per month:
+   * frequency, report_start_date, report_end_date, as_of_run_dt, carrier_name.
+   */
+  def monthlyPeriods(spark: SparkSession, startYear: Int, endYear: Int,
+                     carrier: String): DataFrame = {
+    val nMonths = (endYear - startYear + 1) * 12
+    val base = to_date(lit(f"$startYear%04d-01-01"))
+    spark.range(0, nMonths)
+      .withColumn("month_start", add_months(base, col("id").cast("int")))
+      .select(
+        lit("MONTHLY").as("frequency"),
+        col("month_start").cast("timestamp").as("report_start_date"),
+        endOfDay(last_day(col("month_start"))).as("report_end_date"),
+        last_day(col("month_start")).as("as_of_run_dt"),
+        lit(carrier).as("carrier_name"))
+  }
+
+  /**
+   * The six-frequency period set for a given run date
+   * (ref: report_period_config.sql:149-188): DAILY / WEEKLY / MONTHLY /
+   * QUARTERLY / SEMI_ANNUAL / YEARLY, each as the period containing `runDate`.
+   */
+  def periodsFor(spark: SparkSession, runDate: String): DataFrame = {
+    import spark.implicits._
+    val d = Seq(runDate).toDF("run_dt").select(to_date($"run_dt").as("run_dt"))
+    val daily = d.select(lit("DAILY").as("frequency"),
+      $"run_dt".cast("timestamp").as("report_start_date"),
+      endOfDay($"run_dt").as("report_end_date"))
+    val weekly = d.select(lit("WEEKLY").as("frequency"),
+      date_trunc("week", $"run_dt").as("report_start_date"),
+      endOfDay(date_add(date_trunc("week", $"run_dt"), 6)).as("report_end_date"))
+    val monthly = d.select(lit("MONTHLY").as("frequency"),
+      date_trunc("month", $"run_dt").as("report_start_date"),
+      endOfDay(last_day($"run_dt")).as("report_end_date"))
+    val quarterly = d.select(lit("QUARTERLY").as("frequency"),
+      date_trunc("quarter", $"run_dt").as("report_start_date"),
+      endOfDay(last_day(add_months(date_trunc("quarter", $"run_dt"), 2))).as("report_end_date"))
+    val semi = d.select(lit("SEMI_ANNUAL").as("frequency"),
+      when(month($"run_dt") <= 6, date_trunc("year", $"run_dt"))
+        .otherwise(add_months(date_trunc("year", $"run_dt"), 6)).as("report_start_date"),
+      endOfDay(when(month($"run_dt") <= 6,
+          last_day(add_months(date_trunc("year", $"run_dt"), 5)))
+        .otherwise(last_day(add_months(date_trunc("year", $"run_dt"), 11))))
+        .as("report_end_date"))
+    val yearly = d.select(lit("YEARLY").as("frequency"),
+      date_trunc("year", $"run_dt").as("report_start_date"),
+      endOfDay(last_day(add_months(date_trunc("year", $"run_dt"), 11))).as("report_end_date"))
+    daily.unionByName(weekly).unionByName(monthly)
+      .unionByName(quarterly).unionByName(semi).unionByName(yearly)
+  }
+}
