@@ -326,7 +326,125 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         to_json(struct(col("event_id"), col("user_id"))).as("obj"))
         .orderBy("event_id")
+    }),
+
+    // ---- large-scale training-data pipeline operators (documents/embeddings)
+
+    // exact dedup — hash-groupBy, one shuffle
+    "q25_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(docsWithDupes(s, dir), "doc_id", "text")
+        .orderBy("text_hash")
+    }),
+
+    // exact dedup — drop duplicates keeping min id
+    "q26_dedup_drop" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(docsWithDupes(s, dir), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-dup candidate pairs (banded buckets, no all-pairs)
+    "q27_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 8, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // portable SimHash fingerprint (md5-digit majority vote, bit string)
+    "q28_simhash" -> ((s, dir) => {
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs via inverted index with df cutoff
+    "q29_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docsWithNearDupes(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.5, maxShingleDf = 50)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dups: sign-LSH buckets + exact quantized verify
+    "q30_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+          threshold = 0.95, signBits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ANN baseline — brute-force cosine top-k (broadcast queries over corpus)
+    "q31_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path — sign-LSH bucketed top-k with exact re-rank
+    "q32_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.signLshTopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // text quality metrics — token/subword counts, ratios, quality score
+    "q33_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.subwordCount(col("text")).cast("long").as("n_subwords"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram-heuristic language ID vs the labeled lang column
+    "q34_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.langId(col("text")).as("detected"),
+          col("lang").as("actual"))
+        .orderBy("doc_id")
+    }),
+
+    // rolling-hash document fingerprint (min-md5 over char 8-grams)
+    "q35_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.fingerprint(col("text"), 8).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing — binary payload + mapPartitions feature extraction
+    "q36_media_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id")
     }))
+
+  /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
+    * dedup operators' outputs non-trivial on a dup-free synthetic corpus. */
+  private def docsWithDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ tail-perturbed copies of every 7th doc (id+10000) — forces
+    * genuine *near*-duplicates for the MinHash/Jaccard operators. */
+  private def docsWithNearDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zzz extra tail")).as("text")))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -537,5 +655,176 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | to_json({'event_id': event_id, 'user_id': user_id}) AS obj
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_dedup_exact" ->
+      s"""WITH all_docs AS ($DupDocsSql)
+         |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_docs
+         |FROM all_docs GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q26_dedup_drop" ->
+      s"""WITH all_docs AS ($DupDocsSql),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM all_docs)
+         |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q27_minhash_lsh" -> {
+      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |banded AS (
+         | $bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q28_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        val digit = b / 4 + 1
+        s"CASE WHEN sum(CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), $digit, 1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH tok AS (SELECT doc_id, u.tok
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) u(tok))
+         |SELECT doc_id, $bits AS simhash
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q29_ngram_jaccard" ->
+      s"""WITH corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50 AND count(*) >= 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, n_a, n_b, jaccard FROM (
+         |  SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         |  FROM common JOIN sizes sa ON common.id_a = sa.doc_id
+         |              JOIN sizes sb ON common.id_b = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_embedding_neardup" -> {
+      val bucket = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id, $QuantizeSql AS qv, $bucket AS bucket FROM corpus)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosineSql AS cosine
+         |  FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q31_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
+         |  FROM (SELECT * FROM v WHERE vec_id < 5) a, v b
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q32_ann_lsh" -> {
+      val bucket = (0 until 6).map(j =>
+        s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv, $bucket AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
+         |  FROM (SELECT * FROM v WHERE vec_id < 5) a JOIN v b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q33_text_stats" ->
+      """SELECT doc_id, n_tokens, n_subwords, punct_ratio, stopword_ratio, avg_token_len,
+        | round(least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.4
+        |   + (CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4
+        |   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(len(text), 1) AS punct_ratio,
+        |   CAST(len(regexp_extract_all(lower(text), '\bthe\b|\ba\b|\ban\b|\band\b|\bor\b|\bof\b|\bto\b|\bin\b|\bis\b|\bit\b')) AS DOUBLE)
+        |     / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio,
+        |   CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |     / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avg_token_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q34_lang_id" -> {
+      def pat(markers: Seq[String]) = markers.map(w => s"\\b$w\\b").mkString("|")
+      val langs = graft.functions.Text.LangMarkers
+      val scoreCols = langs.map { case (l, ms) =>
+        s"len(regexp_extract_all(lt, '${pat(ms)}')) / greatest(nt, 1) AS s_$l"
+      }.mkString(",\n   ")
+      // replicate the fold: start at the first language, strict > on each step
+      val folds = langs.tail.zipWithIndex.map { case ((l, _), i) =>
+        val prev = if (i == 0) s"(SELECT *, 'de' AS bl, s_de AS bs FROM sc)"
+                   else s"f$i"
+        s"f${i + 1} AS (SELECT * REPLACE (CASE WHEN s_$l > bs THEN '$l' ELSE bl END AS bl, CASE WHEN s_$l > bs THEN s_$l ELSE bs END AS bs) FROM $prev)"
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT doc_id, lang, lower(text) AS lt,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |   ${scoreCols}
+         | FROM s),
+         |$folds
+         |SELECT doc_id, CASE WHEN bs > 0 THEN bl ELSE 'und' END AS detected, lang AS actual
+         |FROM f${langs.size - 1} ORDER BY doc_id""".stripMargin
+    },
+
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |   i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_media_features" ->
+      """SELECT media_id, n_bytes, checksum,
+        | CAST(checksum AS DOUBLE) / n_bytes AS mean_byte, format FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |   CAST(len(text) AS BIGINT) AS n_bytes,
+        |   CAST(list_sum(list_transform(range(1, len(text) + 1),
+        |     i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum,
+        |   'fake/utf8' AS format
+        |  FROM documents)
+        |ORDER BY media_id""".stripMargin)
+
+  // -------------------------------------------- shared oracle SQL fragments
+
+  /** documents ∪ exact copies (mirrors docsWithDupes). */
+  private val DupDocsSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0"
+
+  /** documents ∪ perturbed copies (mirrors docsWithNearDupes). */
+  private val NearDupDocsSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text || ' zzz extra tail' FROM documents WHERE doc_id % 7 = 0"
+
+  /** Distinct word 3-shingles per doc (mirrors Dedup.wordShingles k=3). */
+  private val ShinglesSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, u.shingle
+      |       FROM toks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+      |         i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle))""".stripMargin
+
+  /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
+  private val QuantizeSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+
+  /** Exact-quantized cosine between a.qv and b.qv (mirrors Vectors.cosineExact). */
+  private val CosineSql =
+    "list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv))"
 }

@@ -103,6 +103,33 @@ object Dedup {
   }
 
   /**
+   * Portable SimHash: per-bit majority vote over the hex digits of
+   * md5(token) (4 bits per digit), emitted as a '0'/'1' bit string so the
+   * value is reproducible in any engine with md5 — no 64-bit sign issues.
+   * Same scale shape as `simhash`: one explode + one aggregation, no pairs.
+   */
+  def simhashPortable(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {
+    require(bits >= 4 && bits <= 64 && bits % 4 == 0, "bits must be a multiple of 4 in [4,64]")
+    val tok = df.select(col(id), explode(Text.tokens(col(text))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val sums = (0 until bits).map { b =>
+      val digit = b / 4 + 1 // hex digit (1-based), 4 bits each
+      val dval = expr(s"instr('0123456789abcdef', substring(h, $digit, 1)) - 1")
+      sum(when(shiftright(dval, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = tok.groupBy(col(id)).agg(sums.head, sums.tail: _*)
+    val bitStr = concat((0 until bits).map(b =>
+      when(col(s"s_$b") > 0, lit("1")).otherwise(lit("0"))): _*)
+    agg.select(col(id), bitStr.as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /**
    * N-gram Jaccard similarity pairs via inverted index: explode distinct
    * shingles, drop "stopword shingles" whose document frequency exceeds
    * `maxShingleDf` (bounds join fanout — the cutoff is exact and
