@@ -87,7 +87,11 @@ final class GraftConnection(val spark: SparkSession) {
 
   /** ref: connector/snowpark_connector.py:1022-1044 (truncate_table). */
   def truncateTable(name: String): Unit = {
-    val empty = spark.table(name).limit(0)
+    // build the empty frame from the schema only — overwriting a table from
+    // a plan that reads the same table is rejected (UNSUPPORTED_OVERWRITE)
+    val schema = spark.table(name).schema
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     empty.write.mode(SaveMode.Overwrite).saveAsTable(name)
   }
 

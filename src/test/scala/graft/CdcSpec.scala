@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Cdc
+
+class CdcSpec extends AnyFunSuite with SparkSpec {
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestVersion keeps exactly the newest row per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1, "old"),
+      ("k1", ts("2024-01-02 00:00:00"), 1, "new"),
+      ("k1", ts("2024-01-02 00:00:00"), 0, "older-seq"),
+      ("k2", ts("2024-01-01 00:00:00"), 5, "only")
+    ).toDF("key", "sequenced_at", "sequence_no", "v")
+    val out = Cdc.latestVersion(df, Seq("key"), "sequenced_at", "sequence_no")
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getString(3))).toSeq ==
+      Seq(("k1", "new"), ("k2", "only")))
+  }
+
+  test("effectiveIntervals chains LEAD-minus-gap with open-ended sentinel") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:00")),
+      ("k1", ts("2024-01-01 02:00:00"))
+    ).toDF("key", "ts")
+    val out = Cdc.effectiveIntervals(df, Seq("key"), "ts")
+      .orderBy("eff_dt").collect()
+    assert(out(0).getTimestamp(out(0).fieldIndex("exp_dt")) == ts("2024-01-01 01:59:00"))
+    assert(out(1).getTimestamp(out(1).fieldIndex("exp_dt")) == ts("9999-12-31 00:00:00"))
+  }
+
+  test("validAt honors inclusive start, exclusive end, null = open") {
+    import spark.implicits._
+    val df = Seq(
+      (1, ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+      (2, ts("2024-02-01 00:00:00"), null.asInstanceOf[Timestamp])
+    ).toDF("id", "eff", "exp")
+    val at = lit("2024-02-01 00:00:00").cast("timestamp")
+    val ids = df.filter(Cdc.validAt(at, col("eff"), col("exp"))).select("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(2)) // row 1 expired exactly at the boundary
+  }
+
+  test("asOfJoin picks latest right row at-or-before, inclusive on ties") {
+    import spark.implicits._
+    val left = Seq(("u1", ts("2024-01-01 10:00:00"), "p1"))
+      .toDF("user", "t", "purchase")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), "early"),
+      ("u1", ts("2024-01-01 10:00:00"), "tie"),
+      ("u1", ts("2024-01-01 11:00:00"), "late")
+    ).toDF("user", "t", "tag")
+    val out = Cdc.asOfJoin(left, right, "user", "user", "t", "t", Seq("tag")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("tag") == "tie")
+  }
+
+  test("asOfJoin yields null payload when no prior right row") {
+    import spark.implicits._
+    val left = Seq(("u1", ts("2024-01-01 08:00:00"), "p"))
+      .toDF("user", "t", "purchase")
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), "after"))
+      .toDF("user", "t", "tag")
+    val out = Cdc.asOfJoin(left, right, "user", "user", "t", "t", Seq("tag")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("tag") == null)
+  }
+
+  test("idempotentAppend only adds unseen keys") {
+    import spark.implicits._
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val incoming = Seq((2, "b2"), (3, "c")).toDF("k", "v")
+    val out = Cdc.idempotentAppend(target, incoming, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (4L, "completely different content entirely here now today")
+    ).toDF("id", "text")
+  }
+
+  test("exactGroups collapses identical texts to min id") {
+    val g = Dedup.exactGroups(docs, "id", "text").collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("dropExactDuplicates keeps one row per distinct text") {
+    val kept = Dedup.dropExactDuplicates(docs, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("wordShingles produces distinct k-shingles, short docs give one") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val sh = Dedup.wordShingles(d, "id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "x y")))
+  }
+
+  test("minhashLshPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      shingleK = 3, numHashes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // identical signature → all bands match
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("simhashPortable: identical docs share the hash; hamming to near dup is small") {
+    val sh = Dedup.simhashPortable(docs, "id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    import spark.implicits._
+    val ham = Seq((sh(1L), sh(3L)), (sh(1L), sh(4L))).toDF("a", "b")
+      .select(Dedup.hammingBits(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(ham(0) < ham(1)) // near dup closer than unrelated
+  }
+
+  test("ngramJaccardPairs scores exact dup at 1.0 above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text",
+      k = 3, threshold = 0.5, maxShingleDf = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embeddingNearDupPairs: same-bucket high-cosine pairs only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.1f)),
+      (2L, Array(0.5f, 0.5f, 0.1f)),     // identical → cosine 1
+      (3L, Array(0.5f, 0.5f, 0.11f)),    // near dup, same signs
+      (4L, Array(-0.5f, 0.5f, 0.1f))     // different bucket
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "vec",
+      threshold = 0.95, signBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(queries, corpus, "id", "id", "vec", "vec", 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(out == Seq(10L, 11L))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.operators.Multimodal
+import graft.meta.{ExecutionLogRow, MetaStore}
+
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  test("windowedEventAgg over a file stream matches the batch result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val batch = Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1.0),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:40"), 2.0),
+      ("view", java.sql.Timestamp.valueOf("2024-01-01 00:01:10"), 5.0)
+    ).toDF("event_type", "ts", "value")
+    batch.write.parquet(dir + "/in")
+
+    val stream = Streams.parquetStream(spark, dir + "/in", batch.schema)
+    val q = Streams.startMemorySink(
+      Streams.windowedEventAgg(stream, "1 minute", "10 seconds"),
+      "agg_smoke", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("agg_smoke")
+        .orderBy("window_start", "event_type").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value"))).toSeq
+      assert(out == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("multimodal plumbing: payload bytes survive and features are exact") {
+    import spark.implicits._
+    val df = Seq((7L, "abc")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(df, "doc_id", "text"))
+      .collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.media_id == 7L && f.n_bytes == 3L &&
+      f.checksum == 'a'.toLong + 'b' + 'c' && f.format == "fake/utf8")
+  }
+
+  test("MetaStore watermark roundtrip and execution log append") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
+    val ms = new MetaStore(spark, dir)
+    assert(ms.lastLoadTimestamp("p1", "c1").isEmpty)
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    ms.recordLoad("p1", "c1", t1)
+    ms.recordLoad("p1", "c1", t2)
+    assert(ms.lastLoadTimestamp("p1", "c1").contains(t2))
+    ms.appendExecutionLog(Seq(ExecutionLogRow("e1", t1, t2, "SUCCESS", "t",
+      1, 2, 3, "c1", "")))
+    assert(ms.executionLog.count() == 1)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+
+class TextSpec extends AnyFunSuite with SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c).head.get(0)
+  }
+
+  test("tokenCount handles empty, blank, and multi-space text") {
+    assert(one(Text.tokenCount(col("t")), "") == 0)
+    assert(one(Text.tokenCount(col("t")), "   ") == 0)
+    assert(one(Text.tokenCount(col("t")), " a  b\tc ") == 3)
+  }
+
+  test("subwordCount splits alpha runs, digit runs, punct") {
+    assert(one(Text.subwordCount(col("t")), "abc123!x") == 4) // abc,123,!,x
+  }
+
+  test("punctRatio and stopwordRatio bounded in [0,1]") {
+    val p = one(Text.punctRatio(col("t")), "!!!").asInstanceOf[Double]
+    assert(p == 1.0)
+    val s = one(Text.stopwordRatio(col("t")), "the and of").asInstanceOf[Double]
+    assert(s == 1.0)
+  }
+
+  test("qualityScore rewards clean prose over punctuation soup") {
+    val good = one(Text.qualityScore(col("t")),
+      "this is a reasonably long sentence with normal words appearing throughout the text body")
+      .asInstanceOf[Double]
+    val bad = one(Text.qualityScore(col("t")), "!@# $%^ &*( )!@ #$%").asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("langId detects clear samples and falls back to und") {
+    assert(one(Text.langId(col("t")), "the cat is on the mat and it is happy") == "en")
+    assert(one(Text.langId(col("t")), "der hund ist nicht mit der katze") == "de")
+    assert(one(Text.langId(col("t")), "xyzzy plugh qwerty") == "und")
+  }
+
+  test("fingerprint is stable and shift-insensitive for shared k-grams") {
+    val a = one(Text.fingerprint(col("t"), 4), "abcdefgh")
+    val b = one(Text.fingerprint(col("t"), 4), "abcdefgh")
+    assert(a == b)
+    // prefixing content keeps the minimum if the original min-gram survives
+    val c = one(Text.fingerprint(col("t"), 4), "xx abcdefgh")
+    assert(c.asInstanceOf[String] <= a.asInstanceOf[String])
+  }
+
+  test("charShingles covers all positions") {
+    import spark.implicits._
+    val sh = Seq("abcd").toDF("t")
+      .select(Text.charShingles(col("t"), 3)).head.getSeq[String](0)
+    assert(sh == Seq("abc", "bcd"))
+  }
+}
