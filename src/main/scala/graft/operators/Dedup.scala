@@ -52,10 +52,18 @@ object Dedup {
    * uniform min-hash — and reproducible in any engine with md5().
    */
   def minhashSignature(shingled: DataFrame, id: String, numHashes: Int): DataFrame = {
-    val hashes = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit(" "), col("shingle")).cast("binary")))
-        .as(s"mh_$s"))
-    shingled.groupBy(col(id)).agg(hashes.head, hashes.tail: _*)
+    // hash each DISTINCT shingle once, then join back to the (id, shingle)
+    // pairs: md5 evaluations drop from |pairs| × H to |distinct| × H — at
+    // corpus scale the distinct-shingle set is orders of magnitude smaller
+    // and the extra equi-join shuffles no more than the groupBy already does
+    val cached = shingled.persist()
+    val hashCols = (0 until numHashes).map(s =>
+      md5(concat(lit(s.toString), lit(" "), col("shingle")).cast("binary")).as(s"h_$s"))
+    val shingleHashes = cached.select("shingle").distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val aggs = (0 until numHashes).map(s => min(col(s"h_$s")).as(s"mh_$s"))
+    cached.join(shingleHashes, Seq("shingle"))
+      .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -140,7 +148,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 50): DataFrame = {
-    val sh = wordShingles(df, id, text, k)
+    // the shingle frame feeds three consumers (df counts, inverted index,
+    // per-doc sizes) — persist so tokenize+shingle runs once, not three times
+    val sh = wordShingles(df, id, text, k).persist()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -169,13 +179,20 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, id: String, vec: String,
       threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
-    val bucketed = df.select(col(id), col(vec),
-      Similarity.signBucket(col(vec), signBits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(id).as("id_a"), col(vec).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(id).as("id_b"), col(vec).as("vec_b"))
+    import graft.functions.Vectors
+    // quantize + self-dot once per row; each candidate pair costs one dot
+    val bucketed = df.select(col(id),
+        Similarity.signBucket(col(vec), signBits).as("bucket"),
+        Vectors.quantize(col(vec)).as("__qv"))
+      .withColumn("__n", Vectors.dotQ(col("__qv"), col("__qv")))
+    val a = bucketed.select(col("bucket"), col(id).as("id_a"),
+      col("__qv").as("__qa"), col("__n").as("__na"))
+    val b = bucketed.select(col("bucket"), col(id).as("id_b"),
+      col("__qv").as("__qb"), col("__n").as("__nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.functions.Vectors.cosineExact(col("vec_a"), col("vec_b")))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qa"), col("__qb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

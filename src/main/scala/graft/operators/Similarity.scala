@@ -36,11 +36,19 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    // quantize + self-dot ONCE per row on each side; each pair then costs a
+    // single integer dot product (same value as cosineExact, 3× less work
+    // in the |queries| × |corpus| hot loop)
+    val q = queries.select(col(qId).as("query_id"),
+        Vectors.quantize(col(qVec)).as("__qv"))
+      .withColumn("__qn", Vectors.dotQ(col("__qv"), col("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+        Vectors.quantize(col(cVec)).as("__cv"))
+      .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosineExact(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -53,13 +61,18 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qVec: String, cVec: String,
       k: Int, bits: Int = 8): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
-      signBucket(col(qVec), bits).as("bucket"))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
-      signBucket(col(cVec), bits).as("bucket"))
+    val q = queries.select(col(qId).as("query_id"),
+        Vectors.quantize(col(qVec)).as("__qv"),
+        signBucket(col(qVec), bits).as("bucket"))
+      .withColumn("__qn", Vectors.dotQ(col("__qv"), col("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+        Vectors.quantize(col(cVec)).as("__cv"),
+        signBucket(col(cVec), bits).as("bucket"))
+      .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Vectors.cosineExact(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
