@@ -37,12 +37,15 @@ object Dedup {
 
   /** Word k-shingles of a document (distinct, as exploded rows). */
   def wordShingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val toks = Text.tokens(col(text))
-    val n = size(toks)
+    // tokenize into a real column first: referencing Text.tokens(...) inside
+    // the transform lambda would re-run the regex split once per shingle
+    // index instead of once per document
+    val toks = df.select(col(id), Text.tokens(col(text)).as("__toks"))
+    val n = size(col("__toks"))
     val sh = transform(
       sequence(lit(0), greatest(n - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-    df.select(col(id), explode(array_distinct(sh)).as("shingle"))
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))
+    toks.select(col(id), explode(array_distinct(sh)).as("shingle"))
   }
 
   /**
@@ -78,6 +81,8 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(wordShingles(df, id, text, shingleK), id, numHashes)
+    // persist: both sides of the candidate self-join read `banded`; without
+    // it the whole shingle→signature pipeline runs twice
     val banded = sig.select(col(id),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -85,6 +90,7 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col(id), col("bb.band"), col("bb.bucket"))
+      .persist()
     val a = banded.select(col("band"), col("bucket"), col(id).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(id).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -148,18 +154,21 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 50): DataFrame = {
-    // the shingle frame feeds three consumers (df counts, inverted index,
-    // per-doc sizes) — persist so tokenize+shingle runs once, not three times
+    // the shingle frame feeds two consumers (inverted index, per-doc sizes)
+    // — persist so tokenize+shingle runs once
     val sh = wordShingles(df, id, text, k).persist()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf && col("df") >= 2)
-    val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val a = shRare.select(col("shingle"), col(id).as("id_a"))
-    val b = shRare.select(col("shingle"), col(id).as("id_b"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // group docs per shingle and expand i<j pairs inside the (≤ maxShingleDf)
+    // array — one groupBy shuffle instead of a self-join that re-shuffles the
+    // whole inverted index; fanout stays bounded by the df cutoff
+    val docLists = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    val pairs = docLists.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val common = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("n_sh", "n_a"), common("id_a") === sizes(id))
       .drop(id)
