@@ -427,6 +427,94 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text"))
         .toDF()
         .orderBy("media_id")
+    }),
+
+    // W2/W4/W5 — rank, first-event row_number, analytic min/count over key
+    "q37_rank_min_over" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      e.select(col("user_id"), col("event_id").as("first_event_id"),
+          col("event_type").as("first_event_type"),
+          row_number().over(w).as("rn"),
+          min(col("ts")).over(wAll).as("first_ts"),
+          count(lit(1)).over(wAll).as("n_events"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+
+    // A5/A6 — filtered aggregates + ratio-of-sums KPIs
+    "q38_filtered_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          (sum(when(col("l_quantity") > 25, dec(col("l_quantity")))).cast("double") /
+            count(when(col("l_quantity") > 25, lit(1)))).as("avg_large_qty"),
+          (sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)) * lit(100.0) /
+            count(lit(1))).as("discount_rate_pct"),
+          (sum(dec(col("l_extendedprice"))).cast("double") /
+            sum(dec(col("l_quantity"))).cast("double")).as("price_per_unit"))
+        .orderBy("l_returnflag")
+    }),
+
+    // P7/P1 — LIKE with escaped backslash + quoted mixed-case space aliases
+    "q39_string_report" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_name").like("%4") && !col("c_name").like("%\\\\%"))
+        .select(
+          col("c_custkey").as("Customer Key"),
+          expr("substring(c_name, instr(c_name, '#') + 1)").as("Customer Number"),
+          length(col("c_name")).cast("long").as("Name Length"),
+          when(col("c_name").contains("#"), "Y").otherwise("N").as("Has Hash"))
+        .orderBy("Customer Key")
+    }),
+
+    // S3/S4/S7 — flagship pipeline: template file → view → detail → summary
+    "q40_report_pipeline" -> ((s, dir) => {
+      Tables.registerAll(GraftSession.tune(s), dir)
+      val conn = new graft.core.GraftConnection(s)
+      val sqlDir = if (java.nio.file.Files.exists(java.nio.file.Paths.get("sql")))
+        "sql" else "/root/repo/sql"
+      conn.sessionVars.set("MIN_VALUE", "2.0")
+      conn.sessionVars.set("MAX_VALUE", "8.0")
+      val base = conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/base.sql",
+        placeholders = Map("SOURCE_TABLE" -> "events"),
+        incrementalPredicate = Some("ts > TIMESTAMP '2024-01-05 00:00:00'")))
+      conn.saveAsView(base, "service_events_base")
+      val detail = conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/detail.sql",
+        placeholders = Map("BASE_VIEW" -> "service_events_base")))
+      conn.saveAsView(detail, "service_events_detail")
+      conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/summary.sql",
+        placeholders = Map("DETAIL_VIEW" -> "service_events_detail")))
+    }),
+
+    // F4/U2 — six-frequency period view for a run date
+    "q41_periods_all" -> ((s, dir) =>
+      Periods.periodsFor(s, "2024-08-15").orderBy("frequency")),
+
+    // A9 — aggregate-of-aggregate row-count reasonability
+    "q42_count_reasonability" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .select(col("n_rows"), col("n_keys"), col("n_customers"),
+          when(col("n_rows") === col("n_keys"), "OK").otherwise("SUSPECT").as("pk_status"))
+    }),
+
+    // J3 — join with window-rank-filtered side (first lineitem per order)
+    "q43_first_line_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val firstLine = Cdc.latestVersion(li, Seq("l_orderkey"),
+        Seq(col("l_shipdate").asc, col("l_linenumber").asc))
+      o.join(firstLine, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("l_shipdate").as("first_ship_dt"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_first_ship"))
+        .orderBy("o_orderkey")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -801,7 +889,67 @@ object SparkEntry {
         |     i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum,
         |   'fake/utf8' AS format
         |  FROM documents)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+
+    "q37_rank_min_over" ->
+      """SELECT user_id, first_event_id, first_event_type,
+        | CAST(first_ts AS TIMESTAMP) AS first_ts, n_events FROM (
+        |  SELECT user_id, event_id AS first_event_id, event_type AS first_event_type,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |   MIN(ts) OVER (PARTITION BY user_id) AS first_ts,
+        |   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q38_filtered_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   / COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS avg_large_qty,
+        | SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) * CAST(100.0 AS DOUBLE) / COUNT(*) AS discount_rate_pct,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS price_per_unit
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_string_report" ->
+      """SELECT c_custkey AS "Customer Key",
+        | substr(c_name, strpos(c_name, '#') + 1) AS "Customer Number",
+        | CAST(length(c_name) AS BIGINT) AS "Name Length",
+        | CASE WHEN contains(c_name, '#') THEN 'Y' ELSE 'N' END AS "Has Hash"
+        |FROM customer
+        |WHERE c_name LIKE '%4' AND c_name NOT LIKE '%\%'
+        |ORDER BY "Customer Key"""".stripMargin,
+
+    "q40_report_pipeline" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE value BETWEEN 2.0 AND 8.0 AND ts > TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_periods_all" ->
+      """SELECT * FROM (
+        | SELECT 'DAILY' AS frequency, TIMESTAMP '2024-08-15 00:00:00' AS report_start_date, TIMESTAMP '2024-08-15 23:59:59.997' AS report_end_date
+        | UNION ALL SELECT 'WEEKLY', TIMESTAMP '2024-08-12 00:00:00', TIMESTAMP '2024-08-18 23:59:59.997'
+        | UNION ALL SELECT 'MONTHLY', TIMESTAMP '2024-08-01 00:00:00', TIMESTAMP '2024-08-31 23:59:59.997'
+        | UNION ALL SELECT 'QUARTERLY', TIMESTAMP '2024-07-01 00:00:00', TIMESTAMP '2024-09-30 23:59:59.997'
+        | UNION ALL SELECT 'SEMI_ANNUAL', TIMESTAMP '2024-07-01 00:00:00', TIMESTAMP '2024-12-31 23:59:59.997'
+        | UNION ALL SELECT 'YEARLY', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-12-31 23:59:59.997')
+        |ORDER BY frequency""".stripMargin,
+
+    "q42_count_reasonability" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | CASE WHEN COUNT(*) = COUNT(DISTINCT o_orderkey) THEN 'OK' ELSE 'SUSPECT' END AS pk_status
+        |FROM orders""".stripMargin,
+
+    "q43_first_line_join" ->
+      """SELECT o_orderkey, o_orderdate, l_shipdate AS first_ship_dt,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days_to_first_ship
+        |FROM orders JOIN (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+        |                 FROM lineitem) WHERE rn = 1
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 
