@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.merge.{Upsert, UpsertResult}
+import graft.meta.{ExecutionLogRow, MetaStore}
+
+/**
+ * Incremental (high-water-mark) load orchestration — the reference's main
+ * run shape tied together: read the last load timestamp, scan only newer
+ * source rows, MERGE into the target, advance the watermark, and write the
+ * execution-audit row
+ * (ref: connector/snowpark_connector.py:425-453 incremental predicate,
+ *  :607-688 upsert, :1137-1236 execution logging;
+ *  docs/KIMBALL_CDC_DATA_DESIGN.md:289-296 watermark pattern).
+ *
+ * Scale notes: the watermark predicate lands on the source scan (predicate /
+ * partition pruning), so each run reads only the new slice — the property
+ * that keeps a 100 TB CDC table loadable in minutes. The merge is one
+ * key-shuffle; audit writes are driver-sized.
+ */
+object IncrementalLoad {
+
+  final case class LoadResult(
+      processName: String,
+      sourceRows: Long,
+      upsert: UpsertResult,
+      newWatermark: Option[java.sql.Timestamp])
+
+  /**
+   * Run one incremental load:
+   *  - `source`: full source table (the watermark filter is applied here);
+   *  - `target`: current target state (empty DataFrame on first load);
+   *  - returns the merged frame + accounting; caller persists `result.upsert.result`.
+   */
+  def run(
+      spark: SparkSession,
+      meta: MetaStore,
+      processName: String,
+      carrier: String,
+      source: DataFrame,
+      target: DataFrame,
+      keys: Seq[String],
+      watermarkCol: String): LoadResult = {
+    val start = new java.sql.Timestamp(System.currentTimeMillis())
+    val since = meta.lastLoadTimestamp(processName, carrier)
+    val incoming = since match {
+      case Some(ts) => source.filter(col(watermarkCol) > lit(ts))
+      case None     => source
+    }
+    // one pass over the slice: rows + max watermark together
+    val stats = incoming.agg(
+      count(lit(1)).as("n"), max(col(watermarkCol)).as("hwm")).head()
+    val nRows = stats.getLong(0)
+    val newHwm = Option(stats.getTimestamp(1))
+
+    val result = Upsert.merge(target, incoming, keys)
+    newHwm.foreach(ts => meta.recordLoad(processName, carrier, ts))
+    meta.appendExecutionLog(Seq(ExecutionLogRow(
+      execution_id = java.util.UUID.randomUUID().toString,
+      execution_start_ts = start,
+      execution_end_ts = new java.sql.Timestamp(System.currentTimeMillis()),
+      execution_status = "SUCCESS",
+      target_table = processName,
+      records_inserted = result.inserted,
+      records_updated = result.updated,
+      records_deleted = result.deleted,
+      carrier_name = carrier,
+      error_message = "")))
+    LoadResult(processName, nRows, result, newHwm)
+  }
+}

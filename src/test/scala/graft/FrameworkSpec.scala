@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dq.TestFramework
+import graft.ops.IncrementalLoad
+import graft.meta.MetaStore
+import graft.sources.TableIngest
+import graft.reports.ReportRenderer
+
+class FrameworkSpec extends AnyFunSuite with SparkSpec {
+
+  private val template =
+    """-- some preamble, ignored
+      |-- START_TEST
+      |@UNIQUE_CHECK
+      |@QUERY
+      |SELECT {column} AS err_value, COUNT(*) AS err_count
+      |FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
+      |-- END_TEST
+      |-- START_TEST
+      |@NOT_NULL_CHECK
+      |@QUERY
+      |SELECT * FROM {table} WHERE {column} IS NULL
+      |-- END_TEST
+      |""".stripMargin
+
+  test("parseTemplateBlocks extracts named SQL blocks") {
+    val blocks = TestFramework.parseTemplateBlocks(template)
+    assert(blocks.keySet == Set("UNIQUE_CHECK", "NOT_NULL_CHECK"))
+    assert(blocks("NOT_NULL_CHECK") == "SELECT * FROM {table} WHERE {column} IS NULL")
+  }
+
+  test("renderPlaceholders fills {braces} and raises on unbound") {
+    val sql = TestFramework.renderPlaceholders(
+      "SELECT {c} FROM {t}", Map("c" -> "x", "t" -> "tab"))
+    assert(sql == "SELECT x FROM tab")
+    intercept[IllegalArgumentException] {
+      TestFramework.renderPlaceholders("SELECT {nope}", Map.empty)
+    }
+  }
+
+  test("loadSpec parses csv rows with ;-separated params") {
+    val spec = TestFramework.loadSpec(
+      """test_name,query_name,is_enabled,params
+        |t1,UNIQUE_CHECK,true,table=tab;column=x
+        |t2,NOT_NULL_CHECK,false,table=tab;column=y
+        |""".stripMargin)
+    assert(spec.length == 2 && spec(1).isEnabled == false)
+    assert(spec.head.params == Map("table" -> "tab", "column" -> "x"))
+  }
+
+  test("run executes checks against views; runOrThrow raises on FAIL") {
+    import spark.implicits._
+    Seq((1, "a"), (1, "b"), (2, null)).toDF("k", "v")
+      .createOrReplaceTempView("fw_tab")
+    val blocks = TestFramework.parseTemplateBlocks(template)
+    val cases = Seq(
+      TestFramework.TestCase("dup_k", "UNIQUE_CHECK", Map("table" -> "fw_tab", "column" -> "k")),
+      TestFramework.TestCase("null_v", "NOT_NULL_CHECK", Map("table" -> "fw_tab", "column" -> "v")))
+    val out = TestFramework.run(spark, blocks, cases)
+    assert(out.map(o => o.testName -> o.status).toMap ==
+      Map("dup_k" -> "FAIL", "null_v" -> "FAIL"))
+    assert(out.head.failureCount == 2) // err_count sum, not row count
+    intercept[TestFramework.OneOrMoreTestCasesFailedException] {
+      TestFramework.runOrThrow(spark, blocks, cases)
+    }
+    // passing case
+    val ok = TestFramework.runOrThrow(spark, blocks,
+      Seq(TestFramework.TestCase("uniq_v", "UNIQUE_CHECK",
+        Map("table" -> "fw_tab", "column" -> "v"))))
+    assert(ok.head.status == "PASS")
+  }
+
+  test("IncrementalLoad: first run loads all, second only newer rows") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
+    val meta = new MetaStore(spark, dir)
+    val source1 = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-02 00:00:00"))).toDF("k", "v", "updated_at")
+    val empty = source1.limit(0)
+    val r1 = IncrementalLoad.run(spark, meta, "proc", "c1", source1, empty,
+      Seq("k"), "updated_at")
+    assert(r1.sourceRows == 2 && r1.upsert.inserted == 2)
+    assert(meta.lastLoadTimestamp("proc", "c1").contains(ts("2024-01-02 00:00:00")))
+
+    val target2 = r1.upsert.result
+    val source2 = Seq(
+      (2L, "b", ts("2024-01-02 00:00:00")),   // old row — filtered by watermark
+      (2L, "b2", ts("2024-01-03 00:00:00")),  // newer version
+      (3L, "c", ts("2024-01-04 00:00:00"))).toDF("k", "v", "updated_at")
+    val r2 = IncrementalLoad.run(spark, meta, "proc", "c1", source2, target2,
+      Seq("k"), "updated_at")
+    assert(r2.sourceRows == 2 && r2.upsert.inserted == 1 && r2.upsert.updated == 1)
+    assert(meta.lastLoadTimestamp("proc", "c1").contains(ts("2024-01-04 00:00:00")))
+    assert(r2.upsert.result.count() == 3)
+  }
+
+  test("TableIngest stitches continuations, cleans, and combines") {
+    val t1 = TableIngest.ExtractedTable(1,
+      Seq("Policy", "Amount", "Status"),
+      Seq(Seq("P1", "10", "OK"), Seq("P2", "20", "OK"), Seq("", "", "")))
+    val cont = TableIngest.ExtractedTable(2,
+      Seq("P3", "30", "OK"), // data row mistaken for a header → continuation
+      Seq(Seq("P4", "40", "BAD")))
+    val summary = TableIngest.ExtractedTable(2, Seq("Total", "100"), Seq(Seq("x", "y")))
+    val stitched = TableIngest.stitchContinuations(Seq(t1, cont, summary))
+    assert(stitched(1).header == Seq("Policy", "Amount", "Status"))
+    assert(stitched(1).rows.head == Seq("P3", "30", "OK"))
+
+    val detail = stitched.filter(TableIngest.isDetailTable(_))
+    assert(detail.length == 2) // summary block dropped
+    val df = TableIngest.ingest(spark, Seq(t1, cont, summary))
+    assert(df.columns.toSeq == Seq("Policy", "Amount", "Status"))
+    assert(df.count() == 4) // 2 + 2, all-empty row dropped
+  }
+
+  test("cleanDataFrame drops all-null columns and trims cells") {
+    import spark.implicits._
+    val df = Seq((" a ", null: String, "1"), ("b", null: String, " 2 "))
+      .toDF("x", "dead", "y")
+    val out = TableIngest.cleanDataFrame(df)
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.orderBy("x").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("ReportRenderer emits header, sections, subtotals, grand total") {
+    import spark.implicits._
+    val detail = Seq(("g1", "r1", 10.0), ("g1", "r2", 5.0), ("g2", "r3", 2.5))
+      .toDF("grp", "item", "amt")
+    val lines = ReportRenderer.render(
+      ReportRenderer.ReportHeader("Claims Report", "CARRIER_A",
+        "2024-01-01", "2024-01-31", "2024-02-01 00:00:00"),
+      detail, "grp", "amt", Seq("item", "amt"))
+    assert(lines.head == "Claims Report")
+    assert(lines.contains("Total g1\t15.0"))
+    assert(lines.contains("Total g2\t2.5"))
+    assert(lines.last == "Grand Total\t17.5")
+  }
+}
