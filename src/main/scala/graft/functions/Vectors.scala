@@ -27,12 +27,25 @@ object Vectors {
   def cosineFast(a: Column, b: Column): Column =
     dotFast(a, b) / (norm2Fast(a) * norm2Fast(b))
 
-  /** floor(x*1e7) per component, as long — deterministic quantization. */
+  import org.apache.spark.sql.graft.ColumnBridge
+  import graft.plans.{DotProductQ, QuantizeVector}
+
+  /** floor(x*1e7) per component, as long — deterministic quantization.
+    * Native codegen'd expression; `quantizeHof` is the composable reference
+    * form (identical results, interpreted lambdas). */
   def quantize(a: Column): Column =
+    ColumnBridge.column(QuantizeVector(ColumnBridge.expression(a)))
+
+  def quantizeHof(a: Column): Column =
     transform(a, x => floor(x.cast("double") * lit(1.0e7)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (unscaled). */
+  /** Exact integer dot product of two quantized vectors (unscaled).
+    * Native codegen'd expression; `dotQHof` is the reference form. */
   def dotQ(aq: Column, bq: Column): Column =
+    ColumnBridge.column(DotProductQ(
+      ColumnBridge.expression(aq), ColumnBridge.expression(bq)))
+
+  def dotQHof(aq: Column, bq: Column): Column =
     aggregate(zip_with(aq, bq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /**

@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/**
+ * Native Catalyst expressions for the embedding hot path. The composable
+ * `aggregate(zip_with(...))` formulation is semantically identical but each
+ * higher-order lambda is interpreted per element per row; these generate a
+ * tight primitive loop inside whole-stage codegen instead — the
+ * "custom Expression beats UDF beats everything else" tier for operators
+ * Spark's built-ins can't express efficiently.
+ *
+ * Semantics mirror the composable forms exactly (verified in PlansSpec):
+ *  - null input → null; mismatched lengths or null element → null result
+ *    (zip_with pads with null, null poisons the sum);
+ *  - quantization = floor(float→double * 1e7) as long, per element.
+ */
+case class DotProductQ(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  // introduces nulls beyond input nullability (length mismatch, null
+  // element) — without this override a non-nullable schema would surface
+  // the folded null as 0
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long s = 0L;
+         |  int n = $a.numElements();
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    s += $a.getLong(i) * $b.getLong(i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductQ =
+    copy(left = newLeft, right = newRight)
+}
+
+/** floor(x * 1e7) per float component, as long — `Vectors.quantize` native. */
+case class QuantizeVector(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> input, got ${other.simpleString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "quantize_vector"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (x.isNullAt(i)) null
+        else Math.floor(x.getFloat(i).toDouble * 1.0e7).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |int n = $a.numElements();
+         |Object[] out = new Object[n];
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i)) {
+         |    out[i] = (long) java.lang.Math.floor(((double) $a.getFloat(i)) * 1.0E7);
+         |  }
+         |}
+         |${ev.value} = new $gad(out);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVector =
+    copy(child = newChild)
+}

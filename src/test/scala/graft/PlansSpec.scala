@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+
+class PlansSpec extends AnyFunSuite with SparkSpec {
+
+  test("native quantize/dotQ match the higher-order reference forms") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f), Array(0.4f, 0.5f, -0.6f)),
+      (2L, Array(0.0f, 1.0f, -1.0f), Array(1.0f, 0.0f, 0.5f))
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      Vectors.dotQ(Vectors.quantize(col("a")), Vectors.quantize(col("b"))).as("native"),
+      Vectors.dotQHof(Vectors.quantizeHof(col("a")), Vectors.quantizeHof(col("b"))).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native dotQ nulls: null array, mismatched lengths, null element") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),        // 11
+      (None, Some(Seq(1L, 2L))),                      // null input
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L)))      // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(Vectors.dotQ(col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) == 11L)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+    // null element poisons the product, matching zip_with+aggregate
+    val withNullElem = spark.sql(
+      "SELECT array(1L, NULL, 3L) AS a, array(1L, 2L, 3L) AS b")
+      .select(Vectors.dotQ(col("a"), col("b")))
+    val row = withNullElem.head
+    info(s"withNullElem row: $row")
+    info("plan: " + withNullElem.queryExecution.optimizedPlan.toString)
+    info("hof: " + spark.sql(
+      "SELECT array(1L, NULL, 3L) AS a, array(1L, 2L, 3L) AS b")
+      .select(Vectors.dotQHof(col("a"), col("b"))).head.toString)
+    info("ansi: " + spark.conf.get("spark.sql.ansi.enabled"))
+    assert(row.isNullAt(0))
+  }
+
+  test("cosineExact via native expressions equals known values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosineExact(col("a"), col("b")).as("same"),
+      Vectors.cosineExact(col("a"), col("c")).as("ortho")).head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+}
