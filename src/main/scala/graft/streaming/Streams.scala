@@ -35,6 +35,43 @@ object Streams {
   def startMemorySink(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
 
+  /**
+   * Streaming latest-version-per-key — the streaming counterpart of
+   * `Cdc.latestVersion` (W1): custom keyed state via `mapGroupsWithState`
+   * holds the current winner per key and emits it whenever a newer version
+   * (by event time, then a sequence column) arrives. Output mode `update`.
+   *
+   * State is one small row per key — the minimal CDC upsert state — so
+   * memory scales with |keys|, not |events|; at cluster scale the state
+   * store shards by the groupBy key exactly like the batch shuffle.
+   */
+  def latestVersionStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(events.schema)
+    implicit val verEnc: org.apache.spark.sql.Encoder[(java.sql.Timestamp, Long, Row)] =
+      Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, rowEnc)
+    import spark.implicits._
+    events.groupByKey(r => r.getAs[Any](keyCol).toString)
+      .mapGroupsWithState[(java.sql.Timestamp, Long, Row), Row](
+        GroupStateTimeout.NoTimeout()) { case (_, rows, state) =>
+        val candidates = rows.toSeq ++
+          state.getOption.map(_._3)
+        val best = candidates.maxBy(r =>
+          (Option(r.getAs[java.sql.Timestamp](tsCol)).map(_.getTime).getOrElse(Long.MinValue),
+            r.getAs[Number](seqCol).longValue()))
+        state.update((best.getAs[java.sql.Timestamp](tsCol),
+          best.getAs[Number](seqCol).longValue(), best))
+        best
+      }
+  }
+
   /** Read a parquet file's rows as a file stream (schema must be supplied). */
   def parquetStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.merge.Upsert
+import graft.ops.Cdc
+
+/**
+ * Property tests for the merge/dedup/interval invariants. Uses scalacheck
+ * generators with explicit seeds (deterministic, no scalatestplus bridge in
+ * the offline cache); each case spins tiny Spark jobs so the sample count
+ * is capped.
+ */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val kvGen: Gen[List[(Int, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 8), Gen.alphaStr.map(_.take(4))))
+
+  test("merge invariants: row accounting matches result size; keys unique") {
+    import spark.implicits._
+    samples(Gen.zip(kvGen, kvGen), 5).foreach { case (t, s) =>
+      val target = t.toMap.toSeq.toDF("k", "v") // unique keys
+      val source = s.toMap.toSeq.toDF("k", "v")
+      val r = Upsert.merge(target, source, Seq("k"),
+        deleteNotMatchedBySource = Some(lit(true)))
+      val nT = target.count(); val nS = source.count()
+      assert(r.inserted + r.updated == nS,
+        s"inserted=${r.inserted} updated=${r.updated} source=$nS")
+      assert(r.updated + r.deleted == nT,
+        s"updated=${r.updated} deleted=${r.deleted} target=$nT")
+      assert(r.result.count() == nT - r.deleted + r.inserted)
+      assert(r.result.select("k").distinct().count() == r.result.count())
+    }
+  }
+
+  test("latestVersion: exactly one row per key, and it is the max version") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 100)))
+    samples(gen, 5).foreach { rows =>
+      val df = rows.toDF("k", "ver")
+      val out = Cdc.latestVersion(df, Seq("k"), Seq(col("ver").desc))
+      val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("effectiveIntervals: per key ordered, chained minus gap, sentinel last") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 100000L)))
+    samples(gen, 5).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, ms), i) => (k, new java.sql.Timestamp(ms * 60000L), i) }
+        .toDF("k", "ts", "seq")
+      val out = Cdc.effectiveIntervals(df, Seq("k"), "ts", Seq(col("seq").asc))
+        .select("k", "eff_dt", "exp_dt").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1), r.getTimestamp(2)))
+      out.groupBy(_._1).values.foreach { iv =>
+        val sorted = iv.sortBy(_._2.getTime)
+        sorted.sliding(2).foreach {
+          case Array((_, _, exp), (_, eff2, _)) =>
+            // next interval starts 1 minute after this one expires
+            // (duplicate timestamps make exp land at or before eff2 - gap)
+            assert(exp.getTime <= eff2.getTime - 60000L ||
+              exp.getTime == eff2.getTime - 60000L,
+              s"exp=$exp eff2=$eff2")
+          case _ =>
+        }
+        assert(sorted.last._3.getTime ==
+          java.sql.Timestamp.valueOf("9999-12-31 00:00:00").getTime)
+      }
+    }
+  }
+}

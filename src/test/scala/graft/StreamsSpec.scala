@@ -32,6 +32,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("latestVersionStream keeps the newest version per key across triggers") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graftlv").toString
+    val schema = Seq(("u1", ts("2024-01-01 00:00:00"), 1L, "v1"))
+      .toDF("user_id", "ts", "seq", "payload").schema
+    // two files → two triggers (maxFilesPerTrigger=1): state carries across
+    Seq(("u1", ts("2024-01-01 00:00:00"), 1L, "v1"),
+        ("u2", ts("2024-01-01 01:00:00"), 1L, "w1"))
+      .toDF("user_id", "ts", "seq", "payload").coalesce(1).write.parquet(dir + "/in")
+    Seq(("u1", ts("2024-01-02 00:00:00"), 2L, "v2"))
+      .toDF("user_id", "ts", "seq", "payload").coalesce(1)
+      .write.mode("append").parquet(dir + "/in")
+
+    val stream = Streams.parquetStream(spark, dir + "/in", schema)
+    val q = Streams.startMemorySink(
+      Streams.latestVersionStream(stream, "user_id", "ts", "seq"),
+      "lv_smoke", outputMode = "update")
+    try {
+      q.processAllAvailable()
+      val latest = spark.table("lv_smoke")
+        .groupBy("user_id").agg(max_by(col("payload"), col("ts")).as("payload"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(latest == Map("u1" -> "v2", "u2" -> "w1"))
+    } finally q.stop()
+  }
+
   test("multimodal plumbing: payload bytes survive and features are exact") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
