@@ -52,6 +52,8 @@ final class MetaStore(spark: SparkSession, dir: String) {
 
   def executionLog: DataFrame = spark.read.parquet(path("execution_log"))
 
+  def batchControl: DataFrame = spark.read.parquet(path("batch_control"))
+
   /** Latest watermark per process/carrier; None on first run. */
   def lastLoadTimestamp(process: String, carrier: String): Option[java.sql.Timestamp] = {
     val p = new java.io.File(path("high_water_mark"))
