@@ -515,6 +515,53 @@ object SparkEntry {
           datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
             .cast("long").as("days_to_first_ship"))
         .orderBy("o_orderkey")
+    }),
+
+    // ANN scale path 2 — IVF: nearest-centroid cells + exact in-cell re-rank
+    "q44_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 5, numCentroids = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // DQ catalog — the reference's 8 check categories over the star schema
+    "q45_dq_catalog" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def check(id: String, offending: DataFrame, impact: String): DataFrame =
+        offending.agg(count(lit(1)).as("failed_rows")).select(
+          lit(id).as("test_id"),
+          when(col("failed_rows") === 0, "PASS").otherwise("FAIL").as("status"),
+          col("failed_rows"), lit(impact).as("business_impact"))
+      // statistical check with exact moments (order-independent, oracle-safe)
+      val stats = o.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("s"),
+        sum(dec(col("o_totalprice")) * dec(col("o_totalprice"))).cast("double").as("ss"))
+      val mean = col("s") / col("n")
+      val std = sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      val outliers = o.crossJoin(broadcast(stats))
+        .filter(abs(col("o_totalprice") - mean) > std * 3.0)
+
+      check("DQ-NULL", c.filter(col("c_name").isNull || col("c_name") === ""), "missing name")
+        .unionByName(check("DQ-DUP",
+          li.groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1), "duplicate PK"))
+        .unionByName(check("DQ-FORMAT",
+          c.filter(expr("try_cast(substring_index(c_name, '#', -1) AS BIGINT)").isNull),
+          "non-numeric customer number"))
+        .unionByName(check("DQ-RANGE", o.filter(col("o_totalprice") <= 0), "non-positive price"))
+        .unionByName(check("DQ-REF",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"), "order without customer"))
+        .unionByName(check("DQ-COMPLETE",
+          o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti"), "order without lines"))
+        .unionByName(check("DQ-CONSIST",
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate")), "shipped before ordered"))
+        .unionByName(check("DQ-STAT", outliers, "3-sigma price outlier"))
+        .orderBy("test_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -949,7 +996,61 @@ object SparkEntry {
         |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
         |                 FROM lineitem) WHERE rn = 1
         |) ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q44_ann_ivf" -> {
+      def cos(x: String, y: String) =
+        s"list_dot_product($x, $y) / sqrt(list_dot_product($x, $x) * list_dot_product($y, $y))"
+      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, qv AS cent FROM v ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cell, qv FROM (
+         |    SELECT v.vec_id, c.cent_id AS cell, v.qv,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cos("v.qv", "c.cent")} DESC, c.cent_id) AS rn
+         |    FROM v, cents c) WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.qv", "b.qv")} AS cosine
+         |  FROM (SELECT * FROM assigned WHERE vec_id < 5) a
+         |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q45_dq_catalog" ->
+      """WITH stats AS (
+        |  SELECT COUNT(*) AS n,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM orders)
+        |SELECT * FROM (
+        | SELECT 'DQ-NULL' AS test_id, CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        |  COUNT(*) AS failed_rows, 'missing name' AS business_impact
+        | FROM customer WHERE c_name IS NULL OR c_name = ''
+        | UNION ALL
+        | SELECT 'DQ-DUP', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'duplicate PK'
+        | FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        | UNION ALL
+        | SELECT 'DQ-FORMAT', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'non-numeric customer number'
+        | FROM customer WHERE TRY_CAST(CASE WHEN strpos(c_name, '#') > 0 THEN substr(c_name, strpos(c_name, '#') + 1) ELSE c_name END AS BIGINT) IS NULL
+        | UNION ALL
+        | SELECT 'DQ-RANGE', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'non-positive price'
+        | FROM orders WHERE o_totalprice <= 0
+        | UNION ALL
+        | SELECT 'DQ-REF', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'order without customer'
+        | FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        | UNION ALL
+        | SELECT 'DQ-COMPLETE', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'order without lines'
+        | FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        | UNION ALL
+        | SELECT 'DQ-CONSIST', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), 'shipped before ordered'
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate < o_orderdate
+        | UNION ALL
+        | SELECT 'DQ-STAT', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), '3-sigma price outlier'
+        | FROM orders, stats WHERE ABS(o_totalprice - s/n) > 3.0 * sqrt((ss - s*s/n) / (n-1)))
+        |ORDER BY test_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

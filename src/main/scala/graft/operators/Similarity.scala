@@ -56,6 +56,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /**
+   * IVF (inverted-file) top-k: corpus vectors are assigned to their nearest
+   * centroid cell; each query searches only its own cell, then re-ranks
+   * exactly. Centroids here are a deterministic subset of the corpus
+   * (`centroidIds` smallest ids) — a real deployment would plug k-means
+   * centroids into the same skeleton; assignment, cell join, and re-rank are
+   * unchanged. Candidates shrink |corpus|/|cells|-fold like the sign-LSH
+   * path, but cells adapt to the data distribution instead of axis signs.
+   */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String,
+      k: Int, numCentroids: Int = 8): DataFrame = {
+    val cents = corpus.orderBy(col(cId).asc).limit(numCentroids)
+      .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+
+    def assign(df: DataFrame, id: String, vec: String, outId: String): DataFrame = {
+      val v = df.select(col(id).as(outId), Vectors.quantize(col(vec)).as("__v"))
+        .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
+      val scored = v.crossJoin(broadcast(cents))
+        .withColumn("__sim", Vectors.cosineQ(col("__v"), col("__cent"), col("__vn"), col("__centn")))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__sim").desc, col("cent_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(outId), col("cent_id").as("cell"), col("__v"), col("__vn"))
+    }
+
+    val c = assign(corpus, cId, cVec, "neighbor_id")
+      .withColumnRenamed("__v", "__cv").withColumnRenamed("__vn", "__cn")
+    val q = assign(queries, qId, qVec, "query_id")
+      .withColumnRenamed("__v", "__qv").withColumnRenamed("__vn", "__qn")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed top-k: exact ranking within the query's sign bucket. */
   def signLshTopK(
       queries: DataFrame, corpus: DataFrame,
