@@ -25,6 +25,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

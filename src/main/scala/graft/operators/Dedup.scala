@@ -65,7 +65,10 @@ object Dedup {
     val shingleHashes = cached.select("shingle").distinct()
       .select(col("shingle") +: hashCols: _*)
     val aggs = (0 until numHashes).map(s => min(col(s"h_$s")).as(s"mh_$s"))
-    cached.join(shingleHashes, Seq("shingle"))
+    // broadcast the distinct-shingle hash table: it is vocabulary-sized
+    // (≪ corpus), and broadcasting saves shuffling the full (id, shingle)
+    // frame for the hash join
+    cached.join(broadcast(shingleHashes), Seq("shingle"))
       .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 

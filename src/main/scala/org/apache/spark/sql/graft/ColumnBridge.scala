@@ -14,4 +14,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Register the engine's SQL functions on an ALREADY-RUNNING session —
+   * `spark.sql.extensions` is a static conf that only applies to fresh
+   * SparkContexts, so driver-provided sessions need this temp-function path.
+   */
+  def installFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product_q",
+      args => graft.plans.DotProductQ(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("quantize_vector",
+      args => graft.plans.QuantizeVector(args.head), "built-in")
+  }
 }

@@ -43,6 +43,19 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("installFunctions exposes the native expressions to SQL") {
+    org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark)
+    val r = spark.sql(
+      """SELECT dot_product_q(quantize_vector(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT))),
+        |                     quantize_vector(array(CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT)))) AS d""".stripMargin)
+      .head.getLong(0)
+    val expect = {
+      def q(x: Float) = Math.floor(x.toDouble * 1e7).toLong
+      q(0.1f) * q(0.3f) + q(0.2f) * q(0.4f)
+    }
+    assert(r == expect)
+  }
+
   test("cosineExact via native expressions equals known values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
