@@ -562,6 +562,24 @@ object SparkEntry {
             .filter(col("l_shipdate") < col("o_orderdate")), "shipped before ordered"))
         .unionByName(check("DQ-STAT", outliers, "3-sigma price outlier"))
         .orderBy("test_id")
+    }),
+
+    // A7 two-level — group + category totals in ONE rollup pass (the
+    // reference's pandas concat of subtotal frames, claims_reports.py:188-258)
+    "q46_rollup_two_level" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+          count(lit(1)).as("n_rows"),
+          (grouping(col("o_orderpriority")).cast("long") * 2 +
+            grouping(col("o_orderstatus")).cast("long")).as("gid"))
+        .select(
+          // grouping() only resolves inside the agg — derive labels from gid
+          when(col("gid") >= 2, "ALL").otherwise(col("o_orderpriority")).as("priority"),
+          when(col("gid") % 2 === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("gid"), col("total_price"), col("n_rows"))
+        .orderBy("priority", "status", "gid")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1050,7 +1068,16 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'DQ-STAT', CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END, COUNT(*), '3-sigma price outlier'
         | FROM orders, stats WHERE ABS(o_totalprice - s/n) > 3.0 * sqrt((ss - s*s/n) / (n-1)))
-        |ORDER BY test_id""".stripMargin)
+        |ORDER BY test_id""".stripMargin,
+
+    "q46_rollup_two_level" ->
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        | CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n_rows
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status, gid""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

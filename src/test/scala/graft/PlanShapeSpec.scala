@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression guards: the scale-critical physical properties —
+ * filters reaching the parquet scan, column pruning, dimension broadcasts —
+ * must not silently regress when queries are edited.
+ */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: segment filter pushed into the customer scan, dims broadcast") {
+    val plan = physicalPlan("q03_join_revenue")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "mktsegment filter must reach the parquet scan")
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+  }
+
+  test("q02: scan reads only projected columns and pushes range predicates") {
+    val plan = physicalPlan("q02_filter_project")
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"),
+      "untouched columns must be pruned from the scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate range should push down")
+  }
+
+  test("q31: query side of ANN is broadcast, not shuffled") {
+    val plan = physicalPlan("q31_ann_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "small query set must broadcast against the corpus")
+  }
+
+  test("q05: latest-version dedup is one shuffle on the partition key") {
+    val plan = physicalPlan("q05_latest_event")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges\n$plan")
+  }
+
+  test("q19: as-of join has no join node at all (union + window form)") {
+    val plan = physicalPlan("q19_asof_join")
+    assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
+    assert(plan.contains("Window"), "asOfJoin carries payload via window fill")
+  }
+}
