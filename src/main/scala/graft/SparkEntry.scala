@@ -580,6 +580,14 @@ object SparkEntry {
           when(col("gid") % 2 === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
           col("gid"), col("total_price"), col("n_rows"))
         .orderBy("priority", "status", "gid")
+    }),
+
+    // §3.1 flagship detail report: CDC dedup → intervals → point-in-time →
+    // first-decision rank → flags → quoted-alias projection, end to end
+    "q47_claims_detail" -> ((s, dir) => {
+      import graft.reports.ClaimsPipeline
+      ClaimsPipeline.detailReport(t(s, dir, "events"),
+        ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1077,7 +1085,48 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         | COUNT(*) AS n_rows
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-        |ORDER BY priority, status, gid""".stripMargin)
+        |ORDER BY priority, status, gid""".stripMargin,
+
+    "q47_claims_detail" -> {
+      // working-days closed form between the fixed period start (Monday
+      // 2024-01-01) and ts — same formula as the q14 oracle
+      val wd =
+        """CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-01' THEN 0 ELSE
+          | (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) // 7 * 5
+          | + (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7
+          | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (6 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
+          | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (7 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
+          |END AS BIGINT)""".stripMargin
+      s"""WITH latest AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |                                 ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+         |  WHERE rn = 1),
+         |intervals AS (
+         |  SELECT *, CAST(ts AS TIMESTAMP) AS eff_dt,
+         |    CAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MINUTE,
+         |             TIMESTAMP '9999-12-31 00:00:00') AS TIMESTAMP) AS exp_dt
+         |  FROM latest),
+         |valid AS (
+         |  SELECT * FROM intervals
+         |  WHERE TIMESTAMP '2024-01-20 00:00:00' >= eff_dt
+         |    AND TIMESTAMP '2024-01-20 00:00:00' < exp_dt),
+         |ranked AS (
+         |  SELECT *,
+         |    MIN(ts) OVER (PARTITION BY user_id) AS first_decision_ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS decision_rank
+         |  FROM valid)
+         |SELECT user_id AS "Claimant Id",
+         |  event_id AS "Request Id",
+         |  event_type AS "Request Type",
+         |  strftime(CAST(first_decision_ts AS TIMESTAMP), '%m/%d/%Y') AS "First Decision Date",
+         |  $wd AS "Working Days To Decision",
+         |  CAST(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END AS BIGINT) AS "Resolved Within Two Weeks",
+         |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0 END AS "Clamped Value"
+         |FROM ranked WHERE decision_rank = 1
+         |ORDER BY "Claimant Id"""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -4,8 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Row-accounting result mirroring the reference's MERGE result row
- *  (ref: connector/snowpark_connector.py:880-908, models/custom_models.py:158-209). */
-final case class UpsertResult(inserted: Long, updated: Long, deleted: Long, result: DataFrame)
+ *  (ref: connector/snowpark_connector.py:880-908, models/custom_models.py:158-209).
+ *  Call `cleanup()` after persisting `result` — the classified intermediate
+ *  frame is cached so counts and rewrite share one materialization. */
+final case class UpsertResult(
+    inserted: Long, updated: Long, deleted: Long, result: DataFrame,
+    private val cached: Option[DataFrame] = None) {
+  def cleanup(): Unit = cached.foreach(_.unpersist())
+}
 
 /**
  * M1 — MERGE/upsert on immutable storage, re-expressed as a single
@@ -83,6 +89,7 @@ object Upsert {
       inserted = counts.getOrElse("insert", 0L),
       updated = counts.getOrElse("update", 0L),
       deleted = counts.getOrElse("delete", 0L),
-      result = result)
+      result = result,
+      cached = Some(classified))
   }
 }

@@ -70,3 +70,34 @@ final class MetaStore(spark: SparkSession, dir: String) {
     Seq(HighWaterMark(process, carrier, ts)).toDS()
       .write.mode(SaveMode.Append).parquet(path("high_water_mark"))
 }
+
+/**
+ * Wrap a unit of work with execution-audit logging: SUCCESS or FAILED rows
+ * with start/end timestamps and a sanitized error message — the reference
+ * strips quotes/newlines before inserting the message into its log SQL
+ * (ref: connector/snowpark_connector.py:1171-1216).
+ */
+object ExecutionLogger {
+
+  def sanitize(msg: String): String =
+    Option(msg).getOrElse("").replaceAll("['\n\r]", "").take(500)
+
+  def logged[T](
+      meta: MetaStore, process: String, carrier: String,
+      counts: T => (Long, Long, Long) = (_: T) => (0L, 0L, 0L))(body: => T): T = {
+    val start = new java.sql.Timestamp(System.currentTimeMillis())
+    def row(status: String, c: (Long, Long, Long), err: String) = ExecutionLogRow(
+      java.util.UUID.randomUUID().toString, start,
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      status, process, c._1, c._2, c._3, carrier, err)
+    try {
+      val result = body
+      meta.appendExecutionLog(Seq(row("SUCCESS", counts(result), "")))
+      result
+    } catch {
+      case e: Throwable =>
+        meta.appendExecutionLog(Seq(row("FAILED", (0L, 0L, 0L), sanitize(e.getMessage))))
+        throw e
+    }
+  }
+}

@@ -70,6 +70,28 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       f.checksum == 'a'.toLong + 'b' + 'c' && f.format == "fake/utf8")
   }
 
+  test("ExecutionLogger records success counts and sanitized failures") {
+    import graft.meta.ExecutionLogger
+    val dir = java.nio.file.Files.createTempDirectory("graftel").toString
+    val ms = new MetaStore(spark, dir)
+    val out = ExecutionLogger.logged(ms, "proc1", "c1",
+      (r: (Long, Long, Long)) => r) { (3L, 2L, 1L) }
+    assert(out == ((3L, 2L, 1L)))
+    intercept[RuntimeException] {
+      ExecutionLogger.logged(ms, "proc1", "c1") {
+        throw new RuntimeException("bad 'quoted'\nmultiline")
+      }
+    }
+    val rows = ms.executionLog.orderBy("execution_status").collect()
+    assert(rows.length == 2)
+    val failed = rows.head
+    assert(failed.getAs[String]("execution_status") == "FAILED")
+    assert(failed.getAs[String]("error_message") == "bad quotedmultiline")
+    val ok = rows(1)
+    assert(ok.getAs[Long]("records_inserted") == 3L &&
+      ok.getAs[Long]("records_deleted") == 1L)
+  }
+
   test("MetaStore watermark roundtrip and execution log append") {
     val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
     val ms = new MetaStore(spark, dir)
