@@ -71,6 +71,21 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     assert(ok.head.status == "PASS")
   }
 
+  test("TestCaseGenerator emits row-count, dup-PK, sum, and distribution cases") {
+    import graft.dq.TestCaseGenerator
+    import spark.implicits._
+    val df = Seq((1, "O", 10.5), (2, "F", 20.0)).toDF("o_key", "o_status", "o_totalprice")
+    df.createOrReplaceTempView("gen_tab")
+    val cases = TestCaseGenerator.generate("gen_tab", df.schema,
+      pkColumns = Seq("o_key"), groupByColumns = Seq("o_status"))
+    assert(cases.map(_.name) == Seq("gen_tab_row_count", "gen_tab_duplicate_pk",
+      "gen_tab_sum_o_totalprice", "gen_tab_dist_o_status"))
+    // every generated statement must actually run
+    cases.foreach(c => spark.sql(c.sql).collect())
+    assert(spark.sql(cases.head.sql).head.getLong(0) == 2)
+    assert(TestFramework.executeCase(spark, cases(1).sql) == 0) // no dup PKs
+  }
+
   test("IncrementalLoad: first run loads all, second only newer rows") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
