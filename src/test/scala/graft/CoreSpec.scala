@@ -48,6 +48,14 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getInt(0) == 42)
   }
 
+  test("obfuscation round-trips credentials incl. unicode") {
+    import graft.core.Obfuscation
+    val creds = Map("user" -> "svc_account", "password" -> "p@ss/wörd=+")
+    val enc = Obfuscation.encodeMap(creds)
+    assert(enc("password") != creds("password"))
+    assert(Obfuscation.decodeMap(enc) == creds)
+  }
+
   test("saveAsTable modes: errorifexists then overwrite then append") {
     import spark.implicits._
     val conn = new GraftConnection(spark)
