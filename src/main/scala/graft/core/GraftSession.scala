@@ -103,8 +103,38 @@ final class GraftConnection(val spark: SparkSession) {
   /** ref: connector/snowpark_connector.py:1238-1272 (execute_multiple_statements):
    *  run `;`-separated statements sequentially, return the last result. */
   def executeMultipleStatements(script: String): DataFrame = {
-    val stmts = script.split(";").map(_.trim).filter(_.nonEmpty)
+    val stmts = GraftConnection.splitStatements(script)
     require(stmts.nonEmpty, "empty script")
     stmts.map(sql).last
+  }
+}
+
+object GraftConnection {
+  /** Split on `;` outside string literals and `--` comments ('' escapes
+    * honored) — a naive split breaks `VALUES ('a;b')`. */
+  private[graft] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < script.length) {
+      val ch = script.charAt(i)
+      if (inQuote) {
+        sb.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1
+          } else inQuote = false
+        }
+      } else if (ch == '\'') { inQuote = true; sb.append(ch) }
+      else if (ch == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') { sb.append(script.charAt(i)); i += 1 }
+        i -= 1
+      } else if (ch == ';') { out += sb.toString; sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -22,6 +22,8 @@ final case class UpsertResult(
  * Semantics carried over:
  *  - ON keys; WHEN MATCHED [AND cond] THEN UPDATE (update columns default to
  *    non-key source∩target columns, ref: connector/snowpark_connector.py:841-852);
+ *    conditions reference columns via `Upsert.source("c")` / `Upsert.target("c")`
+ *    (both sides carry every column, so bare names would be ambiguous);
  *  - WHEN NOT MATCHED [AND cond] THEN INSERT (insert columns default to
  *    source∩target columns);
  *  - optional WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE;
@@ -34,6 +36,13 @@ final case class UpsertResult(
  * No driver-side row handling at any size.
  */
 object Upsert {
+
+  /** Reference a SOURCE column inside a merge condition
+    * (`matchedCondition = Some(Upsert.source("m") > 15)`). */
+  def source(c: String): Column = col("__s_" + c)
+
+  /** Reference a TARGET column inside a merge condition. */
+  def target(c: String): Column = col("__t_" + c)
 
   def merge(
       target: DataFrame,

@@ -56,8 +56,12 @@ final class MetaStore(spark: SparkSession, dir: String) {
 
   /** Latest watermark per process/carrier; None on first run. */
   def lastLoadTimestamp(process: String, carrier: String): Option[java.sql.Timestamp] = {
-    val p = new java.io.File(path("high_water_mark"))
-    if (!p.exists()) return None
+    // existence through the Hadoop FileSystem of the path — java.io.File
+    // is always false for hdfs://s3a:// URIs and would silently turn every
+    // incremental load into a full scan
+    val hPath = new org.apache.hadoop.fs.Path(path("high_water_mark"))
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return None
     spark.read.parquet(path("high_water_mark"))
       .filter($"process_name" === process && $"carrier_name" === carrier)
       .agg(max($"last_load_timestamp")).head().getAs[java.sql.Timestamp](0) match {

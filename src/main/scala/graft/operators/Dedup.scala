@@ -65,10 +65,11 @@ object Dedup {
     val shingleHashes = cached.select("shingle").distinct()
       .select(col("shingle") +: hashCols: _*)
     val aggs = (0 until numHashes).map(s => min(col(s"h_$s")).as(s"mh_$s"))
-    // broadcast the distinct-shingle hash table: it is vocabulary-sized
-    // (≪ corpus), and broadcasting saves shuffling the full (id, shingle)
-    // frame for the hash join
-    cached.join(broadcast(shingleHashes), Seq("shingle"))
+    // no broadcast hint: the distinct-shingle table grows with corpus
+    // diversity, and a forced broadcast would hit the 8 GB broadcast limit
+    // at large scale — AQE broadcasts it automatically while it is small
+    // and falls back to a shuffle join when it is not
+    cached.join(shingleHashes, Seq("shingle"))
       .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -98,33 +98,34 @@ object Cdc {
       rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    // the payload travels as ONE struct so every output column comes from the
+    // SAME matched right row — per-column last(ignoreNulls) would replace a
+    // genuinely-null payload field with a stale older version's value and
+    // could stitch together columns from different versions
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+    val lSel = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val lConformed = payloadCols.foldLeft(l) { (d, c) =>
-      d.withColumn("__p_" + c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r0 = right
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select((Seq("__k", "__t", "__side", "__p") ++ leftCols).map(col): _*)
+    val rSel = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-    val rConformed = payloadCols.foldLeft(r0) { (d, c) =>
-      d.withColumn("__p_" + c, col(c))
-    }
-    val unionCols = Seq("__k", "__t", "__side") ++ payloadCols.map("__p_" + _)
-    val lSel = lConformed.select((unionCols ++ leftCols).map(col): _*)
-    val rSel = rConformed.select(unionCols.map(col) ++
-      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("__p", struct(payloadCols.map(col): _*))
+      .select(Seq("__k", "__t", "__side", "__p").map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(lSel.unionByName(rSel)) { (d, c) =>
-      d.withColumn("__f_" + c, last(col("__p_" + c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col("__f_" + c).as(c)): _*)
+    lSel.unionByName(rSel)
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__f").getField(c).as(c)): _*)
   }
 
   /**

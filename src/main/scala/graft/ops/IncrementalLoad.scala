@@ -31,7 +31,10 @@ object IncrementalLoad {
    * Run one incremental load:
    *  - `source`: full source table (the watermark filter is applied here);
    *  - `target`: current target state (empty DataFrame on first load);
-   *  - returns the merged frame + accounting; caller persists `result.upsert.result`.
+   *  - `sink`: persists the merged frame — runs BEFORE the watermark
+   *    advances and the SUCCESS row is written, so a failed target write
+   *    leaves the old watermark in place and the slice is re-read next run
+   *    (at-least-once, the reference's recovery semantics).
    */
   def run(
       spark: SparkSession,
@@ -41,7 +44,7 @@ object IncrementalLoad {
       source: DataFrame,
       target: DataFrame,
       keys: Seq[String],
-      watermarkCol: String): LoadResult = {
+      watermarkCol: String)(sink: DataFrame => Unit): LoadResult = {
     val start = new java.sql.Timestamp(System.currentTimeMillis())
     val since = meta.lastLoadTimestamp(processName, carrier)
     val incoming = since match {
@@ -55,6 +58,7 @@ object IncrementalLoad {
     val newHwm = Option(stats.getTimestamp(1))
 
     val result = Upsert.merge(target, incoming, keys)
+    sink(result.result) // persist first; only then advance watermark + audit
     newHwm.foreach(ts => meta.recordLoad(processName, carrier, ts))
     meta.appendExecutionLog(Seq(ExecutionLogRow(
       execution_id = java.util.UUID.randomUUID().toString,

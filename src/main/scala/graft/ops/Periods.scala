@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
  */
 object Periods {
 
-  /** End-of-day with the reference's 23:59:59.997 convention, given a date column. */
+  /** End-of-day with the reference's 23:59:59.997 convention — single source
+    * of truth lives in functions.Dates. */
   def endOfDay(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_millis(unix_millis(d.cast("timestamp")) + lit(86399997L))
+    graft.functions.Dates.endOfDay997(d)
 
   /**
    * Monthly periods covering [startYear, endYear], one row per month:

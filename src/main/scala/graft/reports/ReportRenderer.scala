@@ -42,13 +42,18 @@ object ReportRenderer {
       groupCol: String,
       measure: String,
       detailCols: Seq[String]): Seq[String] = {
-    val totals = Feeds.groupedReport(detail, groupCol, Seq(measure -> "__total"))
+    // normalize the group column to its SQL string form up front so the
+    // totals map (built via SQL cast in groupedReport) and the detail rows
+    // (JVM toString) agree on keys — timestamp/date toString differs
+    val detailStr = detail.withColumn(groupCol, col(groupCol).cast("string"))
+    val totals = Feeds.groupedReport(detailStr, groupCol, Seq(measure -> "__total"))
       .collect()
       .map(r => Option(r.getAs[String](groupCol)).getOrElse("") ->
         r.getAs[Double]("__total")).toMap
-    val rows = detail
-      .select((groupCol +: detailCols).distinct.map(col): _*)
-      .orderBy(groupCol, detailCols.head)
+    val orderCols = (groupCol +: detailCols).distinct
+    val rows = detailStr
+      .select(orderCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
       .collect()
 
     val out = collection.mutable.ArrayBuffer.empty[String]

@@ -58,16 +58,19 @@ object Streams {
     implicit val verEnc: org.apache.spark.sql.Encoder[(java.sql.Timestamp, Long, Row)] =
       Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, rowEnc)
     import spark.implicits._
-    events.groupByKey(r => r.getAs[Any](keyCol).toString)
+    // null-safe accessors: one malformed CDC row (null key/ts/seq) must not
+    // kill the streaming query — batch latestVersion tolerates the same rows
+    def seqOf(r: Row): Long =
+      Option(r.getAs[Number](seqCol)).map(_.longValue()).getOrElse(Long.MinValue)
+    def tsOf(r: Row): Long =
+      Option(r.getAs[java.sql.Timestamp](tsCol)).map(_.getTime).getOrElse(Long.MinValue)
+    events.groupByKey(r => Option(r.getAs[Any](keyCol)).map(_.toString).orNull)
       .mapGroupsWithState[(java.sql.Timestamp, Long, Row), Row](
         GroupStateTimeout.NoTimeout()) { case (_, rows, state) =>
         val candidates = rows.toSeq ++
           state.getOption.map(_._3)
-        val best = candidates.maxBy(r =>
-          (Option(r.getAs[java.sql.Timestamp](tsCol)).map(_.getTime).getOrElse(Long.MinValue),
-            r.getAs[Number](seqCol).longValue()))
-        state.update((best.getAs[java.sql.Timestamp](tsCol),
-          best.getAs[Number](seqCol).longValue(), best))
+        val best = candidates.maxBy(r => (tsOf(r), seqOf(r)))
+        state.update((best.getAs[java.sql.Timestamp](tsCol), seqOf(r = best), best))
         best
       }
   }

@@ -60,6 +60,21 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out(0).getAs[String]("tag") == "tie")
   }
 
+  test("asOfJoin keeps matched-row nulls and never mixes versions") {
+    import spark.implicits._
+    val left = Seq(("k", ts("2024-01-01 12:00:00"), "p")).toDF("key", "t", "l")
+    val right = Seq(
+      ("k", ts("2024-01-01 09:00:00"), "open", "agentA"),
+      ("k", ts("2024-01-01 10:00:00"), null, "agentB") // latest: status null
+    ).toDF("key", "t", "status", "agent")
+    val out = Cdc.asOfJoin(left, right, "key", "key", "t", "t",
+      Seq("status", "agent")).head
+    // the matched (latest ≤ t) version is the 10:00 row — its null status
+    // must survive, and agent must come from the SAME row
+    assert(out.getAs[String]("status") == null)
+    assert(out.getAs[String]("agent") == "agentB")
+  }
+
   test("asOfJoin yields null payload when no prior right row") {
     import spark.implicits._
     val left = Seq(("u1", ts("2024-01-01 08:00:00"), "p"))

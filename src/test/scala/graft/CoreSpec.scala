@@ -48,6 +48,17 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getInt(0) == 42)
   }
 
+  test("statement splitting honors quoted semicolons, '' escapes, comments") {
+    assert(GraftConnection.splitStatements("SELECT 'a;b' AS x; SELECT 2") ==
+      Seq("SELECT 'a;b' AS x", "SELECT 2"))
+    assert(GraftConnection.splitStatements("SELECT 'it''s;fine'") ==
+      Seq("SELECT 'it''s;fine'"))
+    assert(GraftConnection.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ==
+      Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
+    val conn = new GraftConnection(spark)
+    assert(conn.executeMultipleStatements("SELECT 'x;y' AS v").head.getString(0) == "x;y")
+  }
+
   test("obfuscation round-trips credentials incl. unicode") {
     import graft.core.Obfuscation
     val creds = Map("user" -> "svc_account", "password" -> "p@ss/wörd=+")

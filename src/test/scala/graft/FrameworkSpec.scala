@@ -96,20 +96,38 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
       (2L, "b", ts("2024-01-02 00:00:00"))).toDF("k", "v", "updated_at")
     val empty = source1.limit(0)
     val r1 = IncrementalLoad.run(spark, meta, "proc", "c1", source1, empty,
-      Seq("k"), "updated_at")
+      Seq("k"), "updated_at") { df =>
+      df.write.mode("overwrite").parquet(dir + "/target")
+    }
     assert(r1.sourceRows == 2 && r1.upsert.inserted == 2)
     assert(meta.lastLoadTimestamp("proc", "c1").contains(ts("2024-01-02 00:00:00")))
 
-    val target2 = r1.upsert.result
+    val target2 = spark.read.parquet(dir + "/target")
     val source2 = Seq(
       (2L, "b", ts("2024-01-02 00:00:00")),   // old row — filtered by watermark
       (2L, "b2", ts("2024-01-03 00:00:00")),  // newer version
       (3L, "c", ts("2024-01-04 00:00:00"))).toDF("k", "v", "updated_at")
     val r2 = IncrementalLoad.run(spark, meta, "proc", "c1", source2, target2,
-      Seq("k"), "updated_at")
+      Seq("k"), "updated_at") { df =>
+      df.write.mode("overwrite").parquet(dir + "/target2")
+    }
     assert(r2.sourceRows == 2 && r2.upsert.inserted == 1 && r2.upsert.updated == 1)
     assert(meta.lastLoadTimestamp("proc", "c1").contains(ts("2024-01-04 00:00:00")))
-    assert(r2.upsert.result.count() == 3)
+    assert(spark.read.parquet(dir + "/target2").count() == 3)
+  }
+
+  test("IncrementalLoad keeps the old watermark when the sink fails") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graftincfail").toString
+    val meta = new MetaStore(spark, dir)
+    val source = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
+    intercept[RuntimeException] {
+      IncrementalLoad.run(spark, meta, "p2", "c1", source, source.limit(0),
+        Seq("k"), "updated_at") { _ => throw new RuntimeException("disk full") }
+    }
+    // watermark must NOT have advanced — next run re-reads the slice
+    assert(meta.lastLoadTimestamp("p2", "c1").isEmpty)
   }
 
   test("TableIngest stitches continuations, cleans, and combines") {

@@ -22,7 +22,7 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val target = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "v", "m")
     val source = Seq((1, "a2", 11.0), (2, "b2", 22.0)).toDF("k", "v", "m")
     val r = Upsert.merge(target, source, Seq("k"),
-      matchedCondition = Some(col("__s_m") > 15.0))
+      matchedCondition = Some(Upsert.source("m") > 15.0))
     assert(r.updated == 1 && r.inserted == 0)
     val v1 = r.result.filter(col("k") === 1).head.getString(1)
     assert(v1 == "a") // condition false → kept
