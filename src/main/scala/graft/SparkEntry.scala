@@ -588,6 +588,15 @@ object SparkEntry {
       import graft.reports.ClaimsPipeline
       ClaimsPipeline.detailReport(t(s, dir, "events"),
         ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
+    }),
+
+    // bounded-heap top-k aggregate (map-side partial top-k, no window sort)
+    "q48_ann_topk_agg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(
+          e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 10)
+        .orderBy("query_id", "rank")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1126,7 +1135,20 @@ object SparkEntry {
          |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0 END AS "Clamped Value"
          |FROM ranked WHERE decision_rank = 1
          |ORDER BY "Claimant Id"""".stripMargin
-    })
+    },
+
+    // identical semantics to q31 — the heap aggregate must reproduce the
+    // window row_number form exactly
+    "q48_ann_topk_agg" ->
+      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
+         |  FROM (SELECT * FROM v WHERE vec_id < 5) a, v b
+         |  WHERE a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

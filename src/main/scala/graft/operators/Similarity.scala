@@ -56,6 +56,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Column form of the bounded top-k aggregate (plans.BoundedTopK). */
+  def boundedTopK(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.BoundedTopK(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+  }
+
+  /**
+   * Brute-force top-k via the bounded heap aggregate instead of a window
+   * sort: partial aggregation keeps only k candidates per query on the map
+   * side, so at most k rows per query cross the exchange — the window form
+   * shuffles and sorts EVERY candidate. Identical results (score desc,
+   * id asc tie-break).
+   */
+  def bruteForceTopKAgg(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"),
+        Vectors.quantize(col(qVec)).as("__qv"))
+      .withColumn("__qn", Vectors.dotQ(col("__qv"), col("__qv")))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
+        Vectors.quantize(col(cVec)).as("__cv"))
+      .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .groupBy(col("query_id"))
+      .agg(boundedTopK(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("cosine"))
+  }
+
   /**
    * IVF (inverted-file) top-k: corpus vectors are assigned to their nearest
    * centroid cell; each query searches only its own cell, then re-ranks

@@ -56,6 +56,22 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(r == expect)
   }
 
+  test("boundedTopK aggregate reproduces the window row_number form exactly") {
+    import graft.operators.Similarity
+    import graft.core.{GraftSession, Tables}
+    val e = Tables.load(GraftSession.tune(spark), "/root/testdata/sf0.001", "embeddings")
+      .repartition(8) // force partial-aggregate merges across partitions
+    val q = e.filter(col("vec_id") < 5)
+    val viaWindow = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").cast("long"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaAgg = Similarity.bruteForceTopKAgg(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(viaAgg.nonEmpty && viaAgg == viaWindow)
+  }
+
   test("cosineExact via native expressions equals known values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
