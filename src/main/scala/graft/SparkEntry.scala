@@ -597,6 +597,13 @@ object SparkEntry {
           e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
           "embedding", "embedding", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // near-dup pairs → connected-component clusters with canonical min-id
+    "q49_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4)
+      Dedup.dupClusters(pairs).orderBy("id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1148,7 +1155,28 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q49_dedup_clusters" -> {
+      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |banded AS (
+         | $bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT a AS id, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b)
+         |SELECT id, MIN(label) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -186,6 +186,48 @@ object Dedup {
   }
 
   /**
+   * Resolve candidate pairs into duplicate CLUSTERS: connected components
+   * by iterative min-label propagation, so each document maps to the
+   * smallest id reachable through the pair graph (= the canonical doc of
+   * its cluster). Pairs alone don't dedupe — transitive groups do.
+   *
+   * Driver-controlled loop of join+aggregate rounds; iterations are bounded
+   * by the cluster graph's diameter (near-dup clusters are shallow — chains
+   * longer than ~20 hops indicate a threshold problem, not a bigger graph).
+   * Each round is one shuffle; previous rounds' caches are released eagerly.
+   * Only ids that appear in at least one pair are returned.
+   */
+  def dupClusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.alias("l")
+        .join(neighborMin, col("l.id") === neighborMin("a"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .persist()
+      changed = updated.alias("u")
+        .join(labels.alias("o"), col("u.id") === col("o.id"))
+        .filter(col("u.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /**
    * Embedding-cosine near-duplicates: candidates from sign-LSH buckets
    * (see Similarity.signBucket), verified with exact-quantized cosine.
    */

@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dupClusters resolves transitive chains to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3 plus pair 10-11; 99 isolated (not in any pair → absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("embeddingNearDupPairs: same-bucket high-cosine pairs only") {
     import spark.implicits._
     val vecs = Seq(
