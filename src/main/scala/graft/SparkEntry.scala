@@ -604,6 +604,14 @@ object SparkEntry {
       val pairs = Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 8, bands = 4)
       Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
+    // deterministic hash-bucket train/test split (reproducible curation)
+    "q50_hash_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.trainTestSplit(d, "doc_id", trainPct = 80)
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1176,7 +1184,16 @@ object SparkEntry {
          |  UNION
          |  SELECT e.a, w.label FROM walk w JOIN edges e ON w.id = e.b)
          |SELECT id, MIN(label) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
-    })
+    },
+
+    "q50_hash_split" ->
+      """SELECT doc_id,
+        | CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS INTEGER) AS bucket,
+        | CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 80
+        |      THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -88,6 +88,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("trainTestSplit is deterministic and proportionally sane") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 1000L).toDF("id")
+    val s1 = Sampling.trainTestSplit(df, "id", 80).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val s2 = Sampling.trainTestSplit(df, "id", 80).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(s1 == s2) // reproducible across runs
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    val sampled = Sampling.deterministicSample(df, "id", 20).count()
+    assert(sampled > 100 && sampled < 300, s"20% sample gave $sampled of 1000")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     import spark.implicits._
     val corpus = Seq(
