@@ -612,6 +612,29 @@ object SparkEntry {
       graft.operators.Sampling.trainTestSplit(d, "doc_id", trainPct = 80)
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id")
+    }),
+
+    // tumbling-window aggregation (batch form of the streaming path)
+    "q51_window_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // gap-based sessionization (30-minute inactivity gap)
+    "q52_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Cdc.sessionize(e, "user_id", "ts", gapMinutes = 30,
+          tiebreak = Seq(col("event_id").asc))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_no")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1193,7 +1216,32 @@ object SparkEntry {
         | CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
         |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 < 80
         |      THEN 'train' ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_window_agg" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q52_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR date_diff('second', CAST(LAG(ts) OVER w AS TIMESTAMP), CAST(ts AS TIMESTAMP)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        | CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        | CAST(MAX(ts) AS TIMESTAMP) AS session_end
+        |FROM sessions GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -142,6 +142,26 @@ object Cdc {
     df.join(sub, joinExpr, "left_semi")
 
   /**
+   * Gap-based sessionization: a new session starts when the gap since the
+   * previous event of the same key exceeds `gapMinutes`. Single shuffle on
+   * the key (lag + running sum share one window partitioning); session ids
+   * are (key, session_no) — deterministic, no state beyond the sort.
+   */
+  def sessionize(
+      df: DataFrame, key: String, eventTime: String,
+      gapMinutes: Int, tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(eventTime).asc +: tiebreak: _*)
+    df.withColumn("__prev", lag(col(eventTime), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col(eventTime).cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new_session")
+  }
+
+  /**
    * M3 — idempotent append: `INSERT ... SELECT ... WHERE NOT EXISTS`
    * (ref: sql/.../report_period_config.sql:66-81) as anti-join-then-union.
    */

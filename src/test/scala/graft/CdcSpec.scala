@@ -85,6 +85,21 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out(0).getAs[String]("tag") == null)
   }
 
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 1L),
+      ("u", ts("2024-01-01 00:30:00"), 2L), // exactly 30 min → same session
+      ("u", ts("2024-01-01 01:00:01"), 3L), // 30 min 1 s → new session
+      ("v", ts("2024-01-01 05:00:00"), 4L)
+    ).toDF("user_id", "t", "seq")
+    val out = Cdc.sessionize(df, "user_id", "t", gapMinutes = 30,
+        tiebreak = Seq(col("seq").asc))
+      .select("user_id", "seq", "session_no").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("u", 1L) -> 1L, ("u", 2L) -> 1L, ("u", 3L) -> 2L, ("v", 4L) -> 1L))
+  }
+
   test("idempotentAppend only adds unseen keys") {
     import spark.implicits._
     val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
