@@ -199,31 +199,69 @@ object Dedup {
    */
   def dupClusters(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      maxIter: Int = 25, driverPairLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .persist()
+    val nPairs = p.count()
+
+    if (nPairs <= driverPairLimit) {
+      // candidate-pair sets are ≪ corpus by construction (bounded LSH
+      // buckets / df cutoffs); below the limit an exact driver union-find
+      // beats dozens of distributed rounds by orders of magnitude
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      p.unpersist()
+      return out.toDF("id", "cluster")
+    }
+
+    // large-graph path: neighbor-min propagation + pointer doubling
+    // (label ← label of label), converging in O(log diameter) rounds
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
+    // localCheckpoint (not persist) each round: the loop builds plans that
+    // reference the previous labels several times, so without lineage
+    // truncation the LOGICAL plan grows exponentially with iterations —
+    // analysis/plan-stringification blows up long before execution does
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.alias("l")
+      val stepped = labels.alias("l")
         .join(neighborMin, col("l.id") === neighborMin("a"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .persist()
+      // pointer doubling: follow the label one more hop
+      val updated = stepped.alias("x")
+        .join(labels.alias("y"), col("x.label") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("y.label"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
       changed = updated.alias("u")
         .join(labels.alias("o"), col("u.id") === col("o.id"))
         .filter(col("u.label") =!= col("o.label"))
         .limit(1).count() > 0
-      labels.unpersist()
       labels = updated
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -66,11 +66,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("dupClusters resolves transitive chains to min-id components") {
     import spark.implicits._
-    // chain 1-2-3 plus pair 10-11; 99 isolated (not in any pair → absent)
+    // chain 1-2-3 plus pair 10-11; isolated ids absent (not in any pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = Dedup.dupClusters(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find path
+    val viaDriver = Dedup.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(viaDriver == expect)
+    // distributed pointer-doubling path (force it with limit 0)
+    val viaDist = Dedup.dupClusters(pairs, driverPairLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDist == expect)
+    // long chain exercises pointer doubling past naive hop-per-round
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(chain, driverPairLimit = 0L).collect()
+    assert(got.forall(_.getLong(1) == 1L) && got.length == 40)
   }
 
   test("embeddingNearDupPairs: same-bucket high-cosine pairs only") {
