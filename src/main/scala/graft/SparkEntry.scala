@@ -635,6 +635,17 @@ object SparkEntry {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy("user_id", "session_no")
+    }),
+
+    // exact interpolated percentiles per group (median / p90)
+    "q53_percentiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1241,7 +1252,14 @@ object SparkEntry {
         | CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         | CAST(MAX(ts) AS TIMESTAMP) AS session_end
         |FROM sessions GROUP BY user_id, session_no
-        |ORDER BY user_id, session_no""".stripMargin)
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q53_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS median_price,
+        | quantile_cont(o_totalprice, 0.9) AS p90_price,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 
