@@ -646,6 +646,17 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90_price"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // full DQ suite — 24 checks, 8 categories, WARNING/INFO tiers +
+    // SAMPLE_FAILURES JSON, single-scan metric pass (ref:
+    // test_data_quality.sql:13-350, setup_dmf_data_quality.sql:109-148)
+    "q54_dq_full" -> ((s, dir) => {
+      import graft.reports.ClaimsPipeline
+      val events = t(s, dir, "events")
+      val report = ClaimsPipeline.detailReport(events,
+        ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
+      graft.dq.DqSuite.run(report, events, "2024-01-01", "2024-01-20")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1145,46 +1156,9 @@ object SparkEntry {
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status, gid""".stripMargin,
 
-    "q47_claims_detail" -> {
-      // working-days closed form between the fixed period start (Monday
-      // 2024-01-01) and ts — same formula as the q14 oracle
-      val wd =
-        """CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-01' THEN 0 ELSE
-          | (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) // 7 * 5
-          | + (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7
-          | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (6 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
-          | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (7 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
-          |END AS BIGINT)""".stripMargin
-      s"""WITH latest AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-         |                                 ORDER BY ts DESC, event_id DESC) AS rn
-         |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
-         |  WHERE rn = 1),
-         |intervals AS (
-         |  SELECT *, CAST(ts AS TIMESTAMP) AS eff_dt,
-         |    CAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MINUTE,
-         |             TIMESTAMP '9999-12-31 00:00:00') AS TIMESTAMP) AS exp_dt
-         |  FROM latest),
-         |valid AS (
-         |  SELECT * FROM intervals
-         |  WHERE TIMESTAMP '2024-01-20 00:00:00' >= eff_dt
-         |    AND TIMESTAMP '2024-01-20 00:00:00' < exp_dt),
-         |ranked AS (
-         |  SELECT *,
-         |    MIN(ts) OVER (PARTITION BY user_id) AS first_decision_ts,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS decision_rank
-         |  FROM valid)
-         |SELECT user_id AS "Claimant Id",
-         |  event_id AS "Request Id",
-         |  event_type AS "Request Type",
-         |  strftime(CAST(first_decision_ts AS TIMESTAMP), '%m/%d/%Y') AS "First Decision Date",
-         |  $wd AS "Working Days To Decision",
-         |  CAST(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END AS BIGINT) AS "Resolved Within Two Weeks",
-         |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0 END AS "Clamped Value"
-         |FROM ranked WHERE decision_rank = 1
-         |ORDER BY "Claimant Id"""".stripMargin
-    },
+    "q47_claims_detail" ->
+      s"""$ClaimsReportSql
+         |ORDER BY "Claimant Id"""".stripMargin,
 
     // identical semantics to q31 — the heap aggregate must reproduce the
     // window row_number form exactly
@@ -1245,8 +1219,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM flagged)
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         | CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -1259,9 +1233,148 @@ object SparkEntry {
         | quantile_cont(o_totalprice, 0.5) AS median_price,
         | quantile_cont(o_totalprice, 0.9) AS p90_price,
         | COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the 24-check DQ suite; every scalar metric is derived in one pass over
+    // the report CTE, rates/averages as exact centi-scaled BIGINTs (the
+    // same IEEE double expressions as the Spark side)
+    "q54_dq_full" -> {
+      val pd = """CAST(try_strptime("First Decision Date", '%m/%d/%Y') AS DATE)"""
+      s"""WITH report AS (
+         |$ClaimsReportSql
+         |),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |    SUM(CASE WHEN "Claimant Id" IS NULL OR "Request Id" IS NULL OR "Request Type" IS NULL OR "First Decision Date" IS NULL THEN 1 ELSE 0 END) AS n001,
+         |    SUM(CASE WHEN "Working Days To Decision" IS NULL OR "Resolved Within Two Weeks" IS NULL THEN 1 ELSE 0 END) AS n002,
+         |    SUM(CASE WHEN "Request Type" = '' OR "First Decision Date" = '' THEN 1 ELSE 0 END) AS n003,
+         |    SUM(CASE WHEN $pd IS NULL THEN 1 ELSE 0 END) AS n006,
+         |    SUM(CASE WHEN TRY_CAST(CAST("Working Days To Decision" AS VARCHAR) AS BIGINT) IS NULL
+         |           OR TRY_CAST(CAST("Resolved Within Two Weeks" AS VARCHAR) AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS n007,
+         |    SUM(CASE WHEN "Working Days To Decision" < 0 THEN 1 ELSE 0 END) AS n008,
+         |    SUM(CASE WHEN "Working Days To Decision" > 10 THEN 1 ELSE 0 END) AS n009,
+         |    SUM(CASE WHEN $pd > DATE '2024-01-20' THEN 1 ELSE 0 END) AS n010,
+         |    SUM(CASE WHEN $pd < DATE '2024-01-01' THEN 1 ELSE 0 END) AS n011,
+         |    SUM(CASE WHEN ("Resolved Within Two Weeks" = 1 AND "Working Days To Decision" > 14)
+         |           OR "Resolved Within Two Weeks" NOT IN (0, 1) THEN 1 ELSE 0 END) AS n012,
+         |    SUM(CASE WHEN "Clamped Value" IS NULL OR "Clamped Value" = 0.0 THEN 1 ELSE 0 END) AS n017,
+         |    SUM(CASE WHEN contains("Request Type", chr(92)) THEN 1 ELSE 0 END) AS n018,
+         |    SUM(CASE WHEN "Request Type" IS NULL OR "Request Type" = '' THEN 1 ELSE 0 END) AS n019,
+         |    SUM(CASE WHEN $pd < DATE '2024-01-01' OR $pd > DATE '2024-01-20' THEN 1 ELSE 0 END) AS n020,
+         |    COUNT(DISTINCT "Claimant Id") AS cd_claimant,
+         |    COUNT(DISTINCT "Request Type") AS cd_rt,
+         |    CAST(SUM("Working Days To Decision") AS BIGINT) AS sum_days,
+         |    CAST(SUM("Working Days To Decision" * "Working Days To Decision") AS BIGINT) AS sum_days2,
+         |    CAST(MAX("Working Days To Decision") AS BIGINT) AS max_days,
+         |    CAST(SUM("Resolved Within Two Weeks") AS BIGINT) AS resolved,
+         |    CAST(COALESCE(SUM(CASE WHEN "Resolved Within Two Weeks" = 1 THEN "Working Days To Decision" END), 0) AS BIGINT) AS sum_days_c,
+         |    CAST(SUM(CASE WHEN "Resolved Within Two Weeks" = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |    CAST(COALESCE(SUM(CASE WHEN "Resolved Within Two Weeks" = 0 THEN "Working Days To Decision" END), 0) AS BIGINT) AS sum_days_nc,
+         |    CAST(SUM(CASE WHEN "Resolved Within Two Weeks" = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nc
+         |  FROM report),
+         |stats AS (
+         |  SELECT m.*,
+         |    CAST(sum_days AS DOUBLE) / n AS mean_days,
+         |    CASE WHEN n > 1 THEN sqrt((CAST(sum_days2 AS DOUBLE) - CAST(sum_days AS DOUBLE) * CAST(sum_days AS DOUBLE) / n) / (n - 1)) ELSE 0.0 END AS std_days,
+         |    CAST(FLOOR(CAST(resolved AS DOUBLE) * 10000 / n) AS BIGINT) AS rate_centi
+         |  FROM m),
+         |o AS (
+         |  SELECT SUM(CASE WHEN CAST("Working Days To Decision" AS DOUBLE) > mean_days + std_days * 3.0 THEN 1 ELSE 0 END) AS n021
+         |  FROM report, stats),
+         |c AS (SELECT * FROM stats, o)
+         |SELECT * FROM (
+         |SELECT 'DQ-001' AS test_id, CASE WHEN n001 = 0 THEN 'PASS' ELSE 'FAIL' END AS status, CAST(n001 AS BIGINT) AS failed_rows, 'Critical business keys must be populated' AS business_impact, CAST(NULL AS VARCHAR) AS sample_failures FROM c
+         |UNION ALL SELECT 'DQ-002', CASE WHEN n002 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n002 AS BIGINT), 'Working days and two-week flag must be calculated', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-003', CASE WHEN n003 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n003 AS BIGINT), 'Empty strings should be NULL for consistency', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-004', CASE WHEN g = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(g AS BIGINT), 'Same claimant should not appear twice with same dates - data multiplication', CAST(NULL AS VARCHAR)
+         |  FROM (SELECT COUNT(*) AS g FROM (SELECT "Claimant Id", "Request Id", "First Decision Date" FROM report GROUP BY 1, 2, 3 HAVING COUNT(*) > 1))
+         |UNION ALL SELECT 'DQ-005', CASE WHEN g = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(g AS BIGINT), 'Claimant appears >10 times - severe data multiplication issue', CAST(NULL AS VARCHAR)
+         |  FROM (SELECT COUNT(*) AS g FROM (SELECT "Claimant Id" FROM report GROUP BY 1 HAVING COUNT(*) > 10))
+         |UNION ALL SELECT 'DQ-006', CASE WHEN n006 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n006 AS BIGINT), 'Dates must be in MM/DD/YYYY format for downstream systems', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-007', CASE WHEN n007 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n007 AS BIGINT), 'Calculated day counts must be valid integers', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-008', CASE WHEN n008 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n008 AS BIGINT), 'Turnaround time cannot be negative - calculation error', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-009', CASE WHEN n009 = 0 THEN 'PASS' ELSE 'WARNING' END, CAST(n009 AS BIGINT), 'Processing took >10 working days - may be valid but investigate', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-010', CASE WHEN n010 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n010 AS BIGINT), 'Decision dates after period end indicate clock issues', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-011', CASE WHEN n011 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n011 AS BIGINT), 'Decision cannot happen before report period start', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-012', CASE WHEN n012 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n012 AS BIGINT), 'Two-week flag does not match turnaround days', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-013', CASE WHEN g = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(g AS BIGINT), 'Claimants in report do not exist in source event table', CAST(NULL AS VARCHAR)
+         |  FROM (SELECT COUNT(*) AS g FROM report r WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = r."Claimant Id"))
+         |UNION ALL SELECT 'DQ-014', CASE WHEN g = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(g AS BIGINT), 'Request types do not match source lookup values', CAST(NULL AS VARCHAR)
+         |  FROM (SELECT COUNT(*) AS g FROM report r WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.event_type = r."Request Type"))
+         |UNION ALL SELECT 'DQ-015',
+         |  CASE WHEN n = 0 THEN 'FAIL' WHEN n < 10 THEN 'WARNING' ELSE 'PASS' END, CAST(n AS BIGINT),
+         |  'Report has ' || CAST(n AS VARCHAR) || ' rows. Expected >10 for typical report period.',
+         |  CAST(to_json(struct_pack(total_rows := CAST(n AS BIGINT), unique_claimants := CAST(cd_claimant AS BIGINT), unique_request_types := CAST(cd_rt AS BIGINT))) AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-016', CASE WHEN cd_rt = 1 THEN 'PASS' ELSE 'FAIL' END, CAST(cd_rt - 1 AS BIGINT), 'Report should have a single request type per run', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-017', CASE WHEN n017 = 0 THEN 'PASS' ELSE 'WARNING' END, CAST(n017 AS BIGINT), 'Measure value missing or zero - impacts analysis', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-018', CASE WHEN n018 = 0 THEN 'PASS' ELSE 'WARNING' END, CAST(n018 AS BIGINT), 'Request type contains domain prefix - should be stripped', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-019', CASE WHEN n019 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n019 AS BIGINT), 'Request type is required for grouping and analysis', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-020', CASE WHEN n020 = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(n020 AS BIGINT), 'Decision dates should be within the report period', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-021', 'INFO', CAST(n021 AS BIGINT), 'Records with days > 3 standard deviations from mean - investigate',
+         |  CAST(to_json(struct_pack(
+         |    outlier_count := CAST(n021 AS BIGINT),
+         |    mean_days_centi := CAST(FLOOR(CAST(sum_days AS DOUBLE) * 100 / n) AS BIGINT),
+         |    stddev_days_centi := CAST(FLOOR(std_days * 100) AS BIGINT),
+         |    max_days := max_days,
+         |    threshold_centi := CAST(FLOOR((mean_days + std_days * 3.0) * 100) AS BIGINT))) AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-022', CASE WHEN rate_centi < 5000 THEN 'WARNING' ELSE 'INFO' END, CAST(10000 - rate_centi AS BIGINT),
+         |  CAST(CAST(FLOOR(rate_centi / 100) AS BIGINT) AS VARCHAR) || '.' || lpad(CAST(rate_centi % 100 AS VARCHAR), 2, '0') || '% resolved within 14 days',
+         |  CAST(to_json(struct_pack(
+         |    total_claims := CAST(n AS BIGINT),
+         |    resolved_within_14_days := resolved,
+         |    compliance_rate_centipct := rate_centi,
+         |    avg_days_centi_all := CAST(FLOOR(CAST(sum_days AS DOUBLE) * 100 / n) AS BIGINT),
+         |    avg_days_centi_compliant := COALESCE(CAST(FLOOR(CAST(sum_days_c AS DOUBLE) * 100 / (CASE WHEN n_c > 0 THEN n_c END)) AS BIGINT), -1),
+         |    avg_days_centi_non_compliant := COALESCE(CAST(FLOOR(CAST(sum_days_nc AS DOUBLE) * 100 / (CASE WHEN n_nc > 0 THEN n_nc END)) AS BIGINT), -1))) AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-023', 'INFO', CAST(cd_rt AS BIGINT), 'Distribution of request types - verify expected patterns', CAST(NULL AS VARCHAR) FROM c
+         |UNION ALL SELECT 'DQ-024', CASE WHEN d = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(d AS BIGINT), 'Source count must match target count: 0 = match, >0 = mismatch', CAST(NULL AS VARCHAR)
+         |  FROM (SELECT abs((SELECT COUNT(DISTINCT user_id) FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00') - (SELECT COUNT(*) FROM report)) AS d)
+         |) ORDER BY test_id""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
+
+  /** Working-days closed form between the fixed period start (Monday
+    * 2024-01-01) and ts — same formula as the q14 oracle. */
+  private val WdSql =
+    """CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-01' THEN 0 ELSE
+      | (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) // 7 * 5
+      | + (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7
+      | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (6 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
+      | - CASE WHEN (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) % 7 > (7 - isodow(DATE '2024-01-01') + 7) % 7 THEN 1 ELSE 0 END
+      |END AS BIGINT)""".stripMargin
+
+  /** The claims detail report (q47 pipeline) as a reusable DuckDB query —
+    * no final ORDER BY so it can be wrapped as a CTE (q54 DQ suite). */
+  private lazy val ClaimsReportSql =
+    s"""WITH latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                                 ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+       |  WHERE rn = 1),
+       |intervals AS (
+       |  SELECT *, CAST(ts AS TIMESTAMP) AS eff_dt,
+       |    CAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - INTERVAL 1 MINUTE,
+       |             TIMESTAMP '9999-12-31 00:00:00') AS TIMESTAMP) AS exp_dt
+       |  FROM latest),
+       |valid AS (
+       |  SELECT * FROM intervals
+       |  WHERE TIMESTAMP '2024-01-20 00:00:00' >= eff_dt
+       |    AND TIMESTAMP '2024-01-20 00:00:00' < exp_dt),
+       |ranked AS (
+       |  SELECT *,
+       |    MIN(ts) OVER (PARTITION BY user_id) AS first_decision_ts,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS decision_rank
+       |  FROM valid)
+       |SELECT user_id AS "Claimant Id",
+       |  event_id AS "Request Id",
+       |  event_type AS "Request Type",
+       |  strftime(CAST(first_decision_ts AS TIMESTAMP), '%m/%d/%Y') AS "First Decision Date",
+       |  $WdSql AS "Working Days To Decision",
+       |  CAST(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END AS BIGINT) AS "Resolved Within Two Weeks",
+       |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0 END AS "Clamped Value"
+       |FROM ranked WHERE decision_rank = 1""".stripMargin
 
   /** documents ∪ exact copies (mirrors docsWithDupes). */
   private val DupDocsSql =

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dq.DqSuite
+
+/** The 24-check suite: tier logic (PASS/FAIL/WARNING/INFO), failed-row
+  * accounting and the SAMPLE_FAILURES JSON payloads on a hand-built report
+  * (ref: sql/new_rfb_and_total_claimants_active/test_data_quality.sql). */
+class DqSuiteSpec extends AnyFunSuite with SparkSpec {
+
+  private def run() = {
+    import spark.implicits._
+    // 4 rows (<10 → DQ-015 WARNING), one negative-days row (DQ-008 FAIL),
+    // one >10-working-days row (DQ-009 WARNING), one orphan claimant
+    // (DQ-013 FAIL), one zero measure (DQ-017 WARNING)
+    val report = Seq(
+      (1L, 10L, "claim", "01/05/2024", 3L, 1L, 2.5),
+      (2L, 11L, "claim", "01/08/2024", 6L, 1L, 0.0),
+      (3L, 12L, "appeal", "01/18/2024", 13L, 0L, 1.0),
+      (9L, 13L, "claim", "01/02/2024", -1L, 1L, 4.0)
+    ).toDF("Claimant Id", "Request Id", "Request Type", "First Decision Date",
+      "Working Days To Decision", "Resolved Within Two Weeks", "Clamped Value")
+    val events = Seq(
+      (1L, "claim", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (2L, "claim", java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
+      (3L, "appeal", java.sql.Timestamp.valueOf("2024-01-18 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    DqSuite.run(report, events, "2024-01-01", "2024-01-20")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(4)))).toMap
+  }
+
+  test("emits all 24 check ids with correct tier statuses") {
+    val out = run()
+    assert(out.size == 24)
+    assert(out.keySet == (1 to 24).map(i => f"DQ-$i%03d").toSet)
+    assert(out("DQ-001")._1 == "PASS")
+    assert(out("DQ-008") == (("FAIL", 1L, null)))      // negative days
+    assert(out("DQ-009")._1 == "WARNING")              // 13 > 10 working days
+    assert(out("DQ-015")._1 == "WARNING")              // 4 rows < 10
+    assert(out("DQ-016") == (("FAIL", 1L, null)))      // 2 request types
+    assert(out("DQ-017") == (("WARNING", 1L, null)))   // zero measure
+    assert(out("DQ-021")._1 == "INFO")
+    assert(out("DQ-023") == (("INFO", 2L, null)))
+    // orphan claimant 9 not in events; DQ-024 source 3 vs target 4
+    assert(out("DQ-013") == (("FAIL", 1L, null)))
+    assert(out("DQ-024") == (("FAIL", 1L, null)))
+  }
+
+  test("sample_failures payloads are parseable JSON with exact centi rates") {
+    val out = run()
+    val s15 = out("DQ-015")._3
+    assert(s15 == """{"total_rows":4,"unique_claimants":4,"unique_request_types":2}""")
+    val s22 = out("DQ-022")._3
+    // resolved=3 of 4 → 7500 centi-pct; avg days all = (3+6+13-1)*100/4 = 525
+    assert(s22.contains(""""compliance_rate_centipct":7500"""))
+    assert(s22.contains(""""avg_days_centi_all":525"""))
+    val s21 = out("DQ-021")._3
+    assert(s21.contains(""""outlier_count":""") && s21.contains(""""max_days":13"""))
+  }
+}
