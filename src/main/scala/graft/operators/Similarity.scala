@@ -65,6 +65,20 @@ object Similarity {
   }
 
   /**
+   * Shared re-rank: top-k per query from a scored candidate frame via the
+   * bounded heap aggregate — at most k rows per query cross the exchange
+   * (map-side partial aggregation), versus the window form which shuffles
+   * and sorts EVERY candidate. Identical output to
+   * `row_number over (partition by query_id order by cosine desc, id asc)`.
+   */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(boundedTopK(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("cosine"))
+
+  /**
    * Brute-force top-k via the bounded heap aggregate instead of a window
    * sort: partial aggregation keeps only k candidates per query on the map
    * side, so at most k rows per query cross the exchange — the window form
@@ -107,16 +121,30 @@ object Similarity {
     val cents = corpus.orderBy(col(cId).asc).limit(numCentroids)
       .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
       .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+    // Collapse the (tiny) centroid table to ONE row holding the sorted
+    // centroid array, so assignment can broadcast it and stay shuffle-free.
+    val centArr = cents.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("__cent"), col("__centn")))).as("__cents"))
 
+    // Nearest-centroid assignment as a per-row argmax in a single projection:
+    // broadcast the centroid array, array_min over struct(-sim, cent_id)
+    // (= sim desc, cent_id asc tie-break). Zero exchanges, no sort — the
+    // previous form (crossJoin + row_number windowed on the UNIQUE row id)
+    // shuffled numCentroids×|corpus| rows to compute the same argmax.
     def assign(df: DataFrame, id: String, vec: String, outId: String): DataFrame = {
       val v = df.select(col(id).as(outId), Vectors.quantize(col(vec)).as("__v"))
         .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
-      val scored = v.crossJoin(broadcast(cents))
-        .withColumn("__sim", Vectors.cosineQ(col("__v"), col("__cent"), col("__vn"), col("__centn")))
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__sim").desc, col("cent_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col(outId), col("cent_id").as("cell"), col("__v"), col("__vn"))
+      v.crossJoin(broadcast(centArr))
+        .withColumn("__best", array_min(transform(col("__cents"), ct =>
+          struct(
+            // null sim (degenerate zero-norm vector) must LOSE the argmax,
+            // matching the window form's nulls-last-in-desc
+            coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
+                col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
+              .as("nsim"),
+            ct.getField("cent_id").as("cell")))))
+        .select(col(outId), col("__best").getField("cell").as("cell"),
+          col("__v"), col("__vn"))
     }
 
     val c = assign(corpus, cId, cVec, "neighbor_id")
@@ -127,11 +155,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed top-k: exact ranking within the query's sign bucket. */
@@ -151,10 +175,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 }

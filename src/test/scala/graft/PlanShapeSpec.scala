@@ -45,6 +45,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges\n$plan")
   }
 
+  test("q44: IVF centroid assignment is shuffle-free; re-rank bounds the exchange") {
+    val plan = physicalPlan("q44_ann_ivf")
+    // assignment must not shuffle on the unique row ids; the only hash
+    // exchange allowed is the final per-query top-k aggregate
+    val hashExchanges = "hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!hashExchanges.exists(_.contains("neighbor_id")),
+      s"centroid assignment must not shuffle on neighbor_id:\n$plan")
+    assert(!plan.contains("Window"),
+      "re-rank must use the bounded top-k aggregate, not a window sort")
+  }
+
+  test("q32: sign-LSH re-rank uses the bounded top-k aggregate") {
+    val plan = physicalPlan("q32_ann_lsh")
+    assert(plan.contains("bounded_top_k") && !plan.contains("Window"),
+      s"re-rank must be the heap aggregate, not a window sort:\n$plan")
+  }
+
   test("q19: as-of join has no join node at all (union + window form)") {
     val plan = physicalPlan("q19_asof_join")
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
