@@ -35,7 +35,13 @@ object Tables {
     }
   }
 
+  /** Register selected tables of a scale-factor dir as temp views — prefer
+    * this over `registerAll` when the query set is known (pays the
+    * read-footer/register fixed cost only for tables actually referenced). */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+
   /** Register every table of a scale-factor dir as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+    register(spark, dir, names: _*)
 }

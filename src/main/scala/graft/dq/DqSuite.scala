@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
  *    referential checks (anti-joins) are separate jobs, as they must be;
  *  - all JSON sample payloads are non-null BIGINTs (rates/averages as exact
  *    centi-scaled integers) so the output is engine-portable — double
- *    formatting and null-field serialization differ across engines.
+ *    formatting and null-field serialization differ across engines;
+ *  - `run` is EAGER: it materializes the (<= 24 row) result, releases the
+ *    report/metrics caches it took, and returns a local frame — repeated
+ *    suite runs in a long-lived session pin nothing.
  */
 object DqSuite {
 
@@ -62,7 +65,13 @@ object DqSuite {
       cnt(days > 10).as("n009"),
       cnt(parsedFdd > endD).as("n010"),
       cnt(parsedFdd < startD).as("n011"),
-      cnt((flag === 1 && days > 14) || !flag.isin(0, 1)).as("n012"),
+      // consistency: flag is CALENDAR-day-based (<=14) while days counts
+      // WORKING days, so the tight cross-metric invariant (any start day) is
+      // flag=1 => wd<=11 and flag=0 => wd>=10; both clauses of the
+      // reference's symmetric check are kept with those adapted bounds
+      // (ref: test_data_quality.sql:128-140)
+      cnt((flag === 1 && days > 11) || (flag === 0 && days < 10) ||
+        !flag.isin(0, 1)).as("n012"),
       cnt(cv.isNull || cv === 0.0).as("n017"),
       cnt(rt.contains("\\")).as("n018"),
       cnt(rt.isNull || rt === "").as("n019"),
@@ -70,9 +79,11 @@ object DqSuite {
       countDistinct(cid).as("cd_claimant"),
       countDistinct(rt).as("cd_rt"),
       // days are integers: BIGINT sums are exact and order-independent;
-      // doubles are derived from them with one fixed expression
+      // doubles are derived from them with one fixed expression. The squared
+      // sum runs on DECIMAL so a pathological overflow surfaces as null (and
+      // the oracle errors loudly) instead of wrapping silently.
       sum(days).as("sum_days"),
-      sum(days * days).as("sum_days2"),
+      sum(days.cast("decimal(19,0)") * days.cast("decimal(19,0)")).as("sum_days2"),
       max(days).as("max_days"),
       sum(flag).as("resolved"),
       coalesce(sum(when(flag === 1, days)), lit(0L)).as("sum_days_c"),
@@ -97,8 +108,11 @@ object DqSuite {
     // IEEE expression on the oracle side yields the identical integer
     def centiDiv(num: Column, den: Column): Column =
       floor(num.cast("double") * 100 / den).cast("long")
-    val rateCenti =
-      floor(col("resolved").cast("double") * 10000 / col("n")).cast("long")
+    // -1 sentinel on an empty report (n=0) — keeps failed_rows/status/payload
+    // non-null so the output stays engine-portable (see DQ-021 note)
+    val rateCenti = coalesce(
+      floor(col("resolved").cast("double") * 10000 / col("n")).cast("long"),
+      lit(-1L))
 
     def row(id: String, status: Column, failed: Column, impact: Column,
             sample: Column = lit(null).cast("string")): Column =
@@ -150,14 +164,19 @@ object DqSuite {
         lit("Request type is required for grouping and analysis")),
       row("DQ-020", pf(col("n020")), col("n020"),
         lit("Decision dates should be within the report period")),
+      // payload fields are coalesced to sentinels on an EMPTY report (n=0
+      // makes the moments null): Spark's to_json silently drops null struct
+      // fields while other engines emit them, so null here would break the
+      // engine-portable payload contract
       row("DQ-021", lit("INFO"), col("n021"),
         lit("Records with days > 3 standard deviations from mean - investigate"),
         to_json(struct(
           col("n021").as("outlier_count"),
-          centiDiv(col("sum_days"), col("n")).as("mean_days_centi"),
+          coalesce(centiDiv(col("sum_days"), col("n")), lit(-1L)).as("mean_days_centi"),
           floor(std * 100).cast("long").as("stddev_days_centi"),
-          col("max_days").cast("long").as("max_days"),
-          floor((mean + std * 3.0) * 100).cast("long").as("threshold_centi")))),
+          coalesce(col("max_days").cast("long"), lit(-1L)).as("max_days"),
+          coalesce(floor((mean + std * 3.0) * 100).cast("long"), lit(-1L))
+            .as("threshold_centi")))),
       row("DQ-022", when(rateCenti < 5000, "WARNING").otherwise("INFO"),
         lit(10000L) - rateCenti,
         concat(floor(rateCenti / lit(100)).cast("long").cast("string"), lit("."),
@@ -165,9 +184,9 @@ object DqSuite {
           lit("% resolved within 14 days")),
         to_json(struct(
           col("n").as("total_claims"),
-          col("resolved").as("resolved_within_14_days"),
+          coalesce(col("resolved"), lit(0L)).as("resolved_within_14_days"),
           rateCenti.as("compliance_rate_centipct"),
-          centiDiv(col("sum_days"), col("n")).as("avg_days_centi_all"),
+          coalesce(centiDiv(col("sum_days"), col("n")), lit(-1L)).as("avg_days_centi_all"),
           coalesce(centiDiv(col("sum_days_c"), when(col("n_c") > 0, col("n_c"))), lit(-1L))
             .as("avg_days_centi_compliant"),
           coalesce(centiDiv(col("sum_days_nc"), when(col("n_nc") > 0, col("n_nc"))), lit(-1L))
@@ -214,9 +233,20 @@ object DqSuite {
       lit("Source count must match target count: 0 = match, >0 = mismatch").as("business_impact"),
       lit(null).cast("string").as("sample_failures"))
 
-    aggRows.select(ResultCols.map(col): _*)
+    val out = aggRows.select(ResultCols.map(col): _*)
       .unionByName(dq004).unionByName(dq005)
       .unionByName(dq013).unionByName(dq014).unionByName(dq024)
       .orderBy("test_id")
+
+    // Materialize while rep/m are cached, then RELEASE both — a suite run
+    // must not leave pinned partitions behind in a long-lived session. The
+    // result is structurally <= 24 rows at any input scale, so the local
+    // copy is bounded (same justification as Upsert's counts collect).
+    val resultRows = out.collect()
+    rep.unpersist()
+    m.unpersist()
+    val spark = report.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(resultRows.toSeq.asJava, out.schema)
   }
 }

@@ -58,8 +58,10 @@ object Dedup {
     // hash each DISTINCT shingle once, then join back to the (id, shingle)
     // pairs: md5 evaluations drop from |pairs| × H to |distinct| × H — at
     // corpus scale the distinct-shingle set is orders of magnitude smaller
-    // and the extra equi-join shuffles no more than the groupBy already does
-    val cached = shingled.persist()
+    // and the extra equi-join shuffles no more than the groupBy already does.
+    // Cache is registered with core.Caches — released by the session owner
+    // after materialization (this result is returned lazily).
+    val cached = graft.core.Caches.track(shingled)
     val hashCols = (0 until numHashes).map(s =>
       md5(concat(lit(s.toString), lit(" "), col("shingle")).cast("binary")).as(s"h_$s"))
     val shingleHashes = cached.select("shingle").distinct()
@@ -85,16 +87,15 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(wordShingles(df, id, text, shingleK), id, numHashes)
-    // persist: both sides of the candidate self-join read `banded`; without
-    // it the whole shingle→signature pipeline runs twice
-    val banded = sig.select(col(id),
+    // persist (Caches-tracked): both sides of the candidate self-join read
+    // `banded`; without it the whole shingle→signature pipeline runs twice
+    val banded = graft.core.Caches.track(sig.select(col(id),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col(id), col("bb.band"), col("bb.bucket"))
-      .persist()
+      .select(col(id), col("bb.band"), col("bb.bucket")))
     val a = banded.select(col("band"), col("bucket"), col(id).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(id).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -159,8 +160,8 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 50): DataFrame = {
     // the shingle frame feeds two consumers (inverted index, per-doc sizes)
-    // — persist so tokenize+shingle runs once
-    val sh = wordShingles(df, id, text, k).persist()
+    // — persist (Caches-tracked) so tokenize+shingle runs once
+    val sh = graft.core.Caches.track(wordShingles(df, id, text, k))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     // group docs per shingle and expand i<j pairs inside the (≤ maxShingleDf)
     // array — one groupBy shuffle instead of a self-join that re-shuffles the

@@ -27,5 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "quantize_vector(arrayOfFloat)")
         QuantizeVector(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("fm_workingdaysbetween"),
+      new ExpressionInfo(classOf[WorkingDaysBetween].getName, "fm_workingdaysbetween"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "fm_workingdaysbetween(start, end)")
+        WorkingDaysBetween(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.DateType))
+      }))
   }
 }

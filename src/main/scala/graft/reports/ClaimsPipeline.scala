@@ -95,20 +95,10 @@ object ClaimsPipeline {
   /** Render + run the SQL form (registers the working-days function). */
   def detailReportSql(spark: SparkSession, sourceView: String, period: ReportPeriod): DataFrame = {
     // the reference calls an externally-defined warehouse UDF
-    // FM_WORKINGDAYSBETWEEN (ref: ...detail.sql:121); register our
-    // closed-form equivalent under that name for template compatibility
-    val workingDays: (java.sql.Timestamp, java.sql.Timestamp) => java.lang.Long =
-      (s, e) =>
-        if (s == null || e == null) null
-        else {
-          val sd = s.toLocalDateTime.toLocalDate
-          val ed = e.toLocalDateTime.toLocalDate
-          if (ed.isBefore(sd)) java.lang.Long.valueOf(0L)
-          else java.lang.Long.valueOf(
-            Iterator.iterate(sd)(_.plusDays(1)).takeWhile(!_.isAfter(ed))
-              .count(d => d.getDayOfWeek.getValue <= 5).toLong)
-        }
-    spark.udf.register("fm_workingdaysbetween", workingDays)
+    // FM_WORKINGDAYSBETWEEN (ref: ...detail.sql:121); the SQL name is bound
+    // to the same CLOSED-FORM codegen'd expression the DataFrame path uses
+    // (functions/Dates.scala:21) — not an O(days) per-row loop
+    org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark)
     val rendered = graft.core.SqlTemplate.render(
       DetailSqlTemplate,
       placeholders = Map("SOURCE_TABLE" -> sourceView),

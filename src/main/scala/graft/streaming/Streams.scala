@@ -67,10 +67,14 @@ object Streams {
     events.groupByKey(r => Option(r.getAs[Any](keyCol)).map(_.toString).orNull)
       .mapGroupsWithState[(java.sql.Timestamp, Long, Row), Row](
         GroupStateTimeout.NoTimeout()) { case (_, rows, state) =>
-        val candidates = rows.toSeq ++
-          state.getOption.map(_._3)
-        val best = candidates.maxBy(r => (tsOf(r), seqOf(r)))
-        state.update((best.getAs[java.sql.Timestamp](tsCol), seqOf(r = best), best))
+        // iterator FOLD, not buffer-then-max: a hot key with millions of
+        // events in one micro-batch holds O(1) rows in memory, never the
+        // whole group
+        val best = rows.foldLeft(state.getOption.map(_._3).orNull) { (acc, r) =>
+          if (acc == null || Ordering[(Long, Long)].lt((tsOf(acc), seqOf(acc)), (tsOf(r), seqOf(r)))) r
+          else acc
+        }
+        state.update((best.getAs[java.sql.Timestamp](tsCol), seqOf(best), best))
         best
       }
   }

@@ -27,5 +27,15 @@ object ColumnBridge {
       args => graft.plans.DotProductQ(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("quantize_vector",
       args => graft.plans.QuantizeVector(args.head), "built-in")
+    // the reference's external FM_WORKINGDAYSBETWEEN warehouse UDF, bound to
+    // the CLOSED-FORM native expression (plans/DateExpressions.scala) —
+    // O(1) per row and codegen'd, vs the naive O(days) iterate-and-count
+    // UDF form
+    reg.createOrReplaceTempFunction("fm_workingdaysbetween",
+      args => graft.plans.WorkingDaysBetween(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.DateType)), "built-in")
   }
 }

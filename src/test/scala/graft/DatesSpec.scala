@@ -32,6 +32,24 @@ class DatesSpec extends AnyFunSuite with SparkSpec {
     assert(rev == 0L)
   }
 
+  test("native fm_workingdaysbetween (SQL) equals the composed Column form") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark)
+    val base = java.time.LocalDate.of(2023, 12, 25)
+    val cases = (for (i <- 0 until 40; d <- Seq(0L, 1L, 6L, 7L, 13L, 365L))
+      yield (base.plusDays(i * 11L).toString, base.plusDays(i * 11L + d).toString))
+    val diff = cases.toDF("s", "e")
+      .selectExpr("s", "e",
+        "fm_workingdaysbetween(CAST(s AS DATE), CAST(e AS DATE)) AS native")
+      .withColumn("composed",
+        Dates.workingDaysBetween(col("s").cast("date"), col("e").cast("date")))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.isEmpty, diff.collect().mkString("\n"))
+    // null inputs → null (matches the composed form's null propagation)
+    assert(spark.sql("SELECT fm_workingdaysbetween(CAST(NULL AS DATE), DATE '2024-01-01')")
+      .head.isNullAt(0))
+  }
+
   test("isoDow maps Monday→1 … Sunday→7") {
     import spark.implicits._
     val out = Seq("2024-08-12", "2024-08-17", "2024-08-18") // Mon, Sat, Sun
