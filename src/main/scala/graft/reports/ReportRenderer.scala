@@ -72,4 +72,102 @@ object ReportRenderer {
     out += s"Grand Total\t${totals("Grand Total")}"
     out.toSeq
   }
+
+  /**
+   * The same grouped report as a STYLED workbook — the reference's openpyxl
+   * formatting re-expressed in the dependency-free writer
+   * (ref: datafeeds/multiple_worksheets_with_formatting.py:169-237 header
+   * block with merged carrier/executed-on/page/date rows,
+   * claims_reports.py:188-258 per-group subtotal + grand-total rows,
+   * multiple_worksheets_with_formatting.py:131-141 `$#,##0.00` columns,
+   * :238-260 column widths):
+   *  - 3-row merged header block (carrier + Executed On; title + page;
+   *    "For Dates: start To end"), bold 12pt;
+   *  - bold, filled, centered table-header row;
+   *  - detail rows in the 8pt data font, measure column `#,##0.00`
+   *    (`$#,##0.00` for columns named in `dollarColumns`);
+   *  - a bold subtotal row per group and a bold grand-total row, both from
+   *    the SAME distributed rollup pass as the text renderer;
+   *  - content-sized column widths capped at `maxColWidth`.
+   */
+  def renderXlsx(
+      path: String,
+      header: ReportHeader,
+      detail: DataFrame,
+      groupCol: String,
+      measure: String,
+      detailCols: Seq[String],
+      dollarColumns: Set[String] = Set.empty,
+      maxColWidth: Double = 40.0): Unit = {
+    import XlsxWriter._
+    val detailStr = detail.withColumn(groupCol, col(groupCol).cast("string"))
+    val totals = Feeds.groupedReport(detailStr, groupCol, Seq(measure -> "__total"))
+      .collect()
+      .map(r => Option(r.getAs[String](groupCol)).getOrElse("") ->
+        r.getAs[Double]("__total")).toMap
+    val orderCols = (groupCol +: detailCols).distinct
+    val rows = detailStr
+      .select(orderCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .collect()
+
+    val nCols = orderCols.size
+    val mid = math.max(1, nCols / 2)
+    val measureStyle =
+      if (dollarColumns.contains(measure)) CellStyle.Dollar else CellStyle.Money
+    val totalStyle =
+      if (dollarColumns.contains(measure)) CellStyle.TotalDollar else CellStyle.TotalMoney
+    def dataStyle(colName: String, v: Any): CellStyle = v match {
+      case _: java.lang.Number if colName == measure => measureStyle
+      case _: java.lang.Number => CellStyle.Right
+      case _ => CellStyle.Data
+    }
+    def pad(cells: Seq[SCell]): Seq[SCell] =
+      cells ++ Seq.fill(nCols - cells.size)(SCell(""))
+
+    val buf = collection.mutable.ArrayBuffer.empty[Seq[SCell]]
+    val merges = collection.mutable.ArrayBuffer.empty[String]
+    // header block (rows 1-3), merged left/right halves like the reference
+    // merged ranges must span >1 cell to be valid
+    def merge(row: Int, from: Int, to: Int): Unit =
+      if (to > from) merges += s"${colRef(from)}$row:${colRef(to)}$row"
+    buf += pad(Seq.fill(mid)(SCell("")).updated(0, SCell(header.carrier, CellStyle.Title)) ++
+      Seq(SCell(s"Executed On: ${header.executedOn}", CellStyle.TitleRight)))
+    merge(1, 0, mid - 1); merge(1, mid, nCols - 1)
+    buf += pad(Seq.fill(mid)(SCell("")).updated(0, SCell(header.title, CellStyle.Title)) ++
+      Seq(SCell("Page 1 of 1", CellStyle.TitleRight)))
+    merge(2, 0, mid - 1); merge(2, mid, nCols - 1)
+    buf += pad(Seq(
+      SCell(s"For Dates: ${header.periodStart} To ${header.periodEnd}", CellStyle.Title)))
+    merge(3, 0, nCols - 1)
+    buf += pad(Nil) // spacer
+    buf += orderCols.map(c => SCell(c, CellStyle.TableHeader))
+
+    var current: Option[String] = None
+    def subtotalRow(g: String): Seq[SCell] =
+      pad(Seq(SCell(s"Total $g", CellStyle.Total)))
+        .updated(orderCols.indexOf(measure), SCell(totals(g), totalStyle))
+    rows.foreach { r =>
+      val g = Option(r.getAs[Any](groupCol)).map(_.toString).getOrElse("")
+      if (!current.contains(g)) {
+        current.foreach(prev => buf += subtotalRow(prev))
+        current = Some(g)
+      }
+      buf += orderCols.zipWithIndex.map { case (c, i) =>
+        SCell(r.get(i), dataStyle(c, r.get(i)))
+      }
+    }
+    current.foreach(prev => buf += subtotalRow(prev))
+    buf += pad(Seq(SCell("Grand Total", CellStyle.Total)))
+      .updated(orderCols.indexOf(measure), SCell(totals("Grand Total"), totalStyle))
+
+    // content-sized widths, capped (ref: set_column_widths)
+    val widths = orderCols.indices.map { i =>
+      val contentMax = (orderCols(i).length +:
+        rows.map(r => Option(r.get(i)).map(_.toString.length).getOrElse(0)).toSeq).max
+      math.min(maxColWidth, contentMax + 4.0)
+    }
+
+    writeStyled(path, Seq(StyledSheet(header.title.take(31), widths, buf.toSeq, merges.toSeq)))
+  }
 }

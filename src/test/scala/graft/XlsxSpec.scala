@@ -32,6 +32,54 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(entries("xl/workbook.xml").contains("""<sheet name="Report""""))
   }
 
+  private def assertWellFormedXml(content: String): Unit = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
+  }
+
+  test("styled grouped workbook: styles.xml, widths, merges, subtotal rows") {
+    import spark.implicits._
+    import graft.reports.ReportRenderer
+    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/styled.xlsx"
+    val detail = Seq(
+      ("G2", "c3", 30.0), ("G1", "c1", 10.5), ("G1", "c2", 20.0))
+      .toDF("grp", "claim", "amount")
+    ReportRenderer.renderXlsx(path,
+      ReportRenderer.ReportHeader("Claims Paid Report", "Acme Carrier",
+        "01/01/2024", "01/31/2024", "2024-02-01 00:00:00"),
+      detail, "grp", "amount", Seq("claim", "amount"),
+      dollarColumns = Set("amount"))
+    val entries = zipEntries(path)
+
+    // styles part present, wired, and well-formed
+    assert(entries.contains("xl/styles.xml"))
+    assert(entries("[Content_Types].xml").contains("/xl/styles.xml"))
+    assert(entries("xl/_rels/workbook.xml.rels").contains("styles.xml"))
+    entries.values.foreach(assertWellFormedXml)
+    val styles = entries("xl/styles.xml")
+    assert(styles.contains("""formatCode="$#,##0.00""""), "dollar number format")
+    assert(styles.contains("<b/>"), "bold font")
+    assert(styles.contains("""fgColor rgb="FFD9D9D9""""), "header fill")
+    assert(styles.contains("""<name val="Arial"/>"""))
+
+    val sheet = entries("xl/worksheets/sheet1.xml")
+    // header block: merged carrier/executed-on/page/date rows
+    assert(sheet.contains("<mergeCells") && sheet.contains("""<mergeCell ref="A3:C3"/>"""))
+    assert(sheet.contains("<t>Acme Carrier</t>"))
+    assert(sheet.contains("<t>Executed On: 2024-02-01 00:00:00</t>"))
+    assert(sheet.contains("<t>For Dates: 01/01/2024 To 01/31/2024</t>"))
+    // column widths
+    assert(sheet.contains("<cols>") && sheet.contains("""customWidth="1""""))
+    // styled cells exist (s= attributes beyond the default style)
+    assert(""" s="\d+"""".r.findFirstIn(sheet).isDefined)
+    // per-group subtotals + grand total IN the workbook, with values
+    assert(sheet.contains("<t>Total G1</t>") && sheet.contains("<t>Total G2</t>"))
+    assert(sheet.contains("<t>Grand Total</t>"))
+    assert(sheet.contains("<v>30.5</v>"), "G1 subtotal value") // 10.5 + 20.0
+    assert(sheet.contains("<v>60.5</v>"), "grand total value")
+  }
+
   test("datafeed runner fetches, writes, and logs batch control") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftfeed").toString
