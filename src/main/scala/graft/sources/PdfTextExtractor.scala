@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Dependency-free text-layer PDF table extractor — fills the extraction seam
+ * in `TableIngest` (the reference delegates this geometry to pdfplumber /
+ * tabula / camelot, ref: datafeeds/pdf_table_extractor.py:122-292; the
+ * clustering here is the word-based strategy those libraries apply:
+ * positioned words → rows by baseline → columns by x-alignment).
+ *
+ * Supported PDF subset (the output of typical report generators, and
+ * documented as such):
+ *  - uncompressed or FlateDecode content streams (JDK Inflater);
+ *  - text via BT/ET blocks with Tm, Td, TD, TL, T-star positioning and the
+ *    Tj, TJ, quote show operators; literal `(..)` strings with escapes and
+ *    `<hex>` strings;
+ *  - one content stream per page, pages in document order (no xref walk —
+ *    streams are located by scanning the file; page trees with shared or
+ *    split content arrays would need the pluggable seam's full parser).
+ *
+ * Glyph widths are not modeled: each Tj (or whole TJ array) is one word at
+ * the current text-matrix origin — i.e. cells must be separately positioned,
+ * which is how table generators emit them (one Td/Tm per cell).
+ */
+object PdfTextExtractor {
+
+  final case class Word(page: Int, x: Double, y: Double, text: String)
+
+  // ------------------------------------------------------------- file layer
+
+  /** Latin-1 view of the bytes: 1 char = 1 byte, so regex offsets are safe. */
+  private def latin1(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** All stream payloads in file order, inflated when FlateDecode. */
+  private[sources] def contentStreams(pdf: Array[Byte]): Seq[String] = {
+    val s = latin1(pdf)
+    val out = ArrayBuffer.empty[String]
+    val streamRe = "(?s)<<(.*?)>>\\s*stream\\r?\\n".r
+    var from = 0
+    while (from < s.length) {
+      streamRe.findFirstMatchIn(s.substring(from)) match {
+        case None => from = s.length
+        case Some(m) =>
+          val dict = m.group(1)
+          val start = from + m.end
+          val end = s.indexOf("endstream", start)
+          if (end < 0) { from = s.length }
+          else {
+            // trim the optional EOL before endstream
+            var e = end
+            if (e > start && s.charAt(e - 1) == '\n') e -= 1
+            if (e > start && s.charAt(e - 1) == '\r') e -= 1
+            val raw = java.util.Arrays.copyOfRange(pdf, start, e)
+            val payload =
+              if (dict.contains("/FlateDecode")) inflate(raw).map(latin1)
+              else Some(latin1(raw))
+            payload.filter(_.contains("BT")).foreach(out += _)
+            from = end + "endstream".length
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsDictionary()) return None
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------- content-stream layer
+
+  private sealed trait Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TOp(s: String) extends Tok
+  private case object TArrStart extends Tok
+  private case object TArrEnd extends Tok
+
+  private def tokenize(cs: String): Iterator[Tok] = new Iterator[Tok] {
+    private var i = 0
+    private var nextTok: Tok = _
+    advance()
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Tok = { val t = nextTok; advance(); t }
+
+    private def skipWs(): Unit = {
+      while (i < cs.length && (cs.charAt(i).isWhitespace || cs.charAt(i) == '%')) {
+        if (cs.charAt(i) == '%') while (i < cs.length && cs.charAt(i) != '\n') i += 1
+        else i += 1
+      }
+    }
+    private def advance(): Unit = {
+      skipWs()
+      if (i >= cs.length) { nextTok = null; return }
+      cs.charAt(i) match {
+        case '[' => i += 1; nextTok = TArrStart
+        case ']' => i += 1; nextTok = TArrEnd
+        case '(' => nextTok = TStr(literalString())
+        case '<' if i + 1 < cs.length && cs.charAt(i + 1) == '<' =>
+          // inline dict (e.g. BDC property lists) — skip to the matching >>
+          var depth = 0
+          while (i < cs.length) {
+            if (cs.startsWith("<<", i)) { depth += 1; i += 2 }
+            else if (cs.startsWith(">>", i)) { depth -= 1; i += 2; if (depth == 0) { advance(); return } }
+            else i += 1
+          }
+          nextTok = null
+        case '<' => nextTok = TStr(hexString())
+        case '/' =>
+          val j = endOfRegular(i + 1); val name = cs.substring(i, j); i = j
+          nextTok = TOp(name) // names only matter as operands we ignore
+        case c if c == '+' || c == '-' || c == '.' || c.isDigit =>
+          val j = endOfRegular(i + 1)
+          val raw = cs.substring(i, j); i = j
+          nextTok =
+            try TNum(raw.toDouble)
+            catch { case _: NumberFormatException => TOp(raw) }
+        case _ =>
+          val j = endOfRegular(i + 1)
+          nextTok = TOp(cs.substring(i, j)); i = j
+      }
+    }
+    private def endOfRegular(from: Int): Int = {
+      var j = from
+      while (j < cs.length && !cs.charAt(j).isWhitespace &&
+        !"()<>[]{}/%".contains(cs.charAt(j))) j += 1
+      j
+    }
+    private def literalString(): String = {
+      val sb = new StringBuilder
+      var depth = 0
+      var done = false
+      while (!done && i < cs.length) {
+        val c = cs.charAt(i)
+        c match {
+          case '(' => depth += 1; if (depth > 1) sb.append(c); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) done = true else sb.append(c)
+            i += 1
+          case '\\' if i + 1 < cs.length =>
+            val e = cs.charAt(i + 1)
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' | ')' | '\\' => sb.append(e); i += 2
+              case '\n' => i += 2 // line continuation
+              case '\r' => i += (if (i + 2 < cs.length && cs.charAt(i + 2) == '\n') 3 else 2)
+              case d if d.isDigit =>
+                val oct = cs.substring(i + 1, math.min(i + 4, cs.length)).takeWhile(_.isDigit).take(3)
+                sb.append(Integer.parseInt(oct, 8).toChar); i += 1 + oct.length
+              case other => sb.append(other); i += 2
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+    private def hexString(): String = {
+      i += 1 // consume <
+      val j = cs.indexOf('>', i)
+      val hex = cs.substring(i, if (j < 0) cs.length else j).filterNot(_.isWhitespace)
+      i = (if (j < 0) cs.length else j + 1)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+    }
+  }
+
+  /** 2×3 text matrix (a b c d e f); position of shown text = (e, f). */
+  private final case class Mat(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double)
+  private val Identity = Mat(1, 0, 0, 1, 0, 0)
+  private def translate(tx: Double, ty: Double, m: Mat): Mat =
+    Mat(m.a, m.b, m.c, m.d, tx * m.a + ty * m.c + m.e, tx * m.b + ty * m.d + m.f)
+
+  /** Positioned words of one content stream (page index supplied). */
+  private[sources] def words(page: Int, cs: String): Seq[Word] = {
+    val out = ArrayBuffer.empty[Word]
+    var tm = Identity // text matrix
+    var tlm = Identity // text line matrix
+    var leading = 0.0
+    val operands = ArrayBuffer.empty[Tok]
+    var inArray = false
+    val arrayStrings = new StringBuilder
+
+    def num(k: Int): Double = operands.lift(operands.length - k) match {
+      case Some(TNum(v)) => v
+      case _ => 0.0
+    }
+    def show(s: String): Unit =
+      if (s.trim.nonEmpty) out += Word(page, tm.e, tm.f, s.trim)
+    def nextLine(tx: Double, ty: Double): Unit = {
+      tlm = translate(tx, ty, tlm); tm = tlm
+    }
+
+    tokenize(cs).foreach {
+      case TArrStart => inArray = true; arrayStrings.clear()
+      case TArrEnd => inArray = false
+      case TStr(s) if inArray => arrayStrings.append(s)
+      case t @ (TNum(_) | TStr(_)) if !inArray => operands += t
+      case TNum(_) => // kerning adjustment inside TJ array — no width model
+      case TOp(op) =>
+        op match {
+          case "BT" => tm = Identity; tlm = Identity
+          case "ET" =>
+          case "Tm" =>
+            tlm = Mat(num(6), num(5), num(4), num(3), num(2), num(1)); tm = tlm
+          case "Td" => nextLine(num(2), num(1))
+          case "TD" => leading = -num(1); nextLine(num(2), num(1))
+          case "TL" => leading = num(1)
+          case "T*" => nextLine(0, -leading)
+          case "Tj" => operands.lastOption.foreach { case TStr(s) => show(s); case _ => () }
+          case "'" =>
+            nextLine(0, -leading)
+            operands.lastOption.foreach { case TStr(s) => show(s); case _ => () }
+          case "\"" =>
+            nextLine(0, -leading)
+            operands.lastOption.foreach { case TStr(s) => show(s); case _ => () }
+          case "TJ" => show(arrayStrings.toString); arrayStrings.clear()
+          case _ => // Tf, Tc, Tw, colors, paths ... — irrelevant to positions
+        }
+        operands.clear()
+      case _ => // stray array tokens outside text context
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------------- clustering layer
+
+  /**
+   * Cluster one page's words into a table: rows by baseline y (descending —
+   * PDF y grows upward) within `rowTol`, columns by x-start alignment within
+   * `colTol` (cells are left-aligned by the generators this targets; words
+   * sharing a row+column cell are joined in x order). First row = header;
+   * `TableIngest.stitchContinuations` repairs continuation pages where that
+   * first row is really data.
+   */
+  def clusterTable(
+      pageWords: Seq[Word],
+      rowTol: Double = 2.0,
+      colTol: Double = 3.0): Option[TableIngest.ExtractedTable] = {
+    if (pageWords.isEmpty) return None
+    val page = pageWords.head.page
+
+    // row clusters, top of page first
+    val byY = pageWords.sortBy(w => (-w.y, w.x))
+    val rows = ArrayBuffer.empty[ArrayBuffer[Word]]
+    byY.foreach { w =>
+      if (rows.nonEmpty && math.abs(rows.last.head.y - w.y) <= rowTol) rows.last += w
+      else rows += ArrayBuffer(w)
+    }
+
+    // column centers from the x-starts of all words (gap-based clustering)
+    val xs = pageWords.map(_.x).sorted
+    val centers = ArrayBuffer.empty[ArrayBuffer[Double]]
+    xs.foreach { x =>
+      if (centers.nonEmpty && x - centers.last.last <= colTol) centers.last += x
+      else centers += ArrayBuffer(x)
+    }
+    val colStarts = centers.map(c => c.sum / c.size).toIndexedSeq
+    def colOf(x: Double): Int =
+      colStarts.zipWithIndex.minBy { case (c, _) => math.abs(c - x) }._2
+
+    val grid = rows.map { rw =>
+      val cells = Array.fill(colStarts.length)("")
+      rw.sortBy(_.x).foreach { w =>
+        val c = colOf(w.x)
+        cells(c) = if (cells(c).isEmpty) w.text else cells(c) + " " + w.text
+      }
+      cells.toSeq
+    }
+    Some(TableIngest.ExtractedTable(page, grid.head, grid.tail.toSeq))
+  }
+
+  /** Whole file → one clustered table per page (pages in stream order). */
+  def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] =
+    contentStreams(pdf).zipWithIndex.flatMap { case (cs, idx) =>
+      clusterTable(words(idx + 1, cs))
+    }
+}

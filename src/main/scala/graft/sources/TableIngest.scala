@@ -6,10 +6,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * Ingestion of extracted document tables (the reference's PDF-table pipeline,
- * ref: datafeeds/pdf_table_extractor.py:34-715) — the extraction call itself
- * is environment-specific (no PDF library ships here; a real deployment
- * plugs pdfbox/tabula-java into `ExtractedTable`), but everything after
- * extraction is real Spark logic:
+ * ref: datafeeds/pdf_table_extractor.py:34-715). A dependency-free text-layer
+ * extractor ships in `PdfTextExtractor` (`ingestPdf` runs it end-to-end);
+ * richer engines (pdfbox/tabula-java) plug into the same `ExtractedTable`
+ * seam. Everything after extraction is real Spark logic:
  *
  *  - header-continuation stitching across pages
  *    (ref: pdf_table_extractor.py:150-167);
@@ -96,4 +96,11 @@ object TableIngest {
     require(detail.nonEmpty, "no detail tables found")
     cleanDataFrame(combineTables(detail.map(toDataFrame(spark, _))))
   }
+
+  /** End-to-end: text-layer PDF → positioned words → clustered page tables →
+    * stitch/classify/clean/combine (see `PdfTextExtractor` for the supported
+    * PDF subset; other extractors plug into `ingest` via `ExtractedTable`). */
+  def ingestPdf(spark: SparkSession, path: String): DataFrame =
+    ingest(spark, PdfTextExtractor.extractTables(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
 }

@@ -149,6 +149,73 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 4) // 2 + 2, all-empty row dropped
   }
 
+  test("PdfTextExtractor: generated 2-page PDF ingests end-to-end") {
+    import graft.sources.PdfTextExtractor
+    // page 1: header + 2 rows, Tm-positioned cells, uncompressed stream
+    val page1 =
+      """BT /F1 10 Tf
+        |1 0 0 1 72 700 Tm (Claim Id) Tj
+        |1 0 0 1 200 700 Tm (Units) Tj
+        |1 0 0 1 300 700 Tm (Amount Paid) Tj
+        |1 0 0 1 72 686 Tm (CLM-001) Tj
+        |1 0 0 1 200 686 Tm (3) Tj
+        |1 0 0 1 300 686 Tm (120.50) Tj
+        |1 0 0 1 72 672 Tm (CLM-002) Tj
+        |1 0 0 1 200 672 Tm (1) Tj
+        |1 0 0 1 300 672 Tm (45.00) Tj
+        |ET""".stripMargin
+    // page 2: continuation (no header row), Td/TJ positioning, FlateDecode
+    val page2 =
+      """BT /F1 8 Tf 14 TL
+        |1 0 0 1 72 700 Tm [(CLM-) (003)] TJ
+        |128 0 Td (2) Tj
+        |100 0 Td [(80) (.25)] TJ
+        |-228 -14 Td (CLM-004) Tj
+        |128 0 Td (5) Tj
+        |100 0 Td (10.00) Tj
+        |ET""".stripMargin
+
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val c1 = page1.getBytes("ISO-8859-1")
+    val c2 = deflate(page2.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n"); bos.write(c1); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${c2.length} /Filter /FlateDecode >> stream\n")
+    bos.write(c2); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    val dir = java.nio.file.Files.createTempDirectory("graftpdf")
+    val path = dir.resolve("claims.pdf")
+    java.nio.file.Files.write(path, bos.toByteArray)
+
+    // extraction layer: 2 page tables, page 2's "header" is really data
+    val tables = PdfTextExtractor.extractTables(bos.toByteArray)
+    assert(tables.map(_.page) == Seq(1, 2))
+    assert(tables.head.header == Seq("Claim Id", "Units", "Amount Paid"))
+    assert(tables(1).header == Seq("CLM-003", "2", "80.25"))
+
+    // full pipeline: stitch inherits the page-1 header, all 4 rows survive
+    val df = TableIngest.ingestPdf(spark, path.toString)
+    assert(df.columns.toSeq == Seq("Claim Id", "Units", "Amount Paid"))
+    val rows = df.orderBy("Claim Id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("CLM-001", "3", "120.50"), ("CLM-002", "1", "45.00"),
+      ("CLM-003", "2", "80.25"), ("CLM-004", "5", "10.00")))
+  }
+
   test("cleanDataFrame drops all-null columns and trims cells") {
     import spark.implicits._
     val df = Seq((" a ", null: String, "1"), ("b", null: String, " 2 "))
