@@ -65,8 +65,20 @@ final class GraftConnection(val spark: SparkSession) {
   def sql(query: String): DataFrame =
     spark.sql(SqlTemplate.renderSessionVars(query, sessionVars.all))
 
-  /** ref: connector/snowpark_connector.py:466-509 (save_as_table). */
-  def saveAsTable(df: DataFrame, name: String, mode: String = "errorifexists"): Unit = {
+  /** ref: connector/snowpark_connector.py:466-509 (save_as_table); table
+    * types ref: definitions/custom_definitions.py:26-34 (SnowparkTableType).
+    * Type mapping onto Spark's catalog:
+    *  - `permanent` — a plain saved table;
+    *  - `transient` — a saved table tagged `graft.table_type=transient`
+    *    (Spark storage has no fail-safe/time-travel tier to opt out of, so
+    *    the durability intent is recorded as a table property);
+    *  - `temporary` — session-scoped: the frame is materialized
+    *    (localCheckpoint) and registered as a temp view, vanishing with the
+    *    session exactly like the reference's temp tables; all five modes
+    *    are honored against the existing temp view.
+    */
+  def saveAsTable(df: DataFrame, name: String, mode: String = "errorifexists",
+      tableType: String = "permanent"): Unit = {
     val m = mode.toLowerCase match {
       case "append"        => SaveMode.Append
       case "overwrite"     => SaveMode.Overwrite
@@ -75,7 +87,25 @@ final class GraftConnection(val spark: SparkSession) {
       case "errorifexists" => SaveMode.ErrorIfExists
       case other => throw new IllegalArgumentException(s"unknown save mode: $other")
     }
-    df.write.mode(m).saveAsTable(name)
+    tableType.toLowerCase match {
+      case "permanent" => df.write.mode(m).saveAsTable(name)
+      case "transient" =>
+        df.write.mode(m).saveAsTable(name)
+        spark.sql(s"ALTER TABLE `$name` SET TBLPROPERTIES ('graft.table_type'='transient')")
+      case "temporary" =>
+        val exists = spark.catalog.tableExists(name)
+        m match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(s"temporary table `$name` already exists")
+          case SaveMode.Ignore if exists => ()
+          case SaveMode.Append if exists =>
+            spark.table(name).unionByName(df)
+              .localCheckpoint(true).createOrReplaceTempView(name)
+          case _ =>
+            df.localCheckpoint(true).createOrReplaceTempView(name)
+        }
+      case other => throw new IllegalArgumentException(s"unknown table type: $other")
+    }
   }
 
   /** ref: connector/snowpark_connector.py:511-566 (save_as_view). */
@@ -96,9 +126,42 @@ final class GraftConnection(val spark: SparkSession) {
     empty.write.mode(SaveMode.Overwrite).saveAsTable(name)
   }
 
-  /** ref: connector/snowpark_connector.py:1046-1071 (drop_table). */
-  def dropTable(name: String): Unit =
+  /** ref: connector/snowpark_connector.py:1046-1071 (drop_table);
+    * also drops temporary tables (temp views). */
+  def dropTable(name: String): Unit = {
+    spark.catalog.dropTempView(name) // no-op when absent
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
+  /**
+   * ref: connector/snowpark_connector.py:690-740 (upsert_from_query):
+   * render the source query (session variables honored), optionally stage
+   * it as a TEMPORARY table, MERGE into the target table on `joinKeys`,
+   * rewrite the target, and clean up — one named call composing
+   * `sql` + `saveAsTable(temporary)` + `merge.Upsert`.
+   */
+  def upsertFromQuery(
+      sourceQuery: String,
+      targetTable: String,
+      joinKeys: Seq[String],
+      updateColumns: Option[Seq[String]] = None,
+      insertColumns: Option[Seq[String]] = None,
+      tempTableName: Option[String] = None): graft.merge.UpsertResult = {
+    var src = sql(sourceQuery)
+    tempTableName.foreach { tmp =>
+      saveAsTable(src, tmp, mode = "overwrite", tableType = "temporary")
+      src = spark.table(tmp)
+    }
+    val r = graft.merge.Upsert.merge(
+      spark.table(targetTable), src, joinKeys, updateColumns, insertColumns)
+    // the merged plan READS the target table, and Spark rejects overwriting
+    // a table from a plan that scans it — truncate the lineage first
+    val materialized = r.result.localCheckpoint(true)
+    materialized.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+    r.cleanup()
+    tempTableName.foreach(dropTable)
+    graft.merge.UpsertResult(r.inserted, r.updated, r.deleted, spark.table(targetTable))
+  }
 
   /** ref: connector/snowpark_connector.py:1238-1272 (execute_multiple_statements):
    *  run `;`-separated statements sequentially, return the last result. */

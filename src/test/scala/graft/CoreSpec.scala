@@ -83,4 +83,51 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.dropTable(name)
     assert(!conn.tableExists(name))
   }
+
+  test("table types: temporary is session-scoped, transient is tagged") {
+    import spark.implicits._
+    val conn = new GraftConnection(spark)
+
+    // temporary: a materialized temp view honoring the mode axis
+    conn.saveAsTable(Seq(1).toDF("x"), "core_tmp1", tableType = "temporary")
+    assert(spark.catalog.listTables()
+      .filter("name = 'core_tmp1'").head.isTemporary)
+    intercept[Exception] {
+      conn.saveAsTable(Seq(2).toDF("x"), "core_tmp1", tableType = "temporary")
+    }
+    conn.saveAsTable(Seq(2).toDF("x"), "core_tmp1", mode = "append", tableType = "temporary")
+    assert(conn.table("core_tmp1").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    conn.saveAsTable(Seq(9).toDF("x"), "core_tmp1", mode = "ignore", tableType = "temporary")
+    assert(conn.table("core_tmp1").count() == 2)
+    conn.saveAsTable(Seq(9).toDF("x"), "core_tmp1", mode = "overwrite", tableType = "temporary")
+    assert(conn.table("core_tmp1").collect().map(_.getInt(0)).toSeq == Seq(9))
+    conn.dropTable("core_tmp1")
+    assert(!conn.tableExists("core_tmp1"))
+
+    // transient: a real table carrying the durability-intent property
+    conn.dropTable("core_trans1")
+    conn.saveAsTable(Seq(1).toDF("x"), "core_trans1", tableType = "transient")
+    val props = spark.sql("SHOW TBLPROPERTIES core_trans1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.table_type").contains("transient"))
+    conn.dropTable("core_trans1")
+  }
+
+  test("upsertFromQuery: render, stage temp, merge, rewrite target") {
+    import spark.implicits._
+    val conn = new GraftConnection(spark)
+    conn.dropTable("core_upsert_t")
+    conn.saveAsTable(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "m"), "core_upsert_t")
+    conn.sessionVars.setString("NEW_V", "z")
+    val r = conn.upsertFromQuery(
+      "SELECT * FROM VALUES (2, $NEW_V, 99), (3, $NEW_V, 30) AS s(k, v, m)",
+      "core_upsert_t", joinKeys = Seq("k"),
+      tempTableName = Some("core_upsert_stage"))
+    assert(r.updated == 1 && r.inserted == 1 && r.deleted == 0)
+    assert(!conn.tableExists("core_upsert_stage"), "staging temp table dropped")
+    val rows = conn.table("core_upsert_t").orderBy("k").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 10), (2, "z", 99), (3, "z", 30)))
+    conn.dropTable("core_upsert_t")
+  }
 }
