@@ -143,23 +143,31 @@ object ReportRenderer {
     buf += pad(Nil) // spacer
     buf += orderCols.map(c => SCell(c, CellStyle.TableHeader))
 
-    var current: Option[String] = None
-    def subtotalRow(g: String): Seq[SCell] =
-      pad(Seq(SCell(s"Total $g", CellStyle.Total)))
-        .updated(orderCols.indexOf(measure), SCell(totals(g), totalStyle))
-    rows.foreach { r =>
-      val g = Option(r.getAs[Any](groupCol)).map(_.toString).getOrElse("")
-      if (!current.contains(g)) {
-        current.foreach(prev => buf += subtotalRow(prev))
-        current = Some(g)
+    if (rows.isEmpty) {
+      // empty report → a merged centered notice instead of an empty grid
+      // (ref: claims_reports.py:169-177)
+      buf += pad(Seq(SCell("No data available",
+        CellStyle(bold = true, size = 11, align = Some("center")))))
+      merge(buf.size, 0, nCols - 1)
+    } else {
+      var current: Option[String] = None
+      def subtotalRow(g: String): Seq[SCell] =
+        pad(Seq(SCell(s"Total $g", CellStyle.Total)))
+          .updated(orderCols.indexOf(measure), SCell(totals(g), totalStyle))
+      rows.foreach { r =>
+        val g = Option(r.getAs[Any](groupCol)).map(_.toString).getOrElse("")
+        if (!current.contains(g)) {
+          current.foreach(prev => buf += subtotalRow(prev))
+          current = Some(g)
+        }
+        buf += orderCols.zipWithIndex.map { case (c, i) =>
+          SCell(r.get(i), dataStyle(c, r.get(i)))
+        }
       }
-      buf += orderCols.zipWithIndex.map { case (c, i) =>
-        SCell(r.get(i), dataStyle(c, r.get(i)))
-      }
+      current.foreach(prev => buf += subtotalRow(prev))
+      buf += pad(Seq(SCell("Grand Total", CellStyle.Total)))
+        .updated(orderCols.indexOf(measure), SCell(totals("Grand Total"), totalStyle))
     }
-    current.foreach(prev => buf += subtotalRow(prev))
-    buf += pad(Seq(SCell("Grand Total", CellStyle.Total)))
-      .updated(orderCols.indexOf(measure), SCell(totals("Grand Total"), totalStyle))
 
     // content-sized widths, capped (ref: set_column_widths)
     val widths = orderCols.indices.map { i =>

@@ -80,6 +80,20 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(sheet.contains("<v>60.5</v>"), "grand total value")
   }
 
+  test("styled workbook: empty report renders the merged no-data notice") {
+    import spark.implicits._
+    import graft.reports.ReportRenderer
+    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/empty.xlsx"
+    val detail = Seq.empty[(String, String, Double)].toDF("grp", "claim", "amount")
+    ReportRenderer.renderXlsx(path,
+      ReportRenderer.ReportHeader("Claims Paid Report", "Acme Carrier",
+        "01/01/2024", "01/31/2024", "2024-02-01 00:00:00"),
+      detail, "grp", "amount", Seq("claim", "amount"))
+    val sheet = zipEntries(path)("xl/worksheets/sheet1.xml")
+    assert(sheet.contains("<t>No data available</t>"))
+    assert(!sheet.contains("<t>Grand Total</t>"))
+  }
+
   test("datafeed runner fetches, writes, and logs batch control") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftfeed").toString
