@@ -63,6 +63,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"re-rank must be the heap aggregate, not a window sort:\n$plan")
   }
 
+  test("q23/q45: DQ row-level checks share one scan per base table") {
+    // each FileScan prints its Location once — occurrences of the file name
+    // count the scans of that table in the physical plan
+    def scans(plan: String, table: String): Int =
+      s"$table\\.parquet".r.findAllIn(plan).size
+    val p23 = physicalPlan("q23_dq_suite")
+    assert(scans(p23, "customer") == 1,
+      s"q23 must scan customer once (single-pass predicate checks):\n$p23")
+    val p45 = physicalPlan("q45_dq_catalog")
+    // customer: one predicate-metrics pass + the DQ-REF anti-join side
+    assert(scans(p45, "customer") == 2,
+      s"q45 must scan customer twice (metrics pass + anti-join):\n$p45")
+  }
+
   test("q19: as-of join has no join node at all (union + window form)") {
     val plan = physicalPlan("q19_asof_join")
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")

@@ -76,4 +76,21 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("WorkingDaysBetween.compute matches brute force on random epoch days") {
+    // pure JVM closed form — no Spark jobs, so the sample count can be large
+    val dayGen = Gen.choose(18000, 23000) // ~2019..2032
+    val spanGen = Gen.choose(-10, 400)
+    samples(Gen.zip(dayGen, spanGen), 500).foreach { case (s, span) =>
+      val e = s + span
+      def brute(s: Int, e: Int): Long =
+        (s to e).count { d =>
+          val dow = java.time.LocalDate.ofEpochDay(d.toLong).getDayOfWeek.getValue
+          dow <= 5
+        }.toLong
+      val expect = if (e < s) 0L else brute(s, e)
+      val got = graft.plans.WorkingDaysBetween.compute(s, e)
+      assert(got == expect, s"epoch days [$s,$e]: got $got want $expect")
+    }
+  }
 }
