@@ -691,6 +691,24 @@ object SparkEntry {
       val report = ClaimsPipeline.detailReport(events,
         ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
       graft.dq.DqSuite.run(report, events, "2024-01-01", "2024-01-20")
+    }),
+
+    // per-stratum deterministic downsampling (language rebalancing)
+    "q55_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.stratifiedSample(d, "doc_id", col("lang"),
+          Map("en" -> 20, "fr" -> 60))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // leakage-safe split: exact-dup groups bucket on their canonical id,
+    // so duplicates never straddle train/test
+    "q56_leakage_safe_split" -> ((s, dir) => {
+      graft.operators.Sampling.leakageSafeSplit(
+          docsWithDupes(s, dir), "doc_id", "text", trainPct = 80)
+        .select("doc_id", "canonical_id", "bucket", "split")
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1365,9 +1383,28 @@ object SparkEntry {
          |UNION ALL SELECT 'DQ-024', CASE WHEN d = 0 THEN 'PASS' ELSE 'FAIL' END, CAST(d AS BIGINT), 'Source count must match target count: 0 = match, >0 = mismatch', CAST(NULL AS VARCHAR)
          |  FROM (SELECT abs((SELECT COUNT(DISTINCT user_id) FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00') - (SELECT COUNT(*) FROM report)) AS d)
          |) ORDER BY test_id""".stripMargin
-    })
+    },
+
+    "q55_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${bucketSql("doc_id")} < CASE lang WHEN 'en' THEN 20 WHEN 'fr' THEN 60 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q56_leakage_safe_split" ->
+      s"""WITH all_docs AS ($DupDocsSql),
+         |canon AS (SELECT md5(text) AS th, MIN(doc_id) AS canonical_id FROM all_docs GROUP BY 1)
+         |SELECT d.doc_id, c.canonical_id,
+         |  CAST(${bucketSql("c.canonical_id")} AS INTEGER) AS bucket,
+         |  CASE WHEN ${bucketSql("c.canonical_id")} < 80 THEN 'train' ELSE 'test' END AS split
+         |FROM all_docs d JOIN canon c ON md5(d.text) = c.th
+         |ORDER BY d.doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
+
+  /** md5 hash bucket 0..99 of an expression — the q50 formula, reusable. */
+  private def bucketSql(e: String): String =
+    s"((strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 2, 1)) - 1)) % 100"
 
   /** Working-days closed form between the fixed period start (Monday
     * 2024-01-01) and ts — same formula as the q14 oracle. */

@@ -30,4 +30,42 @@ object Sampling {
   /** Deterministic fraction sample: keep rows whose bucket < pct. */
   def deterministicSample(df: DataFrame, key: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(key)) < pct)
+
+  /**
+   * Per-stratum deterministic sampling: each stratum keeps its own
+   * percentage of rows (0..100, unlisted strata keep `defaultPct`), chosen
+   * by the stable hash bucket — reproducible downsampling of
+   * over-represented languages/sources in a training corpus. Pure per-row
+   * expressions, no shuffle (`df.stat.sampleBy` is seed-random; this is
+   * content-stable forever).
+   */
+  def stratifiedSample(
+      df: DataFrame, key: String, stratum: Column,
+      pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pcts.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100))
+    // fold into one CASE chain (deterministic order for stable plans)
+    val pctCol = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(key)) < pctCol)
+  }
+
+  /**
+   * Leakage-safe train/test split: rows are bucketed on their exact-dup
+   * group's CANONICAL id (min id per md5(text) group), so duplicate
+   * documents can never straddle the train/test boundary — a row-keyed
+   * split silently leaks duplicates from train into test and inflates
+   * eval. One groupBy shuffle + one equi-join (AQE broadcasts the
+   * canonical map while it is small). For NEAR-dup safety, split on
+   * `Dedup.dupClusters` labels with `trainTestSplit(df, "cluster", pct)`
+   * instead — the bucketing is identical, only the group key changes.
+   */
+  def leakageSafeSplit(df: DataFrame, id: String, text: String, trainPct: Int): DataFrame = {
+    val canon = Dedup.exactGroups(df, id, text)
+      .select(col("text_hash"), col("canonical_id"))
+    df.withColumn("text_hash", md5(col(text).cast("binary")))
+      .join(canon, "text_hash")
+      .drop("text_hash")
+      .transform(d => trainTestSplit(d, "canonical_id", trainPct))
+  }
 }

@@ -113,6 +113,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sampled > 100 && sampled < 300, s"20% sample gave $sampled of 1000")
   }
 
+  test("stratifiedSample keeps per-stratum fractions; unlisted strata keep all") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 3000L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "grp")
+    val out = Sampling.stratifiedSample(df, "id", col("grp"), Map("a" -> 10, "b" -> 50))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("c") == 1000L, "unlisted stratum keeps everything")
+    assert(out("a") > 50 && out("a") < 200, s"10% stratum gave ${out("a")} of 1000")
+    assert(out("b") > 400 && out("b") < 600, s"50% stratum gave ${out("b")} of 1000")
+    // deterministic: same rows every run
+    assert(Sampling.stratifiedSample(df, "id", col("grp"), Map("a" -> 10, "b" -> 50))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == out)
+  }
+
+  test("leakageSafeSplit: exact duplicates never straddle train/test") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = ((0L until 200L).map(i => (i, s"text body number ${i % 50}")))
+      .toDF("doc_id", "text") // 4 exact copies of each of 50 texts
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", "text", 80)
+    assert(out.count() == 200)
+    val splitsPerText = out.groupBy("canonical_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .collect().map(_.getLong(1))
+    assert(splitsPerText.forall(_ == 1L), "a dup group must land in ONE split")
+    // canonical id is the min doc_id of the group
+    val canon = out.filter($"doc_id" === 137L).head.getAs[Long]("canonical_id")
+    assert(canon == 37L)
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     import spark.implicits._
     val corpus = Seq(
