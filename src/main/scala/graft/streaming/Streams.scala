@@ -82,4 +82,29 @@ object Streams {
   /** Read a parquet file's rows as a file stream (schema must be supplied). */
   def parquetStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /**
+   * Streaming gap-based sessionization — the streaming counterpart of
+   * `Cdc.sessionize` (q52), composed from Spark's native `session_window`
+   * (dynamic-gap session merging in the state store) rather than
+   * hand-rolled `flatMapGroupsWithState`: Catalyst manages per-key session
+   * state, merges overlapping windows across micro-batches, and emits each
+   * session exactly once when the watermark passes its end. State is one
+   * small merged window per open session per key.
+   *
+   * Note the end-bound convention: `session_end` here is the window end
+   * (= last event + gap, the point at which the session is provably
+   * closed); the batch form's session extent [min ts, max ts] is
+   * recoverable as [session_start, session_end - gap].
+   */
+  def sessionizeStream(
+      events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol).as("key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

@@ -59,6 +59,45 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes gap sessions like the batch form") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graftsess").toString
+    // u1: two sessions (gap > 5 min between 00:02 and 00:30); u2: one
+    val batch = Seq(
+      ("u1", ts("2024-01-01 00:00:00")), ("u1", ts("2024-01-01 00:02:00")),
+      ("u1", ts("2024-01-01 00:30:00")),
+      ("u2", ts("2024-01-01 00:01:00")))
+      .toDF("user_id", "ts")
+    batch.coalesce(1).write.parquet(dir + "/in")
+    // a far-future event pushes the watermark so every session above closes
+    Seq(("u9", ts("2024-01-02 00:00:00"))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+
+    val stream = Streams.parquetStream(spark, dir + "/in", batch.schema)
+    val q = Streams.startMemorySink(
+      Streams.sessionizeStream(stream, "user_id", "ts", gapMinutes = 5,
+        watermark = "0 seconds"),
+      "sess_smoke", outputMode = "append")
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_smoke")
+        .filter(col("key") =!= "u9") // the watermark-pusher itself
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      // batch reference: Cdc.sessionize extents; stream end = last + gap
+      val expected = graft.ops.Cdc.sessionize(batch, "user_id", "ts", gapMinutes = 5)
+        .groupBy("user_id", "session_no")
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(2), // start
+          new java.sql.Timestamp(r.getTimestamp(3).getTime + 5 * 60000L),
+          r.getLong(4))).toSet
+      assert(got == expected, s"got $got\nexpected $expected")
+    } finally q.stop()
+  }
+
   test("multimodal plumbing: payload bytes survive and features are exact") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
