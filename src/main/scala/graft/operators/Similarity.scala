@@ -117,10 +117,14 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qVec: String, cVec: String,
-      k: Int, numCentroids: Int = 8): DataFrame = {
-    val cents = corpus.orderBy(col(cId).asc).limit(numCentroids)
-      .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
-      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+      k: Int, numCentroids: Int = 8,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // default cells: deterministic id-subset; pass `kmeansCentroids(...)`
+    // for data-adaptive cells — the skeleton below is identical
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(cId).asc).limit(numCentroids)
+        .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
+        .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent"))))
     // Collapse the (tiny) centroid table to ONE row holding the sorted
     // centroid array, so assignment can broadcast it and stay shuffle-free.
     val centArr = cents.agg(sort_array(collect_list(
@@ -156,6 +160,66 @@ object Similarity {
       .withColumn("cosine",
         Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     rankTopK(scored, k)
+  }
+
+  /**
+   * Distributed Lloyd's k-means over the embedding column — produces real
+   * data-adaptive centroids for `ivfTopK` (whose default centroids are a
+   * deterministic id-subset; this is the "plug k-means into the same
+   * skeleton" path). Deterministic: seeds are the k smallest-id vectors,
+   * ties in assignment break toward the lower cell id.
+   *
+   * Scale shape per iteration: centroid assignment is the SAME zero-shuffle
+   * broadcast argmax as `ivfTopK` (one projection over the corpus), then
+   * one posexplode + two aggregations recompute the means — the only
+   * shuffled rows are |corpus| × dim (cell, pos, value) triples for the
+   * mean, with map-side partial aggregation. Centroids themselves never
+   * exceed k rows. Empty cells keep their previous centroid.
+   *
+   * Returns `(cent_id, __cent, __centn)` quantized exactly like
+   * `ivfTopK`'s internal centroid frame.
+   */
+  def kmeansCentroids(
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, iterations: Int = 3): DataFrame = {
+    val v = corpus.select(col(cId).cast("long").as("vid"),
+      col(cVec).cast("array<double>").as("vec"))
+    var cents = v.orderBy(col("vid").asc).limit(k)
+      .select(col("vid").cast("int").as("cent_id"), col("vec").as("cvec"))
+      .localCheckpoint(true) // truncate lineage per round (iterative plan growth)
+
+    (0 until iterations).foreach { _ =>
+      val centArr = cents.agg(sort_array(collect_list(
+        struct(col("cent_id"), col("cvec")))).as("__cents"))
+      // zero-shuffle nearest-centroid (cosine, same tie-break as ivfTopK)
+      def cos(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+          sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x) *
+            aggregate(b, lit(0.0), (s, x) => s + x * x))
+      val assigned = v.crossJoin(broadcast(centArr))
+        .withColumn("__best", array_min(transform(col("__cents"), ct =>
+          struct(coalesce(-cos(col("vec"), ct.getField("cvec")), lit(Double.MaxValue))
+            .as("nsim"), ct.getField("cent_id").as("cell")))))
+        .select(col("__best").getField("cell").as("cell"), col("vec"))
+      // per-cell mean: position-wise avg, rebuilt in position order
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), e => e.getField("m")).as("cvec"))
+      // empty cells (no assigned vectors) keep their previous centroid
+      cents = cents.alias("c")
+        .join(means.alias("m"), col("c.cent_id") === col("m.cent_id"), "left")
+        .select(col("c.cent_id").as("cent_id"),
+          coalesce(col("m.cvec"), col("c.cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+
+    cents.select(col("cent_id"),
+        Vectors.quantizeHof(col("cvec")).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
   }
 
   /** LSH-bucketed top-k: exact ranking within the query's sign bucket. */

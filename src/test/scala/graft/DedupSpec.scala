@@ -145,6 +145,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(canon == 37L)
   }
 
+  test("kmeansCentroids converges to cluster directions; ivfTopK accepts them") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight angular clusters: near x-axis (ids 0-9), near y-axis (10-19)
+    val corpus = (0L until 20L).map { i =>
+      val jitter = (i % 10).toFloat / 100f
+      if (i < 10) (i, Array(1.0f, jitter)) else (i, Array(jitter, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 2, iterations = 3)
+    val got = cents.orderBy("cent_id").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    assert(got.length == 2)
+    // one centroid dominated by x, the other by y (quantized longs)
+    assert(got.exists(c => c(0) > c(1) * 5) && got.exists(c => c(1) > c(0) * 5),
+      got.map(_.mkString("[", ",", "]")).mkString(" "))
+    // deterministic across runs
+    val again = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 2, iterations = 3).orderBy("cent_id").collect().map(_.getSeq[Long](1).toArray)
+    assert(got.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // the IVF skeleton accepts the adaptive centroids: same-cluster
+    // neighbors rank first for an x-cluster query
+    val top = Similarity.ivfTopK(
+        corpus.filter($"vec_id" === 0L), corpus, "vec_id", "vec_id",
+        "embedding", "embedding", k = 3, centroids = Some(cents))
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(top.forall(_ < 10L), s"x-cluster query must stay in its cell: ${top.toSeq}")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     import spark.implicits._
     val corpus = Seq(
