@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -29,10 +28,16 @@ object Dedup {
     df.groupBy(md5(col(text).cast("binary")).as("text_hash"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Rows minus exact duplicates (keeps min(id) of each group). */
+  /** Rows minus exact duplicates (keeps the min(id) row of each group).
+    * Hash-aggregate `min_by`, not a window: map-side partial aggregation
+    * means at most one row per (map partition, text hash) crosses the
+    * exchange and nothing is sorted — the `row_number` form shuffles and
+    * sorts EVERY row. */
   def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(text).cast("binary"))).orderBy(col(id).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(text).cast("binary")).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
   /** Word k-shingles of a document (distinct, as exploded rows). */
