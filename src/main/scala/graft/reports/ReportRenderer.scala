@@ -176,6 +176,6 @@ object ReportRenderer {
       math.min(maxColWidth, contentMax + 4.0)
     }
 
-    writeStyled(path, Seq(StyledSheet(header.title.take(31), widths, buf.toSeq, merges.toSeq)))
+    writeStyled(path, Seq(StyledSheet(header.title, widths, buf.toSeq, merges.toSeq)))
   }
 }

@@ -60,6 +60,13 @@ object XlsxWriter {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** Excel sheet-name rules: no []:*?/\ characters, 31 chars max,
+    * non-empty. Violations are sanitized, not rejected. */
+  private[graft] def sanitizeSheetName(name: String): String = {
+    val cleaned = name.map(c => if ("[]:*?/\\".contains(c)) '_' else c).take(31).trim
+    if (cleaned.isEmpty) "Sheet1" else cleaned
+  }
+
   private[reports] def colRef(i: Int): String = {
     // 0 -> A, 25 -> Z, 26 -> AA ...
     var n = i; val sb = new StringBuilder
@@ -162,7 +169,7 @@ object XlsxWriter {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
     val sheetDecls = sheets.zipWithIndex.map { case (s, i) =>
-      s"""<sheet name="${xmlEscape(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      s"""<sheet name="${xmlEscape(sanitizeSheetName(s.name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
     }.mkString
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -208,7 +215,7 @@ object XlsxWriter {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
     val sheetDecls = sheets.zipWithIndex.map { case (s, i) =>
-      s"""<sheet name="${xmlEscape(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      s"""<sheet name="${xmlEscape(sanitizeSheetName(s.name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
     }.mkString
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

@@ -216,6 +216,25 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
       ("CLM-003", "2", "80.25"), ("CLM-004", "5", "10.00")))
   }
 
+  test("PdfTextExtractor never throws on malformed input") {
+    import graft.sources.PdfTextExtractor
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "not a pdf at all".getBytes("ISO-8859-1"),
+      // stream dict without endstream
+      "%PDF-1.4\n1 0 obj << /Length 5 >> stream\nBT (x".getBytes("ISO-8859-1"),
+      // FlateDecode dict over garbage (inflate fails -> stream skipped)
+      "%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\n\nendstream".getBytes("ISO-8859-1"),
+      // truncated text operators and unbalanced strings
+      "%PDF-1.4\n1 0 obj << >> stream\nBT 1 0 0 1 Tm (unclosed Tj [ (a) 5\nendstream".getBytes("ISO-8859-1"),
+      Array.fill(4096)(rnd.nextInt(256).toByte))
+    cases.foreach { bytes =>
+      val tables = PdfTextExtractor.extractTables(bytes) // must not throw
+      assert(tables != null)
+    }
+  }
+
   test("cleanDataFrame drops all-null columns and trims cells") {
     import spark.implicits._
     val df = Seq((" a ", null: String, "1"), ("b", null: String, " 2 "))

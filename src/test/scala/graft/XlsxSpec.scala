@@ -94,6 +94,15 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(!sheet.contains("<t>Grand Total</t>"))
   }
 
+  test("sheet names are sanitized to Excel's rules") {
+    assert(XlsxWriter.sanitizeSheetName("Claims: 2024/Q1 [final]*?") == "Claims_ 2024_Q1 _final___")
+    assert(XlsxWriter.sanitizeSheetName("x" * 40) == "x" * 31)
+    assert(XlsxWriter.sanitizeSheetName("  ") == "Sheet1")
+    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/s.xlsx"
+    XlsxWriter.write(path, Seq(XlsxWriter.Sheet("bad/name: [x]", Seq("a"), Seq(Seq(1)))))
+    assert(zipEntries(path)("xl/workbook.xml").contains("""<sheet name="bad_name_ _x_""""))
+  }
+
   test("datafeed runner fetches, writes, and logs batch control") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftfeed").toString
