@@ -67,6 +67,25 @@ object XlsxWriter {
     if (cleaned.isEmpty) "Sheet1" else cleaned
   }
 
+  /** Sanitized names, made unique per workbook (sanitization/truncation can
+    * collide; Excel rejects duplicate sheet names, case-insensitively):
+    * collisions get a `_N` suffix, re-truncated to fit 31 chars. */
+  private[graft] def uniqueSheetNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    names.map { raw =>
+      val base = sanitizeSheetName(raw)
+      var candidate = base
+      var i = 2
+      while (seen.contains(candidate.toLowerCase)) {
+        val suffix = s"_$i"
+        candidate = base.take(31 - suffix.length) + suffix
+        i += 1
+      }
+      seen += candidate.toLowerCase
+      candidate
+    }
+  }
+
   private[reports] def colRef(i: Int): String = {
     // 0 -> A, 25 -> Z, 26 -> AA ...
     var n = i; val sb = new StringBuilder
@@ -168,8 +187,9 @@ object XlsxWriter {
     entry("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
-    val sheetDecls = sheets.zipWithIndex.map { case (s, i) =>
-      s"""<sheet name="${xmlEscape(sanitizeSheetName(s.name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    val names = uniqueSheetNames(sheets.map(_.name))
+    val sheetDecls = names.zipWithIndex.map { case (n, i) =>
+      s"""<sheet name="${xmlEscape(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
     }.mkString
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -214,8 +234,9 @@ object XlsxWriter {
     entry("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
-    val sheetDecls = sheets.zipWithIndex.map { case (s, i) =>
-      s"""<sheet name="${xmlEscape(sanitizeSheetName(s.name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    val names = uniqueSheetNames(sheets.map(_.name))
+    val sheetDecls = names.zipWithIndex.map { case (n, i) =>
+      s"""<sheet name="${xmlEscape(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
     }.mkString
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

@@ -163,8 +163,9 @@ object PdfTextExtractor {
               case '(' | ')' | '\\' => sb.append(e); i += 2
               case '\n' => i += 2 // line continuation
               case '\r' => i += (if (i + 2 < cs.length && cs.charAt(i + 2) == '\n') 3 else 2)
-              case d if d.isDigit =>
-                val oct = cs.substring(i + 1, math.min(i + 4, cs.length)).takeWhile(_.isDigit).take(3)
+              case d if d >= '0' && d <= '7' =>
+                val oct = cs.substring(i + 1, math.min(i + 4, cs.length))
+                  .takeWhile(c => c >= '0' && c <= '7').take(3)
                 sb.append(Integer.parseInt(oct, 8).toChar); i += 1 + oct.length
               case other => sb.append(other); i += 2
             }
@@ -176,7 +177,9 @@ object PdfTextExtractor {
     private def hexString(): String = {
       i += 1 // consume <
       val j = cs.indexOf('>', i)
-      val hex = cs.substring(i, if (j < 0) cs.length else j).filterNot(_.isWhitespace)
+      // non-hex bytes inside <> are malformed — drop them instead of throwing
+      val hex = cs.substring(i, if (j < 0) cs.length else j)
+        .filter(c => Character.digit(c, 16) >= 0)
       i = (if (j < 0) cs.length else j + 1)
       val padded = if (hex.length % 2 == 1) hex + "0" else hex
       padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
@@ -288,9 +291,12 @@ object PdfTextExtractor {
     Some(TableIngest.ExtractedTable(page, grid.head, grid.tail.toSeq))
   }
 
-  /** Whole file → one clustered table per page (pages in stream order). */
+  /** Whole file → one clustered table per page (pages in stream order).
+    * Never throws: a stream the tokenizer cannot make sense of yields no
+    * table rather than failing the whole document. */
   def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] =
     contentStreams(pdf).zipWithIndex.flatMap { case (cs, idx) =>
-      clusterTable(words(idx + 1, cs))
+      try clusterTable(words(idx + 1, cs))
+      catch { case _: Exception => None }
     }
 }

@@ -228,6 +228,9 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
       "%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\n\nendstream".getBytes("ISO-8859-1"),
       // truncated text operators and unbalanced strings
       "%PDF-1.4\n1 0 obj << >> stream\nBT 1 0 0 1 Tm (unclosed Tj [ (a) 5\nendstream".getBytes("ISO-8859-1"),
+      // malformed hex string and non-octal escape digit
+      "%PDF-1.4\n1 0 obj << >> stream\nBT <zg!> Tj ET\nendstream".getBytes("ISO-8859-1"),
+      "%PDF-1.4\n1 0 obj << >> stream\nBT (bad \\9 esc) Tj ET\nendstream".getBytes("ISO-8859-1"),
       Array.fill(4096)(rnd.nextInt(256).toByte))
     cases.foreach { bytes =>
       val tables = PdfTextExtractor.extractTables(bytes) // must not throw

@@ -103,6 +103,17 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(zipEntries(path)("xl/workbook.xml").contains("""<sheet name="bad_name_ _x_""""))
   }
 
+  test("colliding sheet names are made unique per workbook") {
+    // sanitization collision and 31-char truncation collision
+    val got = XlsxWriter.uniqueSheetNames(Seq(
+      "a/b", "a:b", ("y" * 31) + "AAA", ("y" * 31) + "BBB", "A_B"))
+    assert(got(0) == "a_b" && got(1) == "a_b_2")
+    assert(got(2) == "y" * 31 && got(3) == "y" * 29 + "_2")
+    assert(got(4) == "A_B_3", "case-insensitive uniqueness") // a_b, a_b_2 taken
+    assert(got.map(_.toLowerCase).distinct.size == got.size)
+    assert(got.forall(_.length <= 31))
+  }
+
   test("datafeed runner fetches, writes, and logs batch control") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftfeed").toString
