@@ -19,7 +19,8 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // median of N runs per query: single-run timings on a shared machine
     // swing several-fold with zero code change, making regressions unreadable
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -566,7 +566,9 @@ object SparkEntry {
       // mrange through (first() over a 1-row broadcast is constant)
       val outl = o.crossJoin(broadcast(mo))
         .agg(count(when(abs(col("o_totalprice") - mean) > std * 3.0, 1)).as("mstat"),
-          first(col("mrange")).as("mrange"))
+          // empty orders: first() over zero rows is null; the check must
+          // report 0/PASS like the per-check form did
+          coalesce(first(col("mrange")), lit(0L)).as("mrange"))
       val m = c.agg(
           count(when(col("c_name").isNull || col("c_name") === "", 1)).as("mnull"),
           count(when(expr("try_cast(substring_index(c_name, '#', -1) AS BIGINT)").isNull, 1))
@@ -1396,7 +1398,7 @@ object SparkEntry {
          |SELECT d.doc_id, c.canonical_id,
          |  CAST(${bucketSql("c.canonical_id")} AS INTEGER) AS bucket,
          |  CASE WHEN ${bucketSql("c.canonical_id")} < 80 THEN 'train' ELSE 'test' END AS split
-         |FROM all_docs d JOIN canon c ON md5(d.text) = c.th
+         |FROM all_docs d JOIN canon c ON md5(d.text) IS NOT DISTINCT FROM c.th
          |ORDER BY d.doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments

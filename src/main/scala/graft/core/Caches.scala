@@ -9,10 +9,13 @@ import org.apache.spark.sql.DataFrame
  * materializes that output, so it cannot unpersist itself.
  *
  * Contract: the session owner calls `releaseAll()` after materializing an
- * operator's result (Verify and Bench do this per query; a long-lived
- * service would do it per request). Operators whose lifecycle IS bounded
- * release their own caches instead and never appear here (DqSuite.run is
- * eager, Upsert exposes `cleanup()`, Dedup.dupClusters unpersists in-loop).
+ * operator's result (Verify and Bench do this per query). The registry is
+ * session-global: a service running CONCURRENT requests on one session must
+ * call `releaseAll()` only at idle points (or scope operators per request),
+ * because a release mid-flight unpersists another request's live caches and
+ * forces recomputation. Operators whose lifecycle IS bounded release their
+ * own caches instead and never appear here (DqSuite.run is eager, Upsert
+ * exposes `cleanup()`, Dedup.dupClusters unpersists in-loop).
  *
  * Without this, repeated operator invocations in a long-lived session pin
  * dead cache partitions and re-persists of identical plans surface as

@@ -126,12 +126,17 @@ final class GraftConnection(val spark: SparkSession) {
     empty.write.mode(SaveMode.Overwrite).saveAsTable(name)
   }
 
-  /** ref: connector/snowpark_connector.py:1046-1071 (drop_table);
-    * also drops temporary tables (temp views). */
-  def dropTable(name: String): Unit = {
-    spark.catalog.dropTempView(name) // no-op when absent
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-  }
+  /** ref: connector/snowpark_connector.py:1046-1071 (drop_table). A
+    * temporary table SHADOWS a same-named permanent one, so (like the
+    * reference warehouse) dropping removes the temp first and leaves the
+    * permanent table intact; a second drop removes the permanent one. */
+  def dropTable(name: String): Unit =
+    if (!spark.catalog.dropTempView(name))
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
+  private def isTempView(name: String): Boolean =
+    spark.catalog.listTables().where(s"name = '$name'")
+      .collect().exists(_.isTemporary)
 
   /**
    * ref: connector/snowpark_connector.py:690-740 (upsert_from_query):
@@ -157,9 +162,13 @@ final class GraftConnection(val spark: SparkSession) {
     // the merged plan READS the target table, and Spark rejects overwriting
     // a table from a plan that scans it — truncate the lineage first
     val materialized = r.result.localCheckpoint(true)
-    materialized.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+    // a temp-view target must be REPLACED as a temp view: saveAsTable would
+    // write a permanent table the stale view keeps shadowing
+    if (isTempView(targetTable)) materialized.createOrReplaceTempView(targetTable)
+    else materialized.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
     r.cleanup()
-    tempTableName.foreach(dropTable)
+    // drop ONLY the staging temp view — never a same-named permanent table
+    tempTableName.foreach(spark.catalog.dropTempView(_))
     graft.merge.UpsertResult(r.inserted, r.updated, r.deleted, spark.table(targetTable))
   }
 

@@ -35,8 +35,13 @@ object Dedup {
     * sorts EVERY row. */
   def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
     val cols = df.columns.toSeq
+    // ordering key struct(isNull, id): min_by skips null KEYS entirely, so a
+    // group whose ids are all null would otherwise yield an all-null row —
+    // the struct is never null and prefers non-null ids (matching the
+    // oracle's NULLS LAST min semantics)
     df.groupBy(md5(col(text).cast("binary")).as("__h"))
-      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__r"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(id).isNull.as("n"), col(id).as("v"))).as("__r"))
       .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 

@@ -63,9 +63,11 @@ object Sampling {
   def leakageSafeSplit(df: DataFrame, id: String, text: String, trainPct: Int): DataFrame = {
     val canon = Dedup.exactGroups(df, id, text)
       .select(col("text_hash"), col("canonical_id"))
-    df.withColumn("text_hash", md5(col(text).cast("binary")))
-      .join(canon, "text_hash")
-      .drop("text_hash")
+    // null-safe join: md5(NULL) is NULL on both sides, and null-text rows
+    // must still be split (they form their own group), not silently dropped
+    val withH = df.withColumn("__th", md5(col(text).cast("binary")))
+    withH.join(canon, withH("__th") <=> canon("text_hash"))
+      .drop("text_hash", "__th")
       .transform(d => trainTestSplit(d, "canonical_id", trainPct))
   }
 }

@@ -70,13 +70,28 @@ object Similarity {
    * (map-side partial aggregation), versus the window form which shuffles
    * and sorts EVERY candidate. Identical output to
    * `row_number over (partition by query_id order by cosine desc, id asc)`.
+   *
+   * The heap aggregate carries ids as BIGINT, so non-numeric id columns
+   * (uuids) fall back to the window form — correct for any type, at the
+   * cost of shuffling all candidates.
    */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
-      .agg(boundedTopK(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
-      .select(col("query_id"), col("entry.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("cosine"))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val numericId = scored.schema("neighbor_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericId)
+      scored.groupBy(col("query_id"))
+        .agg(boundedTopK(col("cosine"), col("neighbor_id").cast("long"), k).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+        .select(col("query_id"), col("entry.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("cosine"))
+    else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    }
+  }
 
   /**
    * Brute-force top-k via the bounded heap aggregate instead of a window

@@ -34,32 +34,30 @@ object PdfTextExtractor {
   private def latin1(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  /** All stream payloads in file order, inflated when FlateDecode. */
+  /** All stream payloads in file order, inflated when FlateDecode. One
+    * matcher pass over the file — no per-stream substring copies. */
   private[sources] def contentStreams(pdf: Array[Byte]): Seq[String] = {
     val s = latin1(pdf)
     val out = ArrayBuffer.empty[String]
-    val streamRe = "(?s)<<(.*?)>>\\s*stream\\r?\\n".r
+    val m = java.util.regex.Pattern
+      .compile("(?s)<<(.*?)>>\\s*stream\\r?\\n").matcher(s)
     var from = 0
-    while (from < s.length) {
-      streamRe.findFirstMatchIn(s.substring(from)) match {
-        case None => from = s.length
-        case Some(m) =>
-          val dict = m.group(1)
-          val start = from + m.end
-          val end = s.indexOf("endstream", start)
-          if (end < 0) { from = s.length }
-          else {
-            // trim the optional EOL before endstream
-            var e = end
-            if (e > start && s.charAt(e - 1) == '\n') e -= 1
-            if (e > start && s.charAt(e - 1) == '\r') e -= 1
-            val raw = java.util.Arrays.copyOfRange(pdf, start, e)
-            val payload =
-              if (dict.contains("/FlateDecode")) inflate(raw).map(latin1)
-              else Some(latin1(raw))
-            payload.filter(_.contains("BT")).foreach(out += _)
-            from = end + "endstream".length
-          }
+    while (from < s.length && m.find(from)) {
+      val dict = m.group(1)
+      val start = m.end
+      val end = s.indexOf("endstream", start)
+      if (end < 0) from = s.length
+      else {
+        // trim the optional EOL before endstream
+        var e = end
+        if (e > start && s.charAt(e - 1) == '\n') e -= 1
+        if (e > start && s.charAt(e - 1) == '\r') e -= 1
+        val raw = java.util.Arrays.copyOfRange(pdf, start, e)
+        val payload =
+          if (dict.contains("/FlateDecode")) inflate(raw).map(latin1)
+          else Some(latin1(raw))
+        payload.filter(_.contains("BT")).foreach(out += _)
+        from = end + "endstream".length
       }
     }
     out.toSeq

@@ -113,6 +113,45 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.dropTable("core_trans1")
   }
 
+  test("temp tables shadow permanent ones; drops and upserts respect the shadow") {
+    import spark.implicits._
+    val conn = new GraftConnection(spark)
+    // permanent "core_shadow" + temp view of the same name
+    conn.dropTable("core_shadow"); conn.dropTable("core_shadow")
+    conn.saveAsTable(Seq(1).toDF("x"), "core_shadow")
+    conn.saveAsTable(Seq(99).toDF("x"), "core_shadow", mode = "overwrite",
+      tableType = "temporary")
+    assert(conn.table("core_shadow").head.getInt(0) == 99, "temp shadows permanent")
+    // first drop removes ONLY the temp; the permanent table survives
+    conn.dropTable("core_shadow")
+    assert(conn.table("core_shadow").head.getInt(0) == 1)
+    conn.dropTable("core_shadow")
+    assert(!conn.tableExists("core_shadow"))
+
+    // upsertFromQuery on a TEMP target must update the view, not write a
+    // shadowed permanent table
+    conn.saveAsTable(Seq((1, 10)).toDF("k", "m"), "core_tmp_target",
+      tableType = "temporary")
+    val r = conn.upsertFromQuery(
+      "SELECT * FROM VALUES (1, 11), (2, 20) AS s(k, m)",
+      "core_tmp_target", joinKeys = Seq("k"))
+    assert(r.updated == 1 && r.inserted == 1)
+    assert(conn.table("core_tmp_target").orderBy("k").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((1, 11), (2, 20)))
+    conn.dropTable("core_tmp_target")
+
+    // staging cleanup must not destroy a same-named PERMANENT table
+    conn.dropTable("core_stage_perm")
+    conn.saveAsTable(Seq(7).toDF("x"), "core_stage_perm")
+    conn.dropTable("core_upsert_t2"); conn.saveAsTable(Seq((1, "a")).toDF("k", "v"), "core_upsert_t2")
+    conn.upsertFromQuery("SELECT * FROM VALUES (2, 'b') AS s(k, v)",
+      "core_upsert_t2", joinKeys = Seq("k"), tempTableName = Some("core_stage_perm"))
+    assert(conn.tableExists("core_stage_perm") &&
+      conn.table("core_stage_perm").head.getInt(0) == 7,
+      "permanent table with the staging name must survive cleanup")
+    conn.dropTable("core_stage_perm"); conn.dropTable("core_upsert_t2")
+  }
+
   test("upsertFromQuery: render, stage temp, merge, rewrite target") {
     import spark.implicits._
     val conn = new GraftConnection(spark)

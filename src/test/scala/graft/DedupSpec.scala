@@ -143,6 +143,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // canonical id is the min doc_id of the group
     val canon = out.filter($"doc_id" === 137L).head.getAs[Long]("canonical_id")
     assert(canon == 37L)
+    // null-text rows form their own group and are still split, not dropped
+    val withNull = docs.unionByName(
+      Seq((900L, null.asInstanceOf[String]), (901L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val outN = Sampling.leakageSafeSplit(withNull, "doc_id", "text", 80)
+    assert(outN.count() == 202)
+    assert(outN.filter($"doc_id" >= 900L).select("canonical_id").distinct().count() == 1)
   }
 
   test("kmeansCentroids converges to cluster directions; ivfTopK accepts them") {
@@ -172,6 +179,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         "embedding", "embedding", k = 3, centroids = Some(cents))
       .orderBy("rank").collect().map(_.getLong(1))
     assert(top.forall(_ < 10L), s"x-cluster query must stay in its cell: ${top.toSeq}")
+  }
+
+  test("ANN re-rank handles non-numeric ids via the window fallback") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val corpus = Seq(
+      ("doc-a", Array(1.0f, 0.05f)), ("doc-b", Array(0.9f, 0.1f)),
+      ("doc-c", Array(0.8f, 0.2f)))
+      .toDF("doc_uuid", "embedding")
+    val top = Similarity.signLshTopK(
+        corpus.filter($"doc_uuid" === "doc-a"), corpus,
+        "doc_uuid", "doc_uuid", "embedding", "embedding", k = 2, bits = 2)
+      .orderBy("rank").collect()
+    assert(top.forall(r => r.getString(1) != null), "string ids must survive")
+    assert(top.map(_.getString(1)).toSeq == Seq("doc-b", "doc-c"))
   }
 
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
