@@ -357,10 +357,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // MinHash + LSH near-dup candidate pairs (banded buckets, no all-pairs)
+    // MinHash + LSH near-dup candidate pairs (banded buckets, no all-pairs;
+    // degenerate buckets capped at 200 docs — mirrored in the oracle SQL)
     "q27_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
-          shingleK = 3, numHashes = 8, bands = 4)
+          shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200,
+          portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -638,7 +640,7 @@ object SparkEntry {
     // near-dup pairs → connected-component clusters with canonical min-id
     "q49_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 8, bands = 4)
+        shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200, portable = true)
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
@@ -960,9 +962,12 @@ object SparkEntry {
          |$ShinglesSql,
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |banded AS (
-         | $bands)
+         | $bands),
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 200)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
          |ORDER BY id_a, id_b""".stripMargin
     },
 
@@ -1237,9 +1242,12 @@ object SparkEntry {
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |banded AS (
          | $bands),
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 200),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
          |walk(id, label) AS (
          |  SELECT DISTINCT a AS id, a AS label FROM edges

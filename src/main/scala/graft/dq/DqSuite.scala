@@ -50,7 +50,13 @@ object DqSuite {
     val startD = to_date(lit(periodStart))
     val endD   = to_date(lit(periodEnd))
 
-    def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    // coalesce: a global agg over an EMPTY report returns one row with null
+    // sums — checks then report null failed_rows (and to_json drops the
+    // payload field on Spark but not on other engines). 0 keeps every check
+    // total: predicate checks pass vacuously; DQ-015 is the one that FAILs
+    // on an empty report.
+    def cnt(pred: Column): Column =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
     // ---- pass 1: one scan, every predicate count + whole-table statistic
     val m = rep.agg(

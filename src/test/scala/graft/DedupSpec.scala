@@ -38,11 +38,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("minhashLshPairs finds exact and near dups, not unrelated docs") {
-    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
-      shingleK = 3, numHashes = 8, bands = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)))   // identical signature → all bands match
-    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+    // engine-native (single-digest) and portable (md5) hash families must
+    // both pair the exact duplicate and never the unrelated doc
+    for (portable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+        shingleK = 3, numHashes = 8, bands = 4, portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"portable=$portable") // identical signature
+      assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+        s"portable=$portable") // unrelated
+    }
+  }
+
+  test("minhashLshPairs maxBucket cap drops degenerate buckets; stats report them") {
+    // cap of 1 excludes every bucket (pairs need >= 2 docs) → no pairs at all
+    assert(Dedup.minhashLshPairs(docs, "id", "text", maxBucket = 1).count() == 0)
+    // the histogram shows the dup bucket (size >= 2) the cap would drop
+    val stats = Dedup.lshBucketStats(docs, "id", "text")
+      .collect().map(r => (r.getAs[Long]("bucket_size"), r.getAs[Long]("n_buckets")))
+    assert(stats.exists(_._1 >= 2L), stats.mkString(","))
   }
 
   test("simhashPortable: identical docs share the hash; hamming to near dup is small") {

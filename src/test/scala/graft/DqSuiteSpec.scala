@@ -47,6 +47,25 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     assert(out("DQ-024") == (("FAIL", 1L, null)))
   }
 
+  test("empty report: every check total (non-null failed_rows), DQ-015 FAILs") {
+    import spark.implicits._
+    val report = Seq.empty[(Long, Long, String, String, Long, Long, Double)]
+      .toDF("Claimant Id", "Request Id", "Request Type", "First Decision Date",
+        "Working Days To Decision", "Resolved Within Two Weeks", "Clamped Value")
+    val events = Seq((1L, "claim", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val rows = DqSuite.run(report, events, "2024-01-01", "2024-01-20").collect()
+    assert(rows.length == 24)
+    assert(rows.forall(!_.isNullAt(2)), "failed_rows must never be null")
+    val byId = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId("DQ-015") == "FAIL")  // the empty-report check itself
+    assert(byId("DQ-001") == "PASS")  // predicate checks pass vacuously
+    // payload fields survive to_json (engine-portable: no dropped nulls)
+    val s21 = rows.find(_.getString(0) == "DQ-021").get.getString(4)
+    assert(s21.contains(""""outlier_count":0""") && s21.contains(""""max_days":-1"""),
+      s21)
+  }
+
   test("sample_failures payloads are parseable JSON with exact centi rates") {
     val out = run()
     val s15 = out("DQ-015")._3

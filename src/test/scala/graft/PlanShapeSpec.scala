@@ -77,6 +77,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q45 must scan customer twice (metrics pass + anti-join):\n$p45")
   }
 
+  test("q27: LSH pair stage is aggregate-expand, not a banded self-join") {
+    val plan = physicalPlan("q27_minhash_lsh")
+    // the only join allowed is distinct-shingle hashes back to (id, shingle);
+    // a second join would mean the quadratic banded self-join came back
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join (shingle hash-back), got $joins:\n$plan")
+    assert(plan.contains("collect_list"),
+      s"pair generation must group per bucket and expand in-array:\n$plan")
+  }
+
   test("q19: as-of join has no join node at all (union + window form)") {
     val plan = physicalPlan("q19_asof_join")
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
