@@ -358,10 +358,11 @@ object SparkEntry {
     }),
 
     // MinHash + LSH near-dup candidate pairs (banded buckets, no all-pairs;
-    // degenerate buckets capped at 200 docs — mirrored in the oracle SQL)
+    // degenerate buckets capped at LshMaxBucket docs — mirrored in the
+    // oracle SQL via the same constant)
     "q27_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
-          shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200,
+          shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
           portable = true)
         .orderBy("id_a", "id_b")
     }),
@@ -379,14 +380,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // embedding-cosine near-dups: sign-LSH buckets + exact quantized verify
+    // embedding-cosine near-dups: banded multi-probe sign-LSH candidates
+    // (capped group-and-expand, no bucket self-join) + exact quantized verify
     "q30_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val corpus = e.select(col("vec_id"), col("embedding"))
         .union(e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
-          threshold = 0.95, signBits = 8)
+          threshold = 0.95, signBits = 8, bands = 4, maxBucket = LshMaxBucket)
         .orderBy("id_a", "id_b")
     }),
 
@@ -640,7 +642,7 @@ object SparkEntry {
     // near-dup pairs → connected-component clusters with canonical min-id
     "q49_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200, portable = true)
+        shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket, portable = true)
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
@@ -963,7 +965,7 @@ object SparkEntry {
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |banded AS (
          | $bands),
-         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 200)
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a
          |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -999,15 +1001,27 @@ object SparkEntry {
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q30_embedding_neardup" -> {
-      val bucket = (0 until 8).map(j =>
-        s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      // band b reads sign bits of dims [b*8, (b+1)*8) — mirrors
+      // Similarity.signBucket(vec, 8, b*8) under Dedup.embeddingNearDupPairs
+      def bucketSql(b: Int) = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${b * 8 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val bandedSql = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql(b)} AS bucket FROM corpus")
+        .mkString("\n UNION ALL ")
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |q AS (SELECT vec_id, $QuantizeSql AS qv, $bucket AS bucket FROM corpus)
+         |q AS (SELECT vec_id, $QuantizeSql AS qv FROM corpus),
+         |banded AS (
+         | $bandedSql),
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket)
          |SELECT id_a, id_b, cosine FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosineSql AS cosine
-         |  FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  SELECT id_a, id_b, $CosineSql AS cosine
+         |  FROM pairs JOIN q a ON pairs.id_a = a.vec_id JOIN q b ON pairs.id_b = b.vec_id)
          |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin
     },
 
@@ -1242,7 +1256,7 @@ object SparkEntry {
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |banded AS (
          | $bands),
-         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 200),
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a
@@ -1457,6 +1471,11 @@ object SparkEntry {
        |  CAST(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) <= 14 THEN 1 ELSE 0 END AS BIGINT) AS "Resolved Within Two Weeks",
        |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0 END AS "Clamped Value"
        |FROM ranked WHERE decision_rank = 1""".stripMargin
+
+  /** LSH bucket-size cap shared by the Scala calls (q27/q30/q49) and their
+    * oracle SQL strings — a single constant so the cap can't drift between
+    * engine and oracle. */
+  private val LshMaxBucket = 200
 
   /** documents ∪ exact copies (mirrors docsWithDupes). */
   private val DupDocsSql =

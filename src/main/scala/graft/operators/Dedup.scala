@@ -137,15 +137,19 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      maxBucket: Int = 200, portable: Boolean = false): DataFrame = {
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
     val banded = bandedBuckets(df, id, text, shingleK, numHashes, bands, portable)
     // group docs per (band, bucket) and expand i<j pairs inside the capped
     // array — same shape as ngramJaccardPairs. The former per-band self-join
     // read the banded frame twice (forcing a persist) and was unboundedly
-    // quadratic in bucket size.
+    // quadratic in bucket size. The cap is opt-in (default uncapped) because
+    // it silently changes recall; production callers at scale SHOULD pass one.
+    // Cap predicate counts ROWS (count(1)), not collected ids — collect_list
+    // skips nulls, so a bucket with null-id docs would otherwise be
+    // size-eligible here but not under an external engine's count(*).
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(id))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
+      .filter(col("__sz").between(2, maxBucket))
     buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -331,27 +335,70 @@ object Dedup {
   }
 
   /**
-   * Embedding-cosine near-duplicates: candidates from sign-LSH buckets
-   * (see Similarity.signBucket), verified with exact-quantized cosine.
+   * Embedding-cosine near-duplicates: candidates from banded multi-probe
+   * sign-LSH (band `b` reads sign bits of dimensions
+   * [b*signBits, (b+1)*signBits) — `bands` independent hash families),
+   * verified with exact-quantized cosine.
+   *
+   * Pairs are expanded *inside* each (band, bucket) group — one groupBy
+   * shuffle, no bucket self-join — and buckets larger than `maxBucket` are
+   * dropped, the same capped group-and-expand shape as `minhashLshPairs`:
+   * with only 2^signBits distinct buckets per band, an uncapped bucket join
+   * has |corpus|²/2^signBits candidate fanout, quadratic at corpus scale
+   * (and worse under skewed sign patterns, which correlated leading
+   * dimensions make common). Multiple bands keep recall up under the cap:
+   * a pair lost to one band's degenerate bucket can still surface through
+   * another band's slice. Verification joins the (bounded) candidate pairs
+   * back to the quantized vectors — two hash joins on id whose build side
+   * is the capped pair set, never corpus × corpus.
    */
   def embeddingNearDupPairs(
       df: DataFrame, id: String, vec: String,
-      threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+      threshold: Double = 0.95, signBits: Int = 8,
+      bands: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.Vectors
-    // quantize + self-dot once per row; each candidate pair costs one dot
-    val bucketed = df.select(col(id),
-        Similarity.signBucket(col(vec), signBits).as("bucket"),
-        Vectors.quantize(col(vec)).as("__qv"))
+    // quantize + self-dot once per row; re-read twice by the verify joins
+    // below (re-scanning the source beats persisting a corpus-sized frame)
+    val v = df.select(col(id).as("__vid"), Vectors.quantize(col(vec)).as("__qv"))
       .withColumn("__n", Vectors.dotQ(col("__qv"), col("__qv")))
-    val a = bucketed.select(col("bucket"), col(id).as("id_a"),
-      col("__qv").as("__qa"), col("__n").as("__na"))
-    val b = bucketed.select(col("bucket"), col(id).as("id_b"),
-      col("__qv").as("__qb"), col("__n").as("__nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val banded = df.select(col(id), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          Similarity.signBucket(col(vec), signBits, b * signBits).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+    // row-count cap (not size(ids)): collect_list skips null ids, so the
+    // predicate must count rows to match an external count(*) semantics
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
+      .filter(col("__sz").between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    pairs
+      .join(v.select(col("__vid"), col("__qv").as("__qa"), col("__n").as("__na")),
+        col("id_a") === col("__vid")).drop("__vid")
+      .join(v.select(col("__vid"), col("__qv").as("__qb"), col("__n").as("__nb")),
+        col("id_b") === col("__vid")).drop("__vid")
       .withColumn("cosine",
         Vectors.cosineQ(col("__qa"), col("__qb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /**
+   * Per-band bucket-size histogram for the embedding sign-LSH — the audit
+   * companion of `embeddingNearDupPairs`'s `maxBucket`, as `lshBucketStats`
+   * is for `minhashLshPairs`.
+   */
+  def embeddingBucketStats(
+      df: DataFrame, id: String, vec: String,
+      signBits: Int = 8, bands: Int = 1): DataFrame =
+    df.select(col(id), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          Similarity.signBucket(col(vec), signBits, b * signBits).as("bucket"))
+      }: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
 }

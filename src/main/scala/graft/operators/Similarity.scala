@@ -23,10 +23,12 @@ import graft.functions.Vectors
  */
 object Similarity {
 
-  /** Bucket id from the sign bits of the first `bits` components. */
-  def signBucket(vec: Column, bits: Int): Column =
+  /** Bucket id from the sign bits of `bits` components starting at
+    * 0-based dimension `offset` — bands of a multi-probe LSH read disjoint
+    * slices so each band is an independent hash family. */
+  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     (0 until bits).map { j =>
-      when(element_at(vec, j + 1) > 0.0f, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(element_at(vec, offset + j + 1) > 0.0f, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /**

@@ -112,6 +112,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("embeddingNearDupPairs: extra bands recover pairs a single band misses") {
+    import spark.implicits._
+    // dim 0 sign differs (band 0 separates them) but dims 3-5 agree (band 1
+    // buckets them together); cosine is still ~0.9999
+    val vecs = Seq(
+      (1L, Array(0.01f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(-0.01f, 1f, 1f, 1f, 1f, 1f))
+    ).toDF("id", "vec")
+    val oneBand = Dedup.embeddingNearDupPairs(vecs, "id", "vec",
+      threshold = 0.95, signBits = 3, bands = 1).count()
+    assert(oneBand == 0, "band 0 alone must separate the sign-flipped pair")
+    val twoBands = Dedup.embeddingNearDupPairs(vecs, "id", "vec",
+      threshold = 0.95, signBits = 3, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoBands == Set((1L, 2L)), "band 1 must recover the pair")
+  }
+
+  test("embeddingNearDupPairs: maxBucket drops degenerate buckets") {
+    import spark.implicits._
+    val vecs = (1L to 10L).map(i => (i, Array(0.5f, 0.5f, 0.1f))).toDF("id", "vec")
+    assert(Dedup.embeddingNearDupPairs(vecs, "id", "vec",
+      threshold = 0.9, signBits = 3, maxBucket = 5).count() == 0)
+    assert(Dedup.embeddingNearDupPairs(vecs, "id", "vec",
+      threshold = 0.9, signBits = 3, maxBucket = 10).count() == 45)
+  }
+
   test("trainTestSplit is deterministic and proportionally sane") {
     import spark.implicits._
     import graft.operators.Sampling

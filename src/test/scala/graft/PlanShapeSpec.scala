@@ -88,6 +88,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"pair generation must group per bucket and expand in-array:\n$plan")
   }
 
+  test("q30: embedding LSH pair stage is aggregate-expand, not a bucket self-join") {
+    val plan = physicalPlan("q30_embedding_neardup")
+    // candidate generation must group per (band, bucket) and expand in-array;
+    // the only joins allowed are the two id-equi verify joins that fetch the
+    // quantized vectors for the (bounded) candidate pair set
+    assert(plan.contains("collect_list"),
+      s"pair generation must group per bucket and expand in-array:\n$plan")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 2, s"expected exactly two joins (pair-verify fetches), got $joins:\n$plan")
+    val bucketJoins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[[^\\]]*bucket".r
+      .findAllIn(plan).size
+    assert(bucketJoins == 0, s"no join may key on the LSH bucket:\n$plan")
+  }
+
   test("q19: as-of join has no join node at all (union + window form)") {
     val plan = physicalPlan("q19_asof_join")
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
