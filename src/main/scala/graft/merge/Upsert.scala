@@ -59,13 +59,22 @@ object Upsert {
     val inCols = insertCols.getOrElse(common.toSeq.sorted)
     val targetCols = target.columns.toSeq
 
+    // constant-true markers, NOT key nullability, detect side presence after
+    // the full outer join: an all-null-key row would otherwise look absent
+    // from its own side and fall through to the wrong branch
     val t = targetCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, "__t_" + c))
+      .withColumn("__t_present", lit(true))
     val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, "__s_" + c))
-    val joinExpr = keys.map(k => t("__t_" + k) <=> s("__s_" + k)).reduce(_ && _)
+      .withColumn("__s_present", lit(true))
+    // SQL-MERGE key semantics (`ON t.k = s.k`, ref:
+    // connector/snowpark_connector.py:950-954): NULL keys never match, so a
+    // null-keyed source row INSERTS rather than updating a null-keyed target
+    // row, and a null-keyed target row is "not matched by source"
+    val joinExpr = keys.map(k => t("__t_" + k) === s("__s_" + k)).reduce(_ && _)
     val joined = t.join(s, joinExpr, "full_outer")
 
-    val tPresent = keys.map(k => col("__t_" + k).isNotNull).reduce(_ || _)
-    val sPresent = keys.map(k => col("__s_" + k).isNotNull).reduce(_ || _)
+    val tPresent = col("__t_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
     val matchedCond = matchedCondition.getOrElse(lit(true))
     val notMatchedCond = notMatchedCondition.getOrElse(lit(true))
 

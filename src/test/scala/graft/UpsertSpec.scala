@@ -47,6 +47,27 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[String]("extra") == "keepme" && row.getAs[String]("v") == "a2")
   }
 
+  test("null keys never match: null-keyed source inserts, target row kept") {
+    import spark.implicits._
+    val target = Seq((Some(1), "a"), (None, "t-null")).toDF("k", "v")
+    val source = Seq((Option.empty[Int], "s-null")).toDF("k", "v")
+    val r = Upsert.merge(target, source, Seq("k"))
+    // SQL MERGE ON t.k = s.k: NULL = NULL is not a match
+    assert(r.inserted == 1 && r.updated == 0 && r.deleted == 0)
+    val vs = r.result.collect().map(_.getString(1)).toSet
+    assert(vs == Set("a", "t-null", "s-null"))
+  }
+
+  test("null-keyed target row is not-matched-by-source and deletable") {
+    import spark.implicits._
+    val target = Seq((Some(1), "a"), (None, "t-null")).toDF("k", "v")
+    val source = Seq((Some(1), "a2")).toDF("k", "v")
+    val r = Upsert.merge(target, source, Seq("k"),
+      deleteNotMatchedBySource = Some(lit(true)))
+    assert(r.deleted == 1 && r.updated == 1)
+    assert(r.result.collect().map(_.getString(1)).toSeq == Seq("a2"))
+  }
+
   test("update columns can be restricted") {
     import spark.implicits._
     val target = Seq((1, "a", 10.0)).toDF("k", "v", "m")
