@@ -35,12 +35,22 @@ object Bench {
         finally graft.core.Caches.releaseAll() // drop operator-taken caches
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // true median: even run counts average the two middle elements — the
+      // upper-middle alone systematically inflates round-over-round compares
+      val median =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      name -> median
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // record run conditions: runs-per-query and the host 1-minute loadavg at
+    // exit, so a contended-machine bench is readable as such afterwards
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg1":$load}""")
     spark.stop()
   }
 }

@@ -52,6 +52,22 @@ final class MetaStore(spark: SparkSession, dir: String) {
 
   def executionLog: DataFrame = spark.read.parquet(path("execution_log"))
 
+  /** Recent execution history, newest first — the reference's
+    * `get_query_history(id, limit)` (ref:
+    * connector/snowpark_connector.py:568-605): optional execution-id
+    * filter, optional not-before bound, ordered by start desc, limit-N.
+    * The id filter prunes before the sort, so the global top-N sort only
+    * ever sees the (small) matching subset. */
+  def queryHistory(
+      id: Option[String] = None,
+      since: Option[java.sql.Timestamp] = None,
+      limit: Int = 10): DataFrame = {
+    val base = executionLog
+    val byId = id.fold(base)(i => base.filter($"execution_id" === i))
+    val bounded = since.fold(byId)(ts => byId.filter($"execution_start_ts" >= ts))
+    bounded.orderBy($"execution_start_ts".desc).limit(limit)
+  }
+
   def batchControl: DataFrame = spark.read.parquet(path("batch_control"))
 
   /** Latest watermark per process/carrier; None on first run. */

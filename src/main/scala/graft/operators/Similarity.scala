@@ -199,23 +199,30 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, iterations: Int = 3): DataFrame = {
+    // squared norm materialized ONCE per row/centroid: referencing the
+    // aggregate inside the per-centroid lambda would re-reduce the array k
+    // times per row per iteration (same fix as ivfTopK.assign's __vn)
+    def norm2(a: Column): Column = aggregate(a, lit(0.0), (s, x) => s + x * x)
     val v = corpus.select(col(cId).cast("long").as("vid"),
-      col(cVec).cast("array<double>").as("vec"))
+        col(cVec).cast("array<double>").as("vec"))
+      .withColumn("__vn2", norm2(col("vec")))
     var cents = v.orderBy(col("vid").asc).limit(k)
       .select(col("vid").cast("int").as("cent_id"), col("vec").as("cvec"))
       .localCheckpoint(true) // truncate lineage per round (iterative plan growth)
 
     (0 until iterations).foreach { _ =>
       val centArr = cents.agg(sort_array(collect_list(
-        struct(col("cent_id"), col("cvec")))).as("__cents"))
-      // zero-shuffle nearest-centroid (cosine, same tie-break as ivfTopK)
-      def cos(a: Column, b: Column): Column =
+        struct(col("cent_id"), col("cvec"), norm2(col("cvec")).as("cn2")))).as("__cents"))
+      // zero-shuffle nearest-centroid (cosine, same tie-break as ivfTopK);
+      // sqrt(vn2 * cn2) keeps the exact arithmetic of the inline form
+      def cos(a: Column, an2: Column, b: Column, bn2: Column): Column =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
-          sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x) *
-            aggregate(b, lit(0.0), (s, x) => s + x * x))
+          sqrt(an2 * bn2)
       val assigned = v.crossJoin(broadcast(centArr))
         .withColumn("__best", array_min(transform(col("__cents"), ct =>
-          struct(coalesce(-cos(col("vec"), ct.getField("cvec")), lit(Double.MaxValue))
+          struct(coalesce(
+            -cos(col("vec"), col("__vn2"), ct.getField("cvec"), ct.getField("cn2")),
+            lit(Double.MaxValue))
             .as("nsim"), ct.getField("cent_id").as("cell")))))
         .select(col("__best").getField("cell").as("cell"), col("vec"))
       // per-cell mean: position-wise avg, rebuilt in position order

@@ -77,4 +77,33 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     val s21 = out("DQ-021")._3
     assert(s21.contains(""""outlier_count":""") && s21.contains(""""max_days":13"""))
   }
+
+  test("DmfCatalog: schedule-first ordering, shared cron, evaluate expectations") {
+    import spark.implicits._
+    import graft.dq.{DmfCatalog, Metrics}
+    val cat = new DmfCatalog(spark)
+    // a DMF cannot attach before its object has a schedule
+    intercept[IllegalArgumentException] {
+      cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
+        "rows_present", "VALUE > 0", _ > 0)
+    }
+    cat.setSchedule("t1", "USING CRON 0 8,14,20 * * * UTC")
+    cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
+      "rows_present", "VALUE > 0", _ > 0)
+    cat.addMetric("t1", "null_count", Seq("k"), Metrics.nullCount(_, "k"),
+      "no_null_keys", "VALUE = 0", _ == 0, comment = "DQ-024 analogue")
+    // catalog is a plain DataFrame; cron is shared per object
+    val rows = cat.catalog.orderBy("metric_name").collect()
+    assert(rows.map(_.getAs[String]("schedule_cron")).distinct.toSeq ==
+      Seq("USING CRON 0 8,14,20 * * * UTC"))
+    // re-scheduling the object shows through for already-attached DMFs
+    cat.setSchedule("t1", "5 MINUTE")
+    assert(cat.catalog.collect().forall(_.getAs[String]("schedule_cron") == "5 MINUTE"))
+    val t1 = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+    val out = cat.evaluate(_ => t1).orderBy("metric_name")
+      .collect().map(r => r.getAs[String]("metric_name") ->
+        ((r.getAs[Long]("value"), r.getAs[String]("status")))).toMap
+    assert(out("row_count") == ((2L, "PASS")))
+    assert(out("null_count") == ((1L, "FAIL")))
+  }
 }

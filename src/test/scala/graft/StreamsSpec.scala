@@ -144,4 +144,23 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       1, 2, 3, "c1", "")))
     assert(ms.executionLog.count() == 1)
   }
+
+  test("queryHistory filters by id and time, newest first, limit-N") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
+    val ms = new MetaStore(spark, dir)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-01 00:00:00")
+    ms.appendExecutionLog((1 to 5).map(m =>
+      ExecutionLogRow(s"e$m", ts(m), ts(m), "SUCCESS", "t", 0, 0, 0, "c1", "")))
+    // newest first, limited
+    val top3 = ms.queryHistory(limit = 3).collect().map(_.getAs[String]("execution_id"))
+    assert(top3.toSeq == Seq("e5", "e4", "e3"))
+    // id filter
+    val byId = ms.queryHistory(id = Some("e2")).collect()
+    assert(byId.length == 1 && byId.head.getAs[String]("execution_id") == "e2")
+    assert(ms.queryHistory(id = Some("nope")).isEmpty)
+    // not-before bound composes with the limit
+    val since = ms.queryHistory(since = Some(ts(4)), limit = 10)
+      .collect().map(_.getAs[String]("execution_id"))
+    assert(since.toSeq == Seq("e5", "e4"))
+  }
 }
