@@ -84,6 +84,38 @@ object TestFramework {
         params.getOrElse(m.group(1),
           throw new IllegalArgumentException(s"unbound test placeholder {${m.group(1)}}"))))
 
+  /**
+   * Schema-derived `{carrier_name_condition}` for a carrier-scoped check
+   * (ref: tools/test_framework_helper.py:197-208): a table carrying the
+   * plain `carrier_name` column filters on it directly; a dimensional table
+   * carrying `carrier_name_dim_id` (= MD5 of the carrier) filters on the
+   * hashed id; a table with neither gets the always-true `1=1` fallback.
+   * Schema introspection only — no data is read.
+   */
+  def carrierNameCondition(df: DataFrame, carrierName: String): String = {
+    val esc = carrierName.replace("'", "''")
+    val cols = df.schema.fieldNames.toSet
+    if (cols.contains("carrier_name")) s"carrier_name = '$esc'"
+    else if (cols.contains("carrier_name_dim_id")) s"carrier_name_dim_id = MD5('$esc')"
+    else "1=1"
+  }
+
+  /**
+   * Fill `carrier_name_condition` from the case's table parameter when the
+   * spec supplies a `carrier_name` but no explicit condition. Table lookup
+   * prefers the target over the source, like the reference's row builder
+   * (ref: tools/test_framework_helper.py:184-196).
+   */
+  private def withCarrierCondition(spark: SparkSession, tc: TestCase): Map[String, String] =
+    if (tc.params.contains("carrier_name_condition") || !tc.params.contains("carrier_name"))
+      tc.params
+    else Seq("target_table", "table", "source_table").flatMap(tc.params.get).headOption match {
+      case Some(t) =>
+        tc.params + ("carrier_name_condition" ->
+          carrierNameCondition(spark.table(t), tc.params("carrier_name")))
+      case None => tc.params
+    }
+
   /** Load the CSV cross-reference spec: test_name,query_name,is_enabled,params...
    *  (ref: tools/test_framework_helper.py:22-36). `params` is k1=v1;k2=v2. */
   def loadSpec(csvText: String): Seq[TestCase] =
@@ -119,7 +151,7 @@ object TestFramework {
       val template = blocks.getOrElse(tc.queryName,
         throw new IllegalArgumentException(s"unknown test query @${tc.queryName}"))
       val rendered = SqlTemplate.renderSessionVars(
-        renderPlaceholders(template, tc.params), sessionVars)
+        renderPlaceholders(template, withCarrierCondition(spark, tc)), sessionVars)
       val n = executeCase(spark, rendered)
       TestOutcome(tc.testName, tc.queryName, if (n == 0) "PASS" else "FAIL", n, rendered)
     }

@@ -71,6 +71,42 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     assert(ok.head.status == "PASS")
   }
 
+  test("carrier condition is derived from the table's schema (all three shapes)") {
+    import spark.implicits._
+    // shape 1: plain carrier_name column → direct equality
+    Seq(("AcmeIns", 1), ("Other", 2)).toDF("carrier_name", "v")
+      .createOrReplaceTempView("fw_plain")
+    // shape 2: dimensional md5 id → MD5(carrier) condition
+    spark.sql("SELECT md5('AcmeIns') AS carrier_name_dim_id, 1 AS v " +
+        "UNION ALL SELECT md5('Other'), 2")
+      .createOrReplaceTempView("fw_dim")
+    // shape 3: neither column → 1=1 fallback keeps everything
+    Seq(1, 2, 3).toDF("v").createOrReplaceTempView("fw_bare")
+    assert(TestFramework.carrierNameCondition(spark.table("fw_plain"), "AcmeIns")
+      == "carrier_name = 'AcmeIns'")
+    assert(TestFramework.carrierNameCondition(spark.table("fw_dim"), "AcmeIns")
+      == "carrier_name_dim_id = MD5('AcmeIns')")
+    assert(TestFramework.carrierNameCondition(spark.table("fw_bare"), "AcmeIns")
+      == "1=1")
+    // end-to-end: the {carrier_name_condition} placeholder auto-fills per
+    // table shape; explicit conditions and quote escaping are respected
+    val carrierTemplate = TestFramework.parseTemplateBlocks(
+      """-- START_TEST
+        |@CARRIER_ROWS
+        |@QUERY
+        |SELECT * FROM {table} WHERE {carrier_name_condition}
+        |-- END_TEST
+        |""".stripMargin)
+    def rows(table: String) = TestFramework.run(spark, carrierTemplate,
+      Seq(TestFramework.TestCase("t", "CARRIER_ROWS",
+        Map("table" -> table, "carrier_name" -> "AcmeIns")))).head.failureCount
+    assert(rows("fw_plain") == 1) // equality filter
+    assert(rows("fw_dim") == 1)   // md5 id filter
+    assert(rows("fw_bare") == 3)  // 1=1 keeps all
+    assert(TestFramework.carrierNameCondition(spark.table("fw_plain"), "O'Hare")
+      == "carrier_name = 'O''Hare'")
+  }
+
   test("TestCaseGenerator emits row-count, dup-PK, sum, and distribution cases") {
     import graft.dq.TestCaseGenerator
     import spark.implicits._
