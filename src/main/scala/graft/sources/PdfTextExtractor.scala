@@ -4,11 +4,19 @@ import java.util.zip.Inflater
 import scala.collection.mutable.ArrayBuffer
 
 /**
- * Dependency-free text-layer PDF table extractor — fills the extraction seam
- * in `TableIngest` (the reference delegates this geometry to pdfplumber /
- * tabula / camelot, ref: datafeeds/pdf_table_extractor.py:122-292; the
- * clustering here is the word-based strategy those libraries apply:
- * positioned words → rows by baseline → columns by x-alignment).
+ * Dependency-free PDF table extractor — fills the extraction seam in
+ * `TableIngest` (the reference delegates this geometry to pdfplumber /
+ * tabula / camelot, ref: datafeeds/pdf_table_extractor.py:122-292).
+ *
+ * Two strategies, tried in the reference's order (lattice first, stream
+ * fallback — ref: datafeeds/pdf_table_extractor.py:217-228, :254-267):
+ *  - lattice: ruling lines from the content stream's path operators
+ *    (m/l/re under the CTM, committed by the painting operators) are
+ *    clustered into a cell grid; words land in the cell whose line-bounded
+ *    bands contain their position. Handles bordered tables whose cell text
+ *    is centered or otherwise not x-aligned.
+ *  - stream (word clustering): positioned words → rows by baseline →
+ *    columns by x-start alignment — for borderless tables.
  *
  * Supported PDF subset (the output of typical report generators, and
  * documented as such):
@@ -242,6 +250,134 @@ object PdfTextExtractor {
     out.toSeq
   }
 
+  // ----------------------------------------------------------- lattice layer
+
+  /** A straight path segment in page coordinates (post-CTM). */
+  final case class Segment(x1: Double, y1: Double, x2: Double, y2: Double) {
+    def isHorizontal(minLen: Double): Boolean =
+      math.abs(y1 - y2) <= 0.5 && math.abs(x1 - x2) >= minLen
+    def isVertical(minLen: Double): Boolean =
+      math.abs(x1 - x2) <= 0.5 && math.abs(y1 - y2) >= minLen
+  }
+
+  private def multiply(m1: Mat, m2: Mat): Mat = Mat(
+    m1.a * m2.a + m1.b * m2.c,
+    m1.a * m2.b + m1.b * m2.d,
+    m1.c * m2.a + m1.d * m2.c,
+    m1.c * m2.b + m1.d * m2.d,
+    m1.e * m2.a + m1.f * m2.c + m2.e,
+    m1.e * m2.b + m1.f * m2.d + m2.f)
+
+  /**
+   * Painted straight segments of one content stream: `m`/`l` subpaths and
+   * `re` rectangle edges, transformed by the CTM (`cm` under `q`/`Q`
+   * save/restore), buffered per path and committed only by a painting
+   * operator (S s f F f* B B* b b*) — a path consumed by `n` (e.g. a
+   * clipping path) draws nothing and contributes no rulings.
+   */
+  def rulingSegments(cs: String): Seq[Segment] = {
+    val out = ArrayBuffer.empty[Segment]
+    val path = ArrayBuffer.empty[Segment]
+    var ctm = Identity
+    val saved = scala.collection.mutable.Stack.empty[Mat]
+    var cx, cy = 0.0 // current point (user space)
+    var sx, sy = 0.0 // subpath start, for close ops
+    val operands = ArrayBuffer.empty[Double]
+
+    def seg(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      path += Segment(
+        x1 * ctm.a + y1 * ctm.c + ctm.e, x1 * ctm.b + y1 * ctm.d + ctm.f,
+        x2 * ctm.a + y2 * ctm.c + ctm.e, x2 * ctm.b + y2 * ctm.d + ctm.f)
+
+    tokenize(cs).foreach {
+      case TNum(v) => operands += v
+      case TOp(op) =>
+        def n(k: Int): Double = operands.lift(operands.length - k).getOrElse(0.0)
+        op match {
+          case "q" => saved.push(ctm)
+          case "Q" => if (saved.nonEmpty) ctm = saved.pop()
+          case "cm" => ctm = multiply(Mat(n(6), n(5), n(4), n(3), n(2), n(1)), ctm)
+          case "m" => cx = n(2); cy = n(1); sx = cx; sy = cy
+          case "l" =>
+            val (nx, ny) = (n(2), n(1)); seg(cx, cy, nx, ny); cx = nx; cy = ny
+          case "re" =>
+            val (x, y, w, h) = (n(4), n(3), n(2), n(1))
+            seg(x, y, x + w, y); seg(x + w, y, x + w, y + h)
+            seg(x + w, y + h, x, y + h); seg(x, y + h, x, y)
+            cx = x; cy = y; sx = x; sy = y
+          case "c" => cx = n(2); cy = n(1) // curves are not rulings; track point
+          case "v" | "y" => cx = n(2); cy = n(1)
+          case "h" => seg(cx, cy, sx, sy); cx = sx; cy = sy
+          case "s" | "b" | "b*" => // close-then-paint
+            seg(cx, cy, sx, sy); out ++= path; path.clear()
+          case "S" | "f" | "F" | "f*" | "B" | "B*" =>
+            out ++= path; path.clear()
+          case "n" => path.clear() // no-op paint (ends a clip path)
+          case _ => // text/color/state operators — not path-relevant
+        }
+        operands.clear()
+      case _ => // strings/arrays — irrelevant to geometry
+    }
+    out.toSeq
+  }
+
+  /** Cluster 1-D positions within `tol` into their group means. */
+  private def clusterPositions(vals: Seq[Double], tol: Double): IndexedSeq[Double] = {
+    val groups = ArrayBuffer.empty[ArrayBuffer[Double]]
+    vals.sorted.foreach { v =>
+      if (groups.nonEmpty && v - groups.last.last <= tol) groups.last += v
+      else groups += ArrayBuffer(v)
+    }
+    groups.map(g => g.sum / g.size).toIndexedSeq
+  }
+
+  /** Band index of `v` in ascending `bounds`: i iff bounds(i) ≤ v ≤ bounds(i+1);
+    * -1 outside the grid. */
+  private def bandOf(bounds: IndexedSeq[Double], v: Double): Int =
+    if (v < bounds.head || v > bounds.last) -1
+    else math.min(bounds.lastIndexWhere(_ <= v), bounds.length - 2)
+
+  /**
+   * Build the table from ruling lines (camelot's "lattice" flavor,
+   * ref: datafeeds/pdf_table_extractor.py:254-258): horizontal ruling ys ×
+   * vertical ruling xs define cell bands; each word falls into the band
+   * pair containing its position, so cell text needs NO x-alignment across
+   * rows — exactly where the word-clustering strategy mis-clusters.
+   * Returns None unless the rulings form a grid of ≥ 2 rows × ≥ 2 columns
+   * with at least one resident word (then the caller falls back to word
+   * clustering).
+   */
+  def latticeTable(
+      pageWords: Seq[Word],
+      segments: Seq[Segment],
+      lineTol: Double = 2.0,
+      minLineLen: Double = 5.0): Option[TableIngest.ExtractedTable] = {
+    if (pageWords.isEmpty) return None
+    val ys = clusterPositions(
+      segments.filter(_.isHorizontal(minLineLen)).map(s => (s.y1 + s.y2) / 2), lineTol)
+    val xs = clusterPositions(
+      segments.filter(_.isVertical(minLineLen)).map(s => (s.x1 + s.x2) / 2), lineTol)
+    // a real table grid: ≥ 3 h-rulings (header band + a data band) and
+    // ≥ 3 v-rulings (two columns)
+    if (ys.length < 3 || xs.length < 3) return None
+    val nRows = ys.length - 1
+    val nCols = xs.length - 1
+    val grid = Array.fill(nRows, nCols)(ArrayBuffer.empty[Word])
+    var placed = 0
+    pageWords.foreach { w =>
+      val rAsc = bandOf(ys, w.y) // ascending-y band
+      val c = bandOf(xs, w.x)
+      if (rAsc >= 0 && c >= 0) {
+        grid(nRows - 1 - rAsc)(c) += w // top row of the PAGE first
+        placed += 1
+      }
+    }
+    if (placed == 0) return None
+    val rows = grid.map(_.map(cell =>
+      cell.sortBy(w => (-w.y, w.x)).map(_.text).mkString(" ")).toSeq).toSeq
+    Some(TableIngest.ExtractedTable(pageWords.head.page, rows.head, rows.tail))
+  }
+
   // --------------------------------------------------------- clustering layer
 
   /**
@@ -289,12 +425,16 @@ object PdfTextExtractor {
     Some(TableIngest.ExtractedTable(page, grid.head, grid.tail.toSeq))
   }
 
-  /** Whole file → one clustered table per page (pages in stream order).
+  /** Whole file → one table per page (pages in stream order), lattice mode
+    * first with word-clustering fallback — the reference's library order
+    * (lattice, then stream; ref: datafeeds/pdf_table_extractor.py:217-228).
     * Never throws: a stream the tokenizer cannot make sense of yields no
     * table rather than failing the whole document. */
   def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] =
     contentStreams(pdf).zipWithIndex.flatMap { case (cs, idx) =>
-      try clusterTable(words(idx + 1, cs))
-      catch { case _: Exception => None }
+      try {
+        val ws = words(idx + 1, cs)
+        latticeTable(ws, rulingSegments(cs)).orElse(clusterTable(ws))
+      } catch { case _: Exception => None }
     }
 }

@@ -252,6 +252,89 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
       ("CLM-003", "2", "80.25"), ("CLM-004", "5", "10.00")))
   }
 
+  test("PdfTextExtractor lattice mode: bordered table with unaligned cell text") {
+    import graft.sources.PdfTextExtractor
+    // 3-column bordered grid: verticals at x = 50/110/200/300, horizontals
+    // at y = 640/660/680/700. The Amount column's values are centered, so
+    // their x-starts (170, 140) never align with the header's 115 — the
+    // word-clustering strategy fabricates extra columns from them, the
+    // ruling-line grid puts them all in column 1.
+    val borders =
+      """q 1 0 0 1 0 0 cm
+        |50 640 m 50 700 l S
+        |110 640 m 110 700 l S
+        |200 640 m 200 700 l S
+        |300 640 m 300 700 l S
+        |50 700 m 300 700 l S
+        |50 680 m 300 680 l S
+        |50 660 m 300 660 l S
+        |50 640 m 300 640 l S
+        |Q
+        |0 0 10 10 re W n
+        |""".stripMargin
+    val text =
+      """BT /F1 10 Tf
+        |1 0 0 1 55 688 Tm (Name) Tj
+        |1 0 0 1 115 688 Tm (Amount) Tj
+        |1 0 0 1 205 688 Tm (Date) Tj
+        |1 0 0 1 55 668 Tm (alpha) Tj
+        |1 0 0 1 170 668 Tm (10.50) Tj
+        |1 0 0 1 205 668 Tm (2024-01-01) Tj
+        |1 0 0 1 55 648 Tm (beta) Tj
+        |1 0 0 1 140 648 Tm (7.25) Tj
+        |1 0 0 1 205 648 Tm (2024-02-01) Tj
+        |ET""".stripMargin
+    def onePagePdf(content: String): Array[Byte] = {
+      val c = content.getBytes("ISO-8859-1")
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+      w(s"4 0 obj << /Length ${c.length} >> stream\n"); bos.write(c); w("\nendstream endobj\n")
+      w("trailer << /Root 1 0 R >>\n%%EOF")
+      bos.toByteArray
+    }
+
+    // the same text WITHOUT rulings falls back to word clustering, which
+    // fabricates five x-start columns out of the three real ones — the
+    // mis-clustering the lattice fixture is built to defeat
+    val streamed = PdfTextExtractor.extractTables(onePagePdf(text)).head
+    assert(streamed.header.length == 5 && streamed.header.contains(""))
+
+    val table = PdfTextExtractor.extractTables(onePagePdf(borders + text)).head
+    assert(table.header == Seq("Name", "Amount", "Date"))
+    assert(table.rows == Seq(
+      Seq("alpha", "10.50", "2024-01-01"),
+      Seq("beta", "7.25", "2024-02-01")))
+    // clip-path rectangle (re W n) was discarded, grid came from the 8
+    // stroked rulings only; borderless PDFs still fall back to clustering
+    val ingested = graft.sources.TableIngest.ingest(spark, Seq(table))
+    assert(ingested.columns.toSeq == Seq("Name", "Amount", "Date"))
+    assert(ingested.count() == 2)
+  }
+
+  test("rulingSegments: CTM transform, q/Q restore, re edges, n discards") {
+    import graft.sources.PdfTextExtractor
+    val segs = PdfTextExtractor.rulingSegments(
+      """q 2 0 0 1 10 5 cm
+        |0 0 m 50 0 l S
+        |Q
+        |0 0 m 0 40 l S
+        |20 20 100 60 re f
+        |7 7 m 7 99 l n""".stripMargin)
+    // scaled+translated horizontal: (0,0)-(50,0) under [2 0 0 1 10 5] → (10,5)-(110,5)
+    assert(segs.contains(PdfTextExtractor.Segment(10, 5, 110, 5)))
+    // post-Q vertical back at identity
+    assert(segs.contains(PdfTextExtractor.Segment(0, 0, 0, 40)))
+    // rectangle contributes its four edges
+    assert(segs.count(s => s.isVertical(5) && math.abs(s.x1 - 20) < 0.01) == 1)
+    assert(segs.count(s => s.isVertical(5) && math.abs(s.x1 - 120) < 0.01) == 1)
+    // the `n`-terminated path painted nothing
+    assert(!segs.exists(s => math.abs(s.x1 - 7) < 0.01))
+  }
+
   test("PdfTextExtractor never throws on malformed input") {
     import graft.sources.PdfTextExtractor
     val rnd = new scala.util.Random(42)
