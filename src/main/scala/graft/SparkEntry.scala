@@ -715,6 +715,42 @@ object SparkEntry {
           docsWithDupes(s, dir), "doc_id", "text", trainPct = 80)
         .select("doc_id", "canonical_id", "bucket", "split")
         .orderBy("doc_id")
+    }),
+
+    // DMF catalog end-to-end: schedule + metric/expectation registration,
+    // then on-demand evaluation (each metric one distributed aggregate)
+    "q57_dmf_eval" -> ((s, dir) => {
+      import graft.dq.{DmfCatalog, Metrics}
+      val cat = new DmfCatalog(s)
+      cat.setSchedule("customer", "USING CRON 0 8,14,20 * * * UTC")
+      cat.addMetric("customer", "row_count", Seq(), Metrics.rowCount,
+        "rows_present", "VALUE > 0", _ > 0)
+      cat.addMetric("customer", "null_name", Seq("c_name"),
+        Metrics.nullCount(_, "c_name"), "no_null_name", "VALUE = 0", _ == 0)
+      cat.addMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
+        Metrics.uniqueCount(_, "c_mktsegment"), "five_segments", "VALUE = 5", _ == 5)
+      cat.evaluate(_ => t(s, dir, "customer")).orderBy("metric_name")
+    }),
+
+    // minhash-LSH bucket-size histogram — the maxBucket audit for q27/q49
+    "q58_lsh_bucket_stats" -> ((s, dir) =>
+      Dedup.lshBucketStats(docsWithNearDupes(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 8, bands = 4, portable = true)
+        .select(col("band").cast("long").as("band"),
+          col("bucket_size"), col("n_buckets"))
+        .orderBy("band", "bucket_size")),
+
+    // embedding sign-LSH bucket-size histogram — the maxBucket audit for q30
+    "q59_embedding_bucket_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingBucketStats(corpus, "vec_id", "embedding",
+          signBits = 8, bands = 4)
+        .select(col("band").cast("long").as("band"),
+          col("bucket_size"), col("n_buckets"))
+        .orderBy("band", "bucket_size")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1421,7 +1457,55 @@ object SparkEntry {
          |  CAST(${bucketSql("c.canonical_id")} AS INTEGER) AS bucket,
          |  CASE WHEN ${bucketSql("c.canonical_id")} < 80 THEN 'train' ELSE 'test' END AS split
          |FROM all_docs d JOIN canon c ON md5(d.text) IS NOT DISTINCT FROM c.th
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q57_dmf_eval" ->
+      """SELECT table_name, metric_name, expectation_name, value, status FROM (
+        |  SELECT 'customer' AS table_name, 'row_count' AS metric_name,
+        |    'rows_present' AS expectation_name, CAST(count(*) AS BIGINT) AS value,
+        |    CASE WHEN count(*) > 0 THEN 'PASS' ELSE 'FAIL' END AS status FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'null_name', 'no_null_name',
+        |    CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT),
+        |    CASE WHEN count(*) FILTER (WHERE c_name IS NULL) = 0 THEN 'PASS' ELSE 'FAIL' END
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'distinct_mkt', 'five_segments',
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CASE WHEN count(DISTINCT c_mktsegment) = 5 THEN 'PASS' ELSE 'FAIL' END
+        |  FROM customer
+        |) ORDER BY metric_name""".stripMargin,
+
+    "q58_lsh_bucket_stats" -> {
+      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |banded AS (
+         | $bands),
+         |bs AS (SELECT band, bucket, count(*) AS bucket_size FROM banded GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, bucket_size, count(*) AS n_buckets
+         |FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size""".stripMargin
+    },
+
+    "q59_embedding_bucket_stats" -> {
+      def bucketSql59(b: Int) = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${b * 8 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val banded = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql59(b)} AS bucket FROM corpus")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |banded AS (
+         | $banded),
+         |bs AS (SELECT band, bucket, count(*) AS bucket_size FROM banded GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, bucket_size, count(*) AS n_buckets
+         |FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
 
