@@ -740,6 +740,18 @@ object SparkEntry {
           col("bucket_size"), col("n_buckets"))
         .orderBy("band", "bucket_size")),
 
+    // cross-corpus contamination: probe (eval-set) docs whose word shingles
+    // are contained in training-corpus docs — n-gram decontamination
+    "q60_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probe = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentPairs(d, probe, "doc_id", "text",
+          k = 3, minOverlap = 5, maxShingleDf = 50)
+        .orderBy("doc_id", "probe_id")
+    }),
+
     // embedding sign-LSH bucket-size histogram — the maxBucket audit for q30
     "q59_embedding_bucket_stats" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1490,6 +1502,26 @@ object SparkEntry {
          |SELECT CAST(band AS BIGINT) AS band, bucket_size, count(*) AS n_buckets
          |FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size""".stripMargin
     },
+
+    "q60_contamination" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$ShinglesSql,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+         |csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |probe AS (SELECT doc_id + 20000 AS probe_id, substr(text, 1, 200) AS text
+         |          FROM documents WHERE doc_id % 13 = 0),
+         |ptoks AS (SELECT probe_id, string_split_regex(trim(text), '\\s+') AS t FROM probe),
+         |psh AS (SELECT DISTINCT probe_id, u.shingle
+         |        FROM ptoks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+         |          i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle)),
+         |sizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM psh GROUP BY 1),
+         |common AS (SELECT c.doc_id, p.probe_id, count(*) AS n_common
+         |           FROM csh c JOIN psh p USING (shingle) GROUP BY 1, 2)
+         |SELECT doc_id, probe_id, n_common, n_probe_sh,
+         |  CAST(n_common AS DOUBLE) / CAST(n_probe_sh AS DOUBLE) AS containment
+         |FROM common JOIN sizes USING (probe_id)
+         |WHERE n_common >= 5
+         |ORDER BY doc_id, probe_id""".stripMargin,
 
     "q59_embedding_bucket_stats" -> {
       def bucketSql59(b: Int) = (0 until 8).map(j =>

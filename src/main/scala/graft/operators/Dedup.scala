@@ -255,6 +255,51 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus contamination check (training-set decontamination): for
+   * each probe document (e.g. an evaluation/test set), find corpus
+   * documents sharing at least `minOverlap` distinct word k-shingles, with
+   * containment = |common shingles| / |probe shingles| — the standard
+   * n-gram-overlap decontamination metric.
+   *
+   * Scale shape: the probe side is small by construction (an eval set), so
+   * AQE broadcasts its shingle set against the corpus shingle stream — no
+   * corpus self-join, one groupBy on (corpus id, probe id). Corpus shingles
+   * with document frequency above `maxShingleDf` are dropped before the
+   * join (exact cutoff, same as `ngramJaccardPairs`): stop-shingles appear
+   * in nearly every document and would otherwise multiply the join fanout
+   * while signalling nothing — real decontamination additionally uses long
+   * shingles (k ≥ 8), which are rare by nature.
+   *
+   * Returns (corpus id, probe_id, n_common, n_probe_sh, containment).
+   */
+  def containmentPairs(
+      corpus: DataFrame, probe: DataFrame, id: String, text: String,
+      k: Int = 8, minOverlap: Long = 1, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val cs0 = wordShingles(corpus, id, text, k)
+    val cs =
+      if (maxShingleDf == Long.MaxValue) cs0
+      else {
+        val tracked = graft.core.Caches.track(cs0)
+        val rare = tracked.groupBy("shingle")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxShingleDf)
+          .select("shingle")
+        tracked.join(rare, "shingle")
+      }
+    val ps = wordShingles(probe, id, text, k).withColumnRenamed(id, "probe_id")
+    // probe shingle count BEFORE the df cutoff: containment is relative to
+    // the probe document itself, not to what survived corpus filtering
+    val pSizes = ps.groupBy("probe_id").agg(count(lit(1)).as("n_probe_sh"))
+    cs.join(ps, "shingle")
+      .groupBy(col(id), col("probe_id")).agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+      .join(pSizes, "probe_id")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_probe_sh").cast("double"))
+      .select(col(id), col("probe_id"), col("n_common"), col("n_probe_sh"),
+        col("containment"))
+  }
+
+  /**
    * Resolve candidate pairs into duplicate CLUSTERS: connected components
    * by iterative min-label propagation, so each document maps to the
    * smallest id reachable through the pair graph (= the canonical doc of

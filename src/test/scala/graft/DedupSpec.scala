@@ -138,6 +138,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       threshold = 0.9, signBits = 3, maxBucket = 10).count() == 45)
   }
 
+  test("containmentPairs flags probe docs copied from the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark execution engines")
+    ).toDF("id", "text")
+    val probe = Seq(
+      (100L, "quick brown fox jumps over the lazy dog"), // substring of doc 1
+      (200L, "unrelated evaluation sentence with novel words")
+    ).toDF("id", "text")
+    val out = Dedup.containmentPairs(corpus, probe, "id", "text",
+        k = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(out.toSeq == Seq((1L, 100L, 1.0))) // fully contained; 200 clean
+    // the df cutoff drops ubiquitous shingles before the join
+    val capped = Dedup.containmentPairs(corpus, probe, "id", "text",
+      k = 3, minOverlap = 2, maxShingleDf = 0)
+    assert(capped.count() == 0)
+  }
+
   test("trainTestSplit is deterministic and proportionally sane") {
     import spark.implicits._
     import graft.operators.Sampling
