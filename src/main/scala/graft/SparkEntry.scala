@@ -740,6 +740,20 @@ object SparkEntry {
           col("bucket_size"), col("n_buckets"))
         .orderBy("band", "bucket_size")),
 
+    // Gopher-style repetition signals: duplicate-token ratio + top-bigram
+    // coverage, doc-local zero-shuffle column expressions
+    "q61_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      val ng = toks.select(col("doc_id"), col("__toks"),
+        Text.ngramsFromTokens(col("__toks"), 2).as("__ng"))
+      ng.select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          Text.dupTokenRatio(col("__toks")).as("dup_token_ratio"),
+          Text.topFreqFrac(col("__ng")).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // cross-corpus contamination: probe (eval-set) docs whose word shingles
     // are contained in training-corpus docs — n-gram decontamination
     "q60_contamination" -> ((s, dir) => {
@@ -1502,6 +1516,19 @@ object SparkEntry {
          |SELECT CAST(band AS BIGINT) AS band, bucket_size, count(*) AS n_buckets
          |FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size""".stripMargin
     },
+
+    "q61_repetition" ->
+      """SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_frac FROM (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) AS dup_token_ratio,
+        |    CAST(list_max(list_transform(ng, x -> len(list_filter(ng, y -> y = x)))) AS DOUBLE)
+        |      / greatest(len(ng), 1) AS top_bigram_frac
+        |  FROM (
+        |    SELECT doc_id, t, list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+        |      i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) AS ng
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
 
     "q60_contamination" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),

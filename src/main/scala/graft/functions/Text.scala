@@ -21,6 +21,31 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Word n-grams from a token ARRAY (non-distinct, document order); docs
+   *  shorter than `n` tokens yield their whole text as one n-gram — the
+   *  same short-doc convention as `Dedup.wordShingles`. Takes the array so
+   *  callers materialize the tokenization once. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** Fraction of tokens that repeat an earlier token — the duplicate-token
+   *  repetition signal of Gopher-style quality filtering (Rae et al. 2021,
+   *  "Scaling Language Models", §A1.1 repetition filters):
+   *  (total − distinct) / total. Doc-local, zero shuffle. */
+  def dupTokenRatio(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Fraction of array slots occupied by the single most frequent element —
+   *  applied to `ngramsFromTokens` this is the top-n-gram coverage
+   *  repetition signal. O(len²) per document but doc-local (no shuffle,
+   *  stays in codegen); pair with a length cap upstream for pathological
+   *  documents. */
+  def topFreqFrac(arr: Column): Column =
+    array_max(transform(arr, x => size(filter(arr, y => y === x))))
+      .cast("double") / greatest(size(arr), lit(1)).cast("double")
+
   /** BPE-ish subword count: alpha runs, digit runs, and single other
    *  non-space chars — a deterministic proxy for tokenizer load estimates. */
   def subwordCount(c: Column): Column =

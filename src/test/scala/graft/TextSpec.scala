@@ -57,4 +57,25 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .select(Text.charShingles(col("t"), 3)).head.getSeq[String](0)
     assert(sh == Seq("abc", "bcd"))
   }
+
+  test("repetition signals: duplicate tokens and top-bigram coverage") {
+    import spark.implicits._
+    def sig(s: String): (Double, Double) = {
+      val row = Seq(s).toDF("t")
+        .select(Text.tokens(col("t")).as("toks"))
+        .select(Text.dupTokenRatio(col("toks")).as("d"),
+          Text.topFreqFrac(Text.ngramsFromTokens(col("toks"), 2)).as("f"))
+        .head
+      (row.getDouble(0), row.getDouble(1))
+    }
+    // all distinct tokens, all distinct bigrams
+    val (d1, f1) = sig("one two three four")
+    assert(d1 == 0.0 && f1 == 1.0 / 3.0)
+    // "spam spam spam spam": 3 of 4 tokens repeat; all 3 bigrams identical
+    val (d2, f2) = sig("spam spam spam spam")
+    assert(d2 == 0.75 && f2 == 1.0)
+    // single-token doc: one whole-text 1-gram, nothing repeats
+    val (d3, f3) = sig("solo")
+    assert(d3 == 0.0 && f3 == 1.0)
+  }
 }
