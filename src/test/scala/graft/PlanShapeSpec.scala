@@ -103,6 +103,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(bucketJoins == 0, s"no join may key on the LSH bucket:\n$plan")
   }
 
+  test("q60: contamination check joins stream the corpus, never self-join it") {
+    val plan = physicalPlan("q60_contamination")
+    // rare-shingle cutoff, probe shingles, and probe sizes all broadcast
+    // against the corpus shingle stream; a SortMergeJoin would mean the
+    // corpus got shuffled into a join build side
+    assert(!plan.contains("SortMergeJoin"),
+      s"all contamination joins must broadcast the small side:\n$plan")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 3, s"expected 3 broadcast joins (rare, probe, sizes), got $broadcasts:\n$plan")
+  }
+
   test("q19: as-of join has no join node at all (union + window form)") {
     val plan = physicalPlan("q19_asof_join")
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
