@@ -720,15 +720,16 @@ object SparkEntry {
     // DMF catalog end-to-end: schedule + metric/expectation registration,
     // then on-demand evaluation (each metric one distributed aggregate)
     "q57_dmf_eval" -> ((s, dir) => {
-      import graft.dq.{DmfCatalog, Metrics}
+      import graft.dq.DmfCatalog
       val cat = new DmfCatalog(s)
       cat.setSchedule("customer", "USING CRON 0 8,14,20 * * * UTC")
-      cat.addMetric("customer", "row_count", Seq(), Metrics.rowCount,
+      // column-form metrics: all three fuse into ONE scan of the table
+      cat.addColumnMetric("customer", "row_count", Seq(), count(lit(1)),
         "rows_present", "VALUE > 0", _ > 0)
-      cat.addMetric("customer", "null_name", Seq("c_name"),
-        Metrics.nullCount(_, "c_name"), "no_null_name", "VALUE = 0", _ == 0)
-      cat.addMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
-        Metrics.uniqueCount(_, "c_mktsegment"), "five_segments", "VALUE = 5", _ == 5)
+      cat.addColumnMetric("customer", "null_name", Seq("c_name"),
+        count(when(col("c_name").isNull, 1)), "no_null_name", "VALUE = 0", _ == 0)
+      cat.addColumnMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
+        countDistinct(col("c_mktsegment")), "five_segments", "VALUE = 5", _ == 5)
       cat.evaluate(_ => t(s, dir, "customer")).orderBy("metric_name")
     }),
 

@@ -88,9 +88,13 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
         "rows_present", "VALUE > 0", _ > 0)
     }
     cat.setSchedule("t1", "USING CRON 0 8,14,20 * * * UTC")
+    // one opaque metric and one fusable column metric, mixed
     cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
       "rows_present", "VALUE > 0", _ > 0)
-    cat.addMetric("t1", "null_count", Seq("k"), Metrics.nullCount(_, "k"),
+    cat.addColumnMetric("t1", "null_count", Seq("k"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("k").isNull, 1)),
       "no_null_keys", "VALUE = 0", _ == 0, comment = "DQ-024 analogue")
     // catalog is a plain DataFrame; cron is shared per object
     val rows = cat.catalog.orderBy("metric_name").collect()

@@ -103,6 +103,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(bucketJoins == 0, s"no join may key on the LSH bucket:\n$plan")
   }
 
+  test("q57: column-form DMF metrics fuse into one pass per table") {
+    import graft.dq.DmfCatalog
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
+    val cat = new DmfCatalog(spark)
+    cat.setSchedule("customer", "5 MINUTE")
+    cat.addColumnMetric("customer", "row_count", Seq(), count(lit(1)), "e1", "VALUE > 0", _ > 0)
+    cat.addColumnMetric("customer", "null_name", Seq("c_name"),
+      count(when(col("c_name").isNull, 1)), "e2", "VALUE = 0", _ == 0)
+    cat.addColumnMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
+      countDistinct(col("c_mktsegment")), "e3", "VALUE = 5", _ == 5)
+    // fusion contract: all column metrics on one table resolve the table
+    // ONCE and run as one agg job — N metrics over 100 TB cost one scan
+    var resolves = 0
+    val out = cat.evaluate { _ =>
+      resolves += 1
+      spark.read.parquet(s"$dir/customer.parquet")
+    }
+    assert(resolves == 1, s"expected one resolve for three fused metrics, got $resolves")
+    assert(out.count() == 3 &&
+      out.filter(org.apache.spark.sql.functions.col("status") === "PASS").count() == 3)
+  }
+
   test("q60: contamination check joins stream the corpus, never self-join it") {
     val plan = physicalPlan("q60_contamination")
     // rare-shingle cutoff, probe shingles, and probe sizes all broadcast
