@@ -107,4 +107,29 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /**
+   * Streaming exact dedup — the streaming counterpart of
+   * `Dedup.dropExactDuplicates` (q26): ONE row survives per content hash.
+   * A duplicate in a later micro-batch than its original always drops;
+   * within a single micro-batch the surviving duplicate is arbitrary
+   * (partition order), matching `dropDuplicatesWithinWatermark` semantics —
+   * the batch operator's deterministic min-id pick needs a global view a
+   * stream doesn't have. Built on the native
+   * `dropDuplicatesWithinWatermark`, so the state store keeps one compact
+   * md5 entry per distinct document and EVICTS entries older than the
+   * watermark — without the watermark bound, streaming dedup state grows
+   * with the corpus forever, which is the operational failure mode at
+   * ingest scale. Duplicates arriving farther apart than the watermark
+   * delay both survive (the dedup guarantee is scoped to the watermark
+   * window); run the batch operator over the landed data for a final
+   * global pass.
+   */
+  def dedupStream(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("__text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
 }

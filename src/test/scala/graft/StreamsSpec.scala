@@ -145,6 +145,41 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(ms.executionLog.count() == 1)
   }
 
+  test("dedupStream keeps one row per text; later-batch duplicates drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdedupstream").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      (1L, "alpha doc", ts("2024-01-01 00:00:01")),
+      (2L, "alpha doc", ts("2024-01-01 00:00:02")), // in-batch dup → one survives
+      (3L, "beta doc", ts("2024-01-01 00:00:03"))
+    ).toDF("doc_id", "text", "ts")
+    b1.write.parquet(dir + "/in")
+    val stream = Streams.parquetStream(spark, dir + "/in", b1.schema)
+    val q = Streams.startMemorySink(
+      Streams.dedupStream(stream, "text", "ts", "10 minutes"), "dedup_smoke")
+    try {
+      q.processAllAvailable()
+      // second micro-batch: cross-batch duplicate must drop, new doc lands
+      Seq((4L, "beta doc", ts("2024-01-01 00:00:04")),
+          (5L, "gamma doc", ts("2024-01-01 00:00:05")))
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(dir + "/in")
+      q.processAllAvailable()
+      val out = spark.table("dedup_smoke").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // exactly one survivor per distinct text
+      assert(out.map(_._2).sorted == Seq("alpha doc", "beta doc", "gamma doc"))
+      // cross-batch guarantees: beta survived from batch 1 (doc 3, not 4);
+      // alpha's survivor is one of the in-batch duplicates
+      assert(out.exists(_ == ((3L, "beta doc"))) && !out.exists(_._1 == 4L))
+      assert(out.exists(r => (r._1 == 1L || r._1 == 2L) && r._2 == "alpha doc"))
+      assert(out.exists(_ == ((5L, "gamma doc"))))
+      // dedup key column does not leak into the output schema
+      assert(spark.table("dedup_smoke").columns.toSeq == Seq("doc_id", "text", "ts"))
+    } finally q.stop()
+  }
+
   test("queryHistory filters by id and time, newest first, limit-N") {
     val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
     val ms = new MetaStore(spark, dir)
