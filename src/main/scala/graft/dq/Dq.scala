@@ -44,6 +44,21 @@ object Metrics {
    *  (ref: setup_dmf_data_quality.sql:109-119). */
   def sourceTargetCountDifference(source: DataFrame, target: DataFrame): Long =
     math.abs(source.count() - target.count())
+
+  /** Sketch-based UNIQUE_COUNT for 100 TB-scale profiling (SURVEY §9):
+    * HyperLogLog++ with relative standard deviation `rsd` — one pass,
+    * fixed-size sketch per partition merged on the driver, where exact
+    * `countDistinct` must shuffle every distinct value. Use when the
+    * expectation is a bound ("roughly N keys"), not an exact equality. */
+  def approxUniqueCount(df: DataFrame, c: String, rsd: Double = 0.05): Long =
+    df.agg(approx_count_distinct(col(c), rsd).as("n")).head.getLong(0)
+
+  /** Sketch-based quantiles (Greenwald-Khanna): bounded-memory single pass
+    * vs the exact full sort; `relativeError` 0 degenerates to exact. */
+  def approxQuantiles(
+      df: DataFrame, c: String, probabilities: Array[Double],
+      relativeError: Double = 0.01): Array[Double] =
+    df.stat.approxQuantile(c, probabilities, relativeError)
 }
 
 /** Expectation runner (ref: setup_dmf_data_quality.sql:141-148 `EXPECT VALUE = 0`). */

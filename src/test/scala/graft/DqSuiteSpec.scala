@@ -78,6 +78,17 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     assert(s21.contains(""""outlier_count":""") && s21.contains(""""max_days":13"""))
   }
 
+  test("approx metrics land within their error bounds") {
+    import spark.implicits._
+    import graft.dq.Metrics
+    val df = (0L until 10000L).toDF("v")
+    val approx = Metrics.approxUniqueCount(df, "v", rsd = 0.05)
+    // HLL++ rsd 5%: allow 3 sigma
+    assert(math.abs(approx - 10000L) <= 1500, s"approx=$approx")
+    val Array(median) = Metrics.approxQuantiles(df, "v", Array(0.5), 0.01)
+    assert(math.abs(median - 5000.0) <= 200.0, s"median=$median")
+  }
+
   test("DmfCatalog: schedule-first ordering, shared cron, evaluate expectations") {
     import spark.implicits._
     import graft.dq.{DmfCatalog, Metrics}
