@@ -28,10 +28,16 @@ object Bench {
       .getOrElse(Seq.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.isEmpty || filter.exists(name.contains) }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a throwing query must not bench as fast: remember the failure
+            // and report -1 below instead of the (meaningless) wall time
+            failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         finally graft.core.Caches.releaseAll() // drop operator-taken caches
         (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -40,17 +46,26 @@ object Bench {
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      name -> median
+      // failure marker: -1 is numeric (keeps the line machine-readable) and
+      // unambiguous, since no real wall time is negative
+      name -> (if (failures.contains(name)) -1.0 else median)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // record run conditions: runs-per-query and the host 1-minute loadavg at
-    // exit, so a contended-machine bench is readable as such afterwards
+    // failed queries are excluded from the headline total
+    val total = results.values.filter(_ >= 0).sum
+    // run conditions (runs-per-query, exit loadavg) and failure details go to
+    // stderr: the driver parses stdout's single JSON line by its documented
+    // shape {"metric",...,"sf":...} and extra trailing keys break the match
+    // (BENCH_r05/r06 "parsed": null came from appending runs/loadavg after "sf")
     val load =
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
       catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg1":$load}""")
+    val failedJson = failures.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -725,11 +725,11 @@ object SparkEntry {
       cat.setSchedule("customer", "USING CRON 0 8,14,20 * * * UTC")
       // column-form metrics: all three fuse into ONE scan of the table
       cat.addColumnMetric("customer", "row_count", Seq(), count(lit(1)),
-        "rows_present", "VALUE > 0", _ > 0)
+        "rows_present", "VALUE > 0")
       cat.addColumnMetric("customer", "null_name", Seq("c_name"),
-        count(when(col("c_name").isNull, 1)), "no_null_name", "VALUE = 0", _ == 0)
+        count(when(col("c_name").isNull, 1)), "no_null_name", "VALUE = 0")
       cat.addColumnMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
-        countDistinct(col("c_mktsegment")), "five_segments", "VALUE = 5", _ == 5)
+        countDistinct(col("c_mktsegment")), "five_segments", "VALUE = 5")
       cat.evaluate(_ => t(s, dir, "customer")).orderBy("metric_name")
     }),
 
@@ -778,6 +778,31 @@ object SparkEntry {
         .select(col("band").cast("long").as("band"),
           col("bucket_size"), col("n_buckets"))
         .orderBy("band", "bucket_size")
+    }),
+
+    // DMF results history: two evaluation runs persisted to the metastore's
+    // results log, read back via the STEP-6 trend query (newest run first)
+    // — run 1 sees the pre-1995 slice (clean), run 2 the full table (drift)
+    "q62_dmf_history" -> ((s, dir) => {
+      import graft.dq.DmfCatalog
+      import graft.meta.MetaStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dmf-hist").toString
+      val meta = new MetaStore(s, tmp)
+      val cat = new DmfCatalog(s)
+      cat.setSchedule("orders", "USING CRON 0 8 * * * UTC")
+      cat.addColumnMetric("orders", "row_count", Seq(), count(lit(1)),
+        "rows_present", "VALUE > 0")
+      cat.addColumnMetric("orders", "recent_orders", Seq("o_orderdate"),
+        count(when(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")), 1)),
+        "no_recent", "VALUE = 0")
+      val orders = t(s, dir, "orders")
+      cat.evaluateAndLog(
+        _ => orders.filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1995-01-01"))),
+        meta, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      cat.evaluateAndLog(_ => orders,
+        meta, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      meta.dmfResultHistory(None, limit = 10)
+        .select("run_ts", "metric_name", "value", "status")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1565,7 +1590,34 @@ object SparkEntry {
          |bs AS (SELECT band, bucket, count(*) AS bucket_size FROM banded GROUP BY 1, 2)
          |SELECT CAST(band AS BIGINT) AS band, bucket_size, count(*) AS n_buckets
          |FROM bs GROUP BY 1, 2 ORDER BY band, bucket_size""".stripMargin
-    })
+    },
+
+    "q62_dmf_history" ->
+      """WITH r1 AS (
+        |  SELECT COUNT(*) AS rc,
+        |    COUNT(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS rec
+        |  FROM orders WHERE o_orderdate < DATE '1995-01-01'),
+        |r2 AS (
+        |  SELECT COUNT(*) AS rc,
+        |    COUNT(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS rec
+        |  FROM orders)
+        |SELECT run_ts, metric_name, value, status FROM (
+        |  SELECT TIMESTAMP '2026-01-01 00:00:00' AS run_ts,
+        |    'row_count' AS metric_name, CAST(rc AS BIGINT) AS value,
+        |    CASE WHEN rc > 0 THEN 'PASS' ELSE 'FAIL' END AS status FROM r1
+        |  UNION ALL
+        |  SELECT TIMESTAMP '2026-01-01 00:00:00', 'recent_orders',
+        |    CAST(rec AS BIGINT),
+        |    CASE WHEN rec = 0 THEN 'PASS' ELSE 'FAIL' END FROM r1
+        |  UNION ALL
+        |  SELECT TIMESTAMP '2026-01-02 00:00:00', 'row_count',
+        |    CAST(rc AS BIGINT),
+        |    CASE WHEN rc > 0 THEN 'PASS' ELSE 'FAIL' END FROM r2
+        |  UNION ALL
+        |  SELECT TIMESTAMP '2026-01-02 00:00:00', 'recent_orders',
+        |    CAST(rec AS BIGINT),
+        |    CASE WHEN rec = 0 THEN 'PASS' ELSE 'FAIL' END FROM r2
+        |) ORDER BY run_ts DESC, metric_name""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -2,6 +2,7 @@ package graft.dq
 
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.meta.{DmfResultRow, MetaStore}
 
 /**
  * DMF scheduling + expectation metadata — the operational catalog the
@@ -14,7 +15,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  *  - STEP 3 `ALTER ... ADD DATA METRIC FUNCTION <name> ON (cols)` — the
  *    metric association;
  *  - STEP 4 `CREATE EXPECTATION <name> ... EXPECT <expr> WITH COMMENT` —
- *    the pass/fail criterion per metric.
+ *    the pass/fail criterion per metric. The `EXPECT VALUE <op> <n>` string
+ *    is parsed at registration and IS the predicate — prose and check
+ *    cannot drift;
+ *  - STEP 5 `DATA_METRIC_FUNCTION_REFERENCES(...)` — per-DMF schedule
+ *    status with last/next execution times (`references`, ref :153-166);
+ *  - STEP 6 `DATA_METRIC_FUNCTION_RESULTS(...) ORDER BY timestamp DESC
+ *    LIMIT 10` — the results history (`evaluateAndLog` persists each run
+ *    through [[graft.meta.MetaStore]]; `MetaStore.dmfResultHistory` is the
+ *    trend query, ref :174-190).
  *
  * Actual triggering stays external (SURVEY §2.11's external-cron stance —
  * an orchestrator reads `catalog` and fires `evaluate` on its own clock);
@@ -60,26 +69,27 @@ final class DmfCatalog(spark: SparkSession) {
       table: String, metricName: String, columns: Seq[String],
       metric: Either[DataFrame => Long, Column],
       expectationName: String, expectationExpr: String,
-      expect: Long => Boolean, comment: String): Unit = {
+      comment: String): Unit = {
     require(schedules.contains(table),
       s"set a DATA_METRIC_SCHEDULE on '$table' before adding DMFs")
     regs += Reg(
       DmfEntry(table, metricName, columns, schedules(table),
         expectationName, expectationExpr, comment),
-      metric, expect)
+      metric, Expectation.parse(expectationExpr))
   }
 
-  /** STEP 3 + 4 — attach an opaque metric function with its expectation.
-    * Fails if the object has no schedule yet (the reference enforces the
-    * same ordering). Prefer `addColumnMetric` when the metric is a single
-    * aggregate — those fuse into one scan per table. */
+  /** STEP 3 + 4 — attach an opaque metric function with its expectation
+    * (`VALUE <op> <n>`, parsed — see [[Expectation]]). Fails if the object
+    * has no schedule yet (the reference enforces the same ordering). Prefer
+    * `addColumnMetric` when the metric is a single aggregate — those fuse
+    * into one scan per table. */
   def addMetric(
       table: String, metricName: String, columns: Seq[String],
       metric: DataFrame => Long,
       expectationName: String, expectationExpr: String,
-      expect: Long => Boolean, comment: String = ""): Unit =
+      comment: String = ""): Unit =
     register(table, metricName, columns, Left(metric),
-      expectationName, expectationExpr, expect, comment)
+      expectationName, expectationExpr, comment)
 
   /** STEP 3 + 4 with a fusable aggregate-Column metric (e.g.
     * `count(when(col("k").isNull, 1))`): all column metrics on one table
@@ -88,9 +98,9 @@ final class DmfCatalog(spark: SparkSession) {
       table: String, metricName: String, columns: Seq[String],
       metric: Column,
       expectationName: String, expectationExpr: String,
-      expect: Long => Boolean, comment: String = ""): Unit =
+      comment: String = ""): Unit =
     register(table, metricName, columns, Right(metric),
-      expectationName, expectationExpr, expect, comment)
+      expectationName, expectationExpr, comment)
 
   /** The catalog as a DataFrame — schedule_cron reflects the object's
     * CURRENT schedule, so a later setSchedule shows through. */
@@ -101,27 +111,124 @@ final class DmfCatalog(spark: SparkSession) {
   /** Evaluate every registered DMF + expectation; `resolve` maps a catalog
     * table name to its DataFrame. Column metrics fuse into ONE aggregate
     * scan per table; opaque metrics run one job each. Only the (≤ #checks)
-    * scalar results land on the driver; registration order is preserved. */
-  def evaluate(resolve: String => DataFrame): DataFrame = {
+    * scalar results land on the driver; registration order is preserved.
+    *
+    * A NULL fused aggregate (max/avg-style metric over an empty table) is
+    * NOT coerced to 0 — it surfaces as a null `value` with status ERROR, so
+    * an empty upstream cannot masquerade as `VALUE = 0` passing. */
+  def evaluate(resolve: String => DataFrame): DataFrame =
+    evaluated(resolve).toDF(
+      "table_name", "metric_name", "expectation_name", "value", "status")
+
+  private def evaluated(resolve: String => DataFrame)
+      : Seq[(String, String, String, Option[Long], String)] = {
     // one fused agg per table over the Right-form metrics, keyed by
     // registration index (metric names may repeat across column sets)
-    val fused: Map[Int, Long] = regs.toSeq.zipWithIndex
+    val fused: Map[Int, Option[Long]] = regs.toSeq.zipWithIndex
       .collect { case (Reg(e, Right(c), _), i) => (e.table_name, c, i) }
       .groupBy(_._1)
       .flatMap { case (table, ms) =>
         val aggs = ms.map { case (_, c, i) => c.cast("long").as(s"__m_$i") }
         val row = resolve(table).agg(aggs.head, aggs.tail: _*).head()
         ms.zipWithIndex.map { case ((_, _, i), k) =>
-          i -> (if (row.isNullAt(k)) 0L else row.getLong(k))
+          i -> (if (row.isNullAt(k)) None else Some(row.getLong(k)))
         }
       }
     regs.toSeq.zipWithIndex.map { case (r, i) =>
       val v = r.metric match {
-        case Left(f) => f(resolve(r.entry.table_name))
+        case Left(f) => Some(f(resolve(r.entry.table_name)))
         case Right(_) => fused(i)
       }
+      val status = v match {
+        case Some(x) => if (r.expect(x)) "PASS" else "FAIL"
+        case None => "ERROR" // metric produced no value — not a PASS
+      }
       (r.entry.table_name, r.entry.metric_name, r.entry.expectation_name,
-        v, if (r.expect(v)) "PASS" else "FAIL")
-    }.toDF("table_name", "metric_name", "expectation_name", "value", "status")
+        v, status)
+    }
   }
+
+  /** Evaluate and persist this run to the metastore's DMF results log —
+    * the write side of the reference's DATA_METRIC_FUNCTION_RESULTS table
+    * (setup_dmf_data_quality.sql:174-190). `runTs` defaults to now; tests
+    * pass explicit timestamps for determinism. Returns the run's results. */
+  def evaluateAndLog(
+      resolve: String => DataFrame,
+      meta: MetaStore,
+      runTs: java.sql.Timestamp =
+        new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
+    val rows = evaluated(resolve)
+    meta.appendDmfResults(rows.map { case (t, m, e, v, s) =>
+      DmfResultRow(runTs, t, m, e, v, s)
+    })
+    rows.toDF("table_name", "metric_name", "expectation_name", "value", "status")
+  }
+
+  /** STEP 5 — the DATA_METRIC_FUNCTION_REFERENCES view
+    * (setup_dmf_data_quality.sql:153-166): the catalog plus schedule status
+    * and last/next execution times derived from the persisted results log.
+    * `next_execution_time` comes from parsing the object's cron schedule
+    * forward from the later of last-execution and `now`. */
+  def references(
+      meta: MetaStore,
+      now: java.sql.Timestamp =
+        new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, udf}
+    val asOf = now // functions._ would shadow `now` inside the udf body
+    val last = meta.dmfResults
+      .groupBy("table_name", "metric_name", "expectation_name")
+      .agg(max("run_ts").as("last_execution_time"))
+    val nextUdf = udf((cron: String, lastTs: java.sql.Timestamp) =>
+      CronSchedule.next(cron,
+        if (lastTs != null && lastTs.after(asOf)) lastTs else asOf))
+    catalog
+      .join(last, Seq("table_name", "metric_name", "expectation_name"), "left")
+      .withColumn("schedule_status", lit("STARTED"))
+      .withColumn("next_execution_time",
+        nextUdf(col("schedule_cron"), col("last_execution_time")))
+  }
+}
+
+/**
+ * Minimal schedule arithmetic for the two schedule forms the reference
+ * uses (setup_dmf_data_quality.sql:44-56): `USING CRON <m> <h[,h...]> * * *
+ * [TZ]` (daily at fixed hours, e.g. `USING CRON 0 8,14,20 * * * UTC`) and
+ * `<n> MINUTE` intervals. Day-of-month/month/weekday restrictions are out
+ * of scope — the reference never sets them.
+ */
+object CronSchedule {
+  private val Cron =
+    """(?i)\s*USING\s+CRON\s+(\d+)\s+([\d,*]+)\s+\*\s+\*\s+\*\s*(\S*)\s*""".r
+  private val Interval = """(?i)\s*(\d+)\s+MINUTE\s*""".r
+
+  /** Next firing strictly after `after`, or null for an unparseable
+    * schedule (surfaces as a null next_execution_time, not a crash). */
+  def next(schedule: String, after: java.sql.Timestamp): java.sql.Timestamp =
+    schedule match {
+      case Interval(n) =>
+        new java.sql.Timestamp(after.getTime + n.toLong * 60000L)
+      case Cron(minute, hours, _) =>
+        val m = minute.toInt
+        val hs: Seq[Int] =
+          if (hours == "*") 0 to 23
+          else hours.split(",").toSeq.map(_.toInt).sorted
+        val cal = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTimeInMillis(after.getTime)
+        cal.set(java.util.Calendar.SECOND, 0)
+        cal.set(java.util.Calendar.MILLISECOND, 0)
+        val curH = cal.get(java.util.Calendar.HOUR_OF_DAY)
+        val curM = cal.get(java.util.Calendar.MINUTE)
+        hs.find(h => h > curH || (h == curH && m > curM)) match {
+          case Some(h) =>
+            cal.set(java.util.Calendar.HOUR_OF_DAY, h)
+            cal.set(java.util.Calendar.MINUTE, m)
+          case None => // first slot tomorrow
+            cal.add(java.util.Calendar.DAY_OF_MONTH, 1)
+            cal.set(java.util.Calendar.HOUR_OF_DAY, hs.head)
+            cal.set(java.util.Calendar.MINUTE, m)
+        }
+        new java.sql.Timestamp(cal.getTimeInMillis)
+      case _ => null
+    }
 }

@@ -67,6 +67,40 @@ final case class Expectation(name: String, predicate: Long => Boolean) {
     DqResult(name, if (predicate(value)) "PASS" else "FAIL", value, "")
 }
 
+/**
+ * The reference's `EXPECT VALUE <op> <n>` grammar
+ * (setup_dmf_data_quality.sql:121,148 — `EXPECT VALUE = 0`), parsed into a
+ * live predicate so the catalog string is the single source of truth (a
+ * separate prose string and lambda can silently drift apart).
+ * Supported ops: `= == != <> < <= > >=`.
+ */
+object Expectation {
+  private val Grammar =
+    """(?i)\s*VALUE\s*(=|==|!=|<>|<=|>=|<|>)\s*(-?\d+)\s*""".r
+
+  /** Parse or die — a bad expectation string fails at registration, not as
+    * a silent PASS at evaluation time. */
+  def parse(expr: String): Long => Boolean = expr match {
+    case Grammar(op, n) =>
+      val bound = n.toLong
+      op match {
+        case "=" | "==" => (v: Long) => v == bound
+        case "!=" | "<>" => (v: Long) => v != bound
+        case "<" => (v: Long) => v < bound
+        case "<=" => (v: Long) => v <= bound
+        case ">" => (v: Long) => v > bound
+        case ">=" => (v: Long) => v >= bound
+      }
+    case _ => throw new IllegalArgumentException(
+      s"cannot parse expectation '$expr': expected VALUE <op> <integer> " +
+        "with op in {=, ==, !=, <>, <, <=, >, >=}")
+  }
+
+  /** Parse into a named runner (the check-suite form). */
+  def of(name: String, expr: String): Expectation =
+    Expectation(name, parse(expr))
+}
+
 /** Result row shape of the hand-written DQ suite
  *  (ref: sql/.../test_data_quality.sql:17-26). */
 final case class DqResult(testId: String, status: String, failedRows: Long, businessImpact: String)

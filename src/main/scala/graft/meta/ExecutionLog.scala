@@ -39,6 +39,18 @@ final case class HighWaterMark(
     carrier_name: String,
     last_load_timestamp: java.sql.Timestamp)
 
+/** One persisted DMF evaluation outcome — the engine-side analogue of a
+  * DATA_METRIC_FUNCTION_RESULTS row (ref:
+  * sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql:174-190).
+  * `value` is None when the metric produced no value (ERROR status). */
+final case class DmfResultRow(
+    run_ts: java.sql.Timestamp,
+    table_name: String,
+    metric_name: String,
+    expectation_name: String,
+    value: Option[Long],
+    status: String)
+
 final class MetaStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
@@ -69,6 +81,22 @@ final class MetaStore(spark: SparkSession, dir: String) {
   }
 
   def batchControl: DataFrame = spark.read.parquet(path("batch_control"))
+
+  def appendDmfResults(rows: Seq[DmfResultRow]): Unit =
+    rows.toDS().write.mode(SaveMode.Append).parquet(path("dmf_results"))
+
+  def dmfResults: DataFrame = spark.read.parquet(path("dmf_results"))
+
+  /** DMF results trend — the reference's STEP 6 query
+    * (setup_dmf_data_quality.sql:174-190): optionally filter one
+    * expectation, newest run first, limit-N. The filter prunes before the
+    * sort, so the top-N sort only sees the matching expectation's rows. */
+  def dmfResultHistory(
+      expectation: Option[String] = None, limit: Int = 10): DataFrame = {
+    val base = dmfResults
+    val filtered = expectation.fold(base)(e => base.filter($"expectation_name" === e))
+    filtered.orderBy($"run_ts".desc, $"metric_name").limit(limit)
+  }
 
   /** Latest watermark per process/carrier; None on first run. */
   def lastLoadTimestamp(process: String, carrier: String): Option[java.sql.Timestamp] = {

@@ -96,17 +96,23 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     // a DMF cannot attach before its object has a schedule
     intercept[IllegalArgumentException] {
       cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
-        "rows_present", "VALUE > 0", _ > 0)
+        "rows_present", "VALUE > 0")
     }
     cat.setSchedule("t1", "USING CRON 0 8,14,20 * * * UTC")
+    // the expectation string IS the predicate — an unparseable one fails
+    // at registration, it cannot silently drift from a separate lambda
+    intercept[IllegalArgumentException] {
+      cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
+        "rows_present", "VALUE IS POSITIVE")
+    }
     // one opaque metric and one fusable column metric, mixed
     cat.addMetric("t1", "row_count", Seq(), Metrics.rowCount,
-      "rows_present", "VALUE > 0", _ > 0)
+      "rows_present", "VALUE > 0")
     cat.addColumnMetric("t1", "null_count", Seq("k"),
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.col("k").isNull, 1)),
-      "no_null_keys", "VALUE = 0", _ == 0, comment = "DQ-024 analogue")
+      "no_null_keys", "VALUE = 0", comment = "DQ-024 analogue")
     // catalog is a plain DataFrame; cron is shared per object
     val rows = cat.catalog.orderBy("metric_name").collect()
     assert(rows.map(_.getAs[String]("schedule_cron")).distinct.toSeq ==
@@ -120,5 +126,58 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
         ((r.getAs[Long]("value"), r.getAs[String]("status")))).toMap
     assert(out("row_count") == ((2L, "PASS")))
     assert(out("null_count") == ((1L, "FAIL")))
+  }
+
+  test("DmfCatalog: null aggregate surfaces as ERROR, never a silent PASS") {
+    import spark.implicits._
+    import graft.dq.DmfCatalog
+    import org.apache.spark.sql.functions.max
+    val cat = new DmfCatalog(spark)
+    cat.setSchedule("empty", "5 MINUTE")
+    // max over zero rows is NULL; under VALUE = 0 the old coercion-to-0
+    // reported PASS on an empty table — it must be ERROR
+    cat.addColumnMetric("empty", "max_v", Seq("v"),
+      max(org.apache.spark.sql.functions.col("v")), "max_is_zero", "VALUE = 0")
+    val row = cat.evaluate(_ =>
+      Seq.empty[(Long, String)].toDF("v", "s")).collect().head
+    assert(row.getAs[String]("status") == "ERROR")
+    assert(row.isNullAt(row.fieldIndex("value")))
+  }
+
+  test("DmfCatalog: results history persists per run; trend + references") {
+    import spark.implicits._
+    import graft.dq.{DmfCatalog, CronSchedule}
+    import graft.meta.MetaStore
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val dir = java.nio.file.Files.createTempDirectory("graft-dmf").toString
+    val meta = new MetaStore(spark, dir)
+    val cat = new DmfCatalog(spark)
+    cat.setSchedule("t1", "USING CRON 0 8,14,20 * * * UTC")
+    cat.addColumnMetric("t1", "null_count", Seq("k"),
+      count(when(col("k").isNull, 1)), "no_null_keys", "VALUE = 0")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 08:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-02 08:00:00")
+    // run 1: clean table → PASS; run 2: a null key appears → FAIL
+    cat.evaluateAndLog(_ => Seq((Some(1), "a")).toDF("k", "v"), meta, ts1)
+    cat.evaluateAndLog(_ => Seq((Some(1), "a"), (None, "b")).toDF("k", "v"), meta, ts2)
+    // STEP 6 trend: newest first, filtered to one expectation, limit-N
+    val hist = meta.dmfResultHistory(Some("no_null_keys"), limit = 10)
+      .select("run_ts", "value", "status").collect()
+    assert(hist.length == 2)
+    assert(hist(0).getTimestamp(0) == ts2 && hist(0).getString(2) == "FAIL")
+    assert(hist(1).getTimestamp(0) == ts1 && hist(1).getString(2) == "PASS")
+    // STEP 5 references: last execution observed, next derived from cron
+    val now = java.sql.Timestamp.valueOf("2026-01-02 10:30:00")
+    val ref = cat.references(meta, now).collect().head
+    assert(ref.getAs[java.sql.Timestamp]("last_execution_time") == ts2)
+    assert(ref.getAs[java.sql.Timestamp]("next_execution_time") ==
+      java.sql.Timestamp.valueOf("2026-01-02 14:00:00"))
+    // cron arithmetic: wrap to tomorrow's first slot; interval form
+    assert(CronSchedule.next("USING CRON 0 8,14,20 * * * UTC",
+      java.sql.Timestamp.valueOf("2026-01-02 20:00:00")) ==
+      java.sql.Timestamp.valueOf("2026-01-03 08:00:00"))
+    assert(CronSchedule.next("5 MINUTE",
+      java.sql.Timestamp.valueOf("2026-01-02 20:00:00")) ==
+      java.sql.Timestamp.valueOf("2026-01-02 20:05:00"))
   }
 }

@@ -108,11 +108,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, when}
     val cat = new DmfCatalog(spark)
     cat.setSchedule("customer", "5 MINUTE")
-    cat.addColumnMetric("customer", "row_count", Seq(), count(lit(1)), "e1", "VALUE > 0", _ > 0)
+    cat.addColumnMetric("customer", "row_count", Seq(), count(lit(1)), "e1", "VALUE > 0")
     cat.addColumnMetric("customer", "null_name", Seq("c_name"),
-      count(when(col("c_name").isNull, 1)), "e2", "VALUE = 0", _ == 0)
+      count(when(col("c_name").isNull, 1)), "e2", "VALUE = 0")
     cat.addColumnMetric("customer", "distinct_mkt", Seq("c_mktsegment"),
-      countDistinct(col("c_mktsegment")), "e3", "VALUE = 5", _ == 5)
+      countDistinct(col("c_mktsegment")), "e3", "VALUE = 5")
     // fusion contract: all column metrics on one table resolve the table
     // ONCE and run as one agg job — N metrics over 100 TB cost one scan
     var resolves = 0
