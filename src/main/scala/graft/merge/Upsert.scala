@@ -61,11 +61,14 @@ object Upsert {
 
     // constant-true markers, NOT key nullability, detect side presence after
     // the full outer join: an all-null-key row would otherwise look absent
-    // from its own side and fall through to the wrong branch
+    // from its own side and fall through to the wrong branch. Marker names
+    // live OUTSIDE the __t_*/__s_* rename namespace — a real column named
+    // "present" renames to __t_present, which a marker of the same name
+    // would silently overwrite
     val t = targetCols.foldLeft(target)((d, c) => d.withColumnRenamed(c, "__t_" + c))
-      .withColumn("__t_present", lit(true))
+      .withColumn("__present_t", lit(true))
     val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, "__s_" + c))
-      .withColumn("__s_present", lit(true))
+      .withColumn("__present_s", lit(true))
     // SQL-MERGE key semantics (`ON t.k = s.k`, ref:
     // connector/snowpark_connector.py:950-954): NULL keys never match, so a
     // null-keyed source row INSERTS rather than updating a null-keyed target
@@ -73,8 +76,8 @@ object Upsert {
     val joinExpr = keys.map(k => t("__t_" + k) === s("__s_" + k)).reduce(_ && _)
     val joined = t.join(s, joinExpr, "full_outer")
 
-    val tPresent = col("__t_present").isNotNull
-    val sPresent = col("__s_present").isNotNull
+    val tPresent = col("__present_t").isNotNull
+    val sPresent = col("__present_s").isNotNull
     val matchedCond = matchedCondition.getOrElse(lit(true))
     val notMatchedCond = notMatchedCondition.getOrElse(lit(true))
 

@@ -107,10 +107,15 @@ object Dedup {
       .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band, bucket) band-membership rows for the LSH family. */
-  private def bandedBuckets(
+  /** (id, band, bucket) band-membership rows for the minhash LSH family —
+    * the shared upstream of `minhashLshPairs` and `lshBucketStats`. Public
+    * so a caller needing both pairs AND the audit histogram can compute the
+    * signature pipeline ONCE (persist this frame, or use
+    * `minhashLshWithStats` which does it for you). */
+  def lshBanded(
       df: DataFrame, id: String, text: String,
-      shingleK: Int, numHashes: Int, bands: Int, portable: Boolean): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(wordShingles(df, id, text, shingleK), id,
       numHashes, portable)
@@ -122,6 +127,37 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col(id), col("bb.band"), col("bb.bucket"))
   }
+
+  /** Candidate pairs from a banded (id, band, bucket) frame: docs sharing a
+    * (band, bucket) pair up, expanded INSIDE each group — one groupBy
+    * shuffle, never a self-join. Shared by the minhash and embedding LSH
+    * paths. Warns through [[graft.core.Warn]] when called uncapped: the
+    * in-bucket fanout is quadratic, so a degenerate bucket (empty docs,
+    * boilerplate) can dominate a 100 TB job silently. */
+  def pairsFromBanded(banded: DataFrame, id: String, maxBucket: Int,
+      caller: String = "pairsFromBanded"): DataFrame = {
+    if (maxBucket == Int.MaxValue)
+      graft.core.Warn(s"$caller: uncapped bucket expansion — pair fanout is " +
+        "quadratic in the largest bucket; at scale pass maxBucket (engine " +
+        "queries use LshMaxBucket=200) and audit drops with the bucket-stats " +
+        "histogram")
+    // Cap predicate counts ROWS (count(1)), not collected ids — collect_list
+    // skips nulls, so a bucket with null-id docs would otherwise be
+    // size-eligible here but not under an external engine's count(*).
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
+      .filter(col("__sz").between(2, maxBucket))
+    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** Per-band bucket-size histogram from a banded frame — audit companion
+    * of `pairsFromBanded`'s cap. */
+  def bucketStatsFromBanded(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
 
   /**
    * MinHash + LSH near-dup candidate pairs: signatures split into `bands`
@@ -137,24 +173,17 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      maxBucket: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
-    val banded = bandedBuckets(df, id, text, shingleK, numHashes, bands, portable)
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false): DataFrame =
     // group docs per (band, bucket) and expand i<j pairs inside the capped
     // array — same shape as ngramJaccardPairs. The former per-band self-join
     // read the banded frame twice (forcing a persist) and was unboundedly
-    // quadratic in bucket size. The cap is opt-in (default uncapped) because
-    // it silently changes recall; production callers at scale SHOULD pass one.
-    // Cap predicate counts ROWS (count(1)), not collected ids — collect_list
-    // skips nulls, so a bucket with null-id docs would otherwise be
-    // size-eligible here but not under an external engine's count(*).
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
-      .filter(col("__sz").between(2, maxBucket))
-    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
-  }
+    // quadratic in bucket size. The cap is opt-in (default uncapped, was 200
+    // before round 5 — external callers relying on that default now get full
+    // recall AND a Warn) because it silently changes recall; production
+    // callers at scale SHOULD pass one.
+    pairsFromBanded(
+      lshBanded(df, id, text, shingleK, numHashes, bands, portable),
+      id, maxBucket, caller = "minhashLshPairs")
 
   /**
    * Per-band bucket-size histogram (band, bucket_size, n_buckets) — the
@@ -167,9 +196,25 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
       portable: Boolean = false): DataFrame =
-    bandedBuckets(df, id, text, shingleK, numHashes, bands, portable)
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bucket_size"))
-      .groupBy(col("band"), col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+    bucketStatsFromBanded(lshBanded(df, id, text, shingleK, numHashes, bands, portable))
+
+  /**
+   * Pairs + audit histogram from ONE signature pipeline: the banded frame
+   * is persisted (Caches-tracked — caller releases via `Caches.releaseAll`
+   * at an idle point) and shared by both outputs, so running the audit
+   * alongside the pair job costs one extra aggregation instead of a full
+   * signature recompute (~2× the shingle/minhash work when run separately,
+   * the q27+q58 profile).
+   */
+  def minhashLshWithStats(
+      df: DataFrame, id: String, text: String,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false): (DataFrame, DataFrame) = {
+    val banded = graft.core.Caches.track(
+      lshBanded(df, id, text, shingleK, numHashes, bands, portable))
+    (pairsFromBanded(banded, id, maxBucket, caller = "minhashLshWithStats"),
+      bucketStatsFromBanded(banded))
+  }
 
   /**
    * Engine-native 64-bit SimHash from whitespace tokens: per-bit majority
@@ -397,29 +442,29 @@ object Dedup {
    * back to the quantized vectors — two hash joins on id whose build side
    * is the capped pair set, never corpus × corpus.
    */
-  def embeddingNearDupPairs(
+  /** (id, band, bucket) band-membership rows for the embedding sign-LSH —
+    * the shared upstream of `embeddingNearDupPairs` and
+    * `embeddingBucketStats` (see `lshBanded` for the sharing rationale). */
+  def embeddingBanded(
       df: DataFrame, id: String, vec: String,
-      threshold: Double = 0.95, signBits: Int = 8,
-      bands: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
-    import graft.functions.Vectors
-    // quantize + self-dot once per row; re-read twice by the verify joins
-    // below (re-scanning the source beats persisting a corpus-sized frame)
-    val v = df.select(col(id).as("__vid"), Vectors.quantize(col(vec)).as("__qv"))
-      .withColumn("__n", Vectors.dotQ(col("__qv"), col("__qv")))
-    val banded = df.select(col(id), explode(array((0 until bands).map { b =>
+      signBits: Int = 8, bands: Int = 1): DataFrame =
+    df.select(col(id), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           Similarity.signBucket(col(vec), signBits, b * signBits).as("bucket"))
       }: _*)).as("bb"))
       .select(col(id), col("bb.band"), col("bb.bucket"))
-    // row-count cap (not size(ids)): collect_list skips null ids, so the
-    // predicate must count rows to match an external count(*) semantics
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
-      .filter(col("__sz").between(2, maxBucket))
-    val pairs = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+
+  /** Cosine-verify a bounded candidate pair set: two id-equi joins fetch
+    * the quantized vectors (build side = the capped pair set, never
+    * corpus × corpus), then the exact quantized cosine filters. */
+  private def verifyPairs(
+      df: DataFrame, id: String, vec: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    // quantize + self-dot once per row; re-read twice by the verify joins
+    // (re-scanning the source beats persisting a corpus-sized frame)
+    val v = df.select(col(id).as("__vid"), Vectors.quantize(col(vec)).as("__qv"))
+      .withColumn("__n", Vectors.dotQ(col("__qv"), col("__qv")))
     pairs
       .join(v.select(col("__vid"), col("__qv").as("__qa"), col("__n").as("__na")),
         col("id_a") === col("__vid")).drop("__vid")
@@ -431,6 +476,15 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  def embeddingNearDupPairs(
+      df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, signBits: Int = 8,
+      bands: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame =
+    verifyPairs(df, id, vec,
+      pairsFromBanded(embeddingBanded(df, id, vec, signBits, bands), id,
+        maxBucket, caller = "embeddingNearDupPairs"),
+      threshold)
+
   /**
    * Per-band bucket-size histogram for the embedding sign-LSH — the audit
    * companion of `embeddingNearDupPairs`'s `maxBucket`, as `lshBucketStats`
@@ -439,11 +493,22 @@ object Dedup {
   def embeddingBucketStats(
       df: DataFrame, id: String, vec: String,
       signBits: Int = 8, bands: Int = 1): DataFrame =
-    df.select(col(id), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          Similarity.signBucket(col(vec), signBits, b * signBits).as("bucket"))
-      }: _*)).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("bucket_size"))
-      .groupBy(col("band"), col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+    bucketStatsFromBanded(embeddingBanded(df, id, vec, signBits, bands))
+
+  /**
+   * Embedding near-dup pairs + audit histogram from ONE banded frame
+   * (Caches-tracked persist, as `minhashLshWithStats`): the audit costs one
+   * extra aggregation instead of recomputing bucketing, the q30+q59 profile.
+   */
+  def embeddingNearDupWithStats(
+      df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, signBits: Int = 8,
+      bands: Int = 1, maxBucket: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val banded = graft.core.Caches.track(
+      embeddingBanded(df, id, vec, signBits, bands))
+    (verifyPairs(df, id, vec,
+        pairsFromBanded(banded, id, maxBucket, caller = "embeddingNearDupWithStats"),
+        threshold),
+      bucketStatsFromBanded(banded))
+  }
 }

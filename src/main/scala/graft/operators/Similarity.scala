@@ -25,11 +25,21 @@ object Similarity {
 
   /** Bucket id from the sign bits of `bits` components starting at
     * 0-based dimension `offset` — bands of a multi-probe LSH read disjoint
-    * slices so each band is an independent hash family. */
-  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column =
-    (0 until bits).map { j =>
+    * slices so each band is an independent hash family.
+    *
+    * Requires `offset + bits <= length(vec)`; a too-short vector fails fast
+    * with a clear error on EVERY ANSI setting — ANSI-off element_at would
+    * silently read null, turning every out-of-range bit into 0 and skewing
+    * all high bands into one giant bucket (the quadratic-blowup footgun). */
+  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column = {
+    val bucket = (0 until bits).map { j =>
       when(element_at(vec, offset + j + 1) > 0.0f, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    when(size(vec) >= lit(offset + bits), bucket)
+      .otherwise(raise_error(concat(
+        lit(s"signBucket: need ${offset + bits} dims (offset=$offset, bits=$bits) but vector has "),
+        size(vec).cast("string"))))
+  }
 
   /**
    * Exact top-k neighbors for each query vector (cosine, quantized-exact).

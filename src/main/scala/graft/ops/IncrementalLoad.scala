@@ -18,8 +18,40 @@ import graft.meta.{ExecutionLogRow, MetaStore}
  * partition pruning), so each run reads only the new slice — the property
  * that keeps a 100 TB CDC table loadable in minutes. The merge is one
  * key-shuffle; audit writes are driver-sized.
+ *
+ * On date-partitioned storage the row-level watermark predicate alone does
+ * NOT prune partitions — `ts > watermark` is a predicate on a data column,
+ * and the scanner still lists and opens every date directory to evaluate
+ * it. Pass `partitionDateCol` so the slice also carries the derived
+ * coarse predicate `date >= date(watermark)`, which Catalyst turns into
+ * PartitionFilters: old partitions are skipped at file-listing time, the
+ * difference between reading one day and reading ten years
+ * (PlanShapeSpec pins this; SCALE.md records the measured reduction).
  */
 object IncrementalLoad {
+
+  /** The incremental slice of `source` after watermark `since`.
+    *
+    * With `partitionDateCol` set (storage partitioned by a DATE column at
+    * day granularity), the watermark also becomes a partition predicate:
+    * every row with `ts > watermark` lives in a partition whose date is
+    * >= date(watermark), so `date >= to_date(watermark)` is safe — it can
+    * only over-include within the watermark day itself, where the exact
+    * row predicate still applies. */
+  def incrementalSlice(
+      source: DataFrame,
+      watermarkCol: String,
+      since: Option[java.sql.Timestamp],
+      partitionDateCol: Option[String] = None): DataFrame =
+    since match {
+      case None => source
+      case Some(ts) =>
+        val rowPred = col(watermarkCol) > lit(ts)
+        partitionDateCol match {
+          case Some(p) => source.filter(rowPred && col(p) >= to_date(lit(ts)))
+          case None    => source.filter(rowPred)
+        }
+    }
 
   final case class LoadResult(
       processName: String,
@@ -44,13 +76,11 @@ object IncrementalLoad {
       source: DataFrame,
       target: DataFrame,
       keys: Seq[String],
-      watermarkCol: String)(sink: DataFrame => Unit): LoadResult = {
+      watermarkCol: String,
+      partitionDateCol: Option[String] = None)(sink: DataFrame => Unit): LoadResult = {
     val start = new java.sql.Timestamp(System.currentTimeMillis())
     val since = meta.lastLoadTimestamp(processName, carrier)
-    val incoming = since match {
-      case Some(ts) => source.filter(col(watermarkCol) > lit(ts))
-      case None     => source
-    }
+    val incoming = incrementalSlice(source, watermarkCol, since, partitionDateCol)
     // one pass over the slice: rows + max watermark together
     val stats = incoming.agg(
       count(lit(1)).as("n"), max(col(watermarkCol)).as("hwm")).head()

@@ -59,6 +59,53 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(stats.exists(_._1 >= 2L), stats.mkString(","))
   }
 
+  test("uncapped LSH pair expansion warns; capped stays silent") {
+    import graft.core.Warn
+    // building the frame is enough — the footgun warning fires at call
+    // time, before any job runs
+    val (_, warns) = Warn.capturing {
+      Dedup.minhashLshPairs(docs, "id", "text")
+      Dedup.embeddingNearDupPairs(
+        docs.select(col("id"), array(lit(1f), lit(-1f), lit(1f), lit(1f),
+          lit(-1f), lit(1f), lit(1f), lit(1f)).as("emb")),
+        "id", "emb", signBits = 8)
+    }
+    assert(warns.length == 2 && warns.forall(_.contains("uncapped")), warns.mkString("; "))
+    val (_, silent) = Warn.capturing {
+      Dedup.minhashLshPairs(docs, "id", "text", maxBucket = 200)
+    }
+    assert(silent.isEmpty)
+  }
+
+  test("minhashLshWithStats: pairs and audit share one persisted banded frame") {
+    import graft.core.Caches
+    Caches.releaseAll()
+    val before = {
+      // the signature pipeline tracks its own shingle cache — measure the
+      // combined entry point's ADDITIONAL tracked frame against it
+      Dedup.minhashLshPairs(docs, "id", "text", maxBucket = 200)
+      Caches.trackedCount
+    }
+    Caches.releaseAll()
+    val (pairs, stats) = Dedup.minhashLshWithStats(docs, "id", "text",
+      shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)
+    assert(Caches.trackedCount == before + 1,
+      s"exactly one shared banded frame must be tracked on top of the $before pipeline-internal")
+    // both outputs read the persisted frame instead of re-running the
+    // shingle/minhash pipeline
+    assert(pairs.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(stats.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // same results as the standalone entry points
+    val lonePairs = Dedup.minhashLshPairs(docs, "id", "text",
+      shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)
+      .collect().map(_.toSeq).toSet
+    assert(pairs.collect().map(_.toSeq).toSet == lonePairs)
+    val loneStats = Dedup.lshBucketStats(docs, "id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(stats.collect().map(_.toSeq).toSet == loneStats)
+    Caches.releaseAll()
+  }
+
   test("simhashPortable: identical docs share the hash; hamming to near dup is small") {
     val sh = Dedup.simhashPortable(docs, "id", "text", bits = 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -254,6 +301,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .orderBy("rank").collect()
     assert(top.forall(r => r.getString(1) != null), "string ids must survive")
     assert(top.map(_.getString(1)).toSeq == Seq("doc-b", "doc-c"))
+  }
+
+  test("signBucket fails fast when the vector is shorter than offset+bits") {
+    import spark.implicits._
+    // 4-dim vectors with an 8-bit bucket: ANSI-off element_at would silently
+    // zero the missing bits and funnel every vector into one bucket
+    val d = Seq((1L, Array(1f, -1f, 1f, 1f))).toDF("id", "emb")
+    val ex = intercept[Exception] {
+      d.select(Similarity.signBucket(col("emb"), bits = 8)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("signBucket")), messages(ex).mkString("; "))
   }
 
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {

@@ -125,6 +125,51 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       out.filter(org.apache.spark.sql.functions.col("status") === "PASS").count() == 3)
   }
 
+  test("incremental CDC slice prunes date partitions, not just row-filters") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import graft.ops.IncrementalLoad
+    // date-partitioned events fixture — the reference's incremental-load
+    // storage layout (connector/snowpark_connector.py:425-453,
+    // docs/KIMBALL_CDC_DATA_DESIGN.md:289-296): 30 day-partitions
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-part").toString
+    graft.core.Tables.load(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val part = spark.read.parquet(tmp)
+    val wm = java.sql.Timestamp.valueOf("2024-01-25 12:00:00")
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val qe = df.queryExecution
+      qe.toRdd.count() // execute THIS plan so its scan metrics populate
+      qe.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    }
+
+    // row-predicate only: no partition filter — every partition is listed
+    // and read just to evaluate ts > wm (the 100 TB anti-pattern)
+    val rowOnly = scanOf(
+      IncrementalLoad.incrementalSlice(part, "ts", Some(wm), None)
+        .select("event_id"))
+    // with the derived partition predicate: PartitionFilters prunes to the
+    // 6 day-partitions at or after the watermark day
+    val pruned = scanOf(
+      IncrementalLoad.incrementalSlice(part, "ts", Some(wm), Some("event_date"))
+        .select("event_id"))
+    assert(pruned.toString.contains("PartitionFilters") &&
+      pruned.toString.contains("event_date"),
+      s"watermark must become a partition filter:\n$pruned")
+    def filesRead(f: org.apache.spark.sql.execution.FileSourceScanExec): Long =
+      f.metrics("numFiles").value
+    assert(filesRead(rowOnly) >= 30,
+      s"fixture sanity: row-only slice reads every day-partition, got ${filesRead(rowOnly)}")
+    assert(filesRead(pruned) <= 6,
+      s"pruned slice must read only watermark-day+ partitions, got ${filesRead(pruned)}")
+    // same rows either way — pruning is a pure scan-cost win
+    assert(IncrementalLoad.incrementalSlice(part, "ts", Some(wm), Some("event_date")).count() ==
+      IncrementalLoad.incrementalSlice(part, "ts", Some(wm), None).count())
+  }
+
   test("q60: contamination check joins stream the corpus, never self-join it") {
     val plan = physicalPlan("q60_contamination")
     // rare-shingle cutoff, probe shingles, and probe sizes all broadcast

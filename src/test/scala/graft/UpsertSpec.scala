@@ -76,4 +76,16 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val row = r.result.head
     assert(row.getAs[String]("v") == "a" && row.getAs[Double]("m") == 99.0)
   }
+
+  test("a real column named 'present' is not clobbered by side markers") {
+    import spark.implicits._
+    // "present" renames to __t_present/__s_present; the side markers must
+    // live outside that namespace or they overwrite the real column
+    val target = Seq((1, false), (2, false)).toDF("k", "present")
+    val source = Seq((2, true), (3, true)).toDF("k", "present")
+    val r = Upsert.merge(target, source, Seq("k"))
+    assert(r.inserted == 1 && r.updated == 1)
+    val out = r.result.collect().map(x => x.getInt(0) -> x.getBoolean(1)).toMap
+    assert(out == Map(1 -> false, 2 -> true, 3 -> true))
+  }
 }
