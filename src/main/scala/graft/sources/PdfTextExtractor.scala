@@ -337,26 +337,39 @@ object PdfTextExtractor {
     if (v < bounds.head || v > bounds.last) -1
     else math.min(bounds.lastIndexWhere(_ <= v), bounds.length - 2)
 
-  /**
-   * Build the table from ruling lines (camelot's "lattice" flavor,
-   * ref: datafeeds/pdf_table_extractor.py:254-258): horizontal ruling ys ×
-   * vertical ruling xs define cell bands; each word falls into the band
-   * pair containing its position, so cell text needs NO x-alignment across
-   * rows — exactly where the word-clustering strategy mis-clusters.
-   * Returns None unless the rulings form a grid of ≥ 2 rows × ≥ 2 columns
-   * with at least one resident word (then the caller falls back to word
-   * clustering).
-   */
-  def latticeTable(
-      pageWords: Seq[Word],
-      segments: Seq[Segment],
-      lineTol: Double = 2.0,
-      minLineLen: Double = 5.0): Option[TableIngest.ExtractedTable] = {
-    if (pageWords.isEmpty) return None
+  /** Disjoint ruling groups: segments whose (tol-expanded) bounding boxes
+    * touch belong to one candidate table — two bordered tables on a page
+    * stay two grids instead of merging into one. Union-find over the (small,
+    * tens-per-page) segment set. */
+  private def segmentComponents(segs: IndexedSeq[Segment], tol: Double): Seq[IndexedSeq[Segment]] = {
+    val n = segs.length
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def touch(s1: Segment, s2: Segment): Boolean = {
+      math.min(s1.x1, s1.x2) - tol <= math.max(s2.x1, s2.x2) &&
+      math.min(s2.x1, s2.x2) - tol <= math.max(s1.x1, s1.x2) &&
+      math.min(s1.y1, s1.y2) - tol <= math.max(s2.y1, s2.y2) &&
+      math.min(s2.y1, s2.y2) - tol <= math.max(s1.y1, s1.y2)
+    }
+    for (i <- 0 until n; j <- i + 1 until n)
+      if (find(i) != find(j) && touch(segs(i), segs(j))) parent(find(i)) = find(j)
+    segs.indices.groupBy(find).values.map(_.map(segs)).toSeq
+  }
+
+  /** One grid from one ruling group (shared band-placement logic). */
+  private def gridFromRulings(
+      pageWords: Seq[Word], rulings: Seq[Segment],
+      lineTol: Double, minLineLen: Double): Option[TableIngest.ExtractedTable] = {
     val ys = clusterPositions(
-      segments.filter(_.isHorizontal(minLineLen)).map(s => (s.y1 + s.y2) / 2), lineTol)
+      rulings.filter(_.isHorizontal(minLineLen)).map(s => (s.y1 + s.y2) / 2), lineTol)
     val xs = clusterPositions(
-      segments.filter(_.isVertical(minLineLen)).map(s => (s.x1 + s.x2) / 2), lineTol)
+      rulings.filter(_.isVertical(minLineLen)).map(s => (s.x1 + s.x2) / 2), lineTol)
     // a real table grid: ≥ 3 h-rulings (header band + a data band) and
     // ≥ 3 v-rulings (two columns)
     if (ys.length < 3 || xs.length < 3) return None
@@ -377,6 +390,47 @@ object PdfTextExtractor {
       cell.sortBy(w => (-w.y, w.x)).map(_.text).mkString(" ")).toSeq).toSeq
     Some(TableIngest.ExtractedTable(pageWords.head.page, rows.head, rows.tail))
   }
+
+  /**
+   * EVERY ruling-bounded table on the page (camelot's "lattice" flavor,
+   * ref: datafeeds/pdf_table_extractor.py:254-258, which likewise returns a
+   * LIST of tables per page — :294-345 then filters detail-vs-summary
+   * across them, mirrored by `TableIngest.isDetailTable`): painted segments
+   * are grouped into connected components, each component's horizontal
+   * ruling ys × vertical ruling xs define cell bands, and each word falls
+   * into the band pair containing its position — so cell text needs NO
+   * x-alignment across rows, exactly where the word-clustering strategy
+   * mis-clusters. Components that don't form a ≥2×2-cell grid with at
+   * least one resident word are dropped. Tables come back in reading
+   * order: top-to-bottom, then left-to-right.
+   */
+  def latticeTables(
+      pageWords: Seq[Word],
+      segments: Seq[Segment],
+      lineTol: Double = 2.0,
+      minLineLen: Double = 5.0): Seq[TableIngest.ExtractedTable] = {
+    if (pageWords.isEmpty) return Seq.empty
+    val rulings = segments
+      .filter(s => s.isHorizontal(minLineLen) || s.isVertical(minLineLen))
+      .toIndexedSeq
+    segmentComponents(rulings, lineTol)
+      .flatMap { comp =>
+        gridFromRulings(pageWords, comp, lineTol, minLineLen)
+          .map(t => (t, -comp.map(s => math.max(s.y1, s.y2)).max,
+            comp.map(s => math.min(s.x1, s.x2)).min))
+      }
+      .sortBy { case (_, negTopY, leftX) => (negTopY, leftX) }
+      .map(_._1)
+  }
+
+  /** The page's first (top-left) lattice table, if any — the single-table
+    * convenience over `latticeTables`. */
+  def latticeTable(
+      pageWords: Seq[Word],
+      segments: Seq[Segment],
+      lineTol: Double = 2.0,
+      minLineLen: Double = 5.0): Option[TableIngest.ExtractedTable] =
+    latticeTables(pageWords, segments, lineTol, minLineLen).headOption
 
   // --------------------------------------------------------- clustering layer
 
@@ -425,16 +479,18 @@ object PdfTextExtractor {
     Some(TableIngest.ExtractedTable(page, grid.head, grid.tail.toSeq))
   }
 
-  /** Whole file → one table per page (pages in stream order), lattice mode
-    * first with word-clustering fallback — the reference's library order
-    * (lattice, then stream; ref: datafeeds/pdf_table_extractor.py:217-228).
+  /** Whole file → tables per page (pages in stream order, a page may yield
+    * several ruling-bounded tables), lattice mode first with word-clustering
+    * fallback — the reference's library order (lattice, then stream;
+    * ref: datafeeds/pdf_table_extractor.py:217-228).
     * Never throws: a stream the tokenizer cannot make sense of yields no
     * table rather than failing the whole document. */
   def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] =
     contentStreams(pdf).zipWithIndex.flatMap { case (cs, idx) =>
       try {
         val ws = words(idx + 1, cs)
-        latticeTable(ws, rulingSegments(cs)).orElse(clusterTable(ws))
-      } catch { case _: Exception => None }
+        val lattice = latticeTables(ws, rulingSegments(cs))
+        if (lattice.nonEmpty) lattice else clusterTable(ws).toSeq
+      } catch { case _: Exception => Seq.empty }
     }
 }

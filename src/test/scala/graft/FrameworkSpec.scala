@@ -315,6 +315,70 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     assert(ingested.count() == 2)
   }
 
+  test("lattice mode: two bordered tables on one page extract separately") {
+    import graft.sources.{PdfTextExtractor, TableIngest}
+    // table A (top): the 3-column detail grid; table B (bottom): a 2-column
+    // summary block 40pt below — disjoint ruling components, so the page
+    // yields TWO grids (the reference returns a per-page table list and
+    // classifies detail-vs-summary across it, pdf_table_extractor.py:294-345)
+    val content =
+      """q 1 0 0 1 0 0 cm
+        |50 640 m 50 700 l S
+        |110 640 m 110 700 l S
+        |200 640 m 200 700 l S
+        |300 640 m 300 700 l S
+        |50 700 m 300 700 l S
+        |50 680 m 300 680 l S
+        |50 660 m 300 660 l S
+        |50 640 m 300 640 l S
+        |50 560 m 50 600 l S
+        |150 560 m 150 600 l S
+        |250 560 m 250 600 l S
+        |50 600 m 250 600 l S
+        |50 580 m 250 580 l S
+        |50 560 m 250 560 l S
+        |Q
+        |BT /F1 10 Tf
+        |1 0 0 1 55 688 Tm (Name) Tj
+        |1 0 0 1 115 688 Tm (Amount) Tj
+        |1 0 0 1 205 688 Tm (Date) Tj
+        |1 0 0 1 55 668 Tm (alpha) Tj
+        |1 0 0 1 170 668 Tm (10.50) Tj
+        |1 0 0 1 205 668 Tm (2024-01-01) Tj
+        |1 0 0 1 55 648 Tm (beta) Tj
+        |1 0 0 1 140 648 Tm (7.25) Tj
+        |1 0 0 1 205 648 Tm (2024-02-01) Tj
+        |1 0 0 1 55 588 Tm (Total) Tj
+        |1 0 0 1 155 588 Tm (Rows) Tj
+        |1 0 0 1 55 568 Tm (17.75) Tj
+        |1 0 0 1 155 568 Tm (2) Tj
+        |ET""".stripMargin
+    val c = content.getBytes("ISO-8859-1")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c.length} >> stream\n"); bos.write(c); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+
+    val tables = PdfTextExtractor.extractTables(bos.toByteArray)
+    assert(tables.length == 2, s"expected both grids, got ${tables.length}: $tables")
+    // reading order: detail table (top of page) first
+    assert(tables(0).header == Seq("Name", "Amount", "Date"))
+    assert(tables(0).rows == Seq(
+      Seq("alpha", "10.50", "2024-01-01"),
+      Seq("beta", "7.25", "2024-02-01")))
+    assert(tables(1).header == Seq("Total", "Rows"))
+    assert(tables(1).rows == Seq(Seq("17.75", "2")))
+    // the ingest pipeline classifies the 2-column 1-row block as summary
+    // and keeps only the detail grid
+    assert(TableIngest.isDetailTable(tables(0)) && !TableIngest.isDetailTable(tables(1)))
+    val df = TableIngest.ingest(spark, tables)
+    assert(df.columns.toSeq == Seq("Name", "Amount", "Date") && df.count() == 2)
+  }
+
   test("rulingSegments: CTM transform, q/Q restore, re edges, n discards") {
     import graft.sources.PdfTextExtractor
     val segs = PdfTextExtractor.rulingSegments(
