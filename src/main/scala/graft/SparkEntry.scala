@@ -803,6 +803,51 @@ object SparkEntry {
         meta, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
       meta.dmfResultHistory(None, limit = 10)
         .select("run_ts", "metric_name", "value", "status")
+    }),
+
+    // PII detection + redaction — the pre-release scrubbing pass of a
+    // training-data pipeline: per-type match counts and the redacted text,
+    // all doc-local regex columns (zero shuffle, RE2-safe patterns shared
+    // verbatim with the oracle). Synthetic PII is derived from doc_id so
+    // every doc exercises the patterns deterministically.
+    "q63_pii_redaction" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pat = Text.PiiPatterns.toMap
+      val withPii = d.select(col("doc_id"), concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com"),
+          lit(" phone 415-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 078-05-1120 ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      withPii.select(col("doc_id"),
+          Text.piiCount(col("text"), pat("email")).cast("long").as("n_email"),
+          Text.piiCount(col("text"), pat("phone")).cast("long").as("n_phone"),
+          Text.piiCount(col("text"), pat("ssn")).cast("long").as("n_ssn"),
+          Text.piiCount(col("text"), pat("card")).cast("long").as("n_card"),
+          Text.piiCount(col("text"), pat("ip")).cast("long").as("n_ip"),
+          Text.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // composed C4/Gopher quality-filter verdict: first failing rule names
+    // the drop reason; every third doc gains two duplicate lines so the
+    // dup-line rule (and the others on the natural token mix) all fire
+    "q64_quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val docs2 = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nrepeat me\nrepeat me")))
+          .otherwise(col("text")).as("text"))
+      val v = Text.qualityVerdict(col("text"), minTokens = 30,
+        minAvgWordLen = 3.8, minStopwordFrac = 0.0, maxDupLineFrac = 0.2,
+        maxDupTokenRatio = 0.6)
+      docs2.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.duplicateLineFraction(col("text")).as("dup_line_frac"),
+          Text.dupTokenRatio(Text.tokens(col("text"))).as("dup_token_ratio"),
+          v.getField("keep").cast("long").as("keep"),
+          v.getField("reason").as("reason"))
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1617,7 +1662,73 @@ object SparkEntry {
         |  SELECT TIMESTAMP '2026-01-02 00:00:00', 'recent_orders',
         |    CAST(rec AS BIGINT),
         |    CASE WHEN rec = 0 THEN 'PASS' ELSE 'FAIL' END FROM r2
-        |) ORDER BY run_ts DESC, metric_name""".stripMargin)
+        |) ORDER BY run_ts DESC, metric_name""".stripMargin,
+
+    "q63_pii_redaction" -> {
+      // the SAME RE2-safe patterns as Text.PiiPatterns, in the same
+      // redaction order — single source of truth on the Scala side
+      // DuckDB single-quoted strings keep backslashes literal, so the Java
+      // pattern text embeds verbatim
+      val pats = graft.functions.Text.PiiPatterns
+      def pat(n: String) = pats.toMap.apply(n)
+      val redacted = pats.foldLeft("text") { case (acc, (name, p)) =>
+        s"regexp_replace($acc, '$p', '<${name.toUpperCase}>', 'g')"
+      }
+      def cnt(n: String) = s"CAST(len(regexp_extract_all(text, '${pat(n)}')) AS BIGINT)"
+      s"""WITH withpii AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |      || ' phone 415-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' ssn 078-05-1120 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.7' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${cnt("email")} AS n_email,
+         |  ${cnt("phone")} AS n_phone,
+         |  ${cnt("ssn")} AS n_ssn,
+         |  ${cnt("card")} AS n_card,
+         |  ${cnt("ip")} AS n_ip,
+         |  $redacted AS redacted
+         |FROM withpii ORDER BY doc_id""".stripMargin
+    },
+
+    "q64_quality_filter" ->
+      // rule order mirrors Text.qualityVerdict; the low_stopword_frac rule
+      // is disabled here (minStopwordFrac = 0) and so omitted from the CASE
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS awl,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |      / greatest(len(lines), 1) AS dup_line_frac,
+        |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS dup_token_ratio
+        |  FROM (SELECT doc_id, text,
+        |      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |        x -> x <> '') AS lines,
+        |      string_split_regex(trim(text), '\s+') AS toks
+        |    FROM docs2)),
+        |verdict AS (
+        |  SELECT doc_id, n_tokens, dup_line_frac, dup_token_ratio,
+        |    CASE WHEN n_tokens < 30 THEN 'too_few_tokens'
+        |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+        |         WHEN awl < 3.8 OR awl > 10.0 THEN 'word_length'
+        |         WHEN dup_line_frac > 0.2 THEN 'dup_lines'
+        |         WHEN dup_token_ratio > 0.6 THEN 'dup_tokens'
+        |         ELSE 'keep' END AS reason
+        |  FROM sig)
+        |SELECT doc_id, n_tokens, dup_line_frac, dup_token_ratio,
+        |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  reason
+        |FROM verdict ORDER BY doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -110,6 +110,79 @@ object Text {
     when(best._2 > 0.0, best._1).otherwise(lit("und"))
   }
 
+  /** Fraction of non-empty (trimmed) lines that repeat an earlier line —
+    * C4's duplicate-line signal (Raffel et al. 2020 §2.2 discard rules).
+    * Doc-local, zero shuffle. */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    (size(lines) - size(array_distinct(lines))).cast("double") /
+      greatest(size(lines), lit(1)).cast("double")
+  }
+
+  /**
+   * Composed document-quality verdict — the C4/Gopher rule battery (Raffel
+   * et al. 2020 §2.2; Rae et al. 2021 §A1.1) over this file's signals, as
+   * ONE column: `struct(keep, reason)` where `reason` names the FIRST
+   * failing rule (rule order = argument order) or 'keep'. Tune thresholds
+   * per corpus; a disabled rule is a threshold the data cannot cross
+   * (e.g. `minStopwordFrac = 0` for non-English corpora).
+   */
+  def qualityVerdict(
+      c: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      minStopwordFrac: Double = 0.06,
+      maxDupLineFrac: Double = 0.3,
+      maxDupTokenRatio: Double = 0.6): Column = {
+    val n = tokenCount(c)
+    val awl = avgTokenLen(c)
+    val reason =
+      when(n < minTokens, "too_few_tokens")
+        .when(n > maxTokens, "too_many_tokens")
+        .when(awl < minAvgWordLen || awl > maxAvgWordLen, "word_length")
+        .when(stopwordRatio(c) < minStopwordFrac, "low_stopword_frac")
+        .when(duplicateLineFraction(c) > maxDupLineFrac, "dup_lines")
+        .when(dupTokenRatio(tokens(c)) > maxDupTokenRatio, "dup_tokens")
+        .otherwise("keep")
+    struct((reason === "keep").as("keep"), reason.as("reason"))
+  }
+
+  /**
+   * PII patterns for training-data scrubbing: emails, US phone numbers,
+   * SSNs, credit-card-shaped numbers, IPv4 addresses. Deliberately RE2-safe
+   * (no lookarounds/backreferences) so the SAME pattern runs in Spark
+   * (java.util.regex) and any RE2 engine (the DuckDB oracle included) with
+   * identical matches. Declared order is redaction order; every pattern has
+   * a fixed-shape match so leftmost-greedy (Java) and leftmost-longest
+   * (RE2) agree.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    "card" -> "\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Match count of one PII pattern — doc-local, zero shuffle. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Total PII matches across a pattern set (counted on the progressively
+    * redacted text, so overlapping patterns never double-count). */
+  def piiTotal(c: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.zipWithIndex.map { case ((_, pat), i) =>
+      // count each pattern on the text with all earlier patterns redacted
+      val prior = patterns.take(i)
+      piiCount(redactPii(c, prior), pat)
+    }.reduce(_ + _)
+
+  /** Replace every PII match with its `<TYPE>` token, in declared order —
+    * the scrubbing pass a corpus takes before training-data release. */
+  def redactPii(c: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"<${name.toUpperCase}>")
+    }
+
   /**
    * Character k-gram shingles (positions 1..len-k+1). Used by the dedup
    * family; array order is positional, so downstream mins are deterministic.
