@@ -50,22 +50,52 @@ object Bench {
       // unambiguous, since no real wall time is negative
       name -> (if (failures.contains(name)) -1.0 else median)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout values are rounded to 3 decimals: the driver keeps only the tail
+    // of stdout (a ~2000-char window), and 60+ full-precision doubles push
+    // the front of the line out of it — that truncation is what produced
+    // three rounds of "parsed": null records. Millisecond precision is below
+    // bench noise anyway; full precision lives in target/bench.json.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failed queries are excluded from the headline total
     val total = results.values.filter(_ >= 0).sum
-    // run conditions (runs-per-query, exit loadavg) and failure details go to
-    // stderr: the driver parses stdout's single JSON line by its documented
-    // shape {"metric",...,"sf":...} and extra trailing keys break the match
-    // (BENCH_r05/r06 "parsed": null came from appending runs/loadavg after "sf")
     val load =
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
       catch { case _: Throwable => "-1" }
+    // exception messages may carry quotes, backslashes, and newlines (Spark
+    // AnalysisException is routinely multi-line) — escape all JSON-significant
+    // and control characters so the hand-built diag stays machine-readable
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
     val failedJson = failures.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
+    val stdoutLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // self-contained record: the full result (unrounded medians, run count,
+    // loadavg, failure detail) also lands in target/bench.json so the filed
+    // numbers can be audited even when the driver's stdout capture truncates
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"failed":$failedJson}"""
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH_DIAG could not write target/bench.json: $e")
+    }
+    // stderr diag, stdout exactly the documented one-line shape — extra keys
+    // after "sf" broke the driver's parse in r05/r06
     System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"failed":$failedJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(stdoutLine)
     spark.stop()
   }
 }

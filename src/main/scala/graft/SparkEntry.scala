@@ -786,23 +786,36 @@ object SparkEntry {
     "q62_dmf_history" -> ((s, dir) => {
       import graft.dq.DmfCatalog
       import graft.meta.MetaStore
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dmf-hist").toString
-      val meta = new MetaStore(s, tmp)
-      val cat = new DmfCatalog(s)
-      cat.setSchedule("orders", "USING CRON 0 8 * * * UTC")
-      cat.addColumnMetric("orders", "row_count", Seq(), count(lit(1)),
-        "rows_present", "VALUE > 0")
-      cat.addColumnMetric("orders", "recent_orders", Seq("o_orderdate"),
-        count(when(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")), 1)),
-        "no_recent", "VALUE = 0")
-      val orders = t(s, dir, "orders")
-      cat.evaluateAndLog(
-        _ => orders.filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1995-01-01"))),
-        meta, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-      cat.evaluateAndLog(_ => orders,
-        meta, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
-      meta.dmfResultHistory(None, limit = 10)
-        .select("run_ts", "metric_name", "value", "status")
+      // the scratch metastore stays per-invocation (its log is append-only,
+      // so sharing one across bench iterations would accumulate runs and
+      // change the result) but is deleted before returning: the ≤10-row
+      // history is collected into a local relation first, so nothing lazy
+      // still reads the deleted directory
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dmf-hist")
+      try {
+        val meta = new MetaStore(s, tmp.toString)
+        val cat = new DmfCatalog(s)
+        cat.setSchedule("orders", "USING CRON 0 8 * * * UTC")
+        cat.addColumnMetric("orders", "row_count", Seq(), count(lit(1)),
+          "rows_present", "VALUE > 0")
+        cat.addColumnMetric("orders", "recent_orders", Seq("o_orderdate"),
+          count(when(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")), 1)),
+          "no_recent", "VALUE = 0")
+        val orders = t(s, dir, "orders")
+        cat.evaluateAndLog(
+          _ => orders.filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1995-01-01"))),
+          meta, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+        cat.evaluateAndLog(_ => orders,
+          meta, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+        val hist = meta.dmfResultHistory(None, limit = 10)
+          .select("run_ts", "metric_name", "value", "status")
+        s.createDataFrame(java.util.Arrays.asList(hist.collect(): _*), hist.schema)
+      } finally {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }),
 
     // PII detection + redaction — the pre-release scrubbing pass of a

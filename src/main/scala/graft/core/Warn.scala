@@ -10,14 +10,20 @@ object Warn {
   @volatile var sink: String => Unit =
     msg => System.err.println(s"[graft][WARN] $msg")
 
-  def apply(msg: String): Unit = sink(msg)
+  // capture is thread-scoped: sbt runs suites in parallel, and a
+  // process-global swap would let concurrent suites steal (or lose) each
+  // other's warnings. Threads outside any capture fall through to `sink`.
+  private val captured =
+    new scala.util.DynamicVariable[Option[String => Unit]](None)
 
-  /** Run `body` with warnings captured into a buffer (restores the
-    * previous sink afterwards) — the spec-side observer. */
+  def apply(msg: String): Unit = captured.value.getOrElse(sink)(msg)
+
+  /** Run `body` with warnings from THIS thread captured into a buffer —
+    * the spec-side observer. Other threads' warnings still reach the
+    * default sink, and concurrent captures cannot interfere. */
   def capturing[T](body: => T): (T, Seq[String]) = {
-    val prev = sink
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    sink = msg => buf.synchronized { buf += msg }
-    try (body, buf.toSeq) finally sink = prev
+    val result = captured.withValue(Some(msg => buf.synchronized { buf += msg }))(body)
+    (result, buf.synchronized(buf.toSeq))
   }
 }

@@ -58,12 +58,38 @@ final class DmfCatalog(spark: SparkSession) {
 
   private val schedules = mutable.LinkedHashMap.empty[String, String]
   private val regs = mutable.ArrayBuffer.empty[Reg]
+  private val suspendedKeys = mutable.Set.empty[(String, String)]
 
   /** STEP 1 — set (or change) an object's metric schedule. Changing it
     * re-schedules every DMF already attached to the object, exactly like
     * the reference's shared per-object DATA_METRIC_SCHEDULE. */
   def setSchedule(table: String, cron: String): Unit =
     schedules(table) = cron
+
+  /** Suspend a metric's schedule on an object — the analogue of
+    * `ALTER ... MODIFY DATA METRIC FUNCTION <name> ON (...) SUSPEND`.
+    * Suspended checks are NOT evaluated (they surface as status SKIPPED
+    * and don't join the fused scan), and `references` reports
+    * schedule_status SUSPENDED with a null next_execution_time. Applies to
+    * every association of that metric name on the table. */
+  def suspend(table: String, metricName: String): Unit = {
+    requireAttached(table, metricName)
+    suspendedKeys += ((table, metricName))
+  }
+
+  /** Resume a suspended metric (`... RESUME`); no-op if already started. */
+  def resume(table: String, metricName: String): Unit = {
+    requireAttached(table, metricName)
+    suspendedKeys -= ((table, metricName))
+  }
+
+  private def requireAttached(table: String, metricName: String): Unit =
+    require(regs.exists(r =>
+        r.entry.table_name == table && r.entry.metric_name == metricName),
+      s"no DMF '$metricName' attached to '$table'")
+
+  private def isSuspended(e: DmfEntry): Boolean =
+    suspendedKeys((e.table_name, e.metric_name))
 
   private def register(
       table: String, metricName: String, columns: Seq[String],
@@ -123,9 +149,12 @@ final class DmfCatalog(spark: SparkSession) {
   private def evaluated(resolve: String => DataFrame)
       : Seq[(String, String, String, Option[Long], String)] = {
     // one fused agg per table over the Right-form metrics, keyed by
-    // registration index (metric names may repeat across column sets)
+    // registration index (metric names may repeat across column sets).
+    // Suspended metrics don't enter the fused scan at all — skipping a
+    // check must also skip its evaluation cost.
     val fused: Map[Int, Option[Long]] = regs.toSeq.zipWithIndex
-      .collect { case (Reg(e, Right(c), _), i) => (e.table_name, c, i) }
+      .collect { case (Reg(e, Right(c), _), i) if !isSuspended(e) =>
+        (e.table_name, c, i) }
       .groupBy(_._1)
       .flatMap { case (table, ms) =>
         val aggs = ms.map { case (_, c, i) => c.cast("long").as(s"__m_$i") }
@@ -135,16 +164,21 @@ final class DmfCatalog(spark: SparkSession) {
         }
       }
     regs.toSeq.zipWithIndex.map { case (r, i) =>
-      val v = r.metric match {
-        case Left(f) => Some(f(resolve(r.entry.table_name)))
-        case Right(_) => fused(i)
+      if (isSuspended(r.entry))
+        (r.entry.table_name, r.entry.metric_name, r.entry.expectation_name,
+          Option.empty[Long], "SKIPPED")
+      else {
+        val v = r.metric match {
+          case Left(f) => Some(f(resolve(r.entry.table_name)))
+          case Right(_) => fused(i)
+        }
+        val status = v match {
+          case Some(x) => if (r.expect(x)) "PASS" else "FAIL"
+          case None => "ERROR" // metric produced no value — not a PASS
+        }
+        (r.entry.table_name, r.entry.metric_name, r.entry.expectation_name,
+          v, status)
       }
-      val status = v match {
-        case Some(x) => if (r.expect(x)) "PASS" else "FAIL"
-        case None => "ERROR" // metric produced no value — not a PASS
-      }
-      (r.entry.table_name, r.entry.metric_name, r.entry.expectation_name,
-        v, status)
     }
   }
 
@@ -165,15 +199,18 @@ final class DmfCatalog(spark: SparkSession) {
   }
 
   /** STEP 5 — the DATA_METRIC_FUNCTION_REFERENCES view
-    * (setup_dmf_data_quality.sql:153-166): the catalog plus schedule status
-    * and last/next execution times derived from the persisted results log.
-    * `next_execution_time` comes from parsing the object's cron schedule
-    * forward from the later of last-execution and `now`. */
+    * (setup_dmf_data_quality.sql:153-166): the catalog plus the REAL
+    * per-association schedule status (STARTED, or SUSPENDED after
+    * [[suspend]]) and last/next execution times derived from the persisted
+    * results log. `next_execution_time` comes from parsing the object's
+    * cron schedule forward from the later of last-execution and `now`;
+    * suspended associations have no next execution (null), matching a
+    * paused schedule. */
   def references(
       meta: MetaStore,
       now: java.sql.Timestamp =
         new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, max, udf}
+    import org.apache.spark.sql.functions.{col, max, udf, when}
     val asOf = now // functions._ would shadow `now` inside the udf body
     val last = meta.dmfResults
       .groupBy("table_name", "metric_name", "expectation_name")
@@ -181,11 +218,18 @@ final class DmfCatalog(spark: SparkSession) {
     val nextUdf = udf((cron: String, lastTs: java.sql.Timestamp) =>
       CronSchedule.next(cron,
         if (lastTs != null && lastTs.after(asOf)) lastTs else asOf))
-    catalog
+    val withStatus = regs.toSeq.map { r =>
+      val e = r.entry.copy(schedule_cron = schedules(r.entry.table_name))
+      (e.table_name, e.metric_name, e.metric_columns, e.schedule_cron,
+        e.expectation_name, e.expectation_expr, e.comment,
+        if (isSuspended(e)) "SUSPENDED" else "STARTED")
+    }.toDF("table_name", "metric_name", "metric_columns", "schedule_cron",
+      "expectation_name", "expectation_expr", "comment", "schedule_status")
+    withStatus
       .join(last, Seq("table_name", "metric_name", "expectation_name"), "left")
-      .withColumn("schedule_status", lit("STARTED"))
       .withColumn("next_execution_time",
-        nextUdf(col("schedule_cron"), col("last_execution_time")))
+        when(col("schedule_status") === "STARTED",
+          nextUdf(col("schedule_cron"), col("last_execution_time"))))
   }
 }
 
@@ -207,13 +251,22 @@ object CronSchedule {
     schedule match {
       case Interval(n) =>
         new java.sql.Timestamp(after.getTime + n.toLong * 60000L)
-      case Cron(minute, hours, _) =>
+      case Cron(minute, hours, tzTok) =>
+        // honor the trailing timezone token: 'USING CRON 0 8 * * *
+        // America/New_York' means 8 AM Eastern, hours off from UTC. An
+        // unknown zone id is unparseable → null (TimeZone.getTimeZone's
+        // silent GMT fallback would be a wrong answer, so go via ZoneId).
+        val tz: java.util.TimeZone =
+          if (tzTok.isEmpty) java.util.TimeZone.getTimeZone("UTC")
+          else
+            try java.util.TimeZone.getTimeZone(java.time.ZoneId.of(tzTok))
+            catch { case _: java.time.DateTimeException => null }
+        if (tz == null) return null
         val m = minute.toInt
         val hs: Seq[Int] =
           if (hours == "*") 0 to 23
           else hours.split(",").toSeq.map(_.toInt).sorted
-        val cal = java.util.Calendar.getInstance(
-          java.util.TimeZone.getTimeZone("UTC"))
+        val cal = java.util.Calendar.getInstance(tz)
         cal.setTimeInMillis(after.getTime)
         cal.set(java.util.Calendar.SECOND, 0)
         cal.set(java.util.Calendar.MILLISECOND, 0)

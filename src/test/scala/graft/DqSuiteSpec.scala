@@ -180,4 +180,59 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
       java.sql.Timestamp.valueOf("2026-01-02 20:00:00")) ==
       java.sql.Timestamp.valueOf("2026-01-02 20:05:00"))
   }
+
+  test("DmfCatalog: suspend/resume — SKIPPED status, real schedule_status") {
+    import spark.implicits._
+    import graft.dq.DmfCatalog
+    import graft.meta.MetaStore
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val cat = new DmfCatalog(spark)
+    cat.setSchedule("t1", "USING CRON 0 8 * * * UTC")
+    cat.addColumnMetric("t1", "row_count", Seq(), count(lit(1)),
+      "rows_present", "VALUE > 0")
+    cat.addColumnMetric("t1", "null_count", Seq("k"),
+      count(when(col("k").isNull, 1)), "no_null_keys", "VALUE = 0")
+    // suspending something that isn't attached is a usage error
+    intercept[IllegalArgumentException] { cat.suspend("t1", "no_such_metric") }
+    cat.suspend("t1", "null_count")
+    val t1 = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+    // suspended check is SKIPPED with no value; the other still evaluates
+    val out = cat.evaluate(_ => t1).collect()
+      .map(r => r.getAs[String]("metric_name") -> r).toMap
+    assert(out("row_count").getAs[String]("status") == "PASS")
+    assert(out("null_count").getAs[String]("status") == "SKIPPED")
+    assert(out("null_count").isNullAt(out("null_count").fieldIndex("value")))
+    // references reports the real per-association status; suspended
+    // schedules have no next execution
+    val dir = java.nio.file.Files.createTempDirectory("graft-dmf-susp").toString
+    val meta = new MetaStore(spark, dir)
+    cat.evaluateAndLog(_ => t1, meta,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val refs = cat.references(meta,
+        java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))
+      .collect().map(r => r.getAs[String]("metric_name") -> r).toMap
+    assert(refs("row_count").getAs[String]("schedule_status") == "STARTED")
+    assert(refs("row_count").getAs[java.sql.Timestamp]("next_execution_time") ==
+      java.sql.Timestamp.valueOf("2026-01-01 08:00:00"))
+    assert(refs("null_count").getAs[String]("schedule_status") == "SUSPENDED")
+    assert(refs("null_count")
+      .isNullAt(refs("null_count").fieldIndex("next_execution_time")))
+    // resume restores evaluation: the null key now FAILs the check
+    cat.resume("t1", "null_count")
+    val out2 = cat.evaluate(_ => t1).collect()
+      .map(r => r.getAs[String]("metric_name") ->
+        r.getAs[String]("status")).toMap
+    assert(out2("null_count") == "FAIL")
+  }
+
+  test("CronSchedule honors the timezone token; unknown zone is unparseable") {
+    import graft.dq.CronSchedule
+    // 8 AM America/New_York on 2026-01-02 (EST, UTC-5) is 13:00 UTC
+    assert(CronSchedule.next("USING CRON 0 8 * * * America/New_York",
+      java.sql.Timestamp.valueOf("2026-01-02 10:00:00")) ==
+      java.sql.Timestamp.valueOf("2026-01-02 13:00:00"))
+    // unknown zone id → null, not TimeZone.getTimeZone's silent GMT fallback
+    assert(CronSchedule.next("USING CRON 0 8 * * * Mars/Olympus",
+      java.sql.Timestamp.valueOf("2026-01-02 10:00:00")) == null)
+  }
 }
