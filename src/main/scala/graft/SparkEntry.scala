@@ -861,6 +861,17 @@ object SparkEntry {
           v.getField("keep").cast("long").as("keep"),
           v.getField("reason").as("reason"))
         .orderBy("doc_id")
+    }),
+
+    // the flagship report authored in the REFERENCE'S dialect (QUALIFY /
+    // * EXCLUDE / double-quoted aliases / DATEADD / TO_CHAR), run through
+    // the SqlDialect render-time rewrite — must reproduce q47's DataFrame
+    // pipeline row-for-row
+    "q65_qualify_dialect" -> ((s, dir) => {
+      import graft.reports.ClaimsPipeline
+      t(s, dir, "events").createOrReplaceTempView("q65_events")
+      ClaimsPipeline.detailReportSnowflakeSql(s, "q65_events",
+        ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1741,7 +1752,12 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, dup_line_frac, dup_token_ratio,
         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep,
         |  reason
-        |FROM verdict ORDER BY doc_id""".stripMargin)
+        |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    // the dialect-shim form must land on exactly the q47 report
+    "q65_qualify_dialect" ->
+      s"""$ClaimsReportSql
+         |ORDER BY "Claimant Id"""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

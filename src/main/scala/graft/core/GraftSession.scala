@@ -62,8 +62,12 @@ final class GraftConnection(val spark: SparkSession) {
 
   def table(name: String): DataFrame = spark.table(name)
 
+  /** Ad-hoc SQL in the source dialect: `$VAR` substitution, then the
+    * [[SqlDialect]] pass (QUALIFY / `* EXCLUDE` / double-quoted identifiers
+    * → Spark SQL; identity for plain Spark SQL), exactly like the reference
+    * connector's execute_query accepting warehouse-dialect text. */
   def sql(query: String): DataFrame =
-    spark.sql(SqlTemplate.renderSessionVars(query, sessionVars.all))
+    spark.sql(SqlDialect.toSpark(SqlTemplate.renderSessionVars(query, sessionVars.all)))
 
   /** ref: connector/snowpark_connector.py:466-509 (save_as_table); table
     * types ref: definitions/custom_definitions.py:26-34 (SnowparkTableType).

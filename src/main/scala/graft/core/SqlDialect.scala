@@ -1,0 +1,355 @@
+package graft.core
+
+/**
+ * Render-time Snowflake-dialect → Spark SQL rewriter, so the reference's
+ * `.sql` assets run near-verbatim through `spark.sql`
+ * (ref: sql/new_rfb_and_total_claimants_active/new_rfb_and_total_claimants_active_detail.sql:32,47-50,60
+ *  uses `QUALIFY ROW_NUMBER() ... = 1` in nine-plus CTEs;
+ *  ref: datafeeds/common/excel_csv_writer.py:330-332 emits
+ *  `SELECT * EXCLUDE("col")`; both are Snowflake-only syntax).
+ *
+ * Four rewrites, applied in order:
+ *
+ *  1. **Double-quoted identifiers → backticks.** In the source dialect a
+ *     double-quoted token is ALWAYS an identifier (strings are
+ *     single-quoted); Spark's default parser reads `"x"` as a string
+ *     literal. `"Claim Id"` → `` `Claim Id` ``, with `""` unescaped and
+ *     any embedded backtick doubled.
+ *  2. **Function renames** where Spark lacks the name but has an
+ *     argument-compatible builtin: `CHARINDEX(sub, str[, pos])` →
+ *     `POSITION(sub, str[, pos])`. (DATEADD, TO_CHAR, LEN, CONTAINS,
+ *     LEAD-with-default all parse natively in Spark 4 — no rewrite.)
+ *  3. **`QUALIFY <pred>`** — filter on window functions, evaluated after
+ *     WHERE/GROUP BY/HAVING and *before* DISTINCT/ORDER BY. Rewritten as:
+ *     {{{
+ *       SELECT <list> FROM <body> QUALIFY <pred>
+ *       -- becomes
+ *       SELECT * EXCEPT (__qualify_N) FROM (
+ *         SELECT <list>, (<pred>) AS __qualify_N FROM <body>
+ *       ) WHERE __qualify_N
+ *     }}}
+ *     The predicate is appended as a select item in the ORIGINAL scope, so
+ *     its window functions see the pre-filter row set and may reference
+ *     base columns that are not in the select list (both required by the
+ *     reference's `QUALIFY ROW_NUMBER() OVER (... ORDER BY sequenced_at
+ *     DESC) = 1` on a `SELECT series_id, filing_state` list, detail.sql:32).
+ *     A `SELECT DISTINCT` moves to the outer query — the dialect dedupes
+ *     after QUALIFY. Trailing ORDER BY / LIMIT stay outside the wrap.
+ *     Multiple QUALIFYs (one per CTE) and QUALIFY in FROM-subqueries are
+ *     handled by re-scanning until none remain.
+ *  4. **`* EXCLUDE (a, b)` / `* EXCLUDE a` → `* EXCEPT (a, b)`** — Spark 4
+ *     supports star-EXCEPT natively, so this is a keyword swap (plus
+ *     parenthesizing the bare single-column form).
+ *
+ * All rewrites are identity on SQL that contains none of these constructs:
+ * the scanner only edits where a construct is found, so Spark-dialect
+ * templates pass through byte-for-byte. QUALIFY/EXCLUDE are reserved words
+ * in the source dialect, so treating them as keywords cannot collide with
+ * identifiers in assets written for it.
+ */
+object SqlDialect {
+
+  /** Snowflake-dialect SQL → Spark SQL. Identity when the input is already
+    * Spark SQL (modulo the double-quote rule — Spark-dialect text must use
+    * single quotes for strings, as all repo templates do). */
+  def toSpark(sql: String): String =
+    rewriteExclude(rewriteQualify(renameFunctions(quotedIdentifiersToBackticks(sql))))
+
+  // ------------------------------------------------------------- scanning
+
+  /** Per-character classification: `code(i)` true when the char is plain
+    * SQL text (not inside a string literal, quoted identifier, or comment);
+    * `depth(i)` its paren depth, with both `(` and `)` carrying the INNER
+    * depth (so the `)` closing a block has the block's depth). */
+  private final class Scan(val code: Array[Boolean], val depth: Array[Int])
+
+  private def scan(sql: String): Scan = {
+    val n = sql.length
+    val code = new Array[Boolean](n)
+    val depth = new Array[Int](n)
+    var d = 0
+    var i = 0
+    while (i < n) {
+      depth(i) = d
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal: '' and \x escapes
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          depth(i) = d
+          val ch = sql.charAt(i)
+          if (ch == '\\' && i + 1 < n) { depth(i + 1) = d; i += 1 }
+          else if (ch == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
+            depth(i + 1) = d; i += 1
+          } else if (ch == '\'') done = true
+          i += 1
+        }
+      } else if (c == '"' || c == '`') { // quoted identifier, "" / `` escapes
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          depth(i) = d
+          if (sql.charAt(i) == c) {
+            if (i + 1 < n && sql.charAt(i + 1) == c) { depth(i + 1) = d; i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') { // -- comment
+        while (i < n && sql.charAt(i) != '\n') { depth(i) = d; i += 1 }
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') { // /* */
+        depth(i) = d; depth(i + 1) = d; i += 2
+        while (i < n && !(sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/')) {
+          depth(i) = d; i += 1
+        }
+        if (i < n) { depth(i) = d; i += 1 }
+        if (i < n) { depth(i) = d; i += 1 }
+      } else if (c == '(') { d += 1; depth(i) = d; code(i) = true; i += 1 }
+      else if (c == ')') { depth(i) = d; d -= 1; code(i) = true; i += 1 }
+      else { code(i) = true; i += 1 }
+    }
+    new Scan(code, depth)
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
+
+  /** Whole-word, case-insensitive keyword match at `i`, in plain code. */
+  private def keywordAt(sql: String, s: Scan, i: Int, kw: String): Boolean =
+    i >= 0 && i + kw.length <= sql.length &&
+      sql.regionMatches(true, i, kw, 0, kw.length) &&
+      s.code(i) &&
+      (i == 0 || !s.code(i - 1) || !isWordChar(sql.charAt(i - 1))) &&
+      (i + kw.length == sql.length || !isWordChar(sql.charAt(i + kw.length)))
+
+  /** Skip whitespace and comments forward from `i`. */
+  private def nextSignificant(sql: String, i0: Int): Int = {
+    var i = i0
+    var more = true
+    while (more && i < sql.length) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i < sql.length && !(sql.charAt(i) == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+      } else more = false
+    }
+    i
+  }
+
+  // ------------------------------------------- 1. double-quoted identifiers
+
+  /** `"Mixed Case"` → `` `Mixed Case` `` ("" unescapes to ", embedded
+    * backticks double). Leaves single-quoted strings, backtick identifiers,
+    * and comments untouched; identity when the input has no double quote.
+    * Single state-machine pass over the text (same states as [[scan]]). */
+  def quotedIdentifiersToBackticks(sql: String): String = {
+    if (sql.indexOf('"') < 0) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0
+    def copyUntil(end: Int): Unit = { sb.append(sql.substring(i, end)); i = end }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal — copy verbatim
+        var j = i + 1
+        var done = false
+        while (j < sql.length && !done) {
+          val ch = sql.charAt(j)
+          if (ch == '\\' && j + 1 < sql.length) j += 1
+          else if (ch == '\'' && j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 1
+          else if (ch == '\'') done = true
+          j += 1
+        }
+        copyUntil(j)
+      } else if (c == '`') { // already-backticked identifier — copy verbatim
+        var j = i + 1
+        var done = false
+        while (j < sql.length && !done) {
+          if (sql.charAt(j) == '`') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '`') j += 1 else done = true
+          }
+          j += 1
+        }
+        copyUntil(j)
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        var j = i
+        while (j < sql.length && sql.charAt(j) != '\n') j += 1
+        copyUntil(j)
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        var j = i + 2
+        while (j < sql.length && !(sql.charAt(j) == '*' && j + 1 < sql.length && sql.charAt(j + 1) == '/')) j += 1
+        copyUntil(math.min(j + 2, sql.length))
+      } else if (c == '"') { // quoted identifier — convert
+        val content = new StringBuilder
+        var j = i + 1
+        var done = false
+        while (j < sql.length && !done) {
+          val ch = sql.charAt(j)
+          if (ch == '"' && j + 1 < sql.length && sql.charAt(j + 1) == '"') {
+            content.append('"'); j += 2
+          } else if (ch == '"') { done = true; j += 1 }
+          else { content.append(ch); j += 1 }
+        }
+        sb.append('`').append(content.toString.replace("`", "``")).append('`')
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------- 2. function names
+
+  private val FnRenames = Seq("CHARINDEX" -> "POSITION")
+
+  /** Rename source-dialect function names Spark lacks to argument-compatible
+    * Spark builtins (only when followed by an open paren). */
+  def renameFunctions(sql0: String): String = {
+    var sql = sql0
+    FnRenames.foreach { case (from, to) =>
+      var changed = true
+      while (changed) {
+        changed = false
+        val s = scan(sql)
+        var i = 0
+        while (i < sql.length && !changed) {
+          if (keywordAt(sql, s, i, from) &&
+              nextSignificant(sql, i + from.length) < sql.length &&
+              sql.charAt(nextSignificant(sql, i + from.length)) == '(') {
+            sql = sql.substring(0, i) + to + sql.substring(i + from.length)
+            changed = true
+          }
+          i += 1
+        }
+      }
+    }
+    sql
+  }
+
+  // ------------------------------------------------------------ 3. QUALIFY
+
+  /** Clause keywords that end a QUALIFY predicate at the same depth. */
+  private val QualifyStoppers =
+    Seq("ORDER", "LIMIT", "FETCH", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "MINUS", "WINDOW")
+
+  def rewriteQualify(sql0: String): String = {
+    var sql = sql0
+    var counter = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val s = scan(sql)
+      var qi = -1
+      var i = 0
+      while (i < sql.length && qi < 0) {
+        if (keywordAt(sql, s, i, "QUALIFY")) qi = i
+        i += 1
+      }
+      if (qi < 0) return sql
+      val d = s.depth(qi)
+
+      // nearest SELECT at the same depth before the QUALIFY
+      var selStart = -1
+      i = 0
+      while (i < qi) {
+        if (s.depth(i) == d && keywordAt(sql, s, i, "SELECT")) selStart = i
+        i += 1
+      }
+      require(selStart >= 0, s"QUALIFY without an enclosing SELECT (offset $qi)")
+
+      // the select's FROM at the same depth
+      var fromIdx = -1
+      i = selStart
+      while (i < qi && fromIdx < 0) {
+        if (s.depth(i) == d && keywordAt(sql, s, i, "FROM")) fromIdx = i
+        i += 1
+      }
+      require(fromIdx >= 0, s"QUALIFY requires a FROM clause (offset $qi)")
+
+      // optional DISTINCT / ALL set quantifier right after SELECT
+      var listStart = selStart + "SELECT".length
+      var distinct = false
+      locally {
+        val j = nextSignificant(sql, listStart)
+        if (keywordAt(sql, s, j, "DISTINCT")) { distinct = true; listStart = j + "DISTINCT".length }
+        else if (keywordAt(sql, s, j, "ALL")) listStart = j + "ALL".length
+      }
+
+      // predicate span: QUALIFY .. first same-depth stopper / closing paren /
+      // statement end
+      val predStart = qi + "QUALIFY".length
+      var predEnd = sql.length
+      i = predStart
+      while (i < sql.length && predEnd == sql.length) {
+        if (s.code(i)) {
+          val c = sql.charAt(i)
+          if ((c == ')' && s.depth(i) == d) || c == ';') predEnd = i
+          else if (s.depth(i) == d && QualifyStoppers.exists(k => keywordAt(sql, s, i, k)))
+            predEnd = i
+        }
+        i += 1
+      }
+      val pred = sql.substring(predStart, predEnd).trim
+      require(pred.nonEmpty, s"empty QUALIFY predicate (offset $qi)")
+
+      val qcol = s"__qualify_$counter"
+      counter += 1
+      // raw (untrimmed) slices + added newlines so a trailing line comment in
+      // the select list or predicate cannot swallow the inserted text
+      val selectList = sql.substring(listStart, fromIdx)
+      val body = sql.substring(fromIdx, qi)
+      val inner = s"SELECT $selectList\n, (${sql.substring(predStart, predEnd)}\n) AS $qcol\n$body"
+      val outer =
+        s"SELECT ${if (distinct) "DISTINCT " else ""}* EXCEPT ($qcol) FROM (\n$inner) WHERE $qcol\n"
+      sql = sql.substring(0, selStart) + outer + sql.substring(predEnd)
+    }
+    throw new IllegalStateException("QUALIFY rewrite did not terminate")
+  }
+
+  // ------------------------------------------------------------ 4. EXCLUDE
+
+  /** `* EXCLUDE (a, b)` / `t.* EXCLUDE a` → `* EXCEPT (a, b)`. */
+  def rewriteExclude(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = scan(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (s.code(i) && sql.charAt(i) == '*') {
+          val j = nextSignificant(sql, i + 1)
+          if (j < sql.length && keywordAt(sql, s, j, "EXCLUDE")) {
+            val afterKw = j + "EXCLUDE".length
+            val k = nextSignificant(sql, afterKw)
+            if (k < sql.length && sql.charAt(k) == '(') {
+              sql = sql.substring(0, j) + "EXCEPT" + sql.substring(afterKw)
+            } else {
+              // bare single-column form: consume one identifier (plain or
+              // backticked — double quotes were already converted)
+              var e = k
+              if (e < sql.length && sql.charAt(e) == '`') {
+                e += 1
+                var done = false
+                while (e < sql.length && !done) {
+                  if (sql.charAt(e) == '`') {
+                    if (e + 1 < sql.length && sql.charAt(e + 1) == '`') e += 1 else done = true
+                  }
+                  e += 1
+                }
+              } else {
+                while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+              }
+              require(e > k, s"EXCLUDE without a column list (offset $j)")
+              sql = sql.substring(0, j) + "EXCEPT (" + sql.substring(k, e) + ")" + sql.substring(e)
+            }
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    sql
+  }
+}

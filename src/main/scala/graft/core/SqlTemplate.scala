@@ -37,6 +37,12 @@ final class SessionVars {
  *    (ref: connector/snowpark_connector.py:425-453).
  *  - `$NAME` tokens are replaced from the session-variable map
  *    (longest-name-first so $REPORT_START_DT wins over $REPORT).
+ *  - after substitution, the [[SqlDialect]] pass rewrites the source
+ *    dialect's Snowflake-only constructs (QUALIFY, `* EXCLUDE`,
+ *    double-quoted identifiers, CHARINDEX) into Spark SQL, so the
+ *    reference's `.sql` assets run near-verbatim; the pass is identity for
+ *    templates already written in Spark SQL. Pass `dialect = false` to
+ *    skip it (e.g. for Spark SQL that uses double-quoted string literals).
  */
 object SqlTemplate {
 
@@ -46,7 +52,8 @@ object SqlTemplate {
       template: String,
       placeholders: Map[String, String] = Map.empty,
       sessionVars: Map[String, String] = Map.empty,
-      incrementalPredicate: Option[String] = None): String = {
+      incrementalPredicate: Option[String] = None,
+      dialect: Boolean = true): String = {
     val ph = placeholders.map { case (k, v) => k.toUpperCase -> v }
     val withPlaceholders = placeholderRe.replaceAllIn(template, m => {
       val key = m.group(1).toUpperCase
@@ -61,7 +68,8 @@ object SqlTemplate {
       }
       scala.util.matching.Regex.quoteReplacement(value)
     })
-    renderSessionVars(withPlaceholders, sessionVars)
+    val rendered = renderSessionVars(withPlaceholders, sessionVars)
+    if (dialect) SqlDialect.toSpark(rendered) else rendered
   }
 
   def renderSessionVars(sql: String, sessionVars: Map[String, String]): String = {
@@ -78,9 +86,10 @@ object SqlTemplate {
       path: String,
       placeholders: Map[String, String] = Map.empty,
       sessionVars: Map[String, String] = Map.empty,
-      incrementalPredicate: Option[String] = None): String = {
+      incrementalPredicate: Option[String] = None,
+      dialect: Boolean = true): String = {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
-    render(text, placeholders, sessionVars, incrementalPredicate)
+    render(text, placeholders, sessionVars, incrementalPredicate, dialect)
   }
 }

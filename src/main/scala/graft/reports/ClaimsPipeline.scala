@@ -92,6 +92,56 @@ object ClaimsPipeline {
       |FROM ranked WHERE decision_rank = 1
       |ORDER BY `Claimant Id`""".stripMargin
 
+  /** The same report authored in the REFERENCE'S dialect — QUALIFY
+    * ROW_NUMBER (detail.sql:32,47-50,60), `* EXCLUDE` (excel_csv_writer
+    * .py:330-332), LEAD(DATEADD(minute,-1,..)) intervals (detail.sql:20-21),
+    * TO_CHAR formatting and double-quoted mixed-case aliases (detail
+    * .sql:153-161). Runs through the [[graft.core.SqlDialect]] render-time
+    * rewrite; ClaimsPipelineSpec + q65 assert it matches the DataFrame form
+    * row-for-row. */
+  val DetailSqlTemplateSnowflake: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_type, event_id, ts, value, props
+      |  FROM {{SOURCE_TABLE}}
+      |  WHERE ts <= $REPORT_END_TS
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                             ORDER BY ts DESC, event_id DESC) = 1),
+      |intervals AS (
+      |  SELECT *, ts AS eff_dt,
+      |    COALESCE(LEAD(DATEADD(minute, -1, ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |             TIMESTAMP '9999-12-31 00:00:00') AS exp_dt
+      |  FROM latest),
+      |valid AS (
+      |  SELECT * EXCLUDE (props) FROM intervals
+      |  WHERE $REPORT_END_TS >= eff_dt AND $REPORT_END_TS < exp_dt),
+      |ranked AS (
+      |  SELECT *, MIN(ts) OVER (PARTITION BY user_id) AS first_decision_ts
+      |  FROM valid
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1)
+      |SELECT user_id AS "Claimant Id",
+      |  event_id AS "Request Id",
+      |  event_type AS "Request Type",
+      |  TO_CHAR(first_decision_ts, 'MM/dd/yyyy') AS "First Decision Date",
+      |  fm_workingdaysbetween($REPORT_START_TS, ts) AS "Working Days To Decision",
+      |  CASE WHEN DATEDIFF(CAST(ts AS DATE), CAST($REPORT_START_TS AS DATE)) <= 14
+      |       THEN 1L ELSE 0L END AS "Resolved Within Two Weeks",
+      |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0D END AS "Clamped Value"
+      |FROM ranked
+      |ORDER BY "Claimant Id"""".stripMargin
+
+  /** Render + run the source-dialect form through the dialect shim. */
+  def detailReportSnowflakeSql(
+      spark: SparkSession, sourceView: String, period: ReportPeriod): DataFrame = {
+    org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark)
+    val rendered = graft.core.SqlTemplate.render(
+      DetailSqlTemplateSnowflake,
+      placeholders = Map("SOURCE_TABLE" -> sourceView),
+      sessionVars = Map(
+        "REPORT_START_TS" -> s"TIMESTAMP '${period.startTs}'",
+        "REPORT_END_TS" -> s"TIMESTAMP '${period.endTs}'"))
+    spark.sql(rendered)
+  }
+
   /** Render + run the SQL form (registers the working-days function). */
   def detailReportSql(spark: SparkSession, sourceView: String, period: ReportPeriod): DataFrame = {
     // the reference calls an externally-defined warehouse UDF

@@ -1,0 +1,195 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.SqlDialect
+import graft.reports.ClaimsPipeline
+
+/** The Snowflake-dialect → Spark SQL render-time rewrite: QUALIFY,
+  * `* EXCLUDE`, double-quoted identifiers, function renames. String-level
+  * cases pin the scanner's edge behavior; semantic cases run both forms on
+  * real frames and compare rows. */
+class DialectSpec extends AnyFunSuite with SparkSpec {
+
+  // ------------------------------------------------------- string-level
+
+  test("plain Spark SQL passes through byte-for-byte") {
+    val q = "SELECT a, b FROM t WHERE x > 1 -- note\nORDER BY a LIMIT 5"
+    assert(SqlDialect.toSpark(q) == q)
+  }
+
+  test("double-quoted identifiers become backticks; strings untouched") {
+    val q = """SELECT a AS "Claim Id", 'say "hi"' AS s FROM t"""
+    assert(SqlDialect.toSpark(q) ==
+      "SELECT a AS `Claim Id`, 'say \"hi\"' AS s FROM t")
+  }
+
+  test("doubled quote unescapes; embedded backtick doubles") {
+    assert(SqlDialect.quotedIdentifiersToBackticks("""SELECT "a""b" FROM t""") ==
+      "SELECT `a\"b` FROM t")
+    assert(SqlDialect.quotedIdentifiersToBackticks("SELECT \"a`b\" FROM t") ==
+      "SELECT `a``b` FROM t")
+  }
+
+  test("quotes inside comments and backtick identifiers are untouched") {
+    val q = "SELECT `x\"y`, a /* \"not an ident\" */ FROM t -- \"nor this\""
+    assert(SqlDialect.quotedIdentifiersToBackticks(q) == q)
+  }
+
+  test("EXCLUDE: parenthesized, bare, and quoted-column forms") {
+    assert(SqlDialect.toSpark("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(SqlDialect.toSpark("SELECT t.* EXCLUDE a FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+    assert(SqlDialect.toSpark("""SELECT * EXCLUDE("Claim Id") FROM t""") ==
+      "SELECT * EXCEPT(`Claim Id`) FROM t")
+  }
+
+  test("EXCLUDE only rewrites after a star — column named exclude survives") {
+    val q = "SELECT exclude, a FROM t WHERE exclude > 1"
+    assert(SqlDialect.toSpark(q) == q)
+  }
+
+  test("QUALIFY inside a string literal or comment is not a clause") {
+    val q = "SELECT a FROM t WHERE note = 'we QUALIFY leads' -- QUALIFY later"
+    assert(SqlDialect.toSpark(q) == q)
+  }
+
+  test("CHARINDEX renames to POSITION; only as a function call") {
+    assert(SqlDialect.toSpark("SELECT CHARINDEX('b', s) FROM t") ==
+      "SELECT POSITION('b', s) FROM t")
+    val notCall = "SELECT charindex FROM t"
+    assert(SqlDialect.toSpark(notCall) == notCall)
+  }
+
+  // ---------------------------------------------------------- semantic
+
+  private def df() = {
+    import spark.implicits._
+    Seq(
+      (1, "a", 10, "2024-01-01"),
+      (1, "b", 20, "2024-01-02"),
+      (1, "c", 30, "2024-01-03"),
+      (2, "d", 40, "2024-01-01"),
+      (2, "e", 50, "2024-01-05"),
+      (3, "f", 60, "2024-02-01")
+    ).toDF("k", "tag", "v", "d")
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] = {
+    df().createOrReplaceTempView("dlt")
+    spark.sql(SqlDialect.toSpark(sql)).collect().toSeq.map(_.toSeq)
+  }
+
+  test("QUALIFY latest-per-key equals the window+filter form") {
+    val got = rows(
+      """SELECT k, tag FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1
+        |ORDER BY k""".stripMargin)
+    assert(got == Seq(Seq(1, "c"), Seq(2, "e"), Seq(3, "f")))
+  }
+
+  test("QUALIFY predicate may use columns absent from the select list") {
+    // select list omits d and v entirely — the reference's detail.sql:32 shape
+    val got = rows(
+      """SELECT tag FROM dlt WHERE v > 10
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, d) = 1
+        |ORDER BY tag""".stripMargin)
+    assert(got == Seq(Seq("c"), Seq("e"), Seq("f")))
+  }
+
+  test("multiple QUALIFYs across CTEs (the reference's nine-CTE shape)") {
+    val got = rows(
+      """WITH latest AS (
+        |  SELECT k, tag, v FROM dlt
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1),
+        |top AS (
+        |  SELECT k, tag, v FROM latest
+        |  QUALIFY RANK() OVER (ORDER BY v DESC) <= 2)
+        |SELECT k, tag FROM top ORDER BY k""".stripMargin)
+    assert(got == Seq(Seq(2, "e"), Seq(3, "f")))
+  }
+
+  test("QUALIFY in a FROM-subquery (detail.sql:251 shape)") {
+    val got = rows(
+      """SELECT r.k, r.tag FROM (
+        |  SELECT k, tag FROM dlt
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1
+        |) r WHERE r.k < 3 ORDER BY r.k""".stripMargin)
+    assert(got == Seq(Seq(1, "c"), Seq(2, "e")))
+  }
+
+  test("SELECT DISTINCT dedupes AFTER QUALIFY") {
+    // rank<=2 keeps two rows for k=1 with equal k — DISTINCT must collapse
+    // them post-filter (Snowflake clause order: QUALIFY then DISTINCT)
+    val got = rows(
+      """SELECT DISTINCT k FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) <= 2
+        |ORDER BY k""".stripMargin)
+    assert(got == Seq(Seq(1), Seq(2), Seq(3)))
+  }
+
+  test("QUALIFY with GROUP BY filters on windows over aggregates") {
+    val got = rows(
+      """SELECT k, SUM(v) AS sv FROM dlt GROUP BY k
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY SUM(v) DESC) = 1""".stripMargin)
+    assert(got == Seq(Seq(2, 90L)))
+  }
+
+  test("ORDER BY and LIMIT after QUALIFY stay outside the wrap") {
+    val got = rows(
+      """SELECT k, tag FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1
+        |ORDER BY k DESC LIMIT 2""".stripMargin)
+    assert(got == Seq(Seq(3, "f"), Seq(2, "e")))
+  }
+
+  test("QUALIFY referencing a select-list window alias") {
+    val got = rows(
+      """SELECT k, tag, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) AS rn
+        |FROM dlt QUALIFY rn = 1 ORDER BY k""".stripMargin)
+    assert(got == Seq(Seq(1, "c", 1), Seq(2, "e", 1), Seq(3, "f", 1)))
+  }
+
+  test("window aliases in the select list see pre-QUALIFY rows") {
+    // COUNT over the partition must count all three k=1 rows even though
+    // QUALIFY keeps one — windows evaluate before the filter
+    val got = rows(
+      """SELECT k, COUNT(*) OVER (PARTITION BY k) AS n FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1
+        |ORDER BY k""".stripMargin)
+    assert(got == Seq(Seq(1, 3L), Seq(2, 2L), Seq(3, 1L)))
+  }
+
+  // ------------------------------------------------------- end-to-end
+
+  test("Snowflake-dialect detail template == DataFrame pipeline (q65≡q47)") {
+    val dir = "/root/testdata/sf0.001"
+    val period = ClaimsPipeline.ReportPeriod(
+      "2024-01-01 00:00:00", "2024-01-20 00:00:00")
+    val events = core.Tables.load(core.GraftSession.tune(spark), dir, "events")
+    events.createOrReplaceTempView("dialect_events")
+    val viaDf = ClaimsPipeline.detailReport(events, period)
+    val viaSnow = ClaimsPipeline.detailReportSnowflakeSql(spark, "dialect_events", period)
+    assert(viaDf.columns.toSeq == viaSnow.columns.toSeq)
+    val a = viaDf.collect().map(_.toSeq).toSeq
+    val b = viaSnow.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty, "report should be non-empty on sf0.001")
+    assert(a == b)
+  }
+
+  test("rendered reference-style file body runs through GraftConnection.sql") {
+    // ad-hoc dialect path: session vars + QUALIFY + EXCLUDE + quoted alias
+    val conn = new core.GraftConnection(spark)
+    df().createOrReplaceTempView("dlt")
+    conn.sessionVars.set("MIN_V", "15")
+    val got = conn.sql(
+      """SELECT * EXCLUDE (d, v) FROM (
+        |  SELECT k AS "Key Id", tag, v, d FROM dlt WHERE v >= $MIN_V
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |) ORDER BY "Key Id"""".stripMargin)
+    assert(got.columns.toSeq == Seq("Key Id", "tag"))
+    assert(got.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, "c"), Seq(2, "e"), Seq(3, "f")))
+  }
+}
