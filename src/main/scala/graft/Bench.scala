@@ -29,8 +29,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.isEmpty || filter.exists(name.contains) }
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // per-query contention evidence: four straight rounds of filed medians
+    // needed an idle re-bench because a single exit-time loadavg could not
+    // show WHICH queries ran contended. Keep every run's wall time plus a
+    // loadavg sample per run, and self-flag queries whose max/min spread
+    // says the runs did not see the same machine.
+    final case class QueryStat(
+        runTimes: Seq[Double], loads: Seq[Double], median: Double, failed: Boolean)
+    val stats = selected.map { case (name, fn) =>
+      val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -39,17 +50,33 @@ object Bench {
             failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         finally graft.core.Caches.releaseAll() // drop operator-taken caches
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        ((System.nanoTime() - t0) / 1e9, load1())
+      }
+      val times = samples.map(_._1).sorted
       // true median: even run counts average the two middle elements — the
       // upper-middle alone systematically inflates round-over-round compares
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      // failure marker: -1 is numeric (keeps the line machine-readable) and
-      // unambiguous, since no real wall time is negative
-      name -> (if (failures.contains(name)) -1.0 else median)
+      // runTimes kept in RUN ORDER (not sorted): a spike's position matters —
+      // run 1 slow = codegen warmup (expected), later runs slow = contention
+      name -> QueryStat(samples.map(_._1), samples.map(_._2), median, failures.contains(name))
     }.toMap
+    // failure marker: -1 is numeric (keeps the line machine-readable) and
+    // unambiguous, since no real wall time is negative
+    val results = stats.map { case (k, st) => k -> (if (st.failed) -1.0 else st.median) }
+    // a query is noisy when, among its STEADY-STATE runs (run 1 dropped —
+    // the first execution always pays one-time codegen/plan costs), the
+    // slowest is >2x the fastest AND the gap is material (>0.3 s; sub-second
+    // queries jitter multiplicatively without saying anything about the
+    // medians' trustworthiness)
+    val noisy = stats.collect {
+      case (k, st) if !st.failed && {
+        val steady = if (st.runTimes.length >= 2) st.runTimes.drop(1) else st.runTimes
+        steady.nonEmpty && steady.max > 2.0 * steady.min &&
+          steady.max - steady.min > 0.3
+      } => k
+    }.toSeq.sorted
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
     // the front of the line out of it — that truncation is what produced
@@ -78,12 +105,19 @@ object Bench {
     val stdoutLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // self-contained record: the full result (unrounded medians, run count,
-    // loadavg, failure detail) also lands in target/bench.json so the filed
-    // numbers can be audited even when the driver's stdout capture truncates
+    // per-query run times + per-run loadavg samples, the noisy-query flags,
+    // failure detail) also lands in target/bench.json so the filed numbers
+    // can be audited — and a contended run self-reports — even when the
+    // driver's stdout capture truncates
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detailJson = stats.toSeq.sortBy(_._1).map { case (k, st) =>
+      s"\"" + k + "\":{\"runs\":" + st.runTimes.mkString("[", ",", "]") +
+        ",\"load1\":" + st.loads.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"detail":$detailJson,"failed":$failedJson}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -94,7 +128,7 @@ object Bench {
     }
     // stderr diag, stdout exactly the documented one-line shape — extra keys
     // after "sf" broke the driver's parse in r05/r06
-    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"failed":$failedJson}""")
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"failed":$failedJson}""")
     println(stdoutLine)
     spark.stop()
   }
