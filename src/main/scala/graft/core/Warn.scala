@@ -20,7 +20,15 @@ object Warn {
 
   /** Run `body` with warnings from THIS thread captured into a buffer —
     * the spec-side observer. Other threads' warnings still reach the
-    * default sink, and concurrent captures cannot interfere. */
+    * default sink, and concurrent captures cannot interfere.
+    *
+    * Limitation (by design): capture is driver-caller-thread scoped, so a
+    * warning emitted from inside a Spark task (an executor pool thread)
+    * during `body` bypasses the capture and lands on the default sink.
+    * Every current `Warn(...)` call site warns at OPERATOR CALL TIME on the
+    * caller thread (Dedup/Similarity cap checks) — keep it that way: a new
+    * operator that must warn from inside a job should instead surface the
+    * condition as data (a column / count) and warn from the driver. */
   def capturing[T](body: => T): (T, Seq[String]) = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     val result = captured.withValue(Some(msg => buf.synchronized { buf += msg }))(body)

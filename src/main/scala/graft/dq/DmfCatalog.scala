@@ -48,7 +48,7 @@ final case class DmfEntry(
     expectation_expr: String,
     comment: String)
 
-final class DmfCatalog(spark: SparkSession) {
+final class DmfCatalog(spark: SparkSession, meta: Option[MetaStore] = None) {
   import spark.implicits._
 
   private final case class Reg(
@@ -58,7 +58,18 @@ final class DmfCatalog(spark: SparkSession) {
 
   private val schedules = mutable.LinkedHashMap.empty[String, String]
   private val regs = mutable.ArrayBuffer.empty[Reg]
-  private val suspendedKeys = mutable.Set.empty[(String, String)]
+  // suspension key: (table, metric, columns) where columns None = NAME-level
+  // (every association of the name) and Some(joined) = one association —
+  // the reference's `MODIFY DATA METRIC FUNCTION <name> ON (cols)` grain.
+  // Seeded from the metastore's suspension event log when one is attached,
+  // so suspension survives a session restart the way the reference's
+  // catalog-resident schedule state does (setup_dmf_data_quality.sql:153-166);
+  // without a metastore the state is session-only.
+  private val suspendedKeys: mutable.Set[(String, String, Option[String])] =
+    mutable.Set.empty ++ meta.map(_.activeDmfSuspensions).getOrElse(Set.empty)
+
+  private def colKey(columns: Seq[String]): Option[String] =
+    Some(columns.mkString(","))
 
   /** STEP 1 — set (or change) an object's metric schedule. Changing it
     * re-schedules every DMF already attached to the object, exactly like
@@ -70,26 +81,55 @@ final class DmfCatalog(spark: SparkSession) {
     * `ALTER ... MODIFY DATA METRIC FUNCTION <name> ON (...) SUSPEND`.
     * Suspended checks are NOT evaluated (they surface as status SKIPPED
     * and don't join the fused scan), and `references` reports
-    * schedule_status SUSPENDED with a null next_execution_time. Applies to
-    * every association of that metric name on the table. */
-  def suspend(table: String, metricName: String): Unit = {
-    requireAttached(table, metricName)
-    suspendedKeys += ((table, metricName))
+    * schedule_status SUSPENDED with a null next_execution_time. This form
+    * applies to EVERY association of the metric name on the table; the
+    * three-argument overload suspends one column-set association. */
+  def suspend(table: String, metricName: String): Unit =
+    suspendImpl(table, metricName, None)
+
+  /** Suspend one association — the metric name on exactly this column set
+    * (the reference's per-association grain). Other associations of the
+    * same name keep evaluating. */
+  def suspend(table: String, metricName: String, columns: Seq[String]): Unit =
+    suspendImpl(table, metricName, colKey(columns))
+
+  private def suspendImpl(
+      table: String, metricName: String, key: Option[String]): Unit = {
+    requireAttached(table, metricName, key)
+    suspendedKeys += ((table, metricName, key))
+    meta.foreach(_.appendDmfSuspension(table, metricName, key, suspended = true))
   }
 
-  /** Resume a suspended metric (`... RESUME`); no-op if already started. */
+  /** Resume a suspended metric (`... RESUME`); no-op if already started.
+    * The name-level form lifts every suspension of the name (column-level
+    * ones included). */
   def resume(table: String, metricName: String): Unit = {
-    requireAttached(table, metricName)
-    suspendedKeys -= ((table, metricName))
+    requireAttached(table, metricName, None)
+    suspendedKeys.retain { case (t, m, _) => t != table || m != metricName }
+    meta.foreach(_.appendDmfSuspension(table, metricName, None, suspended = false))
   }
 
-  private def requireAttached(table: String, metricName: String): Unit =
+  /** Resume one column-set association. Lifts only the column-level
+    * suspension: a name-level suspension, if present, still applies. */
+  def resume(table: String, metricName: String, columns: Seq[String]): Unit = {
+    requireAttached(table, metricName, colKey(columns))
+    suspendedKeys -= ((table, metricName, colKey(columns)))
+    meta.foreach(_.appendDmfSuspension(table, metricName, colKey(columns), suspended = false))
+  }
+
+  private def requireAttached(
+      table: String, metricName: String, key: Option[String]): Unit =
     require(regs.exists(r =>
-        r.entry.table_name == table && r.entry.metric_name == metricName),
-      s"no DMF '$metricName' attached to '$table'")
+        r.entry.table_name == table && r.entry.metric_name == metricName &&
+          key.forall(_ == colKey(r.entry.metric_columns).get)),
+      key match {
+        case Some(k) => s"no DMF '$metricName' on columns ($k) attached to '$table'"
+        case None => s"no DMF '$metricName' attached to '$table'"
+      })
 
   private def isSuspended(e: DmfEntry): Boolean =
-    suspendedKeys((e.table_name, e.metric_name))
+    suspendedKeys((e.table_name, e.metric_name, None)) ||
+      suspendedKeys((e.table_name, e.metric_name, colKey(e.metric_columns)))
 
   private def register(
       table: String, metricName: String, columns: Seq[String],

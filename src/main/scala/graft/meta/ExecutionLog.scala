@@ -51,6 +51,21 @@ final case class DmfResultRow(
     value: Option[Long],
     status: String)
 
+/** One DMF suspend/resume event — the catalog-resident schedule state the
+  * reference keeps in warehouse metadata (`ALTER ... MODIFY DATA METRIC
+  * FUNCTION <name> ON (cols) SUSPEND|RESUME`, ref:
+  * sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql:153-166).
+  * `metric_columns` is the comma-joined column set of one association;
+  * None = name-level (every association of the metric name on the table).
+  * `event_seq` breaks same-millisecond ordering ties deterministically. */
+final case class DmfSuspensionRow(
+    event_ts: java.sql.Timestamp,
+    event_seq: Long,
+    table_name: String,
+    metric_name: String,
+    metric_columns: Option[String],
+    suspended: Boolean)
+
 final class MetaStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
@@ -85,7 +100,15 @@ final class MetaStore(spark: SparkSession, dir: String) {
   def appendDmfResults(rows: Seq[DmfResultRow]): Unit =
     rows.toDS().write.mode(SaveMode.Append).parquet(path("dmf_results"))
 
-  def dmfResults: DataFrame = spark.read.parquet(path("dmf_results"))
+  /** The persisted results log; empty (typed) before the first run, so
+    * `references` on a fresh store reports no-executions instead of
+    * crashing on a missing path. */
+  def dmfResults: DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path("dmf_results"))
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) spark.emptyDataset[DmfResultRow].toDF()
+    else spark.read.parquet(path("dmf_results"))
+  }
 
   /** DMF results trend — the reference's STEP 6 query
     * (setup_dmf_data_quality.sql:174-190): optionally filter one
@@ -96,6 +119,43 @@ final class MetaStore(spark: SparkSession, dir: String) {
     val base = dmfResults
     val filtered = expectation.fold(base)(e => base.filter($"expectation_name" === e))
     filtered.orderBy($"run_ts".desc, $"metric_name").limit(limit)
+  }
+
+  private val suspensionSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis()) // unique across appends within this store
+
+  def appendDmfSuspension(
+      table: String, metricName: String, metricColumns: Option[String],
+      suspended: Boolean,
+      ts: java.sql.Timestamp =
+        new java.sql.Timestamp(System.currentTimeMillis())): Unit =
+    Seq(DmfSuspensionRow(ts, suspensionSeq.incrementAndGet(),
+        table, metricName, metricColumns, suspended))
+      .toDS().write.mode(SaveMode.Append).parquet(path("dmf_suspensions"))
+
+  /** Replay the suspension event log into the set of currently-suspended
+    * associations — `(table, metric, columns)` with columns None meaning a
+    * name-level suspension. A name-level RESUME clears every key of that
+    * metric name, exactly like the in-memory semantics it persists. The log
+    * is catalog-sized (one row per operator action), so the ordered replay
+    * on the driver is the honest cost model. */
+  def activeDmfSuspensions: Set[(String, String, Option[String])] = {
+    val hPath = new org.apache.hadoop.fs.Path(path("dmf_suspensions"))
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Set.empty
+    val events = spark.read.parquet(path("dmf_suspensions"))
+      .orderBy($"event_ts", $"event_seq")
+      .as[DmfSuspensionRow].collect()
+    val active = scala.collection.mutable.Set.empty[(String, String, Option[String])]
+    events.foreach { e =>
+      val key = (e.table_name, e.metric_name, e.metric_columns)
+      if (e.suspended) active += key
+      else e.metric_columns match {
+        case None => active.retain { case (t, m, _) => t != e.table_name || m != e.metric_name }
+        case Some(_) => active -= key
+      }
+    }
+    active.toSet
   }
 
   /** Latest watermark per process/carrier; None on first run. */

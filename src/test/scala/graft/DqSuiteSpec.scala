@@ -8,6 +8,19 @@ import graft.dq.DqSuite
   * (ref: sql/new_rfb_and_total_claimants_active/test_data_quality.sql). */
 class DqSuiteSpec extends AnyFunSuite with SparkSpec {
 
+  /** Scratch dir deleted after the body — specs must not leak /tmp dirs
+    * (same hygiene as the q62 engine query, SparkEntry.scala). */
+  private def withTempDir[T](prefix: String)(body: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString)
+    finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   private def run() = {
     import spark.implicits._
     // 4 rows (<10 → DQ-015 WARNING), one negative-days row (DQ-008 FAIL),
@@ -149,7 +162,7 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     import graft.dq.{DmfCatalog, CronSchedule}
     import graft.meta.MetaStore
     import org.apache.spark.sql.functions.{col, count, lit, when}
-    val dir = java.nio.file.Files.createTempDirectory("graft-dmf").toString
+    withTempDir("graft-dmf") { dir =>
     val meta = new MetaStore(spark, dir)
     val cat = new DmfCatalog(spark)
     cat.setSchedule("t1", "USING CRON 0 8,14,20 * * * UTC")
@@ -179,6 +192,7 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     assert(CronSchedule.next("5 MINUTE",
       java.sql.Timestamp.valueOf("2026-01-02 20:00:00")) ==
       java.sql.Timestamp.valueOf("2026-01-02 20:05:00"))
+    }
   }
 
   test("DmfCatalog: suspend/resume — SKIPPED status, real schedule_status") {
@@ -204,19 +218,20 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     assert(out("null_count").isNullAt(out("null_count").fieldIndex("value")))
     // references reports the real per-association status; suspended
     // schedules have no next execution
-    val dir = java.nio.file.Files.createTempDirectory("graft-dmf-susp").toString
-    val meta = new MetaStore(spark, dir)
-    cat.evaluateAndLog(_ => t1, meta,
-      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-    val refs = cat.references(meta,
-        java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))
-      .collect().map(r => r.getAs[String]("metric_name") -> r).toMap
-    assert(refs("row_count").getAs[String]("schedule_status") == "STARTED")
-    assert(refs("row_count").getAs[java.sql.Timestamp]("next_execution_time") ==
-      java.sql.Timestamp.valueOf("2026-01-01 08:00:00"))
-    assert(refs("null_count").getAs[String]("schedule_status") == "SUSPENDED")
-    assert(refs("null_count")
-      .isNullAt(refs("null_count").fieldIndex("next_execution_time")))
+    withTempDir("graft-dmf-susp") { dir =>
+      val meta = new MetaStore(spark, dir)
+      cat.evaluateAndLog(_ => t1, meta,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      val refs = cat.references(meta,
+          java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))
+        .collect().map(r => r.getAs[String]("metric_name") -> r).toMap
+      assert(refs("row_count").getAs[String]("schedule_status") == "STARTED")
+      assert(refs("row_count").getAs[java.sql.Timestamp]("next_execution_time") ==
+        java.sql.Timestamp.valueOf("2026-01-01 08:00:00"))
+      assert(refs("null_count").getAs[String]("schedule_status") == "SUSPENDED")
+      assert(refs("null_count")
+        .isNullAt(refs("null_count").fieldIndex("next_execution_time")))
+    }
     // resume restores evaluation: the null key now FAILs the check
     cat.resume("t1", "null_count")
     val out2 = cat.evaluate(_ => t1).collect()
@@ -225,14 +240,88 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     assert(out2("null_count") == "FAIL")
   }
 
+  test("DmfCatalog: suspension persists through the metastore across catalogs") {
+    import spark.implicits._
+    import graft.dq.DmfCatalog
+    import graft.meta.MetaStore
+    import org.apache.spark.sql.functions.{col, count, when}
+    withTempDir("graft-dmf-persist") { dir =>
+      val meta = new MetaStore(spark, dir)
+      def freshCatalog(): DmfCatalog = {
+        val c = new DmfCatalog(spark, Some(meta))
+        c.setSchedule("t1", "USING CRON 0 8 * * * UTC")
+        c.addColumnMetric("t1", "null_count", Seq("k"),
+          count(when(col("k").isNull, 1)), "no_null_keys", "VALUE = 0")
+        c
+      }
+      val t1 = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+      val cat1 = freshCatalog()
+      cat1.suspend("t1", "null_count")
+      // a NEW catalog over the SAME metastore sees the suspension — the
+      // reference's catalog-resident schedule state across sessions
+      val cat2 = freshCatalog()
+      val refs = cat2.references(meta,
+          java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))
+        .collect().map(r => r.getAs[String]("metric_name") -> r).toMap
+      assert(refs("null_count").getAs[String]("schedule_status") == "SUSPENDED")
+      assert(cat2.evaluate(_ => t1).collect()
+        .head.getAs[String]("status") == "SKIPPED")
+      // resume persists the same way
+      cat2.resume("t1", "null_count")
+      val cat3 = freshCatalog()
+      assert(cat3.evaluate(_ => t1).collect()
+        .head.getAs[String]("status") == "FAIL")
+    }
+  }
+
+  test("DmfCatalog: column-level suspension is per-association") {
+    import spark.implicits._
+    import graft.dq.DmfCatalog
+    import org.apache.spark.sql.functions.{col, count, when}
+    val cat = new DmfCatalog(spark)
+    cat.setSchedule("t1", "USING CRON 0 8 * * * UTC")
+    // same metric NAME on two different column sets — the reference's
+    // ADD DATA METRIC FUNCTION <name> ON (cols) association grain
+    cat.addColumnMetric("t1", "null_count", Seq("k"),
+      count(when(col("k").isNull, 1)), "no_null_k", "VALUE = 0")
+    cat.addColumnMetric("t1", "null_count", Seq("v"),
+      count(when(col("v").isNull, 1)), "no_null_v", "VALUE = 0")
+    val t1 = Seq((Option.empty[Int], Some("a"))).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      cat.suspend("t1", "null_count", Seq("nope"))
+    }
+    cat.suspend("t1", "null_count", Seq("k"))
+    val out = cat.evaluate(_ => t1).collect()
+      .map(r => r.getAs[String]("expectation_name") ->
+        r.getAs[String]("status")).toMap
+    assert(out("no_null_k") == "SKIPPED") // suspended association
+    assert(out("no_null_v") == "PASS")    // sibling still evaluates
+    // column-level resume lifts only that association's suspension
+    cat.resume("t1", "null_count", Seq("k"))
+    val out2 = cat.evaluate(_ => t1).collect()
+      .map(r => r.getAs[String]("expectation_name") ->
+        r.getAs[String]("status")).toMap
+    assert(out2("no_null_k") == "FAIL")
+    // name-level suspend covers BOTH associations; name-level resume clears
+    cat.suspend("t1", "null_count")
+    assert(cat.evaluate(_ => t1).collect()
+      .forall(_.getAs[String]("status") == "SKIPPED"))
+    cat.resume("t1", "null_count")
+    assert(cat.evaluate(_ => t1).collect()
+      .forall(_.getAs[String]("status") != "SKIPPED"))
+  }
+
   test("CronSchedule honors the timezone token; unknown zone is unparseable") {
     import graft.dq.CronSchedule
+    // explicit UTC instants: Timestamp.valueOf would read the literal in the
+    // JVM default zone and make this assertion environment-sensitive
+    def utc(s: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(s))
     // 8 AM America/New_York on 2026-01-02 (EST, UTC-5) is 13:00 UTC
     assert(CronSchedule.next("USING CRON 0 8 * * * America/New_York",
-      java.sql.Timestamp.valueOf("2026-01-02 10:00:00")) ==
-      java.sql.Timestamp.valueOf("2026-01-02 13:00:00"))
+      utc("2026-01-02T10:00:00Z")) == utc("2026-01-02T13:00:00Z"))
     // unknown zone id → null, not TimeZone.getTimeZone's silent GMT fallback
     assert(CronSchedule.next("USING CRON 0 8 * * * Mars/Olympus",
-      java.sql.Timestamp.valueOf("2026-01-02 10:00:00")) == null)
+      utc("2026-01-02T10:00:00Z")) == null)
   }
 }
