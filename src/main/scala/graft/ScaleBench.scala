@@ -1,0 +1,139 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/**
+ * Empirical scale measurement for the dedup family — converts SCALE.md's
+ * plan-shape arguments into measured numbers. Generates a synthetic corpus
+ * of N documents (deterministic, column-expressions only: a vocab-hash
+ * token stream, ~3% tail-perturbed near-duplicate copies, hash embeddings
+ * — the same near-dup construction as SparkEntry.docsWithNearDupes, just
+ * without reading a base table), writes it to scratch parquet, then runs
+ * each operator once and records wall time, shuffle read/write bytes,
+ * spill, and peak per-task execution memory from the task-metrics stream.
+ *
+ * Usage: runMain graft.ScaleBench <scratchDir> <nDocs>[,...] [op[,...]] [signBits]
+ * Output: one JSON line per (scale, operator) on stdout.
+ *
+ * signBits defaults to 16: the 2^signBits sign-LSH bucket space must grow
+ * with the corpus or every bucket exceeds the maxBucket cap and recall
+ * collapses to zero — measured: signBits=8 (256 buckets/band) is fine at
+ * 50k docs but drops ALL pairs at 250k; the embeddingBucketStats audit is
+ * what surfaces that mis-tuning in production.
+ */
+object ScaleBench {
+
+  /** Sums task metrics between `reset()` and read; peak is max over tasks. */
+  private final class Metrics extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    val peakTaskMem = new AtomicLong
+    val tasks = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+        tasks.incrementAndGet()
+      }
+    }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0)
+      peakTaskMem.set(0); tasks.set(0)
+    }
+  }
+
+  /** Deterministic corpus: ~120 tokens/doc from a 5000-word vocab keyed by
+    * xxhash64(src, position); every 33rd doc is a near-duplicate of its
+    * predecessor (same src stream + a 3-token tail), and embeddings hash
+    * off the same src so near-dup docs carry identical vectors. */
+  private def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("is_dup", col("doc_id") % 33 === 0 && col("doc_id") > 0)
+      .withColumn("src", when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")))
+    base.select(
+      col("doc_id"),
+      concat(
+        concat_ws(" ", transform(sequence(lit(0), lit(119)),
+          i => concat(lit("w"), pmod(xxhash64(col("src"), i), lit(5000))))),
+        when(col("is_dup"), lit(" zzz extra tail")).otherwise(lit(""))).as("text"),
+      transform(sequence(lit(0), lit(31)),
+        j => (pmod(xxhash64(col("src"), j + 1000), lit(2000)).cast("double") / 1000.0 - 1.0)
+          .cast("float")).as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scratch = if (args.nonEmpty) args(0) else "/tmp/graft-scale"
+    val sizes: Seq[Long] =
+      (if (args.length > 1) args(1) else "250000,1000000,5000000")
+        .split(",").toSeq.map(_.trim.toLong)
+    val ops: Set[String] =
+      (if (args.length > 2) args(2) else "all").split(",").map(_.trim).toSet
+    def wanted(name: String): Boolean = ops("all") || ops(name)
+    val signBits = if (args.length > 3) args(3).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$scratch/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    def measured(scale: Long, name: String)(op: DataFrame => DataFrame): Unit = {
+      val docs = spark.read.parquet(s"$scratch/docs_$scale")
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val rows = op(docs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.core.Caches.releaseAll()
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+      println(
+        s"""{"op":"$name","docs":$scale,"rows":$rows,"sec":${math.rint(sec * 100) / 100},""" +
+        s""""shuffle_read_mb":${metrics.shuffleRead.get / 1048576},""" +
+        s""""shuffle_write_mb":${metrics.shuffleWrite.get / 1048576},""" +
+        s""""spill_mb":${metrics.spill.get / 1048576},""" +
+        s""""peak_task_mem_mb":${metrics.peakTaskMem.get / 1048576},""" +
+        s""""tasks":${metrics.tasks.get}}""")
+    }
+
+    sizes.foreach { n =>
+      val docsPath = new org.apache.hadoop.fs.Path(s"$scratch/docs_$n")
+      val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(docsPath)) {
+        val t0 = System.nanoTime()
+        corpus(spark, n)
+          .repartition(math.max(cpus.toInt, (n / 250000L).toInt))
+          .write.mode("overwrite").parquet(s"$scratch/docs_$n")
+        println(s"""{"op":"generate","docs":$n,"sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+      }
+
+      if (wanted("exact_drop")) measured(n, "exact_drop")(d =>
+        Dedup.dropExactDuplicates(d, "doc_id", "text"))
+      if (wanted("minhash_lsh")) measured(n, "minhash_lsh")(d =>
+        Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200))
+      if (wanted("ngram_jaccard")) measured(n, "ngram_jaccard")(d =>
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          k = 3, threshold = 0.5, maxShingleDf = 50))
+      if (wanted("embedding_neardup")) measured(n, "embedding_neardup")(d =>
+        Dedup.embeddingNearDupPairs(d, "doc_id", "embedding",
+          threshold = 0.95, signBits = signBits, bands = 2, maxBucket = 200))
+      if (wanted("dedup_clusters")) measured(n, "dedup_clusters")(d =>
+        Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)))
+    }
+    spark.stop()
+  }
+}

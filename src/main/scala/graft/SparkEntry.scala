@@ -872,6 +872,24 @@ object SparkEntry {
       t(s, dir, "events").createOrReplaceTempView("q65_events")
       ClaimsPipeline.detailReportSnowflakeSql(s, "q65_events",
         ClaimsPipeline.ReportPeriod("2024-01-01 00:00:00", "2024-01-20 00:00:00"))
+    }),
+
+    // the production shape of q27+q58: ONE persisted banded frame feeds
+    // both the candidate pairs and the bucket audit (minhashLshWithStats),
+    // so the shared pipeline's cost profile is benched alongside the
+    // standalone oracle-parity entries
+    "q66_lsh_shared" -> ((s, dir) => {
+      val (pairs, stats) = Dedup.minhashLshWithStats(
+        docsWithNearDupes(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
+        portable = true)
+      val hist = stats.select(lit("hist").as("kind"),
+        col("band").cast("long").as("band"), col("bucket_size"),
+        col("n_buckets").as("n"))
+      val summary = pairs.agg(count(lit(1)).as("n"))
+        .select(lit("pairs").as("kind"), lit(-1L).as("band"),
+          lit(-1L).as("bucket_size"), col("n"))
+      hist.union(summary).orderBy("kind", "band", "bucket_size")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1757,7 +1775,33 @@ object SparkEntry {
     // the dialect-shim form must land on exactly the q47 report
     "q65_qualify_dialect" ->
       s"""$ClaimsReportSql
-         |ORDER BY "Claimant Id"""".stripMargin)
+         |ORDER BY "Claimant Id"""".stripMargin,
+
+    // q27's pair set + q58's histogram derived from ONE banded CTE — the
+    // oracle of the shared-pipeline form
+    "q66_lsh_shared" -> {
+      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |banded AS (
+         | $bands),
+         |bs AS (SELECT band, bucket, count(*) AS bucket_size FROM banded GROUP BY 1, 2),
+         |ok AS (SELECT band, bucket FROM bs WHERE bucket_size BETWEEN 2 AND $LshMaxBucket),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket)
+         |SELECT 'hist' AS kind, CAST(band AS BIGINT) AS band, bucket_size,
+         |       count(*) AS n
+         |FROM bs GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'pairs', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), count(*) FROM pairs
+         |ORDER BY kind, band, bucket_size""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -38,4 +38,10 @@ object ColumnBridge {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.DateType)), "built-in")
   }
+
+  /** Drain the listener bus so task-metrics listeners (ScaleBench) have
+    * seen every completed task before counters are read — the bus posts
+    * events asynchronously and `waitUntilEmpty` is `private[spark]`. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
 }
