@@ -186,4 +186,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), "asOfJoin must not materialize candidate pairs")
     assert(plan.contains("Window"), "asOfJoin carries payload via window fill")
   }
+
+  test("QUALIFY rewrite compiles to the same plan shape as hand-written SQL") {
+    import graft.reports.ClaimsPipeline
+    // the SqlDialect wrap (predicate as hidden column + outer filter +
+    // star-EXCEPT) must not cost anything physical: same number of Window
+    // operators and hash exchanges as the hand-written subquery form —
+    // Catalyst collapses the wrapper projections
+    val period = ClaimsPipeline.ReportPeriod(
+      "2024-01-01 00:00:00", "2024-01-20 00:00:00")
+    core.Tables.load(core.GraftSession.tune(spark), dir, "events")
+      .createOrReplaceTempView("plan_events")
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("Window".r.findAllIn(p).size,
+        "Exchange hashpartitioning".r.findAllIn(p).size)
+    }
+    val hand = shape(ClaimsPipeline.detailReportSql(spark, "plan_events", period))
+    val shim = shape(ClaimsPipeline.detailReportSnowflakeSql(spark, "plan_events", period))
+    assert(shim == hand,
+      s"dialect-shim plan (windows, exchanges)=$shim must match hand-written $hand")
+  }
 }
