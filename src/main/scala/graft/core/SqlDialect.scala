@@ -15,9 +15,12 @@ package graft.core
  *     single-quoted); Spark's default parser reads `"x"` as a string
  *     literal. `"Claim Id"` → `` `Claim Id` ``, with `""` unescaped and
  *     any embedded backtick doubled.
- *  2. **Function renames** where Spark lacks the name but has an
- *     argument-compatible builtin: `CHARINDEX(sub, str[, pos])` →
- *     `POSITION(sub, str[, pos])`. (DATEADD, TO_CHAR, LEN, CONTAINS,
+ *  2. **Function surfaces** where Spark lacks the source form:
+ *     `CHARINDEX(sub, str[, pos])` → `POSITION(sub, str[, pos])` (rename);
+ *     `DATEADD('day', ...)` / `DATEDIFF('ms', ...)` quoted units → bare
+ *     identifiers incl. the dialect's short aliases;
+ *     `OBJECT_CONSTRUCT(k, v, ...)` → `to_json(named_struct(k, v, ...))`.
+ *     (DATEADD with bare units, TO_CHAR, LEN, CONTAINS, TRY_TO_DATE,
  *     LEAD-with-default all parse natively in Spark 4 — no rewrite.)
  *  3. **`QUALIFY <pred>`** — filter on window functions, evaluated after
  *     WHERE/GROUP BY/HAVING and *before* DISTINCT/ORDER BY. Rewritten as:
@@ -53,7 +56,8 @@ object SqlDialect {
     * Spark SQL (modulo the double-quote rule — Spark-dialect text must use
     * single quotes for strings, as all repo templates do). */
   def toSpark(sql: String): String =
-    rewriteExclude(rewriteQualify(renameFunctions(quotedIdentifiersToBackticks(sql))))
+    rewriteExclude(rewriteQualify(rewriteObjectConstruct(
+      unquoteUnitArgs(renameFunctions(quotedIdentifiersToBackticks(sql))))))
 
   // ------------------------------------------------------------- scanning
 
@@ -222,6 +226,91 @@ object SqlDialect {
           }
           i += 1
         }
+      }
+    }
+    sql
+  }
+
+  // ------------------------------------------------- 2b. function surfaces
+
+  /** Datetime units the source dialect quotes (`DATEADD('day', ...)`, 34
+    * uses in the reference's feed SQL) mapped to the bare identifiers
+    * Spark's DATEADD/DATEDIFF require, including the dialect's short
+    * aliases. Unknown unit strings are left untouched. */
+  private val DatetimeUnits: Map[String, String] = {
+    val full = Seq("year", "quarter", "month", "week", "day", "dayofyear",
+      "hour", "minute", "second", "millisecond", "microsecond")
+    val aliases = Map(
+      "yyyy" -> "year", "yy" -> "year", "qq" -> "quarter", "q" -> "quarter",
+      "mm" -> "month", "mon" -> "month", "wk" -> "week", "ww" -> "week",
+      "dd" -> "day", "d" -> "day", "hh" -> "hour", "mi" -> "minute",
+      "ss" -> "second", "s" -> "second", "ms" -> "millisecond",
+      "us" -> "microsecond")
+    full.map(u => u -> u).toMap ++ aliases
+  }
+
+  private val UnitFns = Seq("DATEADD", "DATEDIFF", "TIMESTAMPADD", "TIMESTAMPDIFF")
+
+  /** `DATEADD('day', x, y)` → `DATEADD(day, x, y)` — Spark requires a bare
+    * unit identifier where the source dialect also accepts a string. */
+  def unquoteUnitArgs(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = scan(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (UnitFns.exists(f => keywordAt(sql, s, i, f))) {
+          val fn = UnitFns.find(f => keywordAt(sql, s, i, f)).get
+          val po = nextSignificant(sql, i + fn.length)
+          if (po < sql.length && sql.charAt(po) == '(') {
+            val a = nextSignificant(sql, po + 1)
+            if (a < sql.length && sql.charAt(a) == '\'') {
+              val close = sql.indexOf('\'', a + 1)
+              if (close > a) {
+                DatetimeUnits.get(sql.substring(a + 1, close).trim.toLowerCase) match {
+                  case Some(unit) =>
+                    sql = sql.substring(0, a) + unit + sql.substring(close + 1)
+                    changed = true
+                  case None => // not a unit string — leave it alone
+                }
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    sql
+  }
+
+  /** `OBJECT_CONSTRUCT(k1, v1, ...)` → `to_json(named_struct(k1, v1, ...))`
+    * — the engine's established mapping for the source dialect's JSON
+    * object constructor (semi-structured §2.8, q24). */
+  def rewriteObjectConstruct(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = scan(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (keywordAt(sql, s, i, "OBJECT_CONSTRUCT")) {
+          val nameEnd = i + "OBJECT_CONSTRUCT".length
+          val po = nextSignificant(sql, nameEnd)
+          if (po < sql.length && sql.charAt(po) == '(') {
+            val d = s.depth(po)
+            var close = po + 1
+            while (close < sql.length &&
+              !(s.code(close) && sql.charAt(close) == ')' && s.depth(close) == d)) close += 1
+            require(close < sql.length, s"unbalanced OBJECT_CONSTRUCT at offset $i")
+            sql = sql.substring(0, i) + "to_json(named_struct" +
+              sql.substring(nameEnd, close + 1) + ")" + sql.substring(close + 1)
+            changed = true
+          }
+        }
+        i += 1
       }
     }
     sql

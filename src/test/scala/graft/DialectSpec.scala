@@ -62,6 +62,31 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(SqlDialect.toSpark(notCall) == notCall)
   }
 
+  test("quoted datetime units unquote; aliases map; non-units untouched") {
+    assert(SqlDialect.toSpark("SELECT DATEADD('day', 1, ts) FROM t") ==
+      "SELECT DATEADD(day, 1, ts) FROM t")
+    assert(SqlDialect.toSpark("SELECT DATEADD('ms', -5, ts) FROM t") ==
+      "SELECT DATEADD(millisecond, -5, ts) FROM t")
+    assert(SqlDialect.toSpark("SELECT DATEDIFF('MI', a, b) FROM t") ==
+      "SELECT DATEDIFF(minute, a, b) FROM t")
+    // a first arg that is not a unit string must be left alone
+    val notUnit = "SELECT DATEDIFF('2024-01-01', b) FROM t"
+    assert(SqlDialect.toSpark(notUnit) == notUnit)
+    // bare units already parse — identity
+    val bare = "SELECT DATEADD(minute, -1, ts) FROM t"
+    assert(SqlDialect.toSpark(bare) == bare)
+  }
+
+  test("OBJECT_CONSTRUCT wraps to to_json(named_struct(...))") {
+    assert(SqlDialect.toSpark(
+      "SELECT OBJECT_CONSTRUCT('a', 1, 'b', f(x, y)) AS j FROM t") ==
+      "SELECT to_json(named_struct('a', 1, 'b', f(x, y))) AS j FROM t")
+    // runs end-to-end and produces JSON text
+    val got = spark.sql(SqlDialect.toSpark(
+      "SELECT OBJECT_CONSTRUCT('a', 1, 'b', 'x') AS j")).head.getString(0)
+    assert(got == """{"a":1,"b":"x"}""")
+  }
+
   // ---------------------------------------------------------- semantic
 
   private def df() = {
