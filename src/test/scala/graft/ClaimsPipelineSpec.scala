@@ -25,7 +25,7 @@ class ClaimsPipelineSpec extends AnyFunSuite with SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val period = ClaimsPipeline.ReportPeriod(
       "2024-01-01 00:00:00", "2024-01-20 00:00:00")
-    val out = java.nio.file.Files.createTempDirectory("graftclaims").toString + "/report"
+    val out = TempDirs.create("graftclaims").toString + "/report"
     ClaimsPipeline.detailReport(Tables.load(GraftSession.tune(spark), dir, "events"), period)
       .write.parquet(out)
     val back = spark.read.parquet(out)

@@ -125,7 +125,7 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
   test("IncrementalLoad: first run loads all, second only newer rows") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
+    val dir = TempDirs.create("graftinc").toString
     val meta = new MetaStore(spark, dir)
     val source1 = Seq(
       (1L, "a", ts("2024-01-01 00:00:00")),
@@ -155,7 +155,7 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
   test("IncrementalLoad keeps the old watermark when the sink fails") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val dir = java.nio.file.Files.createTempDirectory("graftincfail").toString
+    val dir = TempDirs.create("graftincfail").toString
     val meta = new MetaStore(spark, dir)
     val source = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "updated_at")
     intercept[RuntimeException] {
@@ -232,7 +232,7 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     w(s"6 0 obj << /Length ${c2.length} /Filter /FlateDecode >> stream\n")
     bos.write(c2); w("\nendstream endobj\n")
     w("trailer << /Root 1 0 R >>\n%%EOF")
-    val dir = java.nio.file.Files.createTempDirectory("graftpdf")
+    val dir = TempDirs.create("graftpdf")
     val path = dir.resolve("claims.pdf")
     java.nio.file.Files.write(path, bos.toByteArray)
 

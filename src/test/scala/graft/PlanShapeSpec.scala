@@ -131,7 +131,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // date-partitioned events fixture — the reference's incremental-load
     // storage layout (connector/snowpark_connector.py:425-453,
     // docs/KIMBALL_CDC_DATA_DESIGN.md:289-296): 30 day-partitions
-    val tmp = java.nio.file.Files.createTempDirectory("graft-events-part").toString
+    val tmp = TempDirs.create("graft-events-part").toString
     graft.core.Tables.load(spark, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)

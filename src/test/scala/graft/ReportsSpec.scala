@@ -29,7 +29,7 @@ class ReportsSpec extends AnyFunSuite with SparkSpec {
 
   test("writeCsv produces a single header-first csv file") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString + "/out"
+    val dir = TempDirs.create("graftcsv").toString + "/out"
     Feeds.writeCsv(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
     val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
     assert(f.length == 1)

@@ -10,7 +10,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
   test("windowedEventAgg over a file stream matches the batch result") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val dir = TempDirs.create("graftstream").toString
     val batch = Seq(
       ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1.0),
       ("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:40"), 2.0),
@@ -35,7 +35,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
   test("latestVersionStream keeps the newest version per key across triggers") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val dir = java.nio.file.Files.createTempDirectory("graftlv").toString
+    val dir = TempDirs.create("graftlv").toString
     val schema = Seq(("u1", ts("2024-01-01 00:00:00"), 1L, "v1"))
       .toDF("user_id", "ts", "seq", "payload").schema
     // two files → two triggers (maxFilesPerTrigger=1): state carries across
@@ -62,7 +62,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
   test("sessionizeStream closes gap sessions like the batch form") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val dir = java.nio.file.Files.createTempDirectory("graftsess").toString
+    val dir = TempDirs.create("graftsess").toString
     // u1: two sessions (gap > 5 min between 00:02 and 00:30); u2: one
     val batch = Seq(
       ("u1", ts("2024-01-01 00:00:00")), ("u1", ts("2024-01-01 00:02:00")),
@@ -111,7 +111,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
   test("ExecutionLogger records success counts and sanitized failures") {
     import graft.meta.ExecutionLogger
-    val dir = java.nio.file.Files.createTempDirectory("graftel").toString
+    val dir = TempDirs.create("graftel").toString
     val ms = new MetaStore(spark, dir)
     val out = ExecutionLogger.logged(ms, "proc1", "c1",
       (r: (Long, Long, Long)) => r) { (3L, 2L, 1L) }
@@ -132,7 +132,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("MetaStore watermark roundtrip and execution log append") {
-    val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
+    val dir = TempDirs.create("graftmeta").toString
     val ms = new MetaStore(spark, dir)
     assert(ms.lastLoadTimestamp("p1", "c1").isEmpty)
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -147,7 +147,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
   test("dedupStream keeps one row per text; later-batch duplicates drop") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftdedupstream").toString
+    val dir = TempDirs.create("graftdedupstream").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val b1 = Seq(
       (1L, "alpha doc", ts("2024-01-01 00:00:01")),
@@ -181,7 +181,7 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("queryHistory filters by id and time, newest first, limit-N") {
-    val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
+    val dir = TempDirs.create("graftmeta").toString
     val ms = new MetaStore(spark, dir)
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-01 00:00:00")
     ms.appendExecutionLog((1 to 5).map(m =>

@@ -19,7 +19,7 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("xlsx writer emits a valid minimal package with typed cells") {
-    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/r.xlsx"
+    val path = TempDirs.create("graftxlsx").toString + "/r.xlsx"
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("Report",
       Seq("name", "amount"),
       Seq(Seq("a & b", 12.5), Seq("<x>", 3L), Seq(null, 7)))))
@@ -41,7 +41,7 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
   test("styled grouped workbook: styles.xml, widths, merges, subtotal rows") {
     import spark.implicits._
     import graft.reports.ReportRenderer
-    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/styled.xlsx"
+    val path = TempDirs.create("graftxlsx").toString + "/styled.xlsx"
     val detail = Seq(
       ("G2", "c3", 30.0), ("G1", "c1", 10.5), ("G1", "c2", 20.0))
       .toDF("grp", "claim", "amount")
@@ -83,7 +83,7 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
   test("styled workbook: empty report renders the merged no-data notice") {
     import spark.implicits._
     import graft.reports.ReportRenderer
-    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/empty.xlsx"
+    val path = TempDirs.create("graftxlsx").toString + "/empty.xlsx"
     val detail = Seq.empty[(String, String, Double)].toDF("grp", "claim", "amount")
     ReportRenderer.renderXlsx(path,
       ReportRenderer.ReportHeader("Claims Paid Report", "Acme Carrier",
@@ -98,7 +98,7 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(XlsxWriter.sanitizeSheetName("Claims: 2024/Q1 [final]*?") == "Claims_ 2024_Q1 _final___")
     assert(XlsxWriter.sanitizeSheetName("x" * 40) == "x" * 31)
     assert(XlsxWriter.sanitizeSheetName("  ") == "Sheet1")
-    val path = java.nio.file.Files.createTempDirectory("graftxlsx").toString + "/s.xlsx"
+    val path = TempDirs.create("graftxlsx").toString + "/s.xlsx"
     XlsxWriter.write(path, Seq(XlsxWriter.Sheet("bad/name: [x]", Seq("a"), Seq(Seq(1)))))
     assert(zipEntries(path)("xl/workbook.xml").contains("""<sheet name="bad_name_ _x_""""))
   }
@@ -116,7 +116,7 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
 
   test("datafeed runner fetches, writes, and logs batch control") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graftfeed").toString
+    val dir = TempDirs.create("graftfeed").toString
     val meta = new MetaStore(spark, dir + "/meta")
     Seq((2, "b", "x"), (1, "a", "y"), (3, "c", "z"))
       .toDF("k", "v", "drop_me").createOrReplaceTempView("feed_src")
