@@ -87,9 +87,7 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries are excluded from the headline total
     val total = results.values.filter(_ >= 0).sum
-    val load =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ")(0)
-      catch { case _: Throwable => "-1" }
+    val load = load1() // exit-time 1-min loadavg (per-query samples in detail)
     // exception messages may carry quotes, backslashes, and newlines (Spark
     // AnalysisException is routinely multi-line) — escape all JSON-significant
     // and control characters so the hand-built diag stays machine-readable

@@ -79,9 +79,14 @@ object ScaleBench {
     def wanted(name: String): Boolean = ops("all") || ops(name)
     val signBits = if (args.length > 3) args(3).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // more shuffle partitions than cores for the big tiers: the dedup aggs
+    // sort hundreds of millions of shingle rows, and per-task state must
+    // fit in (heap / concurrent tasks) or it spills — measured at 1M docs:
+    // 32 partitions spilled 11 GB, 128 spill ~0 (AQE coalesces the rest)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -93,6 +98,10 @@ object ScaleBench {
 
     def measured(scale: Long, name: String)(op: DataFrame => DataFrame): Unit = {
       val docs = spark.read.parquet(s"$scratch/docs_$scale")
+      // drain BEFORE reset too: TaskEnd events from the previous action
+      // (corpus generation) post asynchronously and would otherwise land
+      // after the reset, inflating this op's counters
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
       metrics.reset()
       val t0 = System.nanoTime()
       val rows = op(docs).count()

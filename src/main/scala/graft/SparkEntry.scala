@@ -496,15 +496,19 @@ object SparkEntry {
         "sql" else "/root/repo/sql"
       conn.sessionVars.set("MIN_VALUE", "2.0")
       conn.sessionVars.set("MAX_VALUE", "8.0")
+      // dialect = false: conn.sql applies the SqlDialect pass itself — the
+      // render layer must not pre-rewrite, or the path silently depends on
+      // every dialect rule being idempotent
       val base = conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/base.sql",
         placeholders = Map("SOURCE_TABLE" -> "events"),
-        incrementalPredicate = Some("ts > TIMESTAMP '2024-01-05 00:00:00'")))
+        incrementalPredicate = Some("ts > TIMESTAMP '2024-01-05 00:00:00'"),
+        dialect = false))
       conn.saveAsView(base, "service_events_base")
       val detail = conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/detail.sql",
-        placeholders = Map("BASE_VIEW" -> "service_events_base")))
+        placeholders = Map("BASE_VIEW" -> "service_events_base"), dialect = false))
       conn.saveAsView(detail, "service_events_detail")
       conn.sql(SqlTemplate.renderFile(s"$sqlDir/service_summary/summary.sql",
-        placeholders = Map("DETAIL_VIEW" -> "service_events_detail")))
+        placeholders = Map("DETAIL_VIEW" -> "service_events_detail"), dialect = false))
     }),
 
     // F4/U2 — six-frequency period view for a run date

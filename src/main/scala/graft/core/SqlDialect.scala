@@ -19,8 +19,10 @@ package graft.core
  *     `CHARINDEX(sub, str[, pos])` → `POSITION(sub, str[, pos])` (rename);
  *     `DATEADD('day', ...)` / `DATEDIFF('ms', ...)` quoted units → bare
  *     identifiers incl. the dialect's short aliases;
- *     `OBJECT_CONSTRUCT(k, v, ...)` → `to_json(named_struct(k, v, ...))`.
- *     (DATEADD with bare units, TO_CHAR, LEN, CONTAINS, TRY_TO_DATE,
+ *     `OBJECT_CONSTRUCT(k, v, ...)` → `to_json(named_struct(k, v, ...))`;
+ *     TO_CHAR/TO_DATE/... format literals translated token-by-token
+ *     (`'MM/DD/YYYY'` → `'MM/dd/yyyy'` — Spark's `DD` is day-of-year).
+ *     (DATEADD with bare units, TO_CHAR itself, LEN, CONTAINS, TRY_TO_DATE,
  *     LEAD-with-default all parse natively in Spark 4 — no rewrite.)
  *  3. **`QUALIFY <pred>`** — filter on window functions, evaluated after
  *     WHERE/GROUP BY/HAVING and *before* DISTINCT/ORDER BY. Rewritten as:
@@ -37,9 +39,12 @@ package graft.core
  *     reference's `QUALIFY ROW_NUMBER() OVER (... ORDER BY sequenced_at
  *     DESC) = 1` on a `SELECT series_id, filing_state` list, detail.sql:32).
  *     A `SELECT DISTINCT` moves to the outer query — the dialect dedupes
- *     after QUALIFY. Trailing ORDER BY / LIMIT stay outside the wrap.
- *     Multiple QUALIFYs (one per CTE) and QUALIFY in FROM-subqueries are
- *     handled by re-scanning until none remain.
+ *     after QUALIFY. A trailing ORDER BY stays outside the wrap, with each
+ *     non-ordinal sort expression hoisted into a hidden inner column so
+ *     sorting on base columns missing from the select list keeps working;
+ *     LIMIT stays outside untouched. Multiple QUALIFYs (one per CTE) and
+ *     QUALIFY in FROM-subqueries are handled by re-scanning until none
+ *     remain.
  *  4. **`* EXCLUDE (a, b)` / `* EXCLUDE a` → `* EXCEPT (a, b)`** — Spark 4
  *     supports star-EXCEPT natively, so this is a keyword swap (plus
  *     parenthesizing the bare single-column form).
@@ -54,10 +59,11 @@ object SqlDialect {
 
   /** Snowflake-dialect SQL → Spark SQL. Identity when the input is already
     * Spark SQL (modulo the double-quote rule — Spark-dialect text must use
-    * single quotes for strings, as all repo templates do). */
+    * single quotes for strings, as all repo templates do). Idempotent:
+    * re-applying to already-rewritten text changes nothing. */
   def toSpark(sql: String): String =
-    rewriteExclude(rewriteQualify(rewriteObjectConstruct(
-      unquoteUnitArgs(renameFunctions(quotedIdentifiersToBackticks(sql))))))
+    rewriteExclude(rewriteQualify(rewriteObjectConstruct(translateFormats(
+      unquoteUnitArgs(renameFunctions(quotedIdentifiersToBackticks(sql)))))))
 
   // ------------------------------------------------------------- scanning
 
@@ -285,6 +291,76 @@ object SqlDialect {
     sql
   }
 
+  /** Datetime format tokens of the source dialect (`TO_CHAR(ts,
+    * 'MM/DD/YYYY')`, six uses in the reference's report SQL) mapped to
+    * Spark's pattern letters — in Spark `DD` is day-of-YEAR and `MI` is
+    * unknown, so the literal cannot be shared verbatim. Longest token
+    * first; anything unmatched copies through (separators, numeric `9`
+    * masks). Matching is CASE-SENSITIVE on the dialect's conventional
+    * UPPERCASE spellings: lowercase tokens are taken as already-Spark,
+    * which keeps the rewrite idempotent ('MI'→'mm' must not then read
+    * 'mm' as month). */
+  private val FormatTokens: Seq[(String, String)] = Seq(
+    "MONTH" -> "MMMM", "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy",
+    "FF3" -> "SSS", "MON" -> "MMM", "DY" -> "EEE", "YY" -> "yy",
+    "MM" -> "MM", "DD" -> "dd", "HH" -> "HH", "MI" -> "mm", "SS" -> "ss",
+    "AM" -> "a", "PM" -> "a")
+
+  private val FormatFns =
+    Seq("TO_CHAR", "TO_VARCHAR", "TO_DATE", "TRY_TO_DATE", "TO_TIMESTAMP",
+      "TRY_TO_TIMESTAMP")
+
+  private def translateFormatLiteral(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      FormatTokens.find { case (tok, _) =>
+        fmt.regionMatches(false, i, tok, 0, tok.length)
+      } match {
+        case Some((tok, rep)) => sb.append(rep); i += tok.length
+        case None => sb.append(fmt.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Rewrite the second-argument format literal of TO_CHAR/TO_DATE/... from
+    * source-dialect tokens to Spark pattern letters. Only touches string
+    * literals in that exact position. */
+  def translateFormats(sql0: String): String = {
+    var sql = sql0
+    var i = 0
+    var s = scan(sql)
+    while (i < sql.length) {
+      val fn = FormatFns.find(f => keywordAt(sql, s, i, f))
+      if (fn.isDefined) {
+        val po = nextSignificant(sql, i + fn.get.length)
+        if (po < sql.length && sql.charAt(po) == '(') {
+          val d = s.depth(po)
+          // find the first comma at the call's depth, then a string literal
+          var c = po + 1
+          while (c < sql.length && !(s.code(c) && s.depth(c) == d &&
+            (sql.charAt(c) == ',' || sql.charAt(c) == ')'))) c += 1
+          if (c < sql.length && sql.charAt(c) == ',') {
+            val a = nextSignificant(sql, c + 1)
+            if (a < sql.length && sql.charAt(a) == '\'') {
+              val close = sql.indexOf('\'', a + 1)
+              if (close > a) {
+                val translated = translateFormatLiteral(sql.substring(a + 1, close))
+                if (translated != sql.substring(a + 1, close)) {
+                  sql = sql.substring(0, a + 1) + translated + sql.substring(close)
+                  s = scan(sql) // indices after the edit shift
+                }
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** `OBJECT_CONSTRUCT(k1, v1, ...)` → `to_json(named_struct(k1, v1, ...))`
     * — the engine's established mapping for the source dialect's JSON
     * object constructor (semi-structured §2.8, q24). */
@@ -383,15 +459,77 @@ object SqlDialect {
       require(pred.nonEmpty, s"empty QUALIFY predicate (offset $qi)")
 
       val qcol = s"__qualify_$counter"
+
+      // a trailing ORDER BY may sort on base columns that are NOT in the
+      // select list (legal in the source dialect and in plain Spark) — the
+      // wrap would hide them, so HOIST each non-ordinal sort expression into
+      // a hidden inner column and sort the outer query on that. Ordinals
+      // pass through (star-EXCEPT preserves the original column positions).
+      // Not under DISTINCT: there ORDER BY may only use selected columns
+      // (standard SQL), and a sort above Distinct cannot see hidden ones —
+      // the original clause is left in place.
+      var tailFrom = predEnd // original text to append after the wrap
+      val ordCols = scala.collection.mutable.ArrayBuffer.empty[String] // hidden col defs
+      var outerOrder = "" // rewritten ORDER BY clause, empty if none
+      if (!distinct && predEnd < sql.length && keywordAt(sql, s, predEnd, "ORDER")) {
+        val by = nextSignificant(sql, predEnd + "ORDER".length)
+        require(keywordAt(sql, s, by, "BY"), s"ORDER without BY (offset $predEnd)")
+        // each item runs to a same-depth comma or the clause end
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = by + "BY".length
+        var itemStart = p
+        var clauseEnd = sql.length
+        var scanning = true
+        while (p <= sql.length && scanning) {
+          val atEnd = p == sql.length
+          val stop = !atEnd && s.code(p) && ((sql.charAt(p) == ')' && s.depth(p) == d) ||
+            sql.charAt(p) == ';' ||
+            (s.depth(p) == d && Seq("LIMIT", "FETCH", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "MINUS")
+              .exists(k => keywordAt(sql, s, p, k))))
+          if (atEnd || stop) {
+            items += sql.substring(itemStart, p)
+            clauseEnd = p
+            scanning = false
+          } else if (s.code(p) && sql.charAt(p) == ',' && s.depth(p) == d) {
+            items += sql.substring(itemStart, p)
+            itemStart = p + 1
+          }
+          p += 1
+        }
+        val rewritten = items.zipWithIndex.map { case (item, ix) =>
+          // split the trailing direction words (ASC/DESC/NULLS FIRST|LAST)
+          // off the sort expression
+          val dirRe = "(?is)\\s+(asc|desc|nulls\\s+first|nulls\\s+last)\\s*$".r
+          var expr = item.trim
+          var dir = ""
+          var more = true
+          while (more) dirRe.findFirstMatchIn(expr) match {
+            case Some(m) => dir = " " + m.group(1).toUpperCase + dir
+              expr = expr.substring(0, m.start)
+            case None => more = false
+          }
+          if (expr.matches("\\d+")) item.trim // ordinal — positions survive EXCEPT
+          else {
+            val oc = s"${qcol}_ord_$ix"
+            ordCols += s", ($expr\n) AS $oc"
+            oc + dir
+          }
+        }
+        outerOrder = " ORDER BY " + rewritten.mkString(", ")
+        tailFrom = clauseEnd
+      }
+
       counter += 1
       // raw (untrimmed) slices + added newlines so a trailing line comment in
       // the select list or predicate cannot swallow the inserted text
       val selectList = sql.substring(listStart, fromIdx)
       val body = sql.substring(fromIdx, qi)
-      val inner = s"SELECT $selectList\n, (${sql.substring(predStart, predEnd)}\n) AS $qcol\n$body"
+      val exceptList = (qcol +: ordCols.indices.map(ix => s"${qcol}_ord_$ix")).mkString(", ")
+      val inner = s"SELECT $selectList\n, (${sql.substring(predStart, predEnd)}\n) AS $qcol" +
+        ordCols.mkString("") + s"\n$body"
       val outer =
-        s"SELECT ${if (distinct) "DISTINCT " else ""}* EXCEPT ($qcol) FROM (\n$inner) WHERE $qcol\n"
-      sql = sql.substring(0, selStart) + outer + sql.substring(predEnd)
+        s"SELECT ${if (distinct) "DISTINCT " else ""}* EXCEPT ($exceptList) FROM (\n$inner) WHERE $qcol$outerOrder\n"
+      sql = sql.substring(0, selStart) + outer + sql.substring(tailFrom)
     }
     throw new IllegalStateException("QUALIFY rewrite did not terminate")
   }
@@ -415,22 +553,29 @@ object SqlDialect {
             if (k < sql.length && sql.charAt(k) == '(') {
               sql = sql.substring(0, j) + "EXCEPT" + sql.substring(afterKw)
             } else {
-              // bare single-column form: consume one identifier (plain or
-              // backticked — double quotes were already converted)
+              // bare single-column form: consume one identifier — plain or
+              // backticked (double quotes were already converted), possibly
+              // dot-qualified (t.a)
               var e = k
-              if (e < sql.length && sql.charAt(e) == '`') {
-                e += 1
-                var done = false
-                while (e < sql.length && !done) {
-                  if (sql.charAt(e) == '`') {
-                    if (e + 1 < sql.length && sql.charAt(e + 1) == '`') e += 1 else done = true
-                  }
+              var more = true
+              while (more) {
+                val segStart = e
+                if (e < sql.length && sql.charAt(e) == '`') {
                   e += 1
+                  var done = false
+                  while (e < sql.length && !done) {
+                    if (sql.charAt(e) == '`') {
+                      if (e + 1 < sql.length && sql.charAt(e + 1) == '`') e += 1 else done = true
+                    }
+                    e += 1
+                  }
+                } else {
+                  while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
                 }
-              } else {
-                while (e < sql.length && isWordChar(sql.charAt(e))) e += 1
+                require(e > segStart, s"EXCLUDE without a column list (offset $j)")
+                if (e < sql.length && sql.charAt(e) == '.') e += 1
+                else more = false
               }
-              require(e > k, s"EXCLUDE without a column list (offset $j)")
               sql = sql.substring(0, j) + "EXCEPT (" + sql.substring(k, e) + ")" + sql.substring(e)
             }
             changed = true

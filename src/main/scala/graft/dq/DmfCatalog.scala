@@ -68,8 +68,10 @@ final class DmfCatalog(spark: SparkSession, meta: Option[MetaStore] = None) {
   private val suspendedKeys: mutable.Set[(String, String, Option[String])] =
     mutable.Set.empty ++ meta.map(_.activeDmfSuspensions).getOrElse(Set.empty)
 
+  // association identity is the column SET: order- and case-insensitive,
+  // matching the reference's MODIFY ... ON (cols) addressing
   private def colKey(columns: Seq[String]): Option[String] =
-    Some(columns.mkString(","))
+    Some(columns.map(_.toLowerCase).sorted.mkString(","))
 
   /** STEP 1 — set (or change) an object's metric schedule. Changing it
     * re-schedules every DMF already attached to the object, exactly like

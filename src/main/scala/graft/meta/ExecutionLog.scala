@@ -121,8 +121,12 @@ final class MetaStore(spark: SparkSession, dir: String) {
     filtered.orderBy($"run_ts".desc, $"metric_name").limit(limit)
   }
 
-  private val suspensionSeq = new java.util.concurrent.atomic.AtomicLong(
-    System.currentTimeMillis()) // unique across appends within this store
+  // tie-break for same-millisecond events from THIS store; nanoTime seed
+  // makes cross-instance collisions unlikely but two stores writing the
+  // same association in the same millisecond remain formally unordered —
+  // acceptable: suspension is an operator action, not a data-plane write
+  private val suspensionSeq =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
 
   def appendDmfSuspension(
       table: String, metricName: String, metricColumns: Option[String],

@@ -95,10 +95,11 @@ object ClaimsPipeline {
   /** The same report authored in the REFERENCE'S dialect — QUALIFY
     * ROW_NUMBER (detail.sql:32,47-50,60), `* EXCLUDE` (excel_csv_writer
     * .py:330-332), LEAD(DATEADD(minute,-1,..)) intervals (detail.sql:20-21),
-    * TO_CHAR formatting and double-quoted mixed-case aliases (detail
-    * .sql:153-161). Runs through the [[graft.core.SqlDialect]] render-time
-    * rewrite; ClaimsPipelineSpec + q65 assert it matches the DataFrame form
-    * row-for-row. */
+    * TO_CHAR with the dialect's 'MM/DD/YYYY' tokens, three-arg DATEDIFF,
+    * ANSI CASTs (no Spark literal suffixes), and double-quoted mixed-case
+    * aliases (detail.sql:153-161) — valid source-dialect text throughout.
+    * Runs through the [[graft.core.SqlDialect]] render-time rewrite;
+    * DialectSpec + q65 assert it matches the DataFrame form row-for-row. */
   val DetailSqlTemplateSnowflake: String =
     """WITH latest AS (
       |  SELECT user_id, event_type, event_id, ts, value, props
@@ -121,11 +122,13 @@ object ClaimsPipeline {
       |SELECT user_id AS "Claimant Id",
       |  event_id AS "Request Id",
       |  event_type AS "Request Type",
-      |  TO_CHAR(first_decision_ts, 'MM/dd/yyyy') AS "First Decision Date",
+      |  TO_CHAR(first_decision_ts, 'MM/DD/YYYY') AS "First Decision Date",
       |  fm_workingdaysbetween($REPORT_START_TS, ts) AS "Working Days To Decision",
-      |  CASE WHEN DATEDIFF(CAST(ts AS DATE), CAST($REPORT_START_TS AS DATE)) <= 14
-      |       THEN 1L ELSE 0L END AS "Resolved Within Two Weeks",
-      |  CASE WHEN value > 0 THEN value - 1 ELSE 0.0D END AS "Clamped Value"
+      |  CASE WHEN DATEDIFF(day, CAST($REPORT_START_TS AS DATE), CAST(ts AS DATE)) <= 14
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+      |       END AS "Resolved Within Two Weeks",
+      |  CASE WHEN value > 0 THEN value - 1
+      |       ELSE CAST(0.0 AS DOUBLE) END AS "Clamped Value"
       |FROM ranked
       |ORDER BY "Claimant Id"""".stripMargin
 

@@ -77,6 +77,42 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(SqlDialect.toSpark(bare) == bare)
   }
 
+  test("format literals translate token-by-token; idempotent") {
+    assert(SqlDialect.toSpark("SELECT TO_CHAR(ts, 'MM/DD/YYYY') FROM t") ==
+      "SELECT TO_CHAR(ts, 'MM/dd/yyyy') FROM t")
+    assert(SqlDialect.toSpark("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS') FROM t") ==
+      "SELECT TO_CHAR(ts, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    // already-Spark lowercase tokens pass through; numeric masks untouched
+    val sp = "SELECT TO_CHAR(ts, 'MM/dd/yyyy') FROM t"
+    assert(SqlDialect.toSpark(sp) == sp)
+    val num = "SELECT TO_CHAR(amount, '999,999') FROM t"
+    assert(SqlDialect.toSpark(num) == num)
+    // double application is a no-op (render + ad-hoc layers may both run it)
+    val once = SqlDialect.toSpark("SELECT TRY_TO_DATE(s, 'DD-MON-YYYY') FROM t")
+    assert(SqlDialect.toSpark(once) == once)
+  }
+
+  test("EXCLUDE bare form accepts a qualified column") {
+    assert(SqlDialect.toSpark("SELECT t.* EXCLUDE t.a FROM t") ==
+      "SELECT t.* EXCEPT (t.a) FROM t")
+  }
+
+  test("ORDER BY after QUALIFY may sort on non-projected base columns") {
+    // `d` is not in the select list — legal in the source dialect; the
+    // rewrite hoists it into a hidden inner column
+    val got = rows(
+      """SELECT tag FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |ORDER BY d DESC LIMIT 2""".stripMargin)
+    assert(got == Seq(Seq("f"), Seq("e")))
+    // ordinals keep referring to the projected positions
+    val ord = rows(
+      """SELECT k, tag FROM dlt
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC) = 1
+        |ORDER BY 2 DESC""".stripMargin)
+    assert(ord == Seq(Seq(3, "f"), Seq(2, "e"), Seq(1, "c")))
+  }
+
   test("OBJECT_CONSTRUCT wraps to to_json(named_struct(...))") {
     assert(SqlDialect.toSpark(
       "SELECT OBJECT_CONSTRUCT('a', 1, 'b', f(x, y)) AS j FROM t") ==

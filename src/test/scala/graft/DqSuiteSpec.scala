@@ -290,6 +290,9 @@ class DqSuiteSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       cat.suspend("t1", "null_count", Seq("nope"))
     }
+    // the association is addressed by column SET — order/case-insensitive
+    cat.suspend("t1", "null_count", Seq("K"))
+    cat.resume("t1", "null_count", Seq("k"))
     cat.suspend("t1", "null_count", Seq("k"))
     val out = cat.evaluate(_ => t1).collect()
       .map(r => r.getAs[String]("expectation_name") ->
