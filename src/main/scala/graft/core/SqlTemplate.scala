@@ -73,10 +73,12 @@ object SqlTemplate {
   }
 
   def renderSessionVars(sql: String, sessionVars: Map[String, String]): String = {
-    // longest first so overlapping names substitute correctly
+    // longest first so overlapping names substitute correctly;
+    // case-insensitive — the source dialect treats $Name/$NAME/$name as the
+    // same session variable (the reference's assets mix cases)
     val ordered = sessionVars.toSeq.sortBy { case (k, _) => -k.length }
     ordered.foldLeft(sql) { case (acc, (name, value)) =>
-      acc.replaceAll(raw"\$$" + java.util.regex.Pattern.quote(name.toUpperCase) + raw"\b",
+      acc.replaceAll(raw"(?i)\$$" + java.util.regex.Pattern.quote(name.toUpperCase) + raw"\b",
         scala.util.matching.Regex.quoteReplacement(value))
     }
   }

@@ -239,6 +239,58 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("the reference's ACTUAL source-view asset runs end-to-end") {
+    // setup_dmf_data_quality.sql STEP 1b (PUBLIC reference content, read
+    // only): CREATE OR REPLACE VIEW IDENTIFIER($source_view) with two
+    // QUALIFY CTEs, comma joins against a 1-row period CTE, and
+    // {{placeholder}} table names — executed VERBATIM from the reference
+    // tree through render + dialect shim against fixture catalog tables
+    import spark.implicits._
+    val refFile = "/root/reference/sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refFile)), java.nio.charset.StandardCharsets.UTF_8)
+    val start = text.indexOf("CREATE OR REPLACE VIEW")
+    val stmt = text.substring(start, text.indexOf(';', start))
+    assert(stmt.contains("QUALIFY"), "fixture sanity: the asset uses QUALIFY")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dbo")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ref")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // MONTHLY period 2024-01-01..2024-01-31 (+ a WEEKLY decoy the CTE must skip)
+    Seq((d("2024-01-01"), d("2024-01-31"), "MONTHLY"),
+        (d("2024-01-08"), d("2024-01-14"), "WEEKLY"))
+      .toDF("report_start_date", "report_end_date", "frequency")
+      .write.mode("overwrite").saveAsTable("graft_ref.report_period_all_frequencies")
+    // E1@R1: the LATEST version decides 01-20 (in period) -> R1 qualifies;
+    // E2@R2: latest decides 02-10 (outside) -> excluded; E1's stale version
+    // (decision 03-01) must lose the QUALIFY dedup or R1 would vanish too
+    Seq(("R1", "E1", d("2024-03-01"), d("2024-01-10"), 1L),
+        ("R1", "E1", d("2024-01-20"), d("2024-01-12"), 2L),
+        ("R2", "E2", d("2024-02-10"), d("2024-01-15"), 1L))
+      .toDF("rfb_id", "episode_of_benefit_id", "eb_decision_dt", "last_mod_dt", "sequence_no")
+      .write.mode("overwrite").saveAsTable("dbo.episode_of_benefit")
+    // R3 service 28 ends in period -> qualifies; R4 service 99 not in the
+    // contracted list -> excluded; R3's stale version ends outside
+    Seq(("R3", 28L, d("2024-06-01"), d("2024-01-05"), 1L),
+        ("R3", 28L, d("2024-01-25"), d("2024-01-06"), 2L),
+        ("R4", 99L, d("2024-01-10"), d("2024-01-05"), 1L))
+      .toDF("rfb_id", "contracted_service_id", "cms_end_dt", "sequenced_at", "sequence_no")
+      .write.mode("overwrite").saveAsTable("dbo.care_mgmt_service")
+
+    val conn = new core.GraftConnection(spark)
+    conn.sessionVars.setString("SOURCE_VIEW", "graft_ref.source_rfb_count_monthly")
+    conn.sql(core.SqlTemplate.render(stmt,
+      placeholders = Map(
+        "SOURCE_DATABASE" -> "spark_catalog",
+        "TARGET_DATABASE" -> "spark_catalog",
+        "TARGET_SCHEMA" -> "graft_ref"),
+      sessionVars = conn.sessionVars.all,
+      dialect = false)) // conn.sql applies the dialect pass
+    val got = spark.sql("SELECT rfb_id FROM graft_ref.source_rfb_count_monthly ORDER BY rfb_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("R1", "R3"))
+  }
+
   test("rendered reference-style file body runs through GraftConnection.sql") {
     // ad-hoc dialect path: session vars + QUALIFY + EXCLUDE + quoted alias
     val conn = new core.GraftConnection(spark)
