@@ -894,7 +894,17 @@ object SparkEntry {
         .select(lit("pairs").as("kind"), lit(-1L).as("band"),
           lit(-1L).as("bucket_size"), col("n"))
       hist.union(summary).orderBy("kind", "band", "bucket_size")
-    }))
+    }),
+
+    // F4/U2 — the reference VIEW's last-COMPLETED-period semantics
+    // (report_period_config.sql:149-188; q41 is the containing-period form)
+    "q67_periods_last" -> ((s, dir) =>
+      // as_of_run_dt cast to timestamp for the compare harness only — DATE
+      // round-trips as python date on the Spark side but datetime64 on the
+      // DuckDB side (the operator itself keeps the view's DATE type)
+      Periods.lastPeriodsFor(s, "2024-08-15")
+        .withColumn("as_of_run_dt", col("as_of_run_dt").cast("timestamp"))
+        .orderBy("frequency")))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
     * dedup operators' outputs non-trivial on a dup-free synthetic corpus. */
@@ -1805,7 +1815,18 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'pairs', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), count(*) FROM pairs
          |ORDER BY kind, band, bucket_size""".stripMargin
-    })
+    },
+
+    "q67_periods_last" ->
+      """SELECT * FROM (
+        | SELECT 'DAILY' AS frequency, TIMESTAMP '2024-08-14 00:00:00' AS report_start_date, TIMESTAMP '2024-08-14 23:59:59.997' AS report_end_date
+        | UNION ALL SELECT 'WEEKLY', TIMESTAMP '2024-08-05 00:00:00', TIMESTAMP '2024-08-11 23:59:59.997'
+        | UNION ALL SELECT 'MONTHLY', TIMESTAMP '2024-07-01 00:00:00', TIMESTAMP '2024-07-31 23:59:59.997'
+        | UNION ALL SELECT 'QUARTERLY', TIMESTAMP '2024-04-01 00:00:00', TIMESTAMP '2024-06-30 23:59:59.997'
+        | UNION ALL SELECT 'SEMI_ANNUAL', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-30 23:59:59.997'
+        | UNION ALL SELECT 'YEARLY', TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2023-12-31 23:59:59.997')
+        |CROSS JOIN (SELECT TIMESTAMP '2024-08-15 00:00:00' AS as_of_run_dt, CAST(NULL AS VARCHAR) AS carrier_name)
+        |ORDER BY frequency""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -65,9 +65,26 @@ final class GraftConnection(val spark: SparkSession) {
   /** Ad-hoc SQL in the source dialect: `$VAR` substitution, then the
     * [[SqlDialect]] pass (QUALIFY / `* EXCLUDE` / double-quoted identifiers
     * → Spark SQL; identity for plain Spark SQL), exactly like the reference
-    * connector's execute_query accepting warehouse-dialect text. */
-  def sql(query: String): DataFrame =
-    spark.sql(SqlDialect.toSpark(SqlTemplate.renderSessionVars(query, sessionVars.all)))
+    * connector's execute_query accepting warehouse-dialect text. Pass
+    * `dialect = false` to skip the dialect pass — the escape hatch for
+    * Spark SQL that legitimately uses double-quoted STRING literals, mirroring
+    * `SqlTemplate.render`'s flag.
+    *
+    * A source-dialect `SET name = <literal>` statement assigns a SESSION
+    * VARIABLE (ref: test_data_quality.sql:10 `SET report_table = '...'`;
+    * executed natively by the reference connector) — routed to
+    * [[sessionVars]], returning the warehouse's one-row status shape.
+    * Spark conf keys (`SET a.b.c=...`) contain dots, never match the
+    * variable-name form, and fall through to `spark.sql` untouched. */
+  def sql(query: String, dialect: Boolean = true): DataFrame =
+    GraftConnection.stripLeadingComments(query) match {
+      case GraftConnection.SetVarRe(name, rhs) =>
+        sessionVars.set(name, SqlTemplate.renderSessionVars(rhs.trim, sessionVars.all))
+        spark.sql("SELECT 'Statement executed successfully.' AS status")
+      case _ =>
+        val rendered = SqlTemplate.renderSessionVars(query, sessionVars.all)
+        spark.sql(if (dialect) SqlDialect.toSpark(rendered) else rendered)
+    }
 
   /** ref: connector/snowpark_connector.py:466-509 (save_as_table); table
     * types ref: definitions/custom_definitions.py:26-34 (SnowparkTableType).
@@ -181,11 +198,33 @@ final class GraftConnection(val spark: SparkSession) {
   def executeMultipleStatements(script: String): DataFrame = {
     val stmts = GraftConnection.splitStatements(script)
     require(stmts.nonEmpty, "empty script")
-    stmts.map(sql).last
+    stmts.map(sql(_)).last
   }
 }
 
 object GraftConnection {
+  /** Session-variable assignment: `SET name = <rest>`. The name is a plain
+    * identifier (no dots), so Spark conf SETs never match. */
+  private[core] val SetVarRe =
+    """(?is)SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\S[\s\S]*)""".r
+
+  /** Whitespace and `--` / C-style comments skipped, so a statement whose
+    * text begins with a comment block still pattern-matches as a SET. */
+  private[core] def stripLeadingComments(q: String): String = {
+    var i = 0
+    var more = true
+    while (more && i < q.length) {
+      if (q.charAt(i).isWhitespace) i += 1
+      else if (q.startsWith("--", i)) {
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+      } else if (q.startsWith("/*", i)) {
+        val end = q.indexOf("*/", i + 2)
+        if (end < 0) more = false else i = end + 2
+      } else more = false
+    }
+    q.substring(i)
+  }
+
   /** Split on `;` outside string literals and `--` comments ('' escapes
     * honored) — a naive split breaks `VALUES ('a;b')`. */
   private[graft] def splitStatements(script: String): Seq[String] = {

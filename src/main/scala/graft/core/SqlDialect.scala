@@ -21,7 +21,11 @@ package graft.core
  *     identifiers incl. the dialect's short aliases;
  *     `OBJECT_CONSTRUCT(k, v, ...)` → `to_json(named_struct(k, v, ...))`;
  *     TO_CHAR/TO_DATE/... format literals translated token-by-token
- *     (`'MM/DD/YYYY'` → `'MM/dd/yyyy'` — Spark's `DD` is day-of-year).
+ *     (`'MM/DD/YYYY'` → `'MM/dd/yyyy'` — Spark's `DD` is day-of-year);
+ *     `DATE_FROM_PARTS` → `MAKE_DATE` (rename); bare `VARCHAR` → `STRING`
+ *     (Spark requires a length parameter); backslash pairs in LIKE/ILIKE
+ *     pattern literals doubled + `ESCAPE '\'` appended (the source dialect
+ *     has no default LIKE escape; Spark's default escape is `\`).
  *     (DATEADD with bare units, TO_CHAR itself, LEN, CONTAINS, TRY_TO_DATE,
  *     LEAD-with-default all parse natively in Spark 4 — no rewrite.)
  *  3. **`QUALIFY <pred>`** — filter on window functions, evaluated after
@@ -62,8 +66,9 @@ object SqlDialect {
     * single quotes for strings, as all repo templates do). Idempotent:
     * re-applying to already-rewritten text changes nothing. */
   def toSpark(sql: String): String =
-    rewriteExclude(rewriteQualify(rewriteObjectConstruct(translateFormats(
-      unquoteUnitArgs(renameFunctions(quotedIdentifiersToBackticks(sql)))))))
+    rewriteExclude(rewriteQualify(rewriteLikeEscapes(rewriteBareVarchar(
+      rewriteObjectConstruct(translateFormats(unquoteUnitArgs(
+        renameFunctions(quotedIdentifiersToBackticks(sql)))))))))
 
   // ------------------------------------------------------------- scanning
 
@@ -122,6 +127,23 @@ object SqlDialect {
   }
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
+
+  /** Index of the closing quote of the string literal opening at `q`
+    * (`sql(q) == '\''`), honoring `''` and backslash escapes — the same
+    * walk as [[scan]], shared by the unit/format-literal rewrites so an
+    * escaped quote inside the literal cannot truncate the edit. Returns -1
+    * when the literal is unterminated. */
+  private def literalEnd(sql: String, q: Int): Int = {
+    var i = q + 1
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '\\' && i + 1 < sql.length) i += 2
+      else if (ch == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+      else if (ch == '\'') return i
+      else i += 1
+    }
+    -1
+  }
 
   /** Whole-word, case-insensitive keyword match at `i`, in plain code. */
   private def keywordAt(sql: String, s: Scan, i: Int, kw: String): Boolean =
@@ -211,7 +233,12 @@ object SqlDialect {
 
   // ----------------------------------------------------- 2. function names
 
-  private val FnRenames = Seq("CHARINDEX" -> "POSITION")
+  /** Source-dialect function names Spark lacks, mapped to
+    * argument-compatible Spark builtins. `DATE_FROM_PARTS(y, m, d)` →
+    * `MAKE_DATE(y, m, d)` covers the six-frequency period view
+    * (ref: report_period_config.sql:177-186, six uses). */
+  private val FnRenames =
+    Seq("CHARINDEX" -> "POSITION", "DATE_FROM_PARTS" -> "MAKE_DATE")
 
   /** Rename source-dialect function names Spark lacks to argument-compatible
     * Spark builtins (only when followed by an open paren). */
@@ -273,7 +300,7 @@ object SqlDialect {
           if (po < sql.length && sql.charAt(po) == '(') {
             val a = nextSignificant(sql, po + 1)
             if (a < sql.length && sql.charAt(a) == '\'') {
-              val close = sql.indexOf('\'', a + 1)
+              val close = literalEnd(sql, a)
               if (close > a) {
                 DatetimeUnits.get(sql.substring(a + 1, close).trim.toLowerCase) match {
                   case Some(unit) =>
@@ -344,7 +371,7 @@ object SqlDialect {
           if (c < sql.length && sql.charAt(c) == ',') {
             val a = nextSignificant(sql, c + 1)
             if (a < sql.length && sql.charAt(a) == '\'') {
-              val close = sql.indexOf('\'', a + 1)
+              val close = literalEnd(sql, a)
               if (close > a) {
                 val translated = translateFormatLiteral(sql.substring(a + 1, close))
                 if (translated != sql.substring(a + 1, close)) {
@@ -390,6 +417,110 @@ object SqlDialect {
       }
     }
     sql
+  }
+
+  // --------------------------------------------- 2c. bare VARCHAR / LIKE
+
+  /** Bare `VARCHAR` (no length) → `STRING`: the source dialect's
+    * length-free VARCHAR means "maximum length", while Spark's parser
+    * requires a length parameter (DATATYPE_MISSING_SIZE) —
+    * `CAST(NULL AS VARCHAR)`, six uses in the reference's period view
+    * (ref: report_period_config.sql:155-187). `VARCHAR(50)` parses
+    * natively in Spark and is left alone. */
+  def rewriteBareVarchar(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = scan(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (keywordAt(sql, s, i, "VARCHAR")) {
+          val after = nextSignificant(sql, i + "VARCHAR".length)
+          if (after >= sql.length || sql.charAt(after) != '(') {
+            sql = sql.substring(0, i) + "STRING" + sql.substring(i + "VARCHAR".length)
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    sql
+  }
+
+  /** Backslashes in `LIKE`/`ILIKE` pattern literals: the source dialect has
+    * NO default LIKE escape character, so a backslash in the pattern matches
+    * a literal backslash (`"Modified By" LIKE '%\\%'` finds DOMAIN\user
+    * prefixes, ref: test_data_quality.sql:231); Spark's LIKE treats `\` as
+    * the default escape, silently turning that pattern into "ends with %".
+    * Rewrite: when a LIKE/ILIKE pattern literal contains a (raw) `\\` pair
+    * and carries no ESCAPE clause, double each pair and append an explicit
+    * `ESCAPE '\'` — Spark then matches the literal backslash, and the
+    * appended clause marks the pattern as already-rewritten so the pass
+    * stays idempotent. Patterns with an explicit ESCAPE clause, or with no
+    * backslash at all, pass through byte-for-byte. */
+  def rewriteLikeEscapes(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = scan(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (keywordAt(sql, s, i, "LIKE") || keywordAt(sql, s, i, "ILIKE")) {
+          val kwLen = if (keywordAt(sql, s, i, "ILIKE")) 5 else 4
+          val a = nextSignificant(sql, i + kwLen)
+          if (a < sql.length && sql.charAt(a) == '\'') {
+            val close = literalEnd(sql, a)
+            if (close > a) {
+              val raw = sql.substring(a + 1, close)
+              val afterLit = nextSignificant(sql, close + 1)
+              val hasEscape = keywordAt(sql, s, afterLit, "ESCAPE")
+              if (!hasEscape && raw.contains("\\\\")) {
+                // the ESCAPE literal is '\\' in raw SQL text (Spark's
+                // literal parser reduces it to one backslash; a lone '\''
+                // would read as an escaped quote and break the statement)
+                val doubled = raw.replace("\\\\", "\\\\\\\\")
+                sql = sql.substring(0, a + 1) + doubled + "' ESCAPE '\\\\'" +
+                  sql.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    sql
+  }
+
+  // ----------------------------------------------------- session variables
+
+  /** `$NAME` → value, matched case-insensitively and ONLY outside string
+    * literals, quoted identifiers, and comments — the source warehouse
+    * expands session variables in SQL text but never inside a literal, so a
+    * message string embedding `[$REPORT_START_DT ...]` must survive
+    * verbatim (ref: test_data_quality.sql:252). Names not in `vars` pass
+    * through untouched. */
+  def substituteSessionVars(sql: String, vars: Map[String, String]): String = {
+    if (vars.isEmpty || sql.indexOf('$') < 0) return sql
+    val s = scan(sql)
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '$' && s.code(i) && i + 1 < sql.length &&
+          (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < sql.length &&
+          (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        vars.get(sql.substring(i + 1, j).toUpperCase) match {
+          case Some(v) => sb.append(v); i = j
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   // ------------------------------------------------------------ 3. QUALIFY

@@ -72,16 +72,12 @@ object SqlTemplate {
     if (dialect) SqlDialect.toSpark(rendered) else rendered
   }
 
-  def renderSessionVars(sql: String, sessionVars: Map[String, String]): String = {
-    // longest first so overlapping names substitute correctly;
-    // case-insensitive — the source dialect treats $Name/$NAME/$name as the
-    // same session variable (the reference's assets mix cases)
-    val ordered = sessionVars.toSeq.sortBy { case (k, _) => -k.length }
-    ordered.foldLeft(sql) { case (acc, (name, value)) =>
-      acc.replaceAll(raw"(?i)\$$" + java.util.regex.Pattern.quote(name.toUpperCase) + raw"\b",
-        scala.util.matching.Regex.quoteReplacement(value))
-    }
-  }
+  def renderSessionVars(sql: String, sessionVars: Map[String, String]): String =
+    // scanner-based: reads the maximal $name word (so $REPORT_START_DT can
+    // never half-match a shorter var), case-insensitive like the source
+    // dialect, and skips string literals/quoted identifiers/comments — the
+    // warehouse never expands variables inside a literal
+    SqlDialect.substituteSessionVars(sql, sessionVars)
 
   /** Load a .sql file and render it (ref: connector/snowpark_connector.py:290-340). */
   def renderFile(

@@ -74,4 +74,44 @@ object Periods {
     daily.unionByName(weekly).unionByName(monthly)
       .unionByName(quarterly).unionByName(semi).unionByName(yearly)
   }
+
+  /**
+   * The six-frequency LAST-COMPLETED-period set for a run date — the exact
+   * semantics of the reference's `report_period_all_frequencies` view
+   * (ref: report_period_config.sql:149-188): for each frequency, the most
+   * recently completed period strictly before the one containing `runDate`
+   * (DAILY = yesterday … YEARLY = last calendar year; SEMI_ANNUAL = Jul–Dec
+   * of last year when `runDate` is in Jan–Jun, else Jan–Jun of this year),
+   * with the view's full column set: `as_of_run_dt = runDate` and a null
+   * `carrier_name`. [[periodsFor]] is the containing-period variant (q41);
+   * this is the view's "report on the period that just closed" shape (q67).
+   */
+  def lastPeriodsFor(spark: SparkSession, runDate: String): DataFrame = {
+    import spark.implicits._
+    val d = Seq(runDate).toDF("run_dt").select(to_date($"run_dt").as("run_dt"))
+    def period(freq: String, start: org.apache.spark.sql.Column,
+               lastDay: org.apache.spark.sql.Column): DataFrame =
+      d.select(lit(freq).as("frequency"),
+        start.cast("timestamp").as("report_start_date"),
+        endOfDay(lastDay).as("report_end_date"),
+        $"run_dt".as("as_of_run_dt"),
+        lit(null).cast("string").as("carrier_name"))
+    val weekStart = date_trunc("week", $"run_dt").cast("date")
+    val monthStart = date_trunc("month", $"run_dt").cast("date")
+    val quarterStart = date_trunc("quarter", $"run_dt").cast("date")
+    val y = year($"run_dt")
+    period("DAILY", date_sub($"run_dt", 1), date_sub($"run_dt", 1))
+      .unionByName(period("WEEKLY", date_sub(weekStart, 7), date_sub(weekStart, 1)))
+      .unionByName(period("MONTHLY",
+        add_months(monthStart, -1), last_day(add_months(monthStart, -1))))
+      .unionByName(period("QUARTERLY",
+        add_months(quarterStart, -3), last_day(add_months(quarterStart, -1))))
+      .unionByName(period("SEMI_ANNUAL",
+        when(month($"run_dt") <= 6, make_date(y - 1, lit(7), lit(1)))
+          .otherwise(make_date(y, lit(1), lit(1))),
+        when(month($"run_dt") <= 6, make_date(y - 1, lit(12), lit(31)))
+          .otherwise(make_date(y, lit(6), lit(30)))))
+      .unionByName(period("YEARLY",
+        make_date(y - 1, lit(1), lit(1)), make_date(y - 1, lit(12), lit(31))))
+  }
 }

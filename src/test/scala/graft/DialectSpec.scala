@@ -92,6 +92,65 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(SqlDialect.toSpark(once) == once)
   }
 
+  test("DATE_FROM_PARTS renames to MAKE_DATE; only as a function call") {
+    assert(SqlDialect.toSpark("SELECT DATE_FROM_PARTS(YEAR(d) - 1, 7, 1) FROM t") ==
+      "SELECT MAKE_DATE(YEAR(d) - 1, 7, 1) FROM t")
+    val notCall = "SELECT date_from_parts FROM t"
+    assert(SqlDialect.toSpark(notCall) == notCall)
+  }
+
+  test("bare VARCHAR becomes STRING; VARCHAR(n) untouched") {
+    assert(SqlDialect.toSpark("SELECT CAST(NULL AS VARCHAR) FROM t") ==
+      "SELECT CAST(NULL AS STRING) FROM t")
+    val sized = "CREATE TABLE x (a VARCHAR(50), b VARCHAR (8))"
+    assert(SqlDialect.toSpark(sized) == sized)
+    // runs end-to-end (probed: Spark rejects a length-free VARCHAR)
+    assert(spark.sql(SqlDialect.toSpark("SELECT CAST(NULL AS VARCHAR) AS c"))
+      .schema("c").dataType == org.apache.spark.sql.types.StringType)
+  }
+
+  test("LIKE backslash pattern gets source-dialect (no-escape) semantics") {
+    // '%\\%' = pattern %\% — matches a literal backslash in the source
+    // dialect, but "ends with %" under Spark's default \ escape
+    assert(SqlDialect.toSpark("""SELECT a LIKE '%\\%' FROM t""") ==
+      """SELECT a LIKE '%\\\\%' ESCAPE '\\' FROM t""")
+    // idempotent: the appended ESCAPE clause marks it rewritten
+    val once = SqlDialect.toSpark("""SELECT a LIKE '%\\%' FROM t""")
+    assert(SqlDialect.toSpark(once) == once)
+    // an explicit ESCAPE clause is the author's choice — untouched
+    val esc = """SELECT a LIKE '%\\%' ESCAPE '#' FROM t"""
+    assert(SqlDialect.toSpark(esc) == esc)
+    // no backslash, or a LIKE against a non-literal — untouched
+    val plain = "SELECT a LIKE '%x%' FROM t WHERE b LIKE c"
+    assert(SqlDialect.toSpark(plain) == plain)
+    // semantics end-to-end: DOM\user matches, 50%off does not
+    val got = spark.sql(SqlDialect.toSpark(
+      """SELECT s FROM VALUES ('DOM\\user'), ('50%off') v(s) WHERE s LIKE '%\\%'"""))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("DOM\\user"))
+  }
+
+  test("escaped quotes inside unit/format literals cannot truncate the edit") {
+    // 'MM''X' is NOT a datetime unit — the old first-indexOf walk read it
+    // as 'MM' (= month) and corrupted the tail
+    val notUnit = "SELECT DATEADD('MM''X', 1, ts) FROM t"
+    assert(SqlDialect.toSpark(notUnit) == notUnit)
+    // a format literal with an embedded quote translates as one literal
+    assert(SqlDialect.toSpark("SELECT TO_CHAR(ts, 'DD''X''DD') FROM t") ==
+      "SELECT TO_CHAR(ts, 'dd''X''dd') FROM t")
+  }
+
+  test("session vars substitute only outside literals and comments") {
+    val vars = Map("REPORT_START_DT" -> "'2024-01-01'", "V" -> "42")
+    assert(SqlDialect.substituteSessionVars(
+      "SELECT '[$REPORT_START_DT]' AS note, $V AS v -- $V\nFROM t WHERE d >= $REPORT_START_DT",
+      vars) ==
+      "SELECT '[$REPORT_START_DT]' AS note, 42 AS v -- $V\nFROM t WHERE d >= '2024-01-01'")
+    // $REPORT must not half-match $REPORT_START_DT; unknown names survive
+    assert(SqlDialect.substituteSessionVars("SELECT $REPORT_START_DTX, $NOPE",
+      vars) == "SELECT $REPORT_START_DTX, $NOPE")
+  }
+
   test("EXCLUDE bare form accepts a qualified column") {
     assert(SqlDialect.toSpark("SELECT t.* EXCLUDE t.a FROM t") ==
       "SELECT t.* EXCEPT (t.a) FROM t")
@@ -289,6 +348,62 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     val got = spark.sql("SELECT rfb_id FROM graft_ref.source_rfb_count_monthly ORDER BY rfb_id")
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("R1", "R3"))
+  }
+
+  test("the reference's six-frequency period VIEW asset runs verbatim") {
+    // report_period_config.sql STEP 5b (PUBLIC reference content, read
+    // only): CREATE OR REPLACE VIEW with IDENTIFIER($config_db || ...),
+    // six DATE_FROM_PARTS calls, quoted-unit DATEADDs, ::TIMESTAMP_NTZ
+    // casts, and CAST(NULL AS VARCHAR) — executed VERBATIM through the
+    // shim, then checked row-for-row against the native operator
+    val refFile = "/root/reference/sql/new_rfb_and_total_claimants_active/report_period_config.sql"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refFile)), java.nio.charset.StandardCharsets.UTF_8)
+    val mi = text.indexOf("report_period_all_frequencies')")
+    assert(mi > 0, "fixture sanity: the view asset exists")
+    val start = text.lastIndexOf("CREATE OR REPLACE VIEW", mi)
+    val stmt = text.substring(start, text.indexOf(';', mi))
+    assert(stmt.contains("DATE_FROM_PARTS") && stmt.contains("CAST(NULL AS VARCHAR)"),
+      "fixture sanity: the asset uses the constructs the shim must rewrite")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_periods")
+    val conn = new core.GraftConnection(spark)
+    conn.sessionVars.setString("CONFIG_DB", "spark_catalog")
+    conn.sessionVars.setString("CONFIG_SCHEMA", "graft_periods")
+    conn.sql(stmt)
+
+    // the view evaluates CURRENT_DATE() at query time; read both sides for
+    // the same date, re-reading once if midnight happened to flip between
+    def viewRows() = spark.sql(
+      """SELECT frequency, CAST(report_start_date AS TIMESTAMP) AS s,
+        | CAST(report_end_date AS TIMESTAMP) AS e, as_of_run_dt, carrier_name
+        |FROM graft_periods.report_period_all_frequencies
+        |ORDER BY frequency""".stripMargin).collect().map(_.toSeq).toSeq
+    def today() = spark.sql("SELECT CURRENT_DATE() AS d").head.getDate(0).toString
+    var d = today()
+    var got = viewRows()
+    if (today() != d) { d = today(); got = viewRows() }
+    val want = ops.Periods.lastPeriodsFor(spark, d).orderBy("frequency")
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == 6)
+    assert(got == want)
+    spark.sql("DROP VIEW graft_periods.report_period_all_frequencies")
+  }
+
+  test("SET statements assign session variables (reference asset shape)") {
+    val conn = new core.GraftConnection(spark)
+    df().createOrReplaceTempView("dlt_set")
+    // the DQ asset's exact pattern: SET + IDENTIFIER($var)
+    // (ref: test_data_quality.sql:10)
+    val status = conn.sql("-- header comment\nSET report_table = 'dlt_set'")
+    assert(status.columns.toSeq == Seq("status"))
+    assert(conn.sessionVars.get("REPORT_TABLE").contains("'dlt_set'"))
+    val n = conn.sql("SELECT COUNT(*) AS n FROM IDENTIFIER($report_table)")
+      .head.getLong(0)
+    assert(n == 6)
+    // Spark conf SETs (dotted keys) fall through untouched
+    conn.sql("SET spark.sql.cbo.enabled=false")
+    assert(conn.sessionVars.get("SPARK").isEmpty)
   }
 
   test("rendered reference-style file body runs through GraftConnection.sql") {

@@ -57,6 +57,24 @@ class ReportsSpec extends AnyFunSuite with SparkSpec {
     assert(out("QUARTERLY") == ("2024-07-01 00:00:00.0", "2024-09-30 23:59:59.997"))
   }
 
+  test("lastPeriodsFor emits each frequency's most recently COMPLETED period") {
+    // 2024-03-10 is a Sunday in a leap year — exercises the week-start
+    // arithmetic, the February 29 month end, and the Jan–Jun SEMI branch
+    val out = Periods.lastPeriodsFor(spark, "2024-03-10")
+      .collect().map(r => r.getAs[String]("frequency") ->
+        (r.getAs[java.sql.Timestamp]("report_start_date").toString,
+         r.getAs[java.sql.Timestamp]("report_end_date").toString)).toMap
+    assert(out("DAILY") == ("2024-03-09 00:00:00.0", "2024-03-09 23:59:59.997"))
+    assert(out("WEEKLY") == ("2024-02-26 00:00:00.0", "2024-03-03 23:59:59.997"))
+    assert(out("MONTHLY") == ("2024-02-01 00:00:00.0", "2024-02-29 23:59:59.997"))
+    assert(out("QUARTERLY") == ("2023-10-01 00:00:00.0", "2023-12-31 23:59:59.997"))
+    assert(out("SEMI_ANNUAL") == ("2023-07-01 00:00:00.0", "2023-12-31 23:59:59.997"))
+    assert(out("YEARLY") == ("2023-01-01 00:00:00.0", "2023-12-31 23:59:59.997"))
+    val row = Periods.lastPeriodsFor(spark, "2024-03-10").limit(1).collect().head
+    assert(row.getAs[java.sql.Date]("as_of_run_dt").toString == "2024-03-10")
+    assert(row.isNullAt(row.fieldIndex("carrier_name")))
+  }
+
   test("metrics: null/unique/duplicate counts in one definition") {
     import spark.implicits._
     val df = Seq(Some(1), Some(1), Some(2), None).toDF("c")
