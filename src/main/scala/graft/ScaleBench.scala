@@ -16,8 +16,13 @@ import graft.operators.Dedup
  * each operator once and records wall time, shuffle read/write bytes,
  * spill, and peak per-task execution memory from the task-metrics stream.
  *
- * Usage: runMain graft.ScaleBench <scratchDir> <nDocs>[,...] [op[,...]] [signBits]
- * Output: one JSON line per (scale, operator) on stdout.
+ * Usage: runMain graft.ScaleBench <scratchDir> <nDocs>[,...] [op[,...]] [signBits] [runs]
+ * Output: one JSON line per (scale, operator) on stdout. `runs` (default 1,
+ * or SPARK_GRAFT_SCALE_RUNS) repeats each operator and reports the MEDIAN
+ * wall time plus every run's time — single-run timings on a shared machine
+ * swing several-fold (Bench's protocol), which made the small tiers
+ * noise-dominated; shuffle bytes are from the last run (deterministic),
+ * spill/peak-memory are the max across runs (the honest worst case).
  *
  * signBits defaults to 16: the 2^signBits sign-LSH bucket space must grow
  * with the corpus or every bucket exceeds the maxBucket cap and recall
@@ -78,11 +83,15 @@ object ScaleBench {
       (if (args.length > 2) args(2) else "all").split(",").map(_.trim).toSet
     def wanted(name: String): Boolean = ops("all") || ops(name)
     val signBits = if (args.length > 3) args(3).toInt else 16
+    val runs = math.max(1,
+      if (args.length > 4) args(4).toInt
+      else sys.env.get("SPARK_GRAFT_SCALE_RUNS").flatMap(_.toIntOption).getOrElse(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // more shuffle partitions than cores for the big tiers: the dedup aggs
-    // sort hundreds of millions of shingle rows, and per-task state must
-    // fit in (heap / concurrent tasks) or it spills — measured at 1M docs:
-    // 32 partitions spilled 11 GB, 128 spill ~0 (AQE coalesces the rest)
+    // SPARK_GRAFT_SHUFFLE remains as an explicit override, but is no longer
+    // required at the big tiers: the dedup operators derive an initial
+    // shuffle-partition count from the input size (core.ShuffleSizing —
+    // the measured 32-partition ENOSPC/spill footgun, SCALE.md) and AQE
+    // coalesces it back down at small scale
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,22 +107,36 @@ object ScaleBench {
 
     def measured(scale: Long, name: String)(op: DataFrame => DataFrame): Unit = {
       val docs = spark.read.parquet(s"$scratch/docs_$scale")
-      // drain BEFORE reset too: TaskEnd events from the previous action
-      // (corpus generation) post asynchronously and would otherwise land
-      // after the reset, inflating this op's counters
-      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
-      metrics.reset()
-      val t0 = System.nanoTime()
-      val rows = op(docs).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      graft.core.Caches.releaseAll()
-      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+      var rows = 0L
+      var maxSpill = 0L
+      var maxPeak = 0L
+      val times = (1 to runs).map { _ =>
+        // drain BEFORE reset too: TaskEnd events from the previous action
+        // (corpus generation / earlier run) post asynchronously and would
+        // otherwise land after the reset, inflating this run's counters
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+        metrics.reset()
+        val t0 = System.nanoTime()
+        rows = op(docs).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll()
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+        maxSpill = math.max(maxSpill, metrics.spill.get)
+        maxPeak = math.max(maxPeak, metrics.peakTaskMem.get)
+        sec
+      }
+      val sorted = times.sorted
+      val median = // true median, as Bench: even run counts average the middles
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      def r2(v: Double): Double = math.rint(v * 100) / 100
       println(
-        s"""{"op":"$name","docs":$scale,"rows":$rows,"sec":${math.rint(sec * 100) / 100},""" +
+        s"""{"op":"$name","docs":$scale,"rows":$rows,"sec":${r2(median)},""" +
+        s""""runs_n":$runs,"run_secs":${times.map(r2).mkString("[", ",", "]")},""" +
         s""""shuffle_read_mb":${metrics.shuffleRead.get / 1048576},""" +
         s""""shuffle_write_mb":${metrics.shuffleWrite.get / 1048576},""" +
-        s""""spill_mb":${metrics.spill.get / 1048576},""" +
-        s""""peak_task_mem_mb":${metrics.peakTaskMem.get / 1048576},""" +
+        s""""spill_mb":${maxSpill / 1048576},""" +
+        s""""peak_task_mem_mb":${maxPeak / 1048576},""" +
         s""""tasks":${metrics.tasks.get}}""")
     }
 

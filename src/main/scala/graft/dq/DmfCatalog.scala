@@ -252,26 +252,34 @@ final class DmfCatalog(spark: SparkSession, meta: Option[MetaStore] = None) {
       meta: MetaStore,
       now: java.sql.Timestamp =
         new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, udf, when}
-    val asOf = now // functions._ would shadow `now` inside the udf body
+    import org.apache.spark.sql.functions.max
+    // last execution per metric key: bounded by the distinct
+    // (table, metric, expectation) triples ever evaluated — catalog-sized
+    // by construction, so collecting it lets the schedule arithmetic run
+    // as a plain driver-side function instead of a UDF (the registry
+    // itself already lives on the driver)
     val last = meta.dmfResults
       .groupBy("table_name", "metric_name", "expectation_name")
       .agg(max("run_ts").as("last_execution_time"))
-    val nextUdf = udf((cron: String, lastTs: java.sql.Timestamp) =>
-      CronSchedule.next(cron,
-        if (lastTs != null && lastTs.after(asOf)) lastTs else asOf))
-    val withStatus = regs.toSeq.map { r =>
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getTimestamp(3)).toMap
+    regs.toSeq.map { r =>
       val e = r.entry.copy(schedule_cron = schedules(r.entry.table_name))
+      val started = !isSuspended(e)
+      val lastTs = last.get((e.table_name, e.metric_name, e.expectation_name))
+        .filter(_ != null)
+      val nextTs =
+        if (started)
+          Option(CronSchedule.next(e.schedule_cron,
+            lastTs.filter(_.after(now)).getOrElse(now)))
+        else None // a suspended schedule has no next firing
       (e.table_name, e.metric_name, e.metric_columns, e.schedule_cron,
         e.expectation_name, e.expectation_expr, e.comment,
-        if (isSuspended(e)) "SUSPENDED" else "STARTED")
+        if (started) "STARTED" else "SUSPENDED", lastTs, nextTs)
     }.toDF("table_name", "metric_name", "metric_columns", "schedule_cron",
-      "expectation_name", "expectation_expr", "comment", "schedule_status")
-    withStatus
-      .join(last, Seq("table_name", "metric_name", "expectation_name"), "left")
-      .withColumn("next_execution_time",
-        when(col("schedule_status") === "STARTED",
-          nextUdf(col("schedule_cron"), col("last_execution_time"))))
+      "expectation_name", "expectation_expr", "comment", "schedule_status",
+      "last_execution_time", "next_execution_time")
   }
 }
 

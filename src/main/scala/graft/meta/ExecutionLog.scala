@@ -52,9 +52,13 @@ final case class DmfResultRow(
     status: String)
 
 /** One DMF suspend/resume event — the catalog-resident schedule state the
-  * reference keeps in warehouse metadata (`ALTER ... MODIFY DATA METRIC
-  * FUNCTION <name> ON (cols) SUSPEND|RESUME`, ref:
-  * sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql:153-166).
+  * reference's warehouse keeps in object metadata. The per-association
+  * (column-set) grain follows the warehouse's documented
+  * `ALTER ... MODIFY DATA METRIC FUNCTION <name> ON (cols) SUSPEND|RESUME`
+  * syntax; the reference tree itself only READS the resulting
+  * schedule_status through the STEP-5 references query (ref:
+  * sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql:153-166)
+  * and never issues a suspend — the write path here is the engine's own.
   * `metric_columns` is the comma-joined column set of one association;
   * None = name-level (every association of the metric name on the table).
   * `event_seq` breaks same-millisecond ordering ties deterministically. */

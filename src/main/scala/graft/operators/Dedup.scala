@@ -116,6 +116,11 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
       portable: Boolean = false): DataFrame = {
+    // shuffle volume ≈ 24× the on-disk corpus (ScaleBench-measured: ~48 GB
+    // shuffle write from a ~2 GB 5M-doc corpus — exploded shingles plus the
+    // per-seed signature aggregation); raise the initial partition count so
+    // per-task sort state stays bounded (the measured ENOSPC footgun)
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 24.0)
     val rowsPerBand = numHashes / bands
     val sig = minhashSignature(wordShingles(df, id, text, shingleK), id,
       numHashes, portable)
@@ -144,8 +149,15 @@ object Dedup {
     // Cap predicate counts ROWS (count(1)), not collected ids — collect_list
     // skips nulls, so a bucket with null-id docs would otherwise be
     // size-eligible here but not under an external engine's count(*).
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz"))
+    // LshGuard taps the PRE-filter bucket sizes in the same job (an
+    // accumulator fed once per bucket row, no extra scan or action) and
+    // warns at run time when the mean approaches the cap — the measured
+    // bucket-space saturation mode where the cap silently drops every
+    // bucket and recall collapses to zero.
+    val buckets = graft.core.LshGuard.instrument(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz")),
+        "__sz", maxBucket, caller)
       .filter(col("__sz").between(2, maxBucket))
     buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
@@ -272,6 +284,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 50): DataFrame = {
+    // shuffle ≈ 8× the on-disk corpus (measured ~14 GB from ~2 GB at 5M
+    // docs: inverted index + common-count aggregation) — see lshBanded
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 8.0)
     // the shingle frame feeds two consumers (inverted index, per-doc sizes)
     // — persist (Caches-tracked) so tokenize+shingle runs once
     val sh = graft.core.Caches.track(wordShingles(df, id, text, k))
@@ -320,6 +335,8 @@ object Dedup {
   def containmentPairs(
       corpus: DataFrame, probe: DataFrame, id: String, text: String,
       k: Int = 8, minOverlap: Long = 1, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // corpus-side shingle explosion, same sizing rule as ngramJaccardPairs
+    graft.core.ShuffleSizing.ensureFor(corpus, expansionFactor = 8.0)
     val cs0 = wordShingles(corpus, id, text, k)
     val cs =
       if (maxShingleDf == Long.MaxValue) cs0

@@ -169,4 +169,25 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq((1, "a", 10), (2, "z", 99), (3, "z", 30)))
     conn.dropTable("core_upsert_t")
   }
+
+  test("ShuffleSizing raises the initial partition count only when needed") {
+    import spark.implicits._
+    import graft.core.ShuffleSizing
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    spark.conf.unset(key)
+    try {
+      val small = (1 to 10).map(i => (i, "x")).toDF("id", "t")
+      val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // tiny input: today's behavior, the knob is untouched
+      assert(ShuffleSizing.ensureFor(small, 1.0) == base)
+      assert(spark.conf.getOption(key).isEmpty)
+      // an estimate demanding more partitions raises the knob, capped
+      val n = ShuffleSizing.ensureFor(small, 1e12)
+      assert(n > base && n <= ShuffleSizing.MaxPartitions)
+      assert(spark.conf.get(key).toInt == n)
+      // never lowered by a later small estimate
+      assert(ShuffleSizing.ensureFor(small, 1.0) == n)
+      assert(spark.conf.get(key).toInt == n)
+    } finally spark.conf.unset(key)
+  }
 }

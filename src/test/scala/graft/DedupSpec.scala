@@ -50,6 +50,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LshGuard warns at run time when the bucket space saturates") {
+    import spark.implicits._
+    import graft.core.LshGuard
+    // the ScaleBench-measured failure mode in miniature: signBits=2 gives
+    // only 4 buckets per band, 60 docs pile ~15 per bucket, the cap of 8
+    // drops them ALL — pairs collapse to zero with no error
+    val emb = (1L to 60L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 31.0 + j).toFloat).toArray))
+      .toDF("id", "vec")
+    LshGuard.clearObservations()
+    val n = Dedup.embeddingNearDupPairs(emb, "id", "vec",
+      threshold = -1.0, signBits = 2, bands = 1, maxBucket = 8).count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    val obs = LshGuard.observations.filter(_.caller == "embeddingNearDupPairs")
+    assert(obs.nonEmpty, "the guard observed the bucket-size frame")
+    assert(obs.exists(_.saturated), obs.mkString(","))
+    // most of the corpus (one sub-cap bucket may survive) was silently
+    // dropped from pairing — exactly the condition the warning names
+    assert(obs.exists(_.droppedRowFrac > 0.8), obs.mkString(","))
+    assert(n <= 28, s"cap suppressed nearly all of the ${60 * 59 / 2} possible pairs, got $n")
+
+    // same guard on the minhash path (shared pairsFromBanded)
+    LshGuard.clearObservations()
+    val same = (1L to 30L).map(i => (i, "the quick brown fox jumps over the dog"))
+      .toDF("id", "text")
+    Dedup.minhashLshPairs(same, "id", "text", maxBucket = 4).count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    assert(LshGuard.observations.exists(o =>
+      o.caller == "minhashLshPairs" && o.saturated))
+
+    // a healthy configuration stays silent: observed, but not saturated
+    // (signBits=4 × bands=2 fits the 8-dim vectors; 16 buckets/band holds
+    // the 60 docs far below the 200 cap)
+    LshGuard.clearObservations()
+    Dedup.embeddingNearDupPairs(emb, "id", "vec",
+      threshold = 0.95, signBits = 4, bands = 2, maxBucket = 200).count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    val healthy = LshGuard.observations.filter(_.caller == "embeddingNearDupPairs")
+    assert(healthy.nonEmpty && !healthy.exists(_.saturated), healthy.mkString(","))
+  }
+
   test("minhashLshPairs maxBucket cap drops degenerate buckets; stats report them") {
     // cap of 1 excludes every bucket (pairs need >= 2 docs) → no pairs at all
     assert(Dedup.minhashLshPairs(docs, "id", "text", maxBucket = 1).count() == 0)
