@@ -390,6 +390,42 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP VIEW graft_periods.report_period_all_frequencies")
   }
 
+  test("the remaining executable reference .sql assets run verbatim") {
+    // Completes the verbatim program over the reference tree's six .sql
+    // files: setup_dmf_data_quality.sql STEP-1b and report_period_config
+    // .sql STEP-5b run verbatim above; test_data_quality.sql runs in
+    // DqVerbatimSpec; the two remaining EXECUTABLE assets run here.
+    // new_rfb_and_total_claimants_active_detail.sql is the one file that
+    // cannot run ANYWHERE: it is an unfinished sketch by its own closing
+    // comment (:308 "Add additional joins and logic here...") with a
+    // doubled JOIN ... ON ... ON clause (:99), CTEs referenced before
+    // definition (eob_ranking at :99 — illegal in the source dialect
+    // too), and UNION branches reading aliases absent from their FROM
+    // (:150 mp.* over a FROM without mp at :160; :176 p.rfb_id with no
+    // p); its semantics are re-expressed by reports.ClaimsPipeline
+    // (q47/q65, oracle-checked).
+    import spark.implicits._
+    val conn = new core.GraftConnection(spark)
+    Seq(("AcmeCo", "2024-01-10"), ("AcmeCo", "2024-03-01"), ("OtherCo", "2024-01-12"))
+      .toDF("carrier_name", "service_date")
+      .withColumn("service_date", to_date($"service_date"))
+      .createOrReplaceTempView("source_table")
+    conn.sessionVars.setString("CARRIER_NAME", "AcmeCo")
+    conn.sessionVars.setString("REPORT_START_DT", "2024-01-01")
+    conn.sessionVars.setString("REPORT_END_DT", "2024-01-31")
+    // service_type_by_vendor_base.sql: $VAR-filtered scan, verbatim
+    val base = conn.sql(core.SqlTemplate.renderFile(
+      "/root/reference/sql/service_type_by_vendor/service_type_by_vendor_base.sql",
+      dialect = false)) // conn.sql applies the dialect pass
+    assert(base.collect().map(_.getString(0)).toSeq == Seq("AcmeCo"))
+    // new_rfb_and_total_claimants_active_summary.sql: view scan, verbatim
+    base.createOrReplaceTempView("service_type_by_vendor")
+    val summary = conn.sql(core.SqlTemplate.renderFile(
+      "/root/reference/sql/new_rfb_and_total_claimants_active/new_rfb_and_total_claimants_active_summary.sql",
+      dialect = false))
+    assert(summary.count() == 1)
+  }
+
   test("SET statements assign session variables (reference asset shape)") {
     val conn = new core.GraftConnection(spark)
     df().createOrReplaceTempView("dlt_set")
