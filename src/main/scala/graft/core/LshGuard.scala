@@ -51,8 +51,11 @@ object LshGuard {
   /** One evaluated guard observation. */
   final case class Observation(caller: String, cap: Int, stats: Stats) {
     /** By the time the MEAN reaches the cap most mass is already dropped —
-      * warn at half. */
-    def saturated: Boolean = stats.nBuckets > 0 && stats.meanSize > cap / 2.0
+      * warn at half. The dropped-row fraction is the second trigger: a
+      * SKEWED bucket distribution (a few giant buckets holding most docs)
+      * can drop the majority of rows while the mean stays low. */
+    def saturated: Boolean = stats.nBuckets > 0 &&
+      (stats.meanSize > cap / 2.0 || stats.droppedRowFrac > 0.5)
     def meanSize: Double = stats.meanSize
     def droppedRowFrac: Double = stats.droppedRowFrac
   }

@@ -80,6 +80,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(LshGuard.observations.exists(o =>
       o.caller == "minhashLshPairs" && o.saturated))
 
+    // the SKEW trigger: one giant bucket holds most docs while singletons
+    // keep the mean low — dropped-row fraction must still raise the flag
+    LshGuard.clearObservations()
+    // sign pattern = the binary representation of the id: 100 singleton
+    // buckets, plus one giant 120-doc bucket (pattern 255) holding the
+    // majority of rows — mean (220/101 ≈ 2.2) stays far below cap/2=8
+    def bitVec(n: Int): Array[Float] =
+      (0 until 8).map(j => if (((n >> j) & 1) == 1) 1f else -1f).toArray
+    val skewed = ((1L to 100L).map(i => (i, bitVec(i.toInt))) ++
+      (101L to 220L).map(i => (i, bitVec(255))))
+      .toDF("id", "vec")
+    Dedup.embeddingNearDupPairs(skewed, "id", "vec",
+      threshold = -1.0, signBits = 8, bands = 1, maxBucket = 16).count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    val skew = LshGuard.observations.filter(_.caller == "embeddingNearDupPairs")
+    assert(skew.exists(o => o.saturated && o.meanSize <= o.cap / 2.0 &&
+      o.droppedRowFrac > 0.5), skew.mkString(","))
+
     // a healthy configuration stays silent: observed, but not saturated
     // (signBits=4 × bands=2 fits the 8-dim vectors; 16 buckets/band holds
     // the 60 docs far below the 200 cap)

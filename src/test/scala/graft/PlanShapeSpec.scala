@@ -88,6 +88,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"pair generation must group per bucket and expand in-array:\n$plan")
   }
 
+  test("LshGuard tap is plan-neutral: no extra exchange over the uncapped form") {
+    // the saturation tap is an always-true filter fed by an accumulator —
+    // it must not introduce a shuffle or block the capped pipeline's shape
+    import graft.operators.Dedup
+    val docs = core.Tables.load(core.GraftSession.tune(spark), dir, "documents")
+      .select("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = 200)
+    val (uncapped, _) = graft.core.Warn.capturing(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    assert(exchanges(capped) == exchanges(uncapped),
+      "the guard tap must not add an exchange")
+  }
+
   test("q30: embedding LSH pair stage is aggregate-expand, not a bucket self-join") {
     val plan = physicalPlan("q30_embedding_neardup")
     // candidate generation must group per (band, bucket) and expand in-array;
