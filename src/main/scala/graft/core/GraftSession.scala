@@ -79,7 +79,17 @@ final class GraftConnection(val spark: SparkSession) {
   def sql(query: String, dialect: Boolean = true): DataFrame =
     GraftConnection.stripLeadingComments(query) match {
       case GraftConnection.SetVarRe(name, rhs) =>
-        sessionVars.set(name, SqlTemplate.renderSessionVars(rhs.trim, sessionVars.all))
+        val rendered = SqlTemplate.renderSessionVars(rhs.trim, sessionVars.all)
+        // the source warehouse EVALUATES the RHS at SET time and stores the
+        // resulting constant (SET a = $b || '_x' stores the concatenation,
+        // not the expression) — match it by running a scalar SELECT and
+        // re-literalizing; unevaluable text falls back to being stored
+        // as-is, which covers plain literals in malformed surroundings
+        val value =
+          try GraftConnection.toSqlLiteral(
+            spark.sql(s"SELECT (${SqlDialect.toSpark(rendered)}) AS v").head.get(0))
+          catch { case _: Exception => rendered }
+        sessionVars.set(name, value)
         spark.sql("SELECT 'Statement executed successfully.' AS status")
       case _ =>
         val rendered = SqlTemplate.renderSessionVars(query, sessionVars.all)
@@ -207,6 +217,19 @@ object GraftConnection {
     * identifier (no dots), so Spark conf SETs never match. */
   private[core] val SetVarRe =
     """(?is)SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\S[\s\S]*)""".r
+
+  /** A driver-side value rendered back as SQL literal text, so a stored
+    * session variable splices into any later statement. */
+  private[core] def toSqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+              _: Boolean) => n.toString
+    case b: java.math.BigDecimal => b.toPlainString
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
 
   /** Whitespace and `--` / C-style comments skipped, so a statement whose
     * text begins with a comment block still pattern-matches as a SET. */

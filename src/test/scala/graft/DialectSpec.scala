@@ -440,6 +440,14 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     // Spark conf SETs (dotted keys) fall through untouched
     conn.sql("SET spark.sql.cbo.enabled=false")
     assert(conn.sessionVars.get("SPARK").isEmpty)
+    // the RHS is EVALUATED at SET time like the source warehouse: an
+    // expression over other session vars stores its constant result
+    conn.sessionVars.setString("BASE", "dlt")
+    conn.sql("SET derived = $BASE || '_set'")
+    assert(conn.sessionVars.get("DERIVED").contains("'dlt_set'"))
+    conn.sql("SET answer = 2 + 3")
+    assert(conn.sessionVars.get("ANSWER").contains("5"))
+    assert(conn.sql("SELECT $ANSWER * 2 AS x").head.getInt(0) == 10)
   }
 
   test("rendered reference-style file body runs through GraftConnection.sql") {
