@@ -236,9 +236,13 @@ object SqlDialect {
   /** Source-dialect function names Spark lacks, mapped to
     * argument-compatible Spark builtins. `DATE_FROM_PARTS(y, m, d)` →
     * `MAKE_DATE(y, m, d)` covers the six-frequency period view
-    * (ref: report_period_config.sql:177-186, six uses). */
+    * (ref: report_period_config.sql:177-186, six uses); `GETDATE()` →
+    * `CURRENT_TIMESTAMP()` covers the test-case generator's emitted
+    * last-7-days templates (ref: tools/sql_test_case_generator.py:75-146,
+    * eight uses). */
   private val FnRenames =
-    Seq("CHARINDEX" -> "POSITION", "DATE_FROM_PARTS" -> "MAKE_DATE")
+    Seq("CHARINDEX" -> "POSITION", "DATE_FROM_PARTS" -> "MAKE_DATE",
+      "GETDATE" -> "CURRENT_TIMESTAMP")
 
   /** Rename source-dialect function names Spark lacks to argument-compatible
     * Spark builtins (only when followed by an open paren). */

@@ -99,6 +99,15 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(SqlDialect.toSpark(notCall) == notCall)
   }
 
+  test("GETDATE renames to CURRENT_TIMESTAMP and runs (generator template shape)") {
+    // the reference's test-case generator emits last-7-days windows on
+    // GETDATE() (sql_test_case_generator.py:75) — Spark lacks GETDATE
+    val q = "SELECT CAST(GETDATE() AS DATE) >= DATEADD(DAY, -7, CAST(GETDATE() AS DATE)) AS ok"
+    assert(SqlDialect.toSpark(q) ==
+      "SELECT CAST(CURRENT_TIMESTAMP() AS DATE) >= DATEADD(DAY, -7, CAST(CURRENT_TIMESTAMP() AS DATE)) AS ok")
+    assert(spark.sql(SqlDialect.toSpark(q)).head.getBoolean(0))
+  }
+
   test("bare VARCHAR becomes STRING; VARCHAR(n) untouched") {
     assert(SqlDialect.toSpark("SELECT CAST(NULL AS VARCHAR) FROM t") ==
       "SELECT CAST(NULL AS STRING) FROM t")
