@@ -464,12 +464,18 @@ object Dedup {
     * `embeddingBucketStats` (see `lshBanded` for the sharing rationale). */
   def embeddingBanded(
       df: DataFrame, id: String, vec: String,
-      signBits: Int = 8, bands: Int = 1): DataFrame =
+      signBits: Int = 8, bands: Int = 1): DataFrame = {
+    // banding multiplies rows by `bands` and the verify joins re-shuffle
+    // the quantized vectors twice — measured ~78× the on-disk corpus at 5M
+    // docs (50 GB shuffle, 172 GB spill at 128 partitions); size the
+    // initial partition count accordingly (see lshBanded)
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 16.0 * bands)
     df.select(col(id), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           Similarity.signBucket(col(vec), signBits, b * signBits).as("bucket"))
       }: _*)).as("bb"))
       .select(col(id), col("bb.band"), col("bb.bucket"))
+  }
 
   /** Cosine-verify a bounded candidate pair set: two id-equi joins fetch
     * the quantized vectors (build side = the capped pair set, never

@@ -359,6 +359,25 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq("R1", "R3"))
   }
 
+  test("toSpark is idempotent over every SQL asset in repo and reference") {
+    // render + ad-hoc layers may both apply the pass; a second application
+    // must change nothing, on our templates AND the reference's files
+    def sqlFiles(root: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".sql"))
+      finally s.close()
+    }
+    val all = sqlFiles("sql") ++ sqlFiles("/root/reference/sql")
+    assert(all.size >= 9, s"asset sweep found ${all.size} files")
+    all.foreach { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val once = SqlDialect.toSpark(text)
+      assert(SqlDialect.toSpark(once) == once, s"not idempotent on $p")
+    }
+  }
+
   test("the reference's six-frequency period VIEW asset runs verbatim") {
     // report_period_config.sql STEP 5b (PUBLIC reference content, read
     // only): CREATE OR REPLACE VIEW with IDENTIFIER($config_db || ...),
