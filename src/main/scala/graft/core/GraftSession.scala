@@ -87,7 +87,7 @@ final class GraftConnection(val spark: SparkSession) {
         // as-is, which covers plain literals in malformed surroundings
         val value =
           try GraftConnection.toSqlLiteral(
-            spark.sql(s"SELECT (${SqlDialect.toSpark(rendered)}) AS v").head.get(0))
+            spark.sql(s"SELECT (${SqlDialect.toSpark(rendered)}) AS v").head().get(0))
           catch { case _: Exception => rendered }
         sessionVars.set(name, value)
         spark.sql("SELECT 'Statement executed successfully.' AS status")

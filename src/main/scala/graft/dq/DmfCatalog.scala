@@ -107,7 +107,7 @@ final class DmfCatalog(spark: SparkSession, meta: Option[MetaStore] = None) {
     * ones included). */
   def resume(table: String, metricName: String): Unit = {
     requireAttached(table, metricName, None)
-    suspendedKeys.retain { case (t, m, _) => t != table || m != metricName }
+    suspendedKeys.filterInPlace { case (t, m, _) => t != table || m != metricName }
     meta.foreach(_.appendDmfSuspension(table, metricName, None, suspended = false))
   }
 

@@ -19,16 +19,16 @@ import org.apache.spark.sql.functions._
 object Metrics {
   // System-DMF analogues (ref: sql/DMF_IMPLEMENTATION_GUIDE.md §3.1)
   def nullCount(df: DataFrame, c: String): Long =
-    df.agg(count(when(col(c).isNull, 1)).as("n")).head.getLong(0)
+    df.agg(count(when(col(c).isNull, 1)).as("n")).head().getLong(0)
   def rowCount(df: DataFrame): Long = df.count()
   def uniqueCount(df: DataFrame, c: String): Long =
-    df.agg(countDistinct(col(c)).as("n")).head.getLong(0)
+    df.agg(countDistinct(col(c)).as("n")).head().getLong(0)
   def duplicateCount(df: DataFrame, c: String): Long =
     df.groupBy(col(c)).count().filter(col("count") > 1)
-      .agg(coalesce(sum(col("count")), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
   /** Seconds between `now` and max(tsCol) — ref guide's FRESHNESS. */
   def freshnessSeconds(df: DataFrame, tsCol: String, now: java.sql.Timestamp): Long = {
-    val maxTs = df.agg(max(col(tsCol))).head.getTimestamp(0)
+    val maxTs = df.agg(max(col(tsCol))).head().getTimestamp(0)
     if (maxTs == null) Long.MaxValue else (now.getTime - maxTs.getTime) / 1000
   }
 
@@ -51,7 +51,7 @@ object Metrics {
     * `countDistinct` must shuffle every distinct value. Use when the
     * expectation is a bound ("roughly N keys"), not an exact equality. */
   def approxUniqueCount(df: DataFrame, c: String, rsd: Double = 0.05): Long =
-    df.agg(approx_count_distinct(col(c), rsd).as("n")).head.getLong(0)
+    df.agg(approx_count_distinct(col(c), rsd).as("n")).head().getLong(0)
 
   /** Sketch-based quantiles (Greenwald-Khanna): bounded-memory single pass
     * vs the exact full sort; `relativeError` 0 degenerates to exact. */

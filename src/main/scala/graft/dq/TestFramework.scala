@@ -137,7 +137,7 @@ object TestFramework {
     if (df.columns.contains("err_count"))
       df.agg(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.sum("err_count"),
-        org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+        org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
     else df.count()
   }
 

@@ -159,7 +159,7 @@ final class MetaStore(spark: SparkSession, dir: String) {
       val key = (e.table_name, e.metric_name, e.metric_columns)
       if (e.suspended) active += key
       else e.metric_columns match {
-        case None => active.retain { case (t, m, _) => t != e.table_name || m != e.metric_name }
+        case None => active.filterInPlace { case (t, m, _) => t != e.table_name || m != e.metric_name }
         case Some(_) => active -= key
       }
     }

@@ -72,7 +72,7 @@ object TableIngest {
    * columns that are entirely null (ref: pdf_table_extractor.py:388-419).
    */
   def cleanDataFrame(df: DataFrame): DataFrame = {
-    val trimmed = df.select(df.columns.map(c =>
+    val trimmed = df.select(df.columns.toIndexedSeq.map(c =>
       when(trim(col(c).cast("string")) === "", lit(null))
         .otherwise(trim(col(c).cast("string"))).as(c)): _*)
     val anyNotNull = df.columns.map(c => col(c).isNotNull).reduce(_ || _)
