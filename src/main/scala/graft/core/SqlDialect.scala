@@ -480,7 +480,11 @@ object SqlDialect {
               val raw = sql.substring(a + 1, close)
               val afterLit = nextSignificant(sql, close + 1)
               val hasEscape = keywordAt(sql, s, afterLit, "ESCAPE")
-              if (!hasEscape && raw.contains("\\\\")) {
+              // a concatenated pattern (`LIKE '...' || x`) binds the || into
+              // the pattern expression — splicing ESCAPE after the first
+              // literal would break it; leave composite patterns alone
+              val isConcat = sql.regionMatches(afterLit, "||", 0, 2)
+              if (!hasEscape && !isConcat && raw.contains("\\\\")) {
                 // the ESCAPE literal is '\\' in raw SQL text (Spark's
                 // literal parser reduces it to one backslash; a lone '\''
                 // would read as an escaped quote and break the statement)

@@ -132,6 +132,10 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     // no backslash, or a LIKE against a non-literal — untouched
     val plain = "SELECT a LIKE '%x%' FROM t WHERE b LIKE c"
     assert(SqlDialect.toSpark(plain) == plain)
+    // a pattern built by concatenation: ESCAPE cannot be spliced after the
+    // first literal without breaking the expression — untouched
+    val cat = """SELECT a LIKE '%\\%' || b FROM t"""
+    assert(SqlDialect.toSpark(cat) == cat)
     // semantics end-to-end: DOM\user matches, 50%off does not
     val got = spark.sql(SqlDialect.toSpark(
       """SELECT s FROM VALUES ('DOM\\user'), ('50%off') v(s) WHERE s LIKE '%\\%'"""))
