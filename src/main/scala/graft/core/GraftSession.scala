@@ -84,11 +84,14 @@ final class GraftConnection(val spark: SparkSession) {
         // resulting constant (SET a = $b || '_x' stores the concatenation,
         // not the expression) — match it by running a scalar SELECT and
         // re-literalizing; unevaluable text falls back to being stored
-        // as-is, which covers plain literals in malformed surroundings
+        // as-is, which covers plain literals in malformed surroundings.
+        // The closing paren goes on its OWN line: a trailing `-- comment`
+        // in the RHS would otherwise comment it out, fail the eval, and
+        // leak the comment text into the stored variable via the fallback
         val value =
           try GraftConnection.toSqlLiteral(
-            spark.sql(s"SELECT (${SqlDialect.toSpark(rendered)}) AS v").head().get(0))
-          catch { case _: Exception => rendered }
+            spark.sql(s"SELECT (${SqlDialect.toSpark(rendered)}\n) AS v").head().get(0))
+          catch { case _: Exception => GraftConnection.stripComments(rendered).trim }
         sessionVars.set(name, value)
         spark.sql("SELECT 'Statement executed successfully.' AS status")
       case _ =>
@@ -246,6 +249,33 @@ object GraftConnection {
       } else more = false
     }
     q.substring(i)
+  }
+
+  /** Remove `--` line comments and `/* */` blocks outside string literals —
+    * used on the SET fallback path so an unevaluable RHS never stores
+    * comment text inside the session variable. */
+  private[core] def stripComments(q: String): String = {
+    val sb = new StringBuilder(q.length)
+    var inQuote = false
+    var i = 0
+    while (i < q.length) {
+      val ch = q.charAt(i)
+      if (inQuote) {
+        sb.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < q.length && q.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQuote = false
+        }
+        i += 1
+      } else if (ch == '\'') { inQuote = true; sb.append(ch); i += 1 }
+      else if (ch == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+      } else if (ch == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        val end = q.indexOf("*/", i + 2)
+        i = if (end < 0) q.length else end + 2
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** Split on `;` outside string literals and `--` comments ('' escapes

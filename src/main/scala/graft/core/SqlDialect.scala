@@ -512,6 +512,11 @@ object SqlDialect {
     * through untouched. */
   def substituteSessionVars(sql: String, vars: Map[String, String]): String = {
     if (vars.isEmpty || sql.indexOf('$') < 0) return sql
+    // normalize map keys once: `$var` matches case-insensitively regardless
+    // of the CALLER's key case too — external callers (SqlTemplate.render,
+    // TestFramework.run) pass user maps that may hold lowercase names, and
+    // a lookup keyed only on pre-uppercased entries would silently skip them
+    val uv = vars.map { case (k, v) => k.toUpperCase -> v }
     val s = scan(sql)
     val sb = new StringBuilder(sql.length)
     var i = 0
@@ -522,7 +527,7 @@ object SqlDialect {
         var j = i + 1
         while (j < sql.length &&
           (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
-        vars.get(sql.substring(i + 1, j).toUpperCase) match {
+        uv.get(sql.substring(i + 1, j).toUpperCase) match {
           case Some(v) => sb.append(v); i = j
           case None => sb.append(c); i += 1
         }

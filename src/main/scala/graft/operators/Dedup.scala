@@ -140,7 +140,7 @@ object Dedup {
     * in-bucket fanout is quadratic, so a degenerate bucket (empty docs,
     * boilerplate) can dominate a 100 TB job silently. */
   def pairsFromBanded(banded: DataFrame, id: String, maxBucket: Int,
-      caller: String = "pairsFromBanded"): DataFrame = {
+      caller: String = "pairsFromBanded", strict: Boolean = false): DataFrame = {
     if (maxBucket == Int.MaxValue)
       graft.core.Warn(s"$caller: uncapped bucket expansion — pair fanout is " +
         "quadratic in the largest bucket; at scale pass maxBucket (engine " +
@@ -157,7 +157,7 @@ object Dedup {
     val buckets = graft.core.LshGuard.instrument(
         banded.groupBy(col("band"), col("bucket"))
           .agg(sort_array(collect_list(col(id))).as("ids"), count(lit(1)).as("__sz")),
-        "__sz", maxBucket, caller)
+        "__sz", maxBucket, caller, strict)
       .filter(col("__sz").between(2, maxBucket))
     buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
@@ -185,7 +185,8 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      maxBucket: Int = Int.MaxValue, portable: Boolean = false): DataFrame =
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false,
+      strict: Boolean = false): DataFrame =
     // group docs per (band, bucket) and expand i<j pairs inside the capped
     // array — same shape as ngramJaccardPairs. The former per-band self-join
     // read the banded frame twice (forcing a persist) and was unboundedly
@@ -195,7 +196,7 @@ object Dedup {
     // callers at scale SHOULD pass one.
     pairsFromBanded(
       lshBanded(df, id, text, shingleK, numHashes, bands, portable),
-      id, maxBucket, caller = "minhashLshPairs")
+      id, maxBucket, caller = "minhashLshPairs", strict = strict)
 
   /**
    * Per-band bucket-size histogram (band, bucket_size, n_buckets) — the
@@ -221,10 +222,12 @@ object Dedup {
   def minhashLshWithStats(
       df: DataFrame, id: String, text: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      maxBucket: Int = Int.MaxValue, portable: Boolean = false): (DataFrame, DataFrame) = {
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false,
+      strict: Boolean = false): (DataFrame, DataFrame) = {
     val banded = graft.core.Caches.track(
       lshBanded(df, id, text, shingleK, numHashes, bands, portable))
-    (pairsFromBanded(banded, id, maxBucket, caller = "minhashLshWithStats"),
+    (pairsFromBanded(banded, id, maxBucket, caller = "minhashLshWithStats",
+        strict = strict),
       bucketStatsFromBanded(banded))
   }
 
@@ -502,10 +505,11 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, id: String, vec: String,
       threshold: Double = 0.95, signBits: Int = 8,
-      bands: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame =
+      bands: Int = 1, maxBucket: Int = Int.MaxValue,
+      strict: Boolean = false): DataFrame =
     verifyPairs(df, id, vec,
       pairsFromBanded(embeddingBanded(df, id, vec, signBits, bands), id,
-        maxBucket, caller = "embeddingNearDupPairs"),
+        maxBucket, caller = "embeddingNearDupPairs", strict = strict),
       threshold)
 
   /**
@@ -526,11 +530,13 @@ object Dedup {
   def embeddingNearDupWithStats(
       df: DataFrame, id: String, vec: String,
       threshold: Double = 0.95, signBits: Int = 8,
-      bands: Int = 1, maxBucket: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      bands: Int = 1, maxBucket: Int = Int.MaxValue,
+      strict: Boolean = false): (DataFrame, DataFrame) = {
     val banded = graft.core.Caches.track(
       embeddingBanded(df, id, vec, signBits, bands))
     (verifyPairs(df, id, vec,
-        pairsFromBanded(banded, id, maxBucket, caller = "embeddingNearDupWithStats"),
+        pairsFromBanded(banded, id, maxBucket,
+          caller = "embeddingNearDupWithStats", strict = strict),
         threshold),
       bucketStatsFromBanded(banded))
   }

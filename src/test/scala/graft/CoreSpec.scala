@@ -170,6 +170,83 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.dropTable("core_upsert_t")
   }
 
+  test("SET with a trailing line comment stores the literal, not the comment") {
+    val conn = new GraftConnection(spark)
+    // evaluable RHS: the comment must not swallow the closing paren of the
+    // scalar-SELECT eval (regression: the fallback then stored the comment
+    // text inside the variable, corrupting every later splice)
+    conn.sql("SET rv = 42 -- the answer")
+    assert(conn.sessionVars.get("rv").contains("42"))
+    conn.sql("SET rs = 'a' || 'b' -- concat")
+    assert(conn.sessionVars.get("rs").contains("'ab'"))
+    // unevaluable RHS: the fallback stores the text COMMENT-FREE
+    conn.sql("SET rb = not_a_column_at_all -- junk /* more junk */")
+    val stored = conn.sessionVars.get("rb").get
+    assert(!stored.contains("--") && !stored.contains("junk"), stored)
+    assert(stored == "not_a_column_at_all")
+  }
+
+  test("session-var substitution accepts lowercase keys from external callers") {
+    // SessionVars uppercases on set, but SqlTemplate.render / TestFramework
+    // accept caller-built maps whose keys may be lowercase — substitution
+    // must not silently skip them
+    import graft.core.SqlDialect
+    assert(SqlDialect.substituteSessionVars("SELECT $foo, $BAR",
+      Map("foo" -> "1", "bar" -> "2")) == "SELECT 1, 2")
+    assert(SqlTemplate.render("SELECT $report_dt AS d",
+      sessionVars = Map("report_dt" -> "DATE '2024-01-01'")) ==
+      "SELECT DATE '2024-01-01' AS d")
+  }
+
+  test("ShuffleSizing warns on raise and stands down on stat-less plans") {
+    import graft.core.{ShuffleSizing, Warn}
+    import spark.implicits._
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    spark.conf.unset(key)
+    try {
+      val small = (1 to 10).map(i => (i, "x")).toDF("id", "t")
+      // a raise announces itself (the setting persists on the session)
+      val (_, warns) = Warn.capturing(ShuffleSizing.ensureFor(small, 1e12))
+      assert(warns.exists(_.contains("raising")), warns.mkString("; "))
+      spark.conf.unset(key)
+      // a LogicalRDD has no size statistics — sizeInBytes is the
+      // defaultSizeInBytes sentinel (Long.MaxValue), not a measurement; a
+      // raise from it would pin the session at MaxPartitions forever
+      val statless = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.IntegerType))))
+      val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val (got, w2) = Warn.capturing(ShuffleSizing.ensureFor(statless, 1e9))
+      assert(got == base, "no raise from the sentinel")
+      assert(spark.conf.getOption(key).isEmpty)
+      assert(w2.exists(_.contains("no size statistics")), w2.mkString("; "))
+    } finally spark.conf.unset(key)
+  }
+
+  test("ShuffleSizing.scoped restores the initial partition count after the action") {
+    import graft.core.ShuffleSizing
+    import spark.implicits._
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val small = (1 to 10).map(i => (i, "x")).toDF("id", "t")
+    // unset before: the raise inside the scope is visible to the action,
+    // gone afterwards — a later small query sees the original conf
+    spark.conf.unset(key)
+    try {
+      ShuffleSizing.scoped(spark) {
+        ShuffleSizing.ensureFor(small, 1e12)
+        assert(spark.conf.getOption(key).nonEmpty)
+        small.groupBy("t").count().count() // the operator's terminal action
+      }
+      assert(spark.conf.getOption(key).isEmpty, "restored to unset")
+      // pre-existing value round-trips too
+      spark.conf.set(key, "7")
+      ShuffleSizing.scoped(spark) { ShuffleSizing.ensureFor(small, 1e12) }
+      assert(spark.conf.get(key) == "7")
+    } finally spark.conf.unset(key)
+  }
+
   test("ShuffleSizing raises the initial partition count only when needed") {
     import spark.implicits._
     import graft.core.ShuffleSizing

@@ -109,6 +109,70 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(healthy.nonEmpty && !healthy.exists(_.saturated), healthy.mkString(","))
   }
 
+  test("strict mode aborts the saturated configuration with an actionable message") {
+    import spark.implicits._
+    val emb = (1L to 60L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 31.0 + j).toFloat).toArray))
+      .toDF("id", "vec")
+    // saturated (4 buckets for 60 docs, cap 8): the caller's own action
+    // must FAIL instead of returning silently-zeroed recall
+    val ex = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(emb, "id", "vec", threshold = -1.0,
+        signBits = 2, bands = 1, maxBucket = 8, strict = true).count()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("saturated"), chain)
+    assert(chain.contains("raise the bucket space"), chain)
+    // a healthy configuration under strict runs to completion with the
+    // same result as the default mode
+    val loose = Dedup.embeddingNearDupPairs(emb, "id", "vec",
+      threshold = 0.95, signBits = 4, bands = 2, maxBucket = 200).count()
+    val strictN = Dedup.embeddingNearDupPairs(emb, "id", "vec",
+      threshold = 0.95, signBits = 4, bands = 2, maxBucket = 200,
+      strict = true).count()
+    assert(strictN == loose)
+  }
+
+  test("observations are keyed per session; unrelated executions cannot fragment them") {
+    import spark.implicits._
+    import graft.core.LshGuard
+    val s2 = spark.newSession()
+    LshGuard.clearObservations()
+    val emb = (1L to 60L).map(i =>
+      (i, (0 until 8).map(j => math.sin(i * 31.0 + j).toFloat).toArray))
+      .toDF("id", "vec")
+    Dedup.embeddingNearDupPairs(emb, "id", "vec", threshold = -1.0,
+      signBits = 2, bands = 1, maxBucket = 8).count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    // the run was made on `spark`: its window sees it, a concurrent
+    // session in the same JVM does not
+    assert(LshGuard.observations(spark).exists(_.caller == "embeddingNearDupPairs"))
+    assert(LshGuard.observations(s2).isEmpty)
+
+    // fragmentation guard: an accumulator mid-fill (simulated by
+    // driver-side adds — task updates not yet tied to any finished
+    // execution) must NOT be read-and-reset by an UNRELATED query's
+    // execution end; only its own execution's end evaluates it
+    LshGuard.clearObservations()
+    val banded = Dedup.embeddingBanded(emb, "id", "vec", signBits = 2, bands = 1)
+    val pairs = Dedup.pairsFromBanded(banded, "id", maxBucket = 8,
+      caller = "fragtest")
+    val acc = LshGuard.accsFor("fragtest").head
+    acc.add(5L); acc.add(7L)
+    spark.range(10).count() // unrelated execution completes
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    assert(!LshGuard.observations.exists(_.caller == "fragtest"),
+      "unrelated execution stole a fragment")
+    assert(!acc.isZero, "partial stats were reset by an unrelated execution")
+    acc.reset() // drop the simulated partial fill; observe the real run clean
+    pairs.count()
+    org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    val obs = LshGuard.observations.filter(_.caller == "fragtest")
+    assert(obs.size == 1, obs.mkString(","))
+    assert(obs.head.stats.nBuckets > 0)
+  }
+
   test("minhashLshPairs maxBucket cap drops degenerate buckets; stats report them") {
     // cap of 1 excludes every bucket (pairs need >= 2 docs) → no pairs at all
     assert(Dedup.minhashLshPairs(docs, "id", "text", maxBucket = 1).count() == 0)
