@@ -191,19 +191,28 @@ final class GraftConnection(val spark: SparkSession) {
       saveAsTable(src, tmp, mode = "overwrite", tableType = "temporary")
       src = spark.table(tmp)
     }
-    val r = graft.merge.Upsert.merge(
-      spark.table(targetTable), src, joinKeys, updateColumns, insertColumns)
-    // the merged plan READS the target table, and Spark rejects overwriting
-    // a table from a plan that scans it — truncate the lineage first
-    val materialized = r.result.localCheckpoint(true)
-    // a temp-view target must be REPLACED as a temp view: saveAsTable would
-    // write a permanent table the stale view keeps shadowing
-    if (isTempView(targetTable)) materialized.createOrReplaceTempView(targetTable)
-    else materialized.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
-    r.cleanup()
+    val result =
+      if (isTempView(targetTable)) {
+        // a temp-view target must be REPLACED as a temp view (saveAsTable
+        // would write a permanent table the stale view keeps shadowing);
+        // views have no partition layout, so this is always a full rewrite
+        val r = graft.merge.Upsert.merge(
+          spark.table(targetTable), src, joinKeys, updateColumns, insertColumns)
+        // the merged plan READS the target, and Spark rejects overwriting a
+        // relation from a plan that scans it — truncate the lineage first
+        val materialized = r.result.localCheckpoint(true)
+        materialized.createOrReplaceTempView(targetTable)
+        r.cleanup()
+        graft.merge.UpsertResult(r.inserted, r.updated, r.deleted,
+          spark.table(targetTable))
+      } else
+        // saved-table target: partition-scoped when the layout allows it
+        // (partition columns ⊆ join keys), full rewrite otherwise
+        graft.merge.Upsert.mergeIntoTable(targetTable, src, joinKeys,
+          updateColumns, insertColumns)
     // drop ONLY the staging temp view — never a same-named permanent table
     tempTableName.foreach(spark.catalog.dropTempView(_))
-    graft.merge.UpsertResult(r.inserted, r.updated, r.deleted, spark.table(targetTable))
+    result
   }
 
   /** ref: connector/snowpark_connector.py:1238-1272 (execute_multiple_statements):

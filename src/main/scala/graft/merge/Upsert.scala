@@ -1,7 +1,8 @@
 package graft.merge
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Warn
 
 /** Row-accounting result mirroring the reference's MERGE result row
  *  (ref: connector/snowpark_connector.py:880-908, models/custom_models.py:158-209).
@@ -112,5 +113,172 @@ object Upsert {
       deleted = counts.getOrElse("delete", 0L),
       result = result,
       cached = Some(classified))
+  }
+
+  /** Most partitions a scoped merge will enumerate as literal predicates
+    * before falling back to the full rewrite (an IN-list of thousands of
+    * partition tuples stops pruning efficiently long before this). */
+  val MaxTouchedPartitions: Int = 10000
+
+  /**
+   * MERGE into a SAVED TABLE, rewriting only the partitions the merge can
+   * touch — the 100 TB path. The plain [[merge]] + overwrite rewrites the
+   * WHOLE target to update a 0.1% key slice (copy-on-write's dominant term
+   * at scale; the reference's nightly incremental load touches a tiny key
+   * slice of a date-partitioned mart, ref:
+   * docs/KIMBALL_CDC_DATA_DESIGN.md:289-296 `@last_load_ts` predicate,
+   * MERGE at connector/snowpark_connector.py:919-1004). Here, when the
+   * target table is partitioned and every partition column is a merge key,
+   * the touched partition set is derived FROM THE SOURCE (each source row's
+   * key fixes its partition, so a matched target row can only live in a
+   * partition the source names), the merge runs against the pruned target
+   * slice, and the result is written back via DYNAMIC partition overwrite —
+   * untouched partitions' files are never read for the rewrite nor
+   * rewritten.
+   *
+   * Delete scope: `WHEN NOT MATCHED BY SOURCE` inspects rows the source
+   * does NOT name, so it has no derivable partition bound — a caller
+   * wanting deletes under the scoped rewrite passes
+   * `deletePartitionScope`, a predicate over the PARTITION COLUMNS
+   * declaring where deletes may occur (the reference's loads delete within
+   * the loaded period, never globally). Semantics: identical to [[merge]]
+   * with delete condition `cond AND partition ∈ scope`. Deletes without a
+   * scope, an unpartitioned target, or partition columns outside the merge
+   * keys fall back to the full rewrite (announced through [[Warn]]) —
+   * correctness never depends on the optimization applying.
+   *
+   * Returns the same exact counts as the full rewrite; `result` is the
+   * post-merge table. The caller needs no `cleanup()` — intermediates are
+   * released before returning.
+   */
+  def mergeIntoTable(
+      targetTable: String,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Option[Seq[String]] = None,
+      insertCols: Option[Seq[String]] = None,
+      matchedCondition: Option[Column] = None,
+      notMatchedCondition: Option[Column] = None,
+      deleteNotMatchedBySource: Option[Column] = None,
+      deletePartitionScope: Option[Column] = None): UpsertResult = {
+    val spark = source.sparkSession
+    val partCols = spark.catalog.listColumns(targetTable).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+
+    def fullRewrite(reason: String): UpsertResult = {
+      if (partCols.nonEmpty) Warn(s"mergeIntoTable($targetTable): $reason — " +
+        "falling back to the full-table rewrite; at scale prefer a " +
+        "partition layout whose columns are merge keys (and a " +
+        "deletePartitionScope when deleting)")
+      val r = merge(spark.table(targetTable), source, keys, updateCols,
+        insertCols, matchedCondition, notMatchedCondition,
+        deleteNotMatchedBySource)
+      // the merged plan reads the target; Spark rejects overwriting a table
+      // from a plan that scans it — truncate the lineage first
+      val materialized = r.result.localCheckpoint(true)
+      // saveAsTable(Overwrite) REPLACES the table definition — keep the
+      // partition layout, or one full rewrite silently flattens the table
+      // (and disqualifies every later merge from the scoped path)
+      val writer = materialized.write.mode(SaveMode.Overwrite)
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .saveAsTable(targetTable)
+      r.cleanup()
+      UpsertResult(r.inserted, r.updated, r.deleted, spark.table(targetTable))
+    }
+
+    if (partCols.isEmpty)
+      return fullRewrite("target is unpartitioned")
+    if (!partCols.forall(keys.contains))
+      // a matched target row could then live in a partition the source
+      // never names (same key, different partition value) — the slice would
+      // misclassify it as absent and insert a duplicate
+      return fullRewrite(s"partition columns [${partCols.mkString(", ")}] " +
+        s"are not all merge keys [${keys.mkString(", ")}]")
+    if (deleteNotMatchedBySource.isDefined && deletePartitionScope.isEmpty)
+      return fullRewrite("deleteNotMatchedBySource has no " +
+        "deletePartitionScope bounding which partitions deletes may touch")
+
+    // touched partitions = the source's partition tuples, plus (for
+    // deletes) every EXISTING target partition inside the delete scope.
+    // Both are collected: partition counts are catalog-scale, and literal
+    // equality predicates are what partition pruning eats
+    val srcParts = source.select(partCols.map(col): _*).distinct().collect()
+    val scopeParts: Array[Row] = deletePartitionScope match {
+      case Some(scope) => spark.table(targetTable)
+        .select(partCols.map(col): _*).distinct().filter(scope).collect()
+      case None => Array.empty
+    }
+    // compare partition tuples by their rendered literals, not Row equality:
+    // source-side and target-side rows can disagree on exact numeric types
+    def keyOf(row: Row): String =
+      partCols.indices.map(i =>
+        if (row.isNullAt(i)) "NULL" else sparkPartLiteral(row.get(i)))
+        .mkString(" ")
+    val touched = (srcParts ++ scopeParts).distinctBy(keyOf)
+    if (touched.length > MaxTouchedPartitions)
+      return fullRewrite(s"${touched.length} touched partitions exceed " +
+        s"MaxTouchedPartitions=$MaxTouchedPartitions (the rewrite would " +
+        "approach the full table anyway)")
+    if (touched.isEmpty)
+      // nothing to insert, update, or delete — the table is untouched
+      return UpsertResult(0L, 0L, 0L, spark.table(targetTable))
+    val hasNullTuple = touched.exists(r => (0 until r.length).exists(r.isNullAt))
+    if (hasNullTuple && deleteNotMatchedBySource.isDefined)
+      // a deleted-to-empty null partition cannot be dropped by a literal
+      // PARTITION spec — rather than risk stale files, rewrite fully
+      return fullRewrite("a touched partition has a NULL value and deletes " +
+        "are requested")
+
+    def tuplePred(prefix: String => Column)(row: Row): Column =
+      partCols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) prefix(c).isNull else prefix(c) === lit(row.get(i))
+      }.reduce(_ && _)
+    val slicePred = touched.map(tuplePred(col)).reduce(_ || _)
+
+    // deletes bounded to the declared scope: within the slice, rows of
+    // source-named partitions outside the scope must NOT delete
+    val scopedDelete = deleteNotMatchedBySource.map { cond =>
+      if (scopeParts.isEmpty) lit(false) // scope matched no existing partition
+      else cond && scopeParts.map(tuplePred(target)).reduce(_ || _)
+    }
+
+    val slice = spark.table(targetTable).filter(slicePred)
+    val r = merge(slice, source, keys, updateCols, insertCols,
+      matchedCondition, notMatchedCondition, scopedDelete)
+    // materialize before writing (the plan reads the target), then let
+    // dynamic overwrite replace ONLY the partitions present in the result
+    val materialized = r.result.localCheckpoint(true)
+    r.cleanup()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(modeKey)
+    try {
+      spark.conf.set(modeKey, "dynamic")
+      materialized.write.mode(SaveMode.Overwrite).insertInto(targetTable)
+    } finally before match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    // a partition whose every row was deleted is ABSENT from the result, so
+    // dynamic overwrite left its old files — drop it explicitly (only
+    // delete-scoped merges can empty a partition)
+    if (r.deleted > 0) {
+      val remaining = materialized.select(partCols.map(col): _*).distinct()
+        .collect().map(keyOf).toSet
+      val emptied = touched.filterNot(r => remaining.contains(keyOf(r)))
+      emptied.foreach { row =>
+        val spec = partCols.zipWithIndex.map { case (c, i) =>
+          s"`$c` = ${sparkPartLiteral(row.get(i))}"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE `$targetTable` DROP IF EXISTS PARTITION ($spec)")
+      }
+    }
+    UpsertResult(r.inserted, r.updated, r.deleted, spark.table(targetTable))
+  }
+
+  private def sparkPartLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case other => String.valueOf(other)
   }
 }
