@@ -36,6 +36,7 @@ object ScaleBench {
   private final class Metrics extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
+    val outputWritten = new AtomicLong // file-sink bytes (parquet commits)
     val spill = new AtomicLong
     val peakTaskMem = new AtomicLong
     val tasks = new AtomicLong
@@ -44,14 +45,15 @@ object ScaleBench {
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        outputWritten.addAndGet(m.outputMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
         tasks.incrementAndGet()
       }
     }
     def reset(): Unit = {
-      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0)
-      peakTaskMem.set(0); tasks.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
+      spill.set(0); peakTaskMem.set(0); tasks.set(0)
     }
   }
 
@@ -100,6 +102,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$scratch/spark-local")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new Metrics
@@ -165,7 +168,83 @@ object ScaleBench {
       if (wanted("dedup_clusters")) measured(n, "dedup_clusters")(d =>
         Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id", "text",
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)))
+      if (wanted("merge")) mergeBench(spark, metrics, n, runs)
     }
     spark.stop()
+  }
+
+  /** MERGE tier: a date-partitioned target (100 partitions) merged with a
+    * 1% churn source confined to the LATEST date — the reference's nightly
+    * incremental-load shape (ref: docs/KIMBALL_CDC_DATA_DESIGN.md:289-296,
+    * MERGE at connector/snowpark_connector.py:919-1004). The SAME churn runs
+    * through both paths of `Upsert.mergeIntoTable`: partition-scoped
+    * (partition column among the merge keys → dynamic overwrite of the one
+    * touched partition) and the full-rewrite fallback (partition column not
+    * a key → whole-table copy-on-write). The reported `output_write_mb` gap
+    * is the reason the scoped path exists. */
+  private def mergeBench(spark: SparkSession, metrics: Metrics,
+                         n: Long, runs: Int): Unit = {
+    import graft.merge.Upsert
+    val parts = 100
+    val churn = math.max(2L, n / 100) // 1% of target rows
+    val tbl = s"scale_merge_$n"
+
+    def withPayload(d: DataFrame, tag: String): DataFrame = d
+      .withColumn("dt", expr(s"date_add(DATE'2026-01-01', cast(id % $parts as int))"))
+      .withColumn("payload",
+        concat(lit(tag), md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))))
+
+    def freshTarget(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      withPayload(spark.range(n).toDF("id"), "p")
+        .write.partitionBy("dt").saveAsTable(tbl)
+    }
+
+    // updates: churn/2 existing keys, ALL in the last partition (ids ≡
+    // parts-1 mod parts, in range while churn/2·parts ≤ n, i.e. churn ≤ 2%);
+    // inserts: churn/2 brand-new keys dated into the same partition
+    val updates = spark.range(churn / 2)
+      .select((col("id") * parts + (parts - 1)).as("id"))
+    val inserts = spark.range(churn - churn / 2).select((col("id") + n).as("id"))
+    val source = withPayload(updates.unionAll(inserts), "u")
+      .withColumn("dt", expr(s"date_add(DATE'2026-01-01', ${parts - 1})"))
+
+    def run(name: String, keys: Seq[String]): Unit = {
+      var inserted = 0L; var updated = 0L
+      var writeMb = 0.0; var shufMb = 0L; var tasks = 0L
+      val times = (1 to runs).map { _ =>
+        freshTarget()
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val r = Upsert.mergeIntoTable(tbl, source, keys)
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+        inserted = r.inserted; updated = r.updated
+        writeMb = math.rint(metrics.outputWritten.get / 1048576.0 * 100) / 100
+        shufMb = metrics.shuffleWrite.get / 1048576
+        tasks = metrics.tasks.get
+        sec
+      }
+      val sorted = times.sorted
+      val median =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      def r2(v: Double): Double = math.rint(v * 100) / 100
+      println(
+        s"""{"op":"$name","docs":$n,"inserted":$inserted,"updated":$updated,""" +
+        s""""sec":${r2(median)},"runs_n":$runs,""" +
+        s""""run_secs":${times.map(r2).mkString("[", ",", "]")},""" +
+        s""""output_write_mb":$writeMb,"shuffle_write_mb":$shufMb,""" +
+        s""""tasks":$tasks}""")
+    }
+
+    // scoped: dt is a merge key → only the touched partition is rewritten.
+    // full: dt is NOT a key → fallback path, whole-table rewrite. Same
+    // post-merge contents either way (every churn row carries the last dt).
+    run("merge_scoped", Seq("id", "dt"))
+    run("merge_full", Seq("id"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
