@@ -904,7 +904,21 @@ object SparkEntry {
       // DuckDB side (the operator itself keeps the view's DATE type)
       Periods.lastPeriodsFor(s, "2024-08-15")
         .withColumn("as_of_run_dt", col("as_of_run_dt").cast("timestamp"))
-        .orderBy("frequency")))
+        .orderBy("frequency")),
+
+    // incremental dedup probe: a new batch (tail-perturbed every-7th docs)
+    // probed against the standing corpus's band index — O(batch) hashing,
+    // exact cross-pair parity with the full recompute (Dedup.probeBandedPairs)
+    "q68_lsh_probe" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail")).as("text"))
+      Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
+          shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
+          portable = true)
+        .orderBy("id_a", "id_b")
+    }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
     * dedup operators' outputs non-trivial on a dup-free synthetic corpus. */
@@ -1826,7 +1840,29 @@ object SparkEntry {
         | UNION ALL SELECT 'SEMI_ANNUAL', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-30 23:59:59.997'
         | UNION ALL SELECT 'YEARLY', TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2023-12-31 23:59:59.997')
         |CROSS JOIN (SELECT TIMESTAMP '2024-08-15 00:00:00' AS as_of_run_dt, CAST(NULL AS VARCHAR) AS carrier_name)
-        |ORDER BY frequency""".stripMargin)
+        |ORDER BY frequency""".stripMargin,
+
+    // probe parity: the batch-vs-corpus CROSS subset of the full-recompute
+    // pair set (corpus ids < 10000, batch ids >= 10000) under the SAME
+    // combined bucket cap — exactly what probeBandedPairs computes
+    "q68_lsh_probe" -> {
+      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH corpus AS ($NearDupDocsSql),
+         |$ShinglesSql,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |banded AS (
+         | $bands),
+         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+         |WHERE a.doc_id < 10000 AND b.doc_id >= 10000
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 
   // -------------------------------------------- shared oracle SQL fragments
 

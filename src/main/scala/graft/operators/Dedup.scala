@@ -523,6 +523,82 @@ object Dedup {
     bucketStatsFromBanded(embeddingBanded(df, id, vec, signBits, bands))
 
   /**
+   * Incremental dedup probe: candidate pairs between a NEW BATCH and an
+   * EXISTING CORPUS, from their banded (id, band, bucket) frames — the
+   * 100 TB nightly-ingest shape (the reference's loads dedupe each
+   * incremental slice against the standing mart, never reprocessing it,
+   * ref: docs/KIMBALL_CDC_DATA_DESIGN.md:289-296). The corpus side is an
+   * ALREADY-BANDED index (`lshBanded` / `embeddingBanded` output, persisted
+   * as a table between loads), so per-ingest hashing cost is O(batch): the
+   * corpus is scanned once and never re-shingled, re-hashed, or
+   * self-joined.
+   *
+   * Scale shape: the batch's distinct (band, bucket) set is broadcast as a
+   * semi-join filter over the corpus index, so only corpus rows in buckets
+   * the batch actually touches survive to the (small) size-count shuffle
+   * and the pair join — corpus rows in untouched buckets are filtered at
+   * the scan. With the index saved partitioned by `band`, partition
+   * pruning additionally skips whole bands when probing a band subset.
+   *
+   * EXACT equivalence to the batch-vs-corpus cross subset of
+   * `pairsFromBanded(corpus ∪ batch)`: the cap counts each bucket's
+   * COMBINED membership (corpus + batch rows), so a bucket is dropped here
+   * iff the full recompute would drop it (spec-proven). Returns
+   * (id_a, id_b) = (min, max) of each cross pair, distinct; intra-batch
+   * duplicates are `pairsFromBanded(batchBanded, ...)` — a batch-sized job
+   * the caller runs alongside.
+   */
+  def probeBandedPairs(
+      corpusBanded: DataFrame, batchBanded: DataFrame, id: String,
+      maxBucket: Int = Int.MaxValue, strict: Boolean = false): DataFrame = {
+    if (maxBucket == Int.MaxValue)
+      graft.core.Warn("probeBandedPairs: uncapped bucket expansion — pair " +
+        "fanout is quadratic in the largest probed bucket; at scale pass " +
+        "maxBucket (engine queries use LshMaxBucket=200)")
+    val batchKeys = batchBanded.select(col("band"), col("bucket")).distinct()
+    // broadcast hint, not AQE choice: the batch bucket set is small BY
+    // CONSTRUCTION (an ingest slice), and the semi-join must not ever
+    // degrade to shuffling the corpus index on (band, bucket)
+    val pruned = corpusBanded.join(broadcast(batchKeys), Seq("band", "bucket"),
+      "left_semi")
+    // combined bucket size = pruned-corpus + batch membership — the SAME
+    // count the full recompute's cap sees (untouched-bucket corpus rows
+    // can't change counts of buckets the batch is in). LshGuard taps the
+    // combined sizes: saturation on the probe path means the standing
+    // index's bucket space is exhausted and every later ingest degrades.
+    val sizes = graft.core.LshGuard.instrument(
+      pruned.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__nc"))
+        .join(batchBanded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__nb")), Seq("band", "bucket"))
+        .withColumn("__sz", col("__nc") + col("__nb")),
+      "__sz", maxBucket, "probeBandedPairs", strict)
+    val okBuckets = sizes.filter(col("__sz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    pruned.join(broadcast(okBuckets), Seq("band", "bucket"))
+      .withColumnRenamed(id, "__cid")
+      .join(batchBanded.withColumnRenamed(id, "__bid"), Seq("band", "bucket"))
+      .filter(col("__cid") =!= col("__bid"))
+      .select(least(col("__cid"), col("__bid")).as("id_a"),
+        greatest(col("__cid"), col("__bid")).as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash probe from raw documents on both sides — builds the batch's
+    * banded frame and probes it against the corpus's. The persisted-index
+    * path (hash the corpus ONCE, probe every later batch against the saved
+    * frame) calls [[probeBandedPairs]] directly with the saved index. */
+  def minhashProbePairs(
+      corpus: DataFrame, batch: DataFrame, id: String, text: String,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false,
+      strict: Boolean = false): DataFrame =
+    probeBandedPairs(
+      lshBanded(corpus, id, text, shingleK, numHashes, bands, portable),
+      lshBanded(batch, id, text, shingleK, numHashes, bands, portable),
+      id, maxBucket, strict)
+
+  /**
    * Embedding near-dup pairs + audit histogram from ONE banded frame
    * (Caches-tracked persist, as `minhashLshWithStats`): the audit costs one
    * extra aggregation instead of recomputing bucketing, the q30+q59 profile.

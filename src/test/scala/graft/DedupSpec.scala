@@ -451,4 +451,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(out == Seq(10L, 11L))
   }
+
+  test("probeBandedPairs: exact cross-pair parity with the full recompute, including the cap") {
+    import spark.implicits._
+    // 12 identical corpus docs + 5 identical batch docs: the shared bucket
+    // holds 17 COMBINED members, over a cap of 16 though each side alone is
+    // under it — parity requires the probe to count combined membership,
+    // exactly as the full recompute's cap does
+    val corpus = ((1L to 12L).map(i => (i, "same text here repeated exactly word")) ++
+      Seq((21L, "the quick brown fox jumps over the lazy dog"),
+          (22L, "totally unrelated content nothing shared at all"))).toDF("id", "text")
+    val batch = ((101L to 105L).map(i => (i, "same text here repeated exactly word")) ++
+      Seq((106L, "the quick brown fox jumps over the lazy cat"))).toDF("id", "text")
+    for (cap <- Seq(16, 200)) {
+      val probe = Dedup.minhashProbePairs(corpus, batch, "id", "text",
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.minhashLshPairs(corpus.union(batch), "id", "text",
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cross = full.filter { case (a, b) => (a <= 22L) != (b <= 22L) }
+      assert(probe == cross, s"cap=$cap")
+      if (cap == 200)
+        assert(probe.nonEmpty, "uncapped run must surface the identical-text cross pairs")
+      else
+        assert(!probe.exists { case (a, b) => a <= 12L && b >= 101L && b <= 105L },
+          "the over-cap combined bucket must be dropped")
+    }
+  }
+
+  test("probeBandedPairs prunes the corpus index with a broadcast semi-join") {
+    import spark.implicits._
+    val corpusBanded = Dedup.lshBanded(docs, "id", "text", 3, 8, 4)
+    val batchBanded = Dedup.lshBanded(
+      Seq((101L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "id", "text", 3, 8, 4)
+    val probe = Dedup.probeBandedPairs(corpusBanded, batchBanded, "id", maxBucket = 200)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the corpus index must never shuffle on (band, bucket) to be pruned:
+    // the batch's bucket set arrives broadcast, as a LeftSemi build side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
 }
