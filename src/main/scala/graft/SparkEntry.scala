@@ -6,7 +6,7 @@ import graft.core.{GraftSession, SqlTemplate, Tables}
 import graft.functions.{Dates, Text, Vectors}
 import graft.merge.Upsert
 import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.ops.{Cdc, Periods}
+import graft.ops.{Cdc, Compaction, Periods}
 import graft.reports.Feeds
 
 /**
@@ -918,6 +918,21 @@ object SparkEntry {
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
           portable = true)
         .orderBy("id_a", "id_b")
+    }),
+
+    // partition-scoped small-file compaction: fragment a partitioned copy
+    // of documents, bin-pack it, read it back — the oracle reads the
+    // ORIGINAL table, so a hash match proves the rewrite is row-preserving
+    "q69_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q69_")
+        .resolve("docs").toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("part"),
+          col("text"))
+        .repartition(8)
+        .write.partitionBy("part").parquet(tmp)
+      Compaction.compactPath(s, tmp, Seq("part"))
+      s.read.parquet(tmp).select("doc_id", "part", "text").orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1862,7 +1877,13 @@ object SparkEntry {
          |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
          |WHERE a.doc_id < 10000 AND b.doc_id >= 10000
          |ORDER BY id_a, id_b""".stripMargin
-    })
+    },
+
+    // compaction parity: the compacted copy must read back exactly as the
+    // original table it was built from
+    "q69_compaction" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS part, text
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 
