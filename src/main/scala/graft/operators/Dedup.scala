@@ -74,6 +74,10 @@ object Dedup {
    */
   def minhashSignature(shingled: DataFrame, id: String, numHashes: Int,
       portable: Boolean = false): DataFrame = {
+    // direct callers bypass lshBanded's input-derived sizing — size from
+    // the (already exploded) shingle frame instead: the distinct, the
+    // signature groupBy, and the join-back shuffle ≈ 3× its volume
+    graft.core.ShuffleSizing.ensureFor(shingled, expansionFactor = 3.0)
     // hash each DISTINCT shingle once, then join back to the (id, shingle)
     // pairs: digest evaluations drop from |pairs| × H to |distinct| — at
     // corpus scale the distinct-shingle set is orders of magnitude smaller

@@ -146,6 +146,11 @@ object Similarity {
       qId: String, cId: String, qVec: String, cVec: String,
       k: Int, numCentroids: Int = 8,
       centroids: Option[DataFrame] = None): DataFrame = {
+    // assignment is zero-shuffle, but the re-rank shuffles every scored
+    // candidate (≈ corpus rows × queries-per-cell, quantized ≈ 2× input)
+    // on query_id — size initial partitions from the corpus so per-task
+    // top-k sort state stays bounded on very large candidate sets
+    graft.core.ShuffleSizing.ensureFor(corpus, expansionFactor = 2.0)
     // default cells: deterministic id-subset; pass `kmeansCentroids(...)`
     // for data-adaptive cells — the skeleton below is identical
     val cents = centroids.getOrElse(
