@@ -108,8 +108,9 @@ object ScaleBench {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
-    def measured(scale: Long, name: String)(op: DataFrame => DataFrame): Unit = {
-      val docs = spark.read.parquet(s"$scratch/docs_$scale")
+    // shared runs-loop: times `action` (which returns a row count) `runs`
+    // times and emits one JSON line with the MEDIAN wall time
+    def timedRuns(scale: Long, name: String)(action: () => Long): Unit = {
       var rows = 0L
       var maxSpill = 0L
       var maxPeak = 0L
@@ -120,7 +121,7 @@ object ScaleBench {
         org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
         metrics.reset()
         val t0 = System.nanoTime()
-        rows = op(docs).count()
+        rows = action()
         val sec = (System.nanoTime() - t0) / 1e9
         graft.core.Caches.releaseAll()
         org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
@@ -142,6 +143,10 @@ object ScaleBench {
         s""""peak_task_mem_mb":${maxPeak / 1048576},""" +
         s""""tasks":${metrics.tasks.get}}""")
     }
+
+    def measured(scale: Long, name: String)(op: DataFrame => DataFrame): Unit =
+      timedRuns(scale, name)(() =>
+        op(spark.read.parquet(s"$scratch/docs_$scale")).count())
 
     sizes.foreach { n =>
       val docsPath = new org.apache.hadoop.fs.Path(s"$scratch/docs_$n")
@@ -169,6 +174,61 @@ object ScaleBench {
         Dedup.dupClusters(Dedup.minhashLshPairs(d, "doc_id", "text",
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)))
       if (wanted("merge")) mergeBench(spark, metrics, n, runs)
+
+      // ---- incremental probe tier: full recompute vs persisted-index probe
+      // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
+      if (wanted("probe")) {
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+        // 1% ingest batch, half-near-dup by construction: each batch doc
+        // replays an existing doc's token stream (same vocab-hash formula
+        // as `corpus`) plus the perturbation tail
+        val batchN = math.max(1000L, n / 100)
+        val batch = spark.range(batchN).toDF("b")
+          .withColumn("src", pmod(col("b") * 97, lit(n)))
+          .select((col("b") + n).as("doc_id"),
+            concat(concat_ws(" ", transform(sequence(lit(0), lit(119)),
+              i => concat(lit("w"), pmod(xxhash64(col("src"), i), lit(5000))))),
+              lit(" zzz extra tail")).as("text"))
+        // one-time index build: the amortized cost a standing corpus pays
+        // ONCE, after which every ingest probes the saved frame
+        val idxPath = s"$scratch/index_$n"
+        val t0 = System.nanoTime()
+        Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4)
+          .write.mode("overwrite").parquet(idxPath)
+        println(s"""{"op":"probe_index_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+        val index = spark.read.parquet(idxPath)
+        timedRuns(n, "probe_incremental")(() =>
+          Dedup.probeBandedPairs(index,
+            Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
+            "doc_id", maxBucket = 200).count())
+        timedRuns(n, "probe_full_recompute")(() =>
+          Dedup.minhashLshPairs(docs.unionByName(batch), "doc_id", "text",
+            shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200).count())
+      }
+
+      // ---- compaction tier: bin-pack a fragmented partitioned copy
+      if (wanted("compact")) {
+        import graft.ops.Compaction
+        val src = spark.read.parquet(s"$scratch/docs_$n")
+        val path = s"$scratch/frag_$n"
+        var before = 0L; var after = 0L; var parts = 0
+        timedRuns(n, "compact")(() => {
+          // re-fragment each run (the rewrite destroys the fragmentation):
+          // 50 partitions × 96 writer tasks ≈ 4800 small files
+          src.withColumn("part", pmod(col("doc_id"), lit(50)).cast("int"))
+            .repartition(96)
+            .write.mode("overwrite").partitionBy("part").parquet(path)
+          org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+          metrics.reset() // exclude the fragmentation write from the timing
+          val res = Compaction.compactPath(spark, path, Seq("part"))
+          before = res.filesBefore; after = res.filesAfter
+          parts = res.partitionsSelected
+          res.filesAfter
+        })
+        println(s"""{"op":"compact_files","docs":$n,"partitions":$parts,""" +
+          s""""files_before":$before,"files_after":$after}""")
+      }
     }
     spark.stop()
   }
