@@ -1,6 +1,15 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** One bench execution of a query: action inside ShuffleSizing.scoped (a
+    * sizing raise from one operator must not pin the next query's plan in
+    * this shared session), operator caches dropped afterwards. Extracted so
+    * the spec can assert the restore against the runner's real code path. */
+  private[graft] def runOnce(spark: SparkSession, sfDir: String)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    try graft.core.ShuffleSizing.scoped(spark) { fn(spark, sfDir).count(); () }
+    finally graft.core.Caches.releaseAll() // drop operator-taken caches
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,21 +47,65 @@ object Bench {
     // show WHICH queries ran contended. Keep every run's wall time plus a
     // loadavg sample per run, and self-flag queries whose max/min spread
     // says the runs did not see the same machine.
+    //
+    // r11 went further: the harness DETECTED seven contended queries (loadavg
+    // samples up to 8.4) and filed their medians anyway — a 105 s record whose
+    // true idle cost was 49 s. A bench that self-detects contention must not
+    // file it: re-sample flagged queries up to SPARK_GRAFT_BENCH_RETRIES extra
+    // rounds and keep the cleanest sample set, recording attempt counts so the
+    // diag shows what was re-run.
+    val maxRetries = math.max(0,
+      sys.env.get("SPARK_GRAFT_BENCH_RETRIES").flatMap(_.toIntOption).getOrElse(2))
+    // sustained-background-load trigger: ALL of a set's per-run loadavg
+    // samples above cpus/4 means something else owns the machine (min-of-set,
+    // not max, so our own heavy queries' self-load spikes don't false-fire)
+    val loadBound = sys.env.get("SPARK_GRAFT_BENCH_LOAD_BOUND")
+      .flatMap(_.toDoubleOption)
+      .getOrElse(cpus.toIntOption.getOrElse(32) / 4.0)
+    def steadyOf(ts: Seq[Double]): Seq[Double] =
+      if (ts.length >= 2) ts.drop(1) else ts // run 1 pays one-time codegen cost
+    def spreadNoisy(ts: Seq[Double]): Boolean = {
+      val s = steadyOf(ts)
+      s.nonEmpty && s.max > 2.0 * s.min && s.max - s.min > 0.3
+    }
     final case class QueryStat(
-        runTimes: Seq[Double], loads: Seq[Double], median: Double, failed: Boolean)
+        runTimes: Seq[Double], loads: Seq[Double], median: Double,
+        failed: Boolean, attempts: Int)
     val stats = selected.map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
+      def takeSamples(): Seq[(Double, Double)] = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try runOnce(spark, sfDir)(fn)
+        catch {
           case e: Throwable =>
             // a throwing query must not bench as fast: remember the failure
             // and report -1 below instead of the (meaningless) wall time
             failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        finally graft.core.Caches.releaseAll() // drop operator-taken caches
         ((System.nanoTime() - t0) / 1e9, load1())
       }
-      val times = samples.map(_._1).sorted
+      def isBad(s: Seq[(Double, Double)]): Boolean = {
+        val loads = s.map(_._2).filter(_ >= 0)
+        spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound)
+      }
+      def spreadRatio(s: Seq[(Double, Double)]): Double = {
+        val st = steadyOf(s.map(_._1))
+        if (st.isEmpty || st.min <= 0) 1.0 else st.max / st.min
+      }
+      var best = takeSamples()
+      var attempts = 1
+      while (!failures.contains(name) && isBad(best) && attempts <= maxRetries) {
+        val next = takeSamples()
+        attempts += 1
+        // keep the cleaner set: a clean set beats a flagged one; among equals
+        // the smaller steady-state spread wins (NOT the lower median — picking
+        // fastest-of-N would bias the filed numbers optimistic)
+        best =
+          if (isBad(best) && !isBad(next)) next
+          else if (!isBad(best) && isBad(next)) best
+          else if (spreadRatio(next) < spreadRatio(best)) next
+          else best
+      }
+      val times = best.map(_._1).sorted
       // true median: even run counts average the two middle elements — the
       // upper-middle alone systematically inflates round-over-round compares
       val median =
@@ -60,7 +113,8 @@ object Bench {
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
       // runTimes kept in RUN ORDER (not sorted): a spike's position matters —
       // run 1 slow = codegen warmup (expected), later runs slow = contention
-      name -> QueryStat(samples.map(_._1), samples.map(_._2), median, failures.contains(name))
+      name -> QueryStat(best.map(_._1), best.map(_._2), median,
+        failures.contains(name), attempts)
     }.toMap
     // failure marker: -1 is numeric (keeps the line machine-readable) and
     // unambiguous, since no real wall time is negative
@@ -71,12 +125,13 @@ object Bench {
     // queries jitter multiplicatively without saying anything about the
     // medians' trustworthiness)
     val noisy = stats.collect {
-      case (k, st) if !st.failed && {
-        val steady = if (st.runTimes.length >= 2) st.runTimes.drop(1) else st.runTimes
-        steady.nonEmpty && steady.max > 2.0 * steady.min &&
-          steady.max - steady.min > 0.3
-      } => k
+      case (k, st) if !st.failed && spreadNoisy(st.runTimes) => k
     }.toSeq.sorted
+    // which queries needed re-sampling (and how many sets were taken): the
+    // audit trail for "these medians came from a retried, clean set"
+    val retried = stats.collect {
+      case (k, st) if st.attempts > 1 => k -> st.attempts
+    }.toSeq.sortBy(_._1)
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
     // the front of the line out of it — that truncation is what produced
@@ -111,11 +166,14 @@ object Bench {
       .mkString("{", ",", "}")
     val detailJson = stats.toSeq.sortBy(_._1).map { case (k, st) =>
       s"\"" + k + "\":{\"runs\":" + st.runTimes.mkString("[", ",", "]") +
-        ",\"load1\":" + st.loads.mkString("[", ",", "]") + "}"
+        ",\"load1\":" + st.loads.mkString("[", ",", "]") +
+        ",\"attempts\":" + st.attempts + "}"
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"detail":$detailJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"detail":$detailJson,"failed":$failedJson}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -126,7 +184,7 @@ object Bench {
     }
     // stderr diag, stdout exactly the documented one-line shape — extra keys
     // after "sf" broke the driver's parse in r05/r06
-    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"failed":$failedJson}""")
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"failed":$failedJson}""")
     println(stdoutLine)
     spark.stop()
   }

@@ -212,8 +212,8 @@ object Upsert {
     // source-side and target-side rows can disagree on exact numeric types
     def keyOf(row: Row): String =
       partCols.indices.map(i =>
-        if (row.isNullAt(i)) "NULL" else sparkPartLiteral(row.get(i)))
-        .mkString(" ")
+        if (row.isNullAt(i)) "\u0001NULL" else sparkPartLiteral(row.get(i)))
+        .mkString("\u0000")
     val touched = (srcParts ++ scopeParts).distinctBy(keyOf)
     if (touched.length > MaxTouchedPartitions)
       return fullRewrite(s"${touched.length} touched partitions exceed " +

@@ -247,6 +247,43 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("no main-source file contains raw control bytes (grep binary-classification guard)") {
+    // a single raw NUL inside a string literal (r11: merge/Upsert.scala) makes
+    // grep treat the whole file as binary and silently drop its matches from
+    // text tooling — audits then miss the file entirely. Escape such bytes
+    // (\\u0000 escapes) instead of embedding them.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        bytes.exists(b => b >= 0 && b < 0x09) // NUL..BS; tab/LF/CR are fine
+      }.map(_.toString).toSeq
+    assert(offenders.isEmpty,
+      s"raw control bytes found in: ${offenders.mkString(", ")}")
+  }
+
+  test("Bench runner restores initialPartitionNum after a sizing-raising query") {
+    import graft.core.ShuffleSizing
+    import spark.implicits._
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    spark.conf.unset(key)
+    try {
+      // a query that raises sizing inside (the shape of q27/q44 under the
+      // shared bench session), run through Bench's real per-run code path
+      Bench.runOnce(spark, "unused") { (s, _) =>
+        import s.implicits._
+        val df = (1 to 10).map(i => (i, "x")).toDF("id", "t")
+        ShuffleSizing.ensureFor(df, 1e12)
+        assert(s.conf.getOption(key).nonEmpty, "raise visible inside the run")
+        df.groupBy("t").count()
+      }
+      assert(spark.conf.getOption(key).isEmpty,
+        "the raise must not leak into the next bench query's plan")
+    } finally spark.conf.unset(key)
+  }
+
   test("ShuffleSizing raises the initial partition count only when needed") {
     import spark.implicits._
     import graft.core.ShuffleSizing
