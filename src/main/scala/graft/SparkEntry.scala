@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, SqlTemplate, Tables}
 import graft.functions.{Dates, Text, Vectors}
 import graft.merge.Upsert
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{BandIndex, Dedup, Multimodal, Similarity}
 import graft.ops.{Cdc, Compaction, Periods}
 import graft.reports.Feeds
 
@@ -23,6 +23,30 @@ import graft.reports.Feeds
  *  - event timestamps are µs-truncated on both sides (nanos parquet).
  */
 object SparkEntry {
+
+  /** Scratch dirs for queries that must materialize an on-disk layout
+    * (q69 compaction, q71 persisted band index), all recursively deleted
+    * when the JVM exits — repeated Verify/Bench runs must not accumulate
+    * table copies under java.io.tmpdir (r11 advice). */
+  private object Scratch {
+    private val dirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    locally {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        dirs.synchronized(dirs.toList).foreach { p =>
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+            finally walk.close()
+          } catch { case _: Throwable => () } // exit-time best effort
+        }))
+    }
+    def dir(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      dirs.synchronized { dirs += p }
+      p
+    }
+  }
 
   /** decimal(18,2) cast for exact, order-independent money/qty sums. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
@@ -361,9 +385,11 @@ object SparkEntry {
     // degenerate buckets capped at LshMaxBucket docs — mirrored in the
     // oracle SQL via the same constant)
     "q27_minhash_lsh" -> ((s, dir) => {
+      // strict: bucket-space saturation would silently zero recall at
+      // scale — fail the job in-plan rather than warn (LshGuard r11 abort)
       Dedup.minhashLshPairs(docsWithNearDupes(s, dir), "doc_id", "text",
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
-          portable = true)
+          portable = true, strict = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -388,7 +414,8 @@ object SparkEntry {
         .union(e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
-          threshold = 0.95, signBits = 8, bands = 4, maxBucket = LshMaxBucket)
+          threshold = 0.95, signBits = 8, bands = 4, maxBucket = LshMaxBucket,
+          strict = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -916,7 +943,7 @@ object SparkEntry {
           concat(col("text"), lit(" zzz extra tail")).as("text"))
       Dedup.minhashProbePairs(corpus, batch, "doc_id", "text",
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = LshMaxBucket,
-          portable = true)
+          portable = true, strict = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -924,8 +951,7 @@ object SparkEntry {
     // of documents, bin-pack it, read it back — the oracle reads the
     // ORIGINAL table, so a hash match proves the rewrite is row-preserving
     "q69_compaction" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q69_")
-        .resolve("docs").toString
+      val tmp = Scratch.dir("graft_q69_").resolve("docs").toString
       t(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("part"),
           col("text"))
@@ -933,6 +959,43 @@ object SparkEntry {
         .write.partitionBy("part").parquet(tmp)
       Compaction.compactPath(s, tmp, Seq("part"))
       s.read.parquet(tmp).select("doc_id", "part", "text").orderBy("doc_id")
+    }),
+
+    // ANN scale path 3 — IVF with DATA-ADAPTIVE k-means centroids (the
+    // "plug kmeansCentroids into the same skeleton" path). The kmeans
+    // input is snapped to a dyadic 1/128 grid so every distributed mean
+    // is an exact double (sums of dyadic rationals are exact and
+    // order-independent) — bit-identical across partition orders and
+    // engines; assignment and re-rank stay on the exact 1e7 integer grid.
+    "q70_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dyadic = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(128.0)) / lit(128.0)).as("kvec"))
+      val cents = Similarity.kmeansCentroids(dyadic, "vec_id", "kvec",
+        k = 8, iterations = 3)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 5, centroids = Some(cents))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q68's probe routed through the PERSISTED band-index lifecycle
+    // (BandIndex.save → probe): the standing corpus is hashed once, saved
+    // partitioned by band, and the ingest batch probes the on-disk index —
+    // identical oracle to q68 proves disk round-trip changes nothing
+    "q71_lsh_probe_persisted" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail")).as("text"))
+      val idx = Scratch.dir("graft_q71_").resolve("band_index").toString
+      BandIndex.save(Dedup.lshBanded(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4, portable = true), idx)
+      BandIndex.probe(s, idx,
+          Dedup.lshBanded(batch, "doc_id", "text",
+            shingleK = 3, numHashes = 8, bands = 4, portable = true),
+          "doc_id", maxBucket = LshMaxBucket, strict = true)
+        .orderBy("id_a", "id_b")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1860,23 +1923,60 @@ object SparkEntry {
     // probe parity: the batch-vs-corpus CROSS subset of the full-recompute
     // pair set (corpus ids < 10000, batch ids >= 10000) under the SAME
     // combined bucket cap — exactly what probeBandedPairs computes
-    "q68_lsh_probe" -> {
-      val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
-        .mkString("\n UNION ALL ")
-      s"""WITH corpus AS ($NearDupDocsSql),
-         |$ShinglesSql,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |banded AS (
-         | $bands),
-         |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM banded a
-         |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
-         |WHERE a.doc_id < 10000 AND b.doc_id >= 10000
-         |ORDER BY id_a, id_b""".stripMargin
+    "q68_lsh_probe" -> ProbeCrossPairsSql,
+
+    // identical semantics to q68 — the Spark side routes the SAME probe
+    // through the persisted band-index lifecycle (save → load → probe), so
+    // a hash match proves the disk round-trip is content-preserving
+    "q71_lsh_probe_persisted" -> ProbeCrossPairsSql,
+
+    // kmeans IVF: 3 unrolled Lloyd iterations on the dyadic 1/128 grid
+    // (means of dyadic rationals are exact → engine-portable), then the
+    // q44 assignment/re-rank skeleton with the learned centroids. Dot
+    // products over NON-integer vectors (iterations 2-3, against means)
+    // are spelled as explicit left-associated 64-term sums to replicate
+    // Spark's sequential `aggregate` fold bit-for-bit; integer-grid dots
+    // use list_dot_product (exact under any summation order). Every CTE is
+    // MATERIALIZED: DuckDB otherwise inlines the chained iteration CTEs
+    // multiplicatively and the planner's expression tree blows past the
+    // allocator (measured bad_alloc at sf0.001 on repeat runs).
+    "q70_ann_ivf_kmeans" -> {
+      val D = 64
+      def udot(x: String, y: String) =
+        (1 to D).map(i => s"$x[$i]*$y[$i]").mkString(" + ")
+      def iteration(i: Int): String = {
+        val cos = s"(${udot("vn.kv", "c.cv")}) / sqrt(vn.n2 * (${udot("c.cv", "c.cv")}))"
+        val means = (1 to D).map(j => s"avg(kv[$j])").mkString(", ")
+        s"""a$i AS MATERIALIZED (SELECT vec_id, kv, cell FROM (
+           |   SELECT vn.vec_id, vn.kv, c.cent_id AS cell,
+           |     ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY $cos DESC NULLS LAST, c.cent_id) AS rn
+           |   FROM vn, c${i - 1} c) WHERE rn = 1),
+           |m$i AS MATERIALIZED (SELECT cell, [$means] AS cv FROM a$i GROUP BY cell),
+           |c$i AS MATERIALIZED (SELECT c.cent_id, COALESCE(m.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cent_id)""".stripMargin
+      }
+      def icos(x: String, y: String) =
+        s"list_dot_product($x, $y)/sqrt(list_dot_product($x,$x)*list_dot_product($y,$y))"
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*128)/128) AS kv FROM embeddings),
+         |vn AS MATERIALIZED (SELECT vec_id, kv, (${udot("kv", "kv")}) AS n2 FROM v),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, kv AS cv FROM v ORDER BY vec_id LIMIT 8),
+         |${iteration(1)},
+         |${iteration(2)},
+         |${iteration(3)},
+         |cents AS MATERIALIZED (SELECT cent_id, list_transform(cv, x -> CAST(floor(x*1e7) AS BIGINT)) AS cent FROM c3),
+         |q AS MATERIALIZED (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+         |assigned AS MATERIALIZED (SELECT vec_id, cell, qv FROM (
+         |   SELECT q.vec_id, c.cent_id AS cell, q.qv,
+         |     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |       ORDER BY ${icos("q.qv", "c.cent")} DESC NULLS LAST, c.cent_id) AS rn
+         |   FROM q, cents c) WHERE rn = 1),
+         |scored AS MATERIALIZED (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${icos("a.qv", "b.qv")} AS cosine
+         |  FROM (SELECT * FROM assigned WHERE vec_id < 5) a
+         |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     // compaction parity: the compacted copy must read back exactly as the
@@ -1953,6 +2053,29 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, u.shingle
       |       FROM toks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
       |         i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle))""".stripMargin
+
+  /** Probe parity (q68/q71): the batch-vs-corpus CROSS subset of the
+    * full-recompute pair set (corpus ids < 10000, batch ids >= 10000)
+    * under the SAME combined bucket cap — exactly what probeBandedPairs
+    * computes, whether the index side is in-memory or persisted. */
+  private lazy val ProbeCrossPairsSql: String = {
+    val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH corpus AS ($NearDupDocsSql),
+       |$ShinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       | $bands),
+       |ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+       |WHERE a.doc_id < 10000 AND b.doc_id >= 10000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
   private val QuantizeSql =

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistence lifecycle for LSH band indexes — the piece that makes
+ * [[Dedup.probeBandedPairs]] genuinely O(batch) per ingest.
+ *
+ * The probe operator was built for a STANDING corpus index: hash the corpus
+ * once, save the banded (id, band, bucket) frame, and probe every later
+ * ingest slice against the saved frame (the reference dedupes each
+ * incremental load against the standing mart without reprocessing it, ref:
+ * /root/reference/docs/KIMBALL_CDC_DATA_DESIGN.md:289-296). Without a
+ * save/load/append API, callers rebuilt both sides in memory and per-ingest
+ * cost regressed to O(corpus) — this object closes that gap:
+ *
+ *   - [[save]]: write a banded frame partitioned by `band`. Band
+ *     partitioning keeps each band's buckets in their own directory, so a
+ *     probe restricted to a band subset is satisfied by partition pruning
+ *     (visible as PartitionFilters on the scan — spec-asserted), and an
+ *     append only creates files under the bands it touches.
+ *   - [[load]]: read the saved index back (schema and band values intact).
+ *   - [[append]]: add an ACCEPTED batch's banded rows to the index — the
+ *     nightly cycle is probe → drop duplicates → append survivors, after
+ *     which the next batch's probe sees them as corpus.
+ *   - [[probe]]: load + [[Dedup.probeBandedPairs]] in one call, with an
+ *     optional static band subset whose pruning reaches the parquet scan.
+ *
+ * At 100 TB the index is ~#docs × bands rows of (id, hash-string) — orders
+ * of magnitude smaller than the corpus text, and the only thing an ingest
+ * ever reads of the standing data. Appends create one file per touched
+ * band per batch; use [[graft.ops.Compaction.compactPath]] (partition-scoped)
+ * when small per-batch files accumulate.
+ */
+object BandIndex {
+
+  private val BandCol = "band"
+
+  /** Write `banded` (the (id, band, bucket) output of [[Dedup.lshBanded]] /
+    * [[Dedup.embeddingBanded]]) to `path`, partitioned by `band`. Overwrites
+    * a previous index at the same path (rebuild-from-scratch semantics;
+    * incremental growth is [[append]]). */
+  def save(banded: DataFrame, path: String): Unit = {
+    require(banded.columns.contains(BandCol),
+      s"band index frame must carry a '$BandCol' column, " +
+        s"got [${banded.columns.mkString(", ")}]")
+    banded.write.mode("overwrite").partitionBy(BandCol).parquet(path)
+  }
+
+  /** Read a saved band index. `band` comes back as a partition column
+    * (integer-inferred), so filters on it prune whole directories. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Append an accepted batch's banded rows to the standing index. Only the
+    * touched band partitions gain files; nothing is rewritten. */
+  def append(batchBanded: DataFrame, path: String): Unit = {
+    require(batchBanded.columns.contains(BandCol),
+      s"band index frame must carry a '$BandCol' column, " +
+        s"got [${batchBanded.columns.mkString(", ")}]")
+    batchBanded.write.mode("append").partitionBy(BandCol).parquet(path)
+  }
+
+  /** Candidate cross pairs between `batchBanded` and the index saved at
+    * `path` — [[Dedup.probeBandedPairs]] over the loaded index. `bandSubset`
+    * restricts the probe to specific bands as a STATIC filter, so the
+    * restriction is satisfied by partition pruning at the scan (re-probing
+    * one band after a parameter change costs 1/bands of the index read). */
+  def probe(spark: SparkSession, path: String, batchBanded: DataFrame,
+      id: String, maxBucket: Int = Int.MaxValue, strict: Boolean = false,
+      bandSubset: Option[Seq[Int]] = None): DataFrame = {
+    val idx = load(spark, path)
+    val corpus = bandSubset match {
+      case Some(bs) => idx.filter(col(BandCol).isin(bs.map(Integer.valueOf): _*))
+      case None => idx
+    }
+    val batch = bandSubset match {
+      case Some(bs) =>
+        batchBanded.filter(col(BandCol).isin(bs.map(Integer.valueOf): _*))
+      case None => batchBanded
+    }
+    Dedup.probeBandedPairs(corpus, batch, id, maxBucket, strict)
+  }
+}

@@ -77,15 +77,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q45 must scan customer twice (metrics pass + anti-join):\n$p45")
   }
 
-  test("q27: LSH pair stage is aggregate-expand, not a banded self-join") {
-    val plan = physicalPlan("q27_minhash_lsh")
-    // the only join allowed is distinct-shingle hashes back to (id, shingle);
-    // a second join would mean the quadratic banded self-join came back
-    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+  private def countJoins(plan: String): Int =
+    "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
       .findAllIn(plan).size
-    assert(joins == 1, s"expected exactly one join (shingle hash-back), got $joins:\n$plan")
-    assert(plan.contains("collect_list"),
-      s"pair generation must group per bucket and expand in-array:\n$plan")
+
+  test("q27: LSH pair stage is aggregate-expand, not a banded self-join") {
+    // raw operator (warn-only guard): the only join allowed is
+    // distinct-shingle hashes back to (id, shingle); a second join would
+    // mean the quadratic banded self-join came back
+    import graft.operators.Dedup
+    val docs = core.Tables.load(core.GraftSession.tune(spark), dir, "documents")
+      .select("doc_id", "text")
+    val raw = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleK = 3,
+        numHashes = 8, bands = 4, maxBucket = 200, portable = true)
+      .queryExecution.executedPlan.toString
+    assert(countJoins(raw) == 1,
+      s"expected exactly one join (shingle hash-back), got ${countJoins(raw)}:\n$raw")
+    assert(raw.contains("collect_list"),
+      s"pair generation must group per bucket and expand in-array:\n$raw")
+    // engine query runs the SAME pipeline under the STRICT guard; the only
+    // additions are the guard's 1-row broadcast cross-join and the guard
+    // aggregate's own copy of the hash-back join (exchange-reused at run
+    // time) — anything beyond +2 joins is a pair-stage regression
+    val strict = physicalPlan("q27_minhash_lsh")
+    // assert_true is RuntimeReplaceable — it compiles to raise_error
+    assert(strict.contains("raise_error"),
+      "engine q27 must carry the strict saturation guard")
+    assert(countJoins(strict) == 3,
+      s"expected hash-back + guard cross-join + guard's copy, got ${countJoins(strict)}:\n$strict")
   }
 
   test("LshGuard tap is plan-neutral: no extra exchange over the uncapped form") {
@@ -106,13 +125,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("q30: embedding LSH pair stage is aggregate-expand, not a bucket self-join") {
     val plan = physicalPlan("q30_embedding_neardup")
     // candidate generation must group per (band, bucket) and expand in-array;
-    // the only joins allowed are the two id-equi verify joins that fetch the
-    // quantized vectors for the (bounded) candidate pair set
+    // the joins allowed are the two id-equi verify joins that fetch the
+    // quantized vectors for the (bounded) candidate pair set, plus the
+    // strict guard's 1-row broadcast cross-join (its aggregate subtree has
+    // no join of its own — sign bucketing is a pure projection)
     assert(plan.contains("collect_list"),
       s"pair generation must group per bucket and expand in-array:\n$plan")
-    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
-      .findAllIn(plan).size
-    assert(joins == 2, s"expected exactly two joins (pair-verify fetches), got $joins:\n$plan")
+    assert(plan.contains("raise_error"),
+      "engine q30 must carry the strict saturation guard")
+    val joins = countJoins(plan)
+    assert(joins == 3, s"expected two pair-verify fetches + guard cross-join, got $joins:\n$plan")
     val bucketJoins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[[^\\]]*bucket".r
       .findAllIn(plan).size
     assert(bucketJoins == 0, s"no join may key on the LSH bucket:\n$plan")
