@@ -109,15 +109,21 @@ object ScaleBench {
     spark.sparkContext.addSparkListener(metrics)
 
     // shared runs-loop: times `action` (which returns a row count) `runs`
-    // times and emits one JSON line with the MEDIAN wall time
-    def timedRuns(scale: Long, name: String)(action: () => Long): Unit = {
+    // times and emits one JSON line with the MEDIAN wall time. `setup`
+    // runs BEFORE the per-run clock starts — state a run must rebuild
+    // (e.g. the compact tier's re-fragmentation write) is not part of the
+    // operator under measurement and must not pollute `sec` (r11 advice:
+    // the fragmentation write dominated the published compact number)
+    def timedRuns(scale: Long, name: String, setup: () => Unit = () => ())
+        (action: () => Long): Unit = {
       var rows = 0L
       var maxSpill = 0L
       var maxPeak = 0L
       val times = (1 to runs).map { _ =>
+        setup()
         // drain BEFORE reset too: TaskEnd events from the previous action
-        // (corpus generation / earlier run) post asynchronously and would
-        // otherwise land after the reset, inflating this run's counters
+        // (corpus generation / setup / earlier run) post asynchronously and
+        // would otherwise land after the reset, inflating this run's counters
         org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
         metrics.reset()
         val t0 = System.nanoTime()
@@ -213,14 +219,13 @@ object ScaleBench {
         val src = spark.read.parquet(s"$scratch/docs_$n")
         val path = s"$scratch/frag_$n"
         var before = 0L; var after = 0L; var parts = 0
-        timedRuns(n, "compact")(() => {
-          // re-fragment each run (the rewrite destroys the fragmentation):
-          // 50 partitions × 96 writer tasks ≈ 4800 small files
+        // re-fragment each run as UNTIMED setup (the rewrite destroys the
+        // fragmentation): 50 partitions × 96 writer tasks ≈ 4800 small files
+        timedRuns(n, "compact", setup = () =>
           src.withColumn("part", pmod(col("doc_id"), lit(50)).cast("int"))
             .repartition(96)
             .write.mode("overwrite").partitionBy("part").parquet(path)
-          org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
-          metrics.reset() // exclude the fragmentation write from the timing
+        )(() => {
           val res = Compaction.compactPath(spark, path, Seq("part"))
           before = res.filesBefore; after = res.filesAfter
           parts = res.partitionsSelected

@@ -26,15 +26,21 @@ final case class CompactionResult(
  * Scale shape, deliberately partition-scoped like
  * [[graft.merge.Upsert.mergeIntoTable]]:
  *
- *  - File statistics come from a distributed `_metadata` scan (footer-only:
- *    the projection reads no data columns), grouped per partition — never a
- *    driver-side recursive listing of a 100 TB tree.
+ *  - File statistics come from a STREAMING filesystem listing (a
+ *    `RemoteIterator` walk, the same O(#files) metadata pass Spark's own
+ *    scan planning performs): no Spark job, no data bytes read, bounded
+ *    driver memory (one counter per partition), and zero-row part-files
+ *    are counted — a `_metadata` ROW scan (kept as
+ *    [[fileStatsFromMetadata]] for catalogs without a listable
+ *    filesystem) aggregates per data row, which is a large compute job at
+ *    100 TB and is blind to empty files.
  *  - Only partitions with MORE files than their bin-pack target
- *    (`ceil(bytes / targetFileBytes)`, min 1) are rewritten; the rest are
- *    neither read nor written. The rewrite reads the selected slice through
- *    partition pruning, salts rows into `target` buckets per partition, and
- *    writes back via DYNAMIC partition overwrite — one job for all selected
- *    partitions.
+ *    (`ceil(bytes / targetFileBytes)`, min 1) are rewritten, WORST
+ *    fragmentation first (so capped runs converge re-run over re-run);
+ *    the rest are neither read nor written. The rewrite reads the
+ *    selected slice through partition pruning, salts rows into `target`
+ *    buckets per partition, and writes back via DYNAMIC partition
+ *    overwrite — one job for all selected partitions.
  *  - Per-partition output file count is bounded by the salt fan-in: a
  *    (partition, salt) group hashes to exactly one task, so a partition
  *    never produces more files than its target (AQE coalescing can only
@@ -42,10 +48,96 @@ final case class CompactionResult(
  */
 object Compaction {
 
-  /** Per-partition file statistics from a footer-only `_metadata` scan:
-    * (partition cols..., n_files, total_bytes, target_files). For an
-    * unpartitioned layout (`partCols` empty) returns one global row. */
+  /** Hive partition-path unescape: %XX sequences back to chars;
+    * `__HIVE_DEFAULT_PARTITION__` is the null sentinel. */
+  private def unescapePathName(v: String): String = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return null
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        try { sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /**
+   * Per-partition file statistics from a STREAMING filesystem listing:
+   * (partition cols..., n_files, total_bytes, target_files). For an
+   * unpartitioned layout (`partCols` empty) returns one global row.
+   *
+   * O(#files) metadata I/O — the same `RemoteIterator` walk Spark's own
+   * scan planning performs — with NO Spark job and no data bytes read
+   * (spec-asserted): a pure-metadata question must not cost a compute job
+   * over trillions of rows at 100 TB. Driver memory is one counter pair
+   * per PARTITION (not per file), the same driver-side bound the
+   * compaction plan itself carries. Unlike the `_metadata` row scan
+   * ([[fileStatsFromMetadata]]) this also counts ZERO-ROW part-files —
+   * an upstream writer's empty task output is exactly the small-file
+   * litter compaction exists to sweep. Partition values are parsed from
+   * the directory names and cast to the layout's inferred column types,
+   * matching what a reader of the table sees.
+   */
   def fileStats(spark: SparkSession, path: String, partCols: Seq[String],
+      targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(root)
+    val rootUri = qualified.toUri
+    // key = partition values in partCols order; value = (n_files, bytes)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Array[Long]]
+    val it = fs.listFiles(qualified, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val segs = rootUri.relativize(st.getPath.toUri).getPath.split('/')
+      val hidden = segs.exists(d => d.startsWith("_") || d.startsWith("."))
+      if (!hidden && st.isFile) {
+        val kv = segs.dropRight(1).flatMap { d =>
+          val i = d.indexOf('=')
+          if (i < 0) None
+          else Some(unescapePathName(d.take(i)) -> unescapePathName(d.drop(i + 1)))
+        }.toMap
+        val a = acc.getOrElseUpdate(partCols.map(kv.getOrElse(_, null)),
+          Array(0L, 0L))
+        a(0) += 1; a(1) += st.getLen
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType, nullable = true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[Row] =
+      acc.map { case (k, a) => Row.fromSeq(k ++ Seq(a(0), a(1))) }.toList.asJava
+    val raw = spark.createDataFrame(rows, schema)
+    // cast partition values to the types a reader of this layout infers,
+    // so downstream predicates compare like-with-like. Schema inference
+    // reads one footer + the (already-paid) listing — no data scan.
+    val typed =
+      if (partCols.isEmpty) raw
+      else {
+        val inferred = spark.read.parquet(path).schema
+        partCols.foldLeft(raw)((d, c) =>
+          d.withColumn(c, col(c).cast(inferred(c).dataType)))
+      }
+    typed.withColumn("target_files",
+      greatest(lit(1L), ceil(col("total_bytes") / lit(targetFileBytes.toDouble))))
+  }
+
+  /** The former planning path: per-partition stats from a footer-only
+    * `_metadata` column scan. Correct wherever `spark.read.parquet` works
+    * (including catalogs with no listable filesystem), but it is a Spark
+    * job whose aggregation processes one row per DATA ROW — O(rows), not
+    * O(#files) — and zero-row part-files are invisible to it (no rows to
+    * carry their `_metadata`). Prefer [[fileStats]]. */
+  def fileStatsFromMetadata(spark: SparkSession, path: String, partCols: Seq[String],
       targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
     val df = spark.read.parquet(path)
     val pcols = partCols.map(col)
@@ -76,16 +168,21 @@ object Compaction {
    * changes. Returns exact before/after file counts for the rewritten set.
    */
   def compactPath(spark: SparkSession, path: String, partCols: Seq[String],
-      targetFileBytes: Long = DefaultTargetFileBytes): CompactionResult = {
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      maxPartitions: Int = MaxCompactedPartitions): CompactionResult = {
+    // worst fragmentation first: when the cap defers work to a later run,
+    // each run takes the partitions with the most excess files, so capped
+    // re-runs converge instead of revisiting an arbitrary subset
     val stats = fileStats(spark, path, partCols, targetFileBytes)
       .filter(col("n_files") > col("target_files"))
-      .limit(MaxCompactedPartitions + 1)
+      .orderBy((col("n_files") - col("target_files")).desc)
+      .limit(maxPartitions + 1)
       .collect()
-    if (stats.length > MaxCompactedPartitions)
-      Warn(s"compactPath($path): more than $MaxCompactedPartitions " +
-        "fragmented partitions; compacting the first " +
-        s"$MaxCompactedPartitions this run — re-run for the rest")
-    val selected = stats.take(MaxCompactedPartitions)
+    if (stats.length > maxPartitions)
+      Warn(s"compactPath($path): more than $maxPartitions " +
+        "fragmented partitions; compacting the worst " +
+        s"$maxPartitions this run — re-run for the rest")
+    val selected = stats.take(maxPartitions)
     if (selected.isEmpty)
       return CompactionResult(0, 0L, 0L, 0L)
 

@@ -77,6 +77,77 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSeq == before)
   }
 
+  test("planning is metadata-only: zero data records read, zero Spark jobs") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-compact-meta").resolve("t").toString
+    (1L to 300L).map(i => (i, i % 3, s"row $i")).toDF("id", "part", "v")
+      .repartition(4).write.partitionBy("part").parquet(root)
+
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val stats = Compaction.fileStats(spark, root, Seq("part")).collect()
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+      assert(stats.length == 3)
+      assert(records.get == 0,
+        s"planning must not read data rows, read ${records.get}")
+      // the local-relation collect is allowed a job; the point is no job
+      // SCANNED the table — records==0 plus a tiny job budget pins that
+      assert(jobs.get <= 1, s"planning ran ${jobs.get} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("zero-row part-files are visible to planning and swept by compaction") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-compact-empty").resolve("t")
+    val df = (1L to 100L).map(i => (i, i % 2, s"row $i")).toDF("id", "part", "v")
+    df.coalesce(1).write.partitionBy("part").parquet(root.toString)
+    // drop an EMPTY parquet file into part=0 — an upstream writer's empty
+    // task output: invisible to a _metadata row scan, real litter on disk
+    df.filter(lit(false)).select("id", "v").coalesce(1)
+      .write.mode("append").parquet(root.resolve("part=0").toString)
+    assert(partFiles(root.resolve("part=0").toFile).size == 2)
+
+    val stats = Compaction.fileStats(spark, root.toString, Seq("part"))
+      .collect().map(r => r.get(0).toString -> r.getAs[Long]("n_files")).toMap
+    assert(stats("0") == 2L, s"listing must count the empty file: $stats")
+    assert(stats("1") == 1L)
+    val legacy = Compaction.fileStatsFromMetadata(spark, root.toString, Seq("part"))
+      .collect().map(r => r.get(0).toString -> r.getAs[Long]("n_files")).toMap
+    assert(legacy("0") == 1L, "fixture: the row-scan path is blind to it")
+
+    val res = Compaction.compactPath(spark, root.toString, Seq("part"))
+    assert(res.partitionsSelected == 1 && res.filesBefore == 2)
+    assert(partFiles(root.resolve("part=0").toFile).size == 1,
+      "compaction must sweep the empty file")
+    assert(spark.read.parquet(root.toString).count() == 100)
+  }
+
+  test("capped runs compact the worst-fragmented partitions first") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-compact-cap").resolve("t").toString
+    val df = (1L to 600L).map(i => (i, i % 2, s"row $i")).toDF("id", "part", "v")
+    // part 0: 12 files; part 1: 3 files — both fragmented
+    df.filter(col("part") === 0).repartition(12)
+      .write.partitionBy("part").parquet(root)
+    df.filter(col("part") === 1).repartition(3)
+      .write.mode("append").partitionBy("part").parquet(root)
+    val res = Compaction.compactPath(spark, root, Seq("part"), maxPartitions = 1)
+    assert(res.partitionsSelected == 1 && res.filesBefore == 12,
+      s"the 12-file partition must win the capped slot: $res")
+    assert(partFiles(new java.io.File(root, "part=0")).size == 1)
+    assert(partFiles(new java.io.File(root, "part=1")).size == 3,
+      "the less-fragmented partition waits for the next run")
+  }
+
   test("per-partition file counts respect each partition's own bin-pack target") {
     import spark.implicits._
     val root = TempDirs.create("graft-compact-target").resolve("t").toString
