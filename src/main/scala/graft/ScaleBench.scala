@@ -196,20 +196,22 @@ object ScaleBench {
               i => concat(lit("w"), pmod(xxhash64(col("src"), i), lit(5000))))),
               lit(" zzz extra tail")).as("text"))
         // one-time index build: the amortized cost a standing corpus pays
-        // ONCE, after which every ingest probes the saved frame
+        // ONCE, after which every ingest probes the saved frame (the real
+        // lifecycle — BandIndex.save partitions by band, BandIndex.probe
+        // reads it back, so this measures what a nightly ingest actually runs)
         val idxPath = s"$scratch/index_$n"
         val t0 = System.nanoTime()
-        Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4)
-          .write.mode("overwrite").parquet(idxPath)
+        graft.operators.BandIndex.save(
+          Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4), idxPath)
         println(s"""{"op":"probe_index_build","docs":$n,""" +
           s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
-        val index = spark.read.parquet(idxPath)
         timedRuns(n, "probe_incremental")(() =>
-          Dedup.probeBandedPairs(index,
+          graft.operators.BandIndex.probe(spark, idxPath,
             Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
             "doc_id", maxBucket = 200).count())
         timedRuns(n, "probe_full_recompute")(() =>
-          Dedup.minhashLshPairs(docs.unionByName(batch), "doc_id", "text",
+          Dedup.minhashLshPairs(
+            docs.select("doc_id", "text").unionByName(batch), "doc_id", "text",
             shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200).count())
       }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, SqlTemplate, Tables}
 import graft.functions.{Dates, Text, Vectors}
 import graft.merge.Upsert
-import graft.operators.{BandIndex, Dedup, Multimodal, Similarity}
+import graft.operators.{BandIndex, Dedup, IvfIndex, Multimodal, Similarity}
 import graft.ops.{Cdc, Compaction, Periods}
 import graft.reports.Feeds
 
@@ -996,6 +996,20 @@ object SparkEntry {
             shingleK = 3, numHashes = 8, bands = 4, portable = true),
           "doc_id", maxBucket = LshMaxBucket, strict = true)
         .orderBy("id_a", "id_b")
+    }),
+
+    // q44's IVF search routed through the PERSISTED index lifecycle
+    // (IvfIndex.save → probe): cells are assigned and quantized once at
+    // save, partitioned by cell on disk, and the query batch reads only its
+    // own cell directories — identical oracle to q44 proves the on-disk
+    // round trip changes nothing
+    "q72_ann_ivf_persisted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Scratch.dir("graft_q72_").resolve("ivf_index").toString
+      IvfIndex.save(e, "vec_id", "embedding", idx, numCentroids = 8)
+      IvfIndex.probe(s, idx, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1447,26 +1461,9 @@ object SparkEntry {
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q44_ann_ivf" -> {
-      def cos(x: String, y: String) =
-        s"list_dot_product($x, $y) / sqrt(list_dot_product($x, $x) * list_dot_product($y, $y))"
-      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
-         |cents AS (SELECT vec_id AS cent_id, qv AS cent FROM v ORDER BY vec_id LIMIT 8),
-         |assigned AS (
-         |  SELECT vec_id, cell, qv FROM (
-         |    SELECT v.vec_id, c.cent_id AS cell, v.qv,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cos("v.qv", "c.cent")} DESC, c.cent_id) AS rn
-         |    FROM v, cents c) WHERE rn = 1),
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.qv", "b.qv")} AS cosine
-         |  FROM (SELECT * FROM assigned WHERE vec_id < 5) a
-         |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-         |SELECT query_id, neighbor_id, rank, cosine FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+    "q44_ann_ivf" -> IvfTopKSql,
+    // identical oracle to q44: the persisted index must change nothing
+    "q72_ann_ivf_persisted" -> IvfTopKSql,
 
     "q45_dq_catalog" ->
       """WITH stats AS (
@@ -2080,6 +2077,29 @@ object SparkEntry {
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
   private val QuantizeSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+
+  /** IVF top-k with id-subset centroids (q44, and q72's persisted path —
+    * the on-disk index must be invisible in the results). */
+  private lazy val IvfTopKSql: String = {
+    def cos(x: String, y: String) =
+      s"list_dot_product($x, $y) / sqrt(list_dot_product($x, $x) * list_dot_product($y, $y))"
+    s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, qv AS cent FROM v ORDER BY vec_id LIMIT 8),
+       |assigned AS (
+       |  SELECT vec_id, cell, qv FROM (
+       |    SELECT v.vec_id, c.cent_id AS cell, v.qv,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cos("v.qv", "c.cent")} DESC, c.cent_id) AS rn
+       |    FROM v, cents c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a.qv", "b.qv")} AS cosine
+       |  FROM (SELECT * FROM assigned WHERE vec_id < 5) a
+       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Exact-quantized cosine between a.qv and b.qv (mirrors Vectors.cosineExact). */
   private val CosineSql =

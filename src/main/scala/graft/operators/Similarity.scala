@@ -87,7 +87,7 @@ object Similarity {
    * (uuids) fall back to the window form — correct for any type, at the
    * cost of shuffling all candidates.
    */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val numericId = scored.schema("neighbor_id").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     if (numericId)
@@ -141,6 +141,56 @@ object Similarity {
    * unchanged. Candidates shrink |corpus|/|cells|-fold like the sign-LSH
    * path, but cells adapt to the data distribution instead of axis signs.
    */
+  /** Deterministic default cells: the `numCentroids` smallest-id corpus
+    * rows, quantized like every other centroid frame — the id-subset
+    * baseline `ivfTopK` uses when no k-means centroids are passed. */
+  private[operators] def defaultCentroids(
+      corpus: DataFrame, cId: String, cVec: String, numCentroids: Int): DataFrame =
+    corpus.orderBy(col(cId).asc).limit(numCentroids)
+      .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+
+  /** Collapse the (tiny) centroid table to ONE row holding the sorted
+    * centroid array, so assignment can broadcast it and stay shuffle-free. */
+  private[operators] def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("__cent"), col("__centn")))).as("__cents"))
+
+  /**
+   * Nearest-centroid assignment as a per-row argmax in a single projection:
+   * broadcast the centroid array, array_min over struct(-sim, cent_id)
+   * (= sim desc, cent_id asc tie-break). Zero exchanges, no sort — the
+   * windowed form (crossJoin + row_number on the UNIQUE row id) shuffled
+   * numCentroids×|rows| rows to compute the same argmax.
+   *
+   * `nprobe > 1` keeps each row's `nprobe` NEAREST cells (one output row per
+   * cell, same ordering) — multi-probe recall for [[IvfIndex.probe]]; the
+   * per-row sort is over the ≤numCentroids-element in-memory array, not data.
+   */
+  private[operators] def assignCells(df: DataFrame, id: String, vec: String,
+      outId: String, centArr: DataFrame, nprobe: Int = 1): DataFrame = {
+    val v = df.select(col(id).as(outId), Vectors.quantize(col(vec)).as("__v"))
+      .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
+    // null sim (degenerate zero-norm vector) must LOSE the argmax,
+    // matching the window form's nulls-last-in-desc
+    def ranked = transform(col("__cents"), ct =>
+      struct(
+        coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
+            col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
+          .as("nsim"),
+        ct.getField("cent_id").as("cell")))
+    val joined = v.crossJoin(broadcast(centArr))
+    val assigned =
+      if (nprobe <= 1)
+        joined.withColumn("__best", array_min(ranked))
+      else
+        joined.withColumn("__near", slice(array_sort(ranked), 1, nprobe))
+          .select(col(outId), col("__v"), col("__vn"),
+            explode(col("__near")).as("__best"))
+    assigned.select(col(outId), col("__best").getField("cell").as("cell"),
+      col("__v"), col("__vn"))
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qVec: String, cVec: String,
@@ -153,39 +203,12 @@ object Similarity {
     graft.core.ShuffleSizing.ensureFor(corpus, expansionFactor = 2.0)
     // default cells: deterministic id-subset; pass `kmeansCentroids(...)`
     // for data-adaptive cells — the skeleton below is identical
-    val cents = centroids.getOrElse(
-      corpus.orderBy(col(cId).asc).limit(numCentroids)
-        .select(col(cId).as("cent_id"), Vectors.quantize(col(cVec)).as("__cent"))
-        .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent"))))
-    // Collapse the (tiny) centroid table to ONE row holding the sorted
-    // centroid array, so assignment can broadcast it and stay shuffle-free.
-    val centArr = cents.agg(sort_array(collect_list(
-      struct(col("cent_id"), col("__cent"), col("__centn")))).as("__cents"))
+    val cents = centroids.getOrElse(defaultCentroids(corpus, cId, cVec, numCentroids))
+    val centArr = centroidArray(cents)
 
-    // Nearest-centroid assignment as a per-row argmax in a single projection:
-    // broadcast the centroid array, array_min over struct(-sim, cent_id)
-    // (= sim desc, cent_id asc tie-break). Zero exchanges, no sort — the
-    // previous form (crossJoin + row_number windowed on the UNIQUE row id)
-    // shuffled numCentroids×|corpus| rows to compute the same argmax.
-    def assign(df: DataFrame, id: String, vec: String, outId: String): DataFrame = {
-      val v = df.select(col(id).as(outId), Vectors.quantize(col(vec)).as("__v"))
-        .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
-      v.crossJoin(broadcast(centArr))
-        .withColumn("__best", array_min(transform(col("__cents"), ct =>
-          struct(
-            // null sim (degenerate zero-norm vector) must LOSE the argmax,
-            // matching the window form's nulls-last-in-desc
-            coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
-                col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
-              .as("nsim"),
-            ct.getField("cent_id").as("cell")))))
-        .select(col(outId), col("__best").getField("cell").as("cell"),
-          col("__v"), col("__vn"))
-    }
-
-    val c = assign(corpus, cId, cVec, "neighbor_id")
+    val c = assignCells(corpus, cId, cVec, "neighbor_id", centArr)
       .withColumnRenamed("__v", "__cv").withColumnRenamed("__vn", "__cn")
-    val q = assign(queries, qId, qVec, "query_id")
+    val q = assignCells(queries, qId, qVec, "query_id", centArr)
       .withColumnRenamed("__v", "__qv").withColumnRenamed("__vn", "__qn")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

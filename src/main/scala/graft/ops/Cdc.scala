@@ -151,10 +151,16 @@ object Cdc {
       df: DataFrame, key: String, eventTime: String,
       gapMinutes: Int, tiebreak: Seq[Column] = Seq.empty): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(eventTime).asc +: tiebreak: _*)
+    // epoch seconds via an intermediate cast to (zoned) timestamp: NTZ
+    // columns reject a direct long cast, and the session zone is pinned
+    // UTC so the gap arithmetic is identical for TIMESTAMP and
+    // TIMESTAMP_NTZ inputs (the driver's parquet ships either, depending
+    // on the writer's timestamp resolution)
+    def secs(c: Column) = c.cast("timestamp").cast("long")
     df.withColumn("__prev", lag(col(eventTime), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          col(eventTime).cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          secs(col(eventTime)) - secs(col("__prev")) > gapMinutes * 60L, 1L)
           .otherwise(0L))
       .withColumn("session_no", sum(col("__new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GraftSession, Tables}
+import graft.operators.{IvfIndex, Similarity}
+
+/**
+ * Lifecycle proof for the persisted IVF index: save → probe must equal the
+ * in-memory [[Similarity.ivfTopK]] exactly; append must make a new batch
+ * visible to later probes under the ORIGINAL centroids; a probe must read
+ * only the cell directories its queries touch (partition pruning at the
+ * scan); and multi-probe recall must reach brute force at
+ * nprobe = numCentroids.
+ */
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb =
+    Tables.load(GraftSession.tune(spark), "/root/testdata/sf0.001", "embeddings")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank").cast("int"), col("cosine"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+  test("save → probe equals in-memory ivfTopK exactly") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx").toString
+    IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)
+    val q = emb.filter(col("vec_id") < 5)
+    val persisted = rows(IvfIndex.probe(spark, path, q, "vec_id", "embedding", k = 5))
+    val inMemory = rows(Similarity.ivfTopK(q, emb, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, numCentroids = 8))
+    assert(persisted.nonEmpty && persisted == inMemory)
+  }
+
+  test("append makes a batch probeable under the original centroids") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx2").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    IvfIndex.save(half1, "vec_id", "embedding", path, numCentroids = 8)
+    IvfIndex.append(half2, "vec_id", "embedding", path)
+    val q = emb.filter(col("vec_id") < 5)
+    val persisted = rows(IvfIndex.probe(spark, path, q, "vec_id", "embedding", k = 5))
+    // reference: in-memory IVF over the FULL corpus pinned to the centroids
+    // the index was built from (save derived them from half1 only)
+    val expected = rows(Similarity.ivfTopK(q, emb, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5,
+      centroids = Some(IvfIndex.loadCentroids(spark, path))))
+    assert(persisted.nonEmpty && persisted == expected)
+  }
+
+  test("probe reads only the touched cell directories") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx3").toString
+    IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)
+    val nCells = IvfIndex.cellStats(spark, path).count()
+    assert(nCells > 1, s"need multiple cells for a pruning test, got $nCells")
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val probe = IvfIndex.probe(spark, path, oneQuery, "vec_id", "embedding", k = 3)
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scans = scansIn(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx3/cells")))
+    assert(scans.nonEmpty, "probe plan must scan the persisted cells")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("cell"))),
+      s"cell list must prune partitions:\n${scans.map(_.partitionFilters).mkString}")
+    val filesRead = scans.map(f =>
+      f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString)).head
+    val dirs = filesRead.map(_.replaceAll(".*/(cell=\\d+)/.*", "$1")).distinct
+    assert(dirs.size == 1,
+      s"a single query probes exactly its own cell, read: $dirs")
+  }
+
+  test("nprobe = numCentroids recovers brute-force results") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx4").toString
+    IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 4)
+    val q = emb.filter(col("vec_id") < 3)
+    val all = rows(IvfIndex.probe(spark, path, q, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val brute = rows(Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    assert(all.nonEmpty && all == brute)
+  }
+
+  test("cellStats accounts for every corpus vector, largest cell first") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx5").toString
+    IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)
+    val stats = IvfIndex.cellStats(spark, path).collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count())
+    assert(stats.map(_.getLong(1)).toSeq == stats.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+}
