@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import graft.operators.{BandIndex, Dedup}
 
 /**
  * Structured-Streaming extension of the batch-incremental CDC model.
@@ -132,4 +133,71 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /**
+   * Streaming NEAR-dup ingest against a standing persisted band index —
+   * the nightly probe → accept → append cycle ([[BandIndex]]) as a
+   * Structured Streaming sink. Each micro-batch:
+   *
+   *   1. MinHash-hashes ONLY the batch (`Dedup.lshBanded` — O(batch); the
+   *      standing corpus is never re-hashed),
+   *   2. probes the on-disk index for batch-vs-corpus candidate pairs
+   *      ([[BandIndex.probe]] — the batch's bucket keys broadcast as a
+   *      semi-join over the index scan),
+   *   3. drops batch docs in any candidate pair; with `dedupWithinBatch`,
+   *      also drops the GREATER id of every intra-batch pair (greedy
+   *      keep-min — run `Dedup.dupClusters` over landed data when exact
+   *      cluster-canonical resolution matters),
+   *   4. appends the survivors' already-computed banded rows to the index
+   *      (only touched band directories gain files) and hands the
+   *      surviving rows to `accept` for delivery.
+   *
+   * All cross-batch state lives in the on-disk index — no state store, so
+   * state never grows in memory and a restart resumes from the checkpoint
+   * with the index reflecting exactly the accepted prefix. A missing index
+   * path bootstraps: the first batch probes nothing and its survivors
+   * found the index. NOTE `foreachBatch` gives at-least-once side-effect
+   * semantics: a batch replayed after a crash between append and commit
+   * re-appends its banded rows — duplicate index rows only widen candidate
+   * generation (pairs are `distinct`), so correctness degrades to extra
+   * probe work, not missed duplicates; compact the index periodically.
+   *
+   * Returns the configured writer — caller sets checkpoint/trigger and
+   * calls `start()`.
+   */
+  def nearDupIngestStream(
+      docs: DataFrame, idCol: String, textCol: String, indexPath: String,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue, portable: Boolean = true,
+      dedupWithinBatch: Boolean = true)
+      (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val banded = Dedup.lshBanded(batch, idCol, textCol,
+        shingleK, numHashes, bands, portable).persist()
+      try {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val none = batch.select(col(idCol)).limit(0)
+        val corpusDups =
+          if (fs.exists(p))
+            // each pair holds exactly one batch member; the anti-join below
+            // ignores the corpus-side ids this union also carries
+            BandIndex.probe(spark, indexPath, banded, idCol, maxBucket)
+              .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+          else none
+        val intraDups =
+          if (dedupWithinBatch)
+            Dedup.pairsFromBanded(banded, idCol, maxBucket,
+                caller = "nearDupIngestStream")
+              .select(col("id_b").as(idCol))
+          else none
+        val survivors = batch.join(
+          corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
+        BandIndex.append(
+          banded.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+          indexPath)
+        accept(survivors, batchId)
+      } finally { banded.unpersist(); () }
+    }
 }

@@ -198,4 +198,46 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getAs[String]("execution_id"))
     assert(since.toSeq == Seq("e5", "e4"))
   }
+
+  test("nearDupIngestStream: probe → accept → append across micro-batches") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, Dedup}
+    val dir = TempDirs.create("graftingest").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today").toDF("doc_id", "text")
+    BandIndex.save(Dedup.lshBanded(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4, portable = true), idx)
+
+    // micro-batch 1: 101 dups corpus doc 1; 103/104 dup each other (keep
+    // min 103); 102 is new. micro-batch 2: 201 dups 102 — a batch-1
+    // SURVIVOR, so only the append to the standing index can catch it.
+    Seq(101L -> "the quick brown fox jumps over the lazy dog",
+        102L -> "sphinx of black quartz judge my vow tonight",
+        103L -> "jinxed wizards pluck ivy from the big quilt now",
+        104L -> "jinxed wizards pluck ivy from the big quilt now")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(201L -> "sphinx of black quartz judge my vow tonight",
+        202L -> "how vexingly quick daft zebras jump around")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+
+    val schema = corpus.schema
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200) { (survivors, _) =>
+        accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(accepted.toList == List(Set(102L, 103L), Set(202L)),
+      s"got $accepted")
+    // the standing index now carries corpus + every accepted survivor
+    val idxIds = BandIndex.load(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
+  }
 }
