@@ -36,6 +36,7 @@ object ScaleBench {
   private final class Metrics extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
+    val inputRead = new AtomicLong // file-source bytes (scan-pruning proof)
     val outputWritten = new AtomicLong // file-sink bytes (parquet commits)
     val spill = new AtomicLong
     val peakTaskMem = new AtomicLong
@@ -45,6 +46,7 @@ object ScaleBench {
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inputRead.addAndGet(m.inputMetrics.bytesRead)
         outputWritten.addAndGet(m.outputMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
@@ -52,8 +54,8 @@ object ScaleBench {
       }
     }
     def reset(): Unit = {
-      shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
-      spill.set(0); peakTaskMem.set(0); tasks.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); inputRead.set(0)
+      outputWritten.set(0); spill.set(0); peakTaskMem.set(0); tasks.set(0)
     }
   }
 
@@ -145,6 +147,7 @@ object ScaleBench {
         s""""runs_n":$runs,"run_secs":${times.map(r2).mkString("[", ",", "]")},""" +
         s""""shuffle_read_mb":${metrics.shuffleRead.get / 1048576},""" +
         s""""shuffle_write_mb":${metrics.shuffleWrite.get / 1048576},""" +
+        s""""input_read_mb":${metrics.inputRead.get / 1048576},""" +
         s""""spill_mb":${maxSpill / 1048576},""" +
         s""""peak_task_mem_mb":${maxPeak / 1048576},""" +
         s""""tasks":${metrics.tasks.get}}""")
@@ -200,11 +203,15 @@ object ScaleBench {
         // lifecycle — BandIndex.save partitions by band, BandIndex.probe
         // reads it back, so this measures what a nightly ingest actually runs)
         val idxPath = s"$scratch/index_$n"
-        val t0 = System.nanoTime()
-        graft.operators.BandIndex.save(
-          Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4), idxPath)
-        println(s"""{"op":"probe_index_build","docs":$n,""" +
-          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+        // standing-corpus semantics: build the index only when absent (the
+        // amortized one-time cost); later invocations probe the saved frame
+        if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) {
+          val t0 = System.nanoTime()
+          graft.operators.BandIndex.save(
+            Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4), idxPath)
+          println(s"""{"op":"probe_index_build","docs":$n,""" +
+            s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+        }
         timedRuns(n, "probe_incremental")(() =>
           graft.operators.BandIndex.probe(spark, idxPath,
             Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
@@ -213,6 +220,29 @@ object ScaleBench {
           Dedup.minhashLshPairs(
             docs.select("doc_id", "text").unionByName(batch), "doc_id", "text",
             shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200).count())
+      }
+
+      // ---- ANN tier: persisted IVF probe vs broadcast brute force
+      // (the standing-corpus search shape — IvfIndex's reason to exist: a
+      // small query batch must read O(touched cells), not O(corpus))
+      if (wanted("ann")) {
+        import graft.operators.{IvfIndex, Similarity}
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+        // 10 queries spread across the id space — few enough that cell
+        // pruning matters (≤10 of 64 cell directories read per probe)
+        val queries = docs.filter(pmod(col("doc_id"), lit(n / 10)) === 7)
+          .select(col("doc_id"), col("embedding"))
+        val ivfPath = s"$scratch/ivf_$n"
+        val t0 = System.nanoTime()
+        IvfIndex.save(docs, "doc_id", "embedding", ivfPath, numCentroids = 64)
+        println(s"""{"op":"ann_index_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+        timedRuns(n, "ann_ivf_probe")(() =>
+          IvfIndex.probe(spark, ivfPath, queries, "doc_id", "embedding",
+            k = 10).count())
+        timedRuns(n, "ann_brute_force")(() =>
+          Similarity.bruteForceTopKAgg(queries, docs, "doc_id", "doc_id",
+            "embedding", "embedding", k = 10).count())
       }
 
       // ---- compaction tier: bin-pack a fragmented partitioned copy

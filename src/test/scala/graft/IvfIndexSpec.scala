@@ -89,6 +89,31 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(all.nonEmpty && all == brute)
   }
 
+  test("append litter compacts away with Compaction; probes unchanged") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx6").toString
+    val thirds = (0 to 2).map(r => emb.filter(col("vec_id") % 3 === r))
+    IvfIndex.save(thirds.head, "vec_id", "embedding", path, numCentroids = 4)
+    thirds.tail.foreach(IvfIndex.append(_, "vec_id", "embedding", path))
+    val q = emb.filter(col("vec_id") < 5)
+    val before = rows(IvfIndex.probe(spark, path, q, "vec_id", "embedding", k = 5))
+    // per-append files accumulate: some cell dir holds >1 file
+    def filesPerCell() = {
+      val root = new java.io.File(new java.net.URI("file://" + path + "/cells"))
+      root.listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(f =>
+          f.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerCell().values.max > 1, s"appends must litter: ${filesPerCell()}")
+    // the index is an ordinary cell-partitioned table — the engine's own
+    // maintenance operator sweeps it
+    val res = graft.ops.Compaction.compactPath(spark, path + "/cells",
+      Seq("cell"), targetFileBytes = 512L * 1024 * 1024)
+    assert(res.filesAfter < res.filesBefore, res.toString)
+    assert(filesPerCell().values.max == 1, s"post-compaction: ${filesPerCell()}")
+    val after = rows(IvfIndex.probe(spark, path, q, "vec_id", "embedding", k = 5))
+    assert(after == before, "compaction must not change probe results")
+  }
+
   test("cellStats accounts for every corpus vector, largest cell first") {
     val path = TempDirs.create("graft-ivfindex").resolve("idx5").toString
     IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)
