@@ -105,6 +105,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$scratch/spark-local")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      // force the single-file-per-task sort shuffle writer: the bypass-merge
+      // writer opens one file per reduce partition per task, and with the
+      // sizing-raised partition counts of the 5M tiers that exceeded this
+      // container's hard 20k fd limit (measured: probe_full_recompute died
+      // on "Too many open files" at 32 tasks × ~450-partition shuffles).
+      // On a real cluster fds are per-executor and this is a non-issue;
+      // in one local[32] JVM the sort writer is the safe choice.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new Metrics
@@ -186,7 +194,7 @@ object ScaleBench {
 
       // ---- incremental probe tier: full recompute vs persisted-index probe
       // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
-      if (wanted("probe")) {
+      if (wanted("probe") || wanted("probe_inc") || wanted("probe_full")) {
         val docs = spark.read.parquet(s"$scratch/docs_$n")
         // 1% ingest batch, half-near-dup by construction: each batch doc
         // replays an existing doc's token stream (same vocab-hash formula
@@ -212,14 +220,16 @@ object ScaleBench {
           println(s"""{"op":"probe_index_build","docs":$n,""" +
             s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
         }
-        timedRuns(n, "probe_incremental")(() =>
-          graft.operators.BandIndex.probe(spark, idxPath,
-            Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
-            "doc_id", maxBucket = 200).count())
-        timedRuns(n, "probe_full_recompute")(() =>
-          Dedup.minhashLshPairs(
-            docs.select("doc_id", "text").unionByName(batch), "doc_id", "text",
-            shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200).count())
+        if (!ops("probe_full"))
+          timedRuns(n, "probe_incremental")(() =>
+            graft.operators.BandIndex.probe(spark, idxPath,
+              Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
+              "doc_id", maxBucket = 200).count())
+        if (!ops("probe_inc"))
+          timedRuns(n, "probe_full_recompute")(() =>
+            Dedup.minhashLshPairs(
+              docs.select("doc_id", "text").unionByName(batch), "doc_id", "text",
+              shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200).count())
       }
 
       // ---- ANN tier: persisted IVF probe vs broadcast brute force
