@@ -109,4 +109,27 @@ class BandIndexSpec extends AnyFunSuite with SparkSpec {
       banded(batch1).filter(col("band") === 1), "id", maxBucket = 200))
     assert(pairs(probe) == expected)
   }
+
+  test("lifecycle composes with embeddingBanded (sign-LSH long buckets)") {
+    import spark.implicits._
+    // 4-dim embeddings; sign pattern of all 4 dims = 1 band × 4 bits.
+    // 11/12 share corpus 1's orthant, 13 is alone in its own.
+    def emb(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    val corpus = emb(
+      1L -> Array(1f, 1f, -1f, 1f), 2L -> Array(-1f, 1f, 1f, -1f))
+    val batch = emb(
+      11L -> Array(0.9f, 1.1f, -0.5f, 0.4f), // corpus-1 orthant
+      12L -> Array(1f, 2f, -2f, 0.1f),       // corpus-1 orthant
+      13L -> Array(-1f, -1f, -1f, -1f))      // unshared orthant
+    def eb(df: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingBanded(df, "id", "vec", signBits = 4, bands = 1)
+    val path = TempDirs.create("graft-bandindex").resolve("idx4").toString
+    BandIndex.save(eb(corpus), path)
+    val persisted = pairs(BandIndex.probe(spark, path, eb(batch), "id",
+      maxBucket = 200))
+    assert(persisted == pairs(Dedup.probeBandedPairs(eb(corpus), eb(batch),
+      "id", maxBucket = 200)), "persisted ≡ in-memory for embedding buckets")
+    assert(persisted == Set((1L, 11L), (1L, 12L)),
+      s"same-orthant cross pairs only, got $persisted")
+  }
 }
