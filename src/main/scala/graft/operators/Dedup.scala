@@ -562,9 +562,16 @@ object Dedup {
     val batchKeys = batchBanded.select(col("band"), col("bucket")).distinct()
     // broadcast hint, not AQE choice: the batch bucket set is small BY
     // CONSTRUCTION (an ingest slice), and the semi-join must not ever
-    // degrade to shuffling the corpus index on (band, bucket)
-    val pruned = corpusBanded.join(broadcast(batchKeys), Seq("band", "bucket"),
-      "left_semi")
+    // degrade to shuffling the corpus index on (band, bucket).
+    // Caches-tracked persist: the pruned frame feeds BOTH the size count
+    // and the pair join — uncached, each consumer re-reads the full corpus
+    // index (measured 2× index bytes per probe at the 5M tier). Its size
+    // is the corpus membership of the batch's TOUCHED buckets — ≪ corpus
+    // for an ingest slice, and MEMORY_AND_DISK spills rather than OOMs if
+    // the batch probes a degenerate bucket (which the cap then drops).
+    val pruned = graft.core.Caches.track(
+      corpusBanded.join(broadcast(batchKeys), Seq("band", "bucket"),
+        "left_semi"))
     // combined bucket size = pruned-corpus + batch membership — the SAME
     // count the full recompute's cap sees (untouched-bucket corpus rows
     // can't change counts of buckets the batch is in). LshGuard taps the

@@ -192,12 +192,27 @@ object Streams {
                 caller = "nearDupIngestStream")
               .select(col("id_b").as(idCol))
           else none
+        // pin the survivor set BEFORE appending, with lineage TRUNCATED
+        // (eager localCheckpoint): the append write refreshes the session's
+        // file-listing caches for indexPath — a plan (even a persisted one;
+        // refresh invalidates and lazily re-caches it) that still reads the
+        // index would re-probe an index already containing this batch, and
+        // every batch doc would pair with its own appended rows and drop.
+        // Checkpointed blocks are freed by the context cleaner when the
+        // frame goes out of scope.
         val survivors = batch.join(
-          corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
+            corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
         BandIndex.append(
           banded.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
           indexPath)
         accept(survivors, batchId)
-      } finally { banded.unpersist(); () }
+      } finally {
+        banded.unpersist()
+        // the probe takes a Caches-tracked persist per batch; micro-batches
+        // run serially and this writer owns its session's idle points (the
+        // Verify/Bench per-query contract), so release here
+        graft.core.Caches.releaseAll()
+      }
     }
 }

@@ -90,6 +90,12 @@ class BandIndexSpec extends AnyFunSuite with SparkSpec {
       p.collect {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           scansIn(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(s.plan)
+        // probeBandedPairs persists the pruned index frame, so the index
+        // scan lives inside the cached plan of an in-memory relation
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scansIn(m.relation.cachedPlan)
         case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
       }.flatten
     val scans = scansIn(probe.queryExecution.executedPlan)
