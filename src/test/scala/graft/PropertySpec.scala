@@ -77,6 +77,33 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("probeBandedPairs ≡ full recompute's cross subset on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // docs over a tiny vocab so shingle collisions (and thus shared LSH
+    // buckets) actually occur; corpus ids < 1000, batch ids >= 1000
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(8, doc)
+    samples(Gen.zip(docsGen, docsGen), 4).foreach { case (c, b) =>
+      val corpus = c.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val batch = b.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("id", "text")
+      def banded(df: org.apache.spark.sql.DataFrame) =
+        Dedup.lshBanded(df, "id", "text", shingleK = 2, numHashes = 6, bands = 3)
+      val probed = Dedup.probeBandedPairs(banded(corpus), banded(batch),
+          "id", maxBucket = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.pairsFromBanded(
+          banded(corpus.union(batch)), "id", maxBucket = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cross = full.filter { case (a, bb) => (a >= 1000L) != (bb >= 1000L) }
+      assert(probed == cross,
+        s"probe=$probed cross=$cross corpus=$c batch=$b")
+    }
+  }
+
   test("WorkingDaysBetween.compute matches brute force on random epoch days") {
     // pure JVM closed form — no Spark jobs, so the sample count can be large
     val dayGen = Gen.choose(18000, 23000) // ~2019..2032
