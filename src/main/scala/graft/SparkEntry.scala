@@ -1010,6 +1010,19 @@ object SparkEntry {
       IvfIndex.probe(s, idx, e.filter(col("vec_id") < 5), "vec_id",
           "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // z-order layout maintenance: rewrite documents clustered on two
+    // independent keys, read the layout back — the oracle reads the
+    // ORIGINAL table, so a hash match proves the rewrite is row-preserving
+    // (the layout benefit itself is ZOrderSpec's rectangle assertion)
+    "q73_zorder" -> ((s, dir) => {
+      val tmp = Scratch.dir("graft_q73_").resolve("docs_z").toString
+      graft.ops.ZOrder.zorderBy(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("text")),
+          Seq("doc_id", "n_chars"), numFiles = 8)
+        .write.parquet(tmp)
+      s.read.parquet(tmp).orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1980,7 +1993,12 @@ object SparkEntry {
     // original table it was built from
     "q69_compaction" ->
       """SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS part, text
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // z-order parity: the clustered rewrite must read back exactly as the
+    // original table
+    "q73_zorder" ->
+      "SELECT doc_id, n_chars, text FROM documents ORDER BY doc_id")
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ZOrder
+
+class ZOrderSpec extends AnyFunSuite with SparkSpec {
+
+  test("interleave puts bit i of column j at position i*k + j") {
+    import spark.implicits._
+    val df = Seq((3L, 0L), (0L, 3L), (2L, 1L)).toDF("x", "y")
+    val z = df.select(
+      ZOrder.interleave(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    // x=0b11,y=0b00 → bits at pos 0 and 2 → 5; y's land at pos 1 and 3 → 10;
+    // x=0b10,y=0b01 → pos 2 (x bit1) + pos 1 (y bit0) → 6
+    assert(z == Seq(5L, 10L, 6L))
+  }
+
+  test("zorderBy preserves rows and columns exactly") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, (i * 37 % 100).toLong, s"r$i"))
+      .toDF("a", "b", "payload")
+    val out = ZOrder.zorderBy(df, Seq("a", "b"), numFiles = 4)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // nulls and degenerate (constant) columns don't throw
+    val withNull = df.withColumn("b",
+      when(col("a") % 7 === 0, lit(null)).otherwise(col("b")))
+    assert(ZOrder.zorderBy(withNull, Seq("a", "b"), 4).count() == 500)
+    assert(ZOrder.zorderBy(df.withColumn("b", lit(1L)), Seq("a", "b"), 4)
+      .count() == 500)
+  }
+
+  test("z-ordered files cover narrow rectangles on BOTH key columns") {
+    import spark.implicits._
+    // two independent uniform keys: single-column sort gives y no locality
+    val df = (0 until 4096).map { i =>
+      (((i * 2654435761L) % 4096).toLong, ((i * 40503L) % 4096).toLong)
+    }.toDF("x", "y")
+    val dir = TempDirs.create("graft-zorder").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir + "/by_x")
+    ZOrder.zorderBy(df, Seq("x", "y"), numFiles = 16)
+      .write.parquet(dir + "/by_z")
+    // per-FILE span of each key = the rectangle a min/max-pruned scan pays
+    def spans(path: String, c: String): Double = {
+      val s = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(avg("s")).head.getDouble(0)
+      s
+    }
+    val xSortYSpan = spans(dir + "/by_x", "y")
+    val zXSpan = spans(dir + "/by_z", "x")
+    val zYSpan = spans(dir + "/by_z", "y")
+    // x-sorted files see nearly the full y range (~4095); z-ordered files
+    // must cover a rectangle: BOTH spans far below the full range, and y
+    // locality ≥3× better than the single-column layout's (the ideal for
+    // 16 files is a 4×4 tile grid — span ~1024, ratio 4 — boundary tiles
+    // leak a little, measured zy≈1148)
+    assert(xSortYSpan > 3000.0, s"independent y should span wide: $xSortYSpan")
+    assert(zYSpan * 3 < xSortYSpan, s"zy=$zYSpan vs xy=$xSortYSpan")
+    assert(zXSpan < 3000.0, s"z layout keeps x locality too: $zXSpan")
+  }
+}
