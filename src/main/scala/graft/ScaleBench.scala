@@ -37,6 +37,7 @@ object ScaleBench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val inputRead = new AtomicLong // file-source bytes (scan-pruning proof)
+    val inputRecords = new AtomicLong // rows materialized after row-group pruning
     val outputWritten = new AtomicLong // file-sink bytes (parquet commits)
     val spill = new AtomicLong
     val peakTaskMem = new AtomicLong
@@ -47,6 +48,7 @@ object ScaleBench {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         inputRead.addAndGet(m.inputMetrics.bytesRead)
+        inputRecords.addAndGet(m.inputMetrics.recordsRead)
         outputWritten.addAndGet(m.outputMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
@@ -55,7 +57,8 @@ object ScaleBench {
     }
     def reset(): Unit = {
       shuffleRead.set(0); shuffleWrite.set(0); inputRead.set(0)
-      outputWritten.set(0); spill.set(0); peakTaskMem.set(0); tasks.set(0)
+      inputRecords.set(0); outputWritten.set(0); spill.set(0)
+      peakTaskMem.set(0); tasks.set(0)
     }
   }
 
@@ -156,6 +159,7 @@ object ScaleBench {
         s""""shuffle_read_mb":${metrics.shuffleRead.get / 1048576},""" +
         s""""shuffle_write_mb":${metrics.shuffleWrite.get / 1048576},""" +
         s""""input_read_mb":${metrics.inputRead.get / 1048576},""" +
+        s""""input_records":${metrics.inputRecords.get},""" +
         s""""spill_mb":${maxSpill / 1048576},""" +
         s""""peak_task_mem_mb":${maxPeak / 1048576},""" +
         s""""tasks":${metrics.tasks.get}}""")
@@ -253,6 +257,39 @@ object ScaleBench {
         timedRuns(n, "ann_brute_force")(() =>
           Similarity.bruteForceTopKAgg(queries, docs, "doc_id", "doc_id",
             "embedding", "embedding", k = 10).count())
+      }
+
+      // ---- zorder tier: 2-D selective scan on z-ordered vs sorted layout
+      // (row-group min/max pruning is the mechanism; input_read_mb and wall
+      // time of the same filtered count on each layout are the measure)
+      if (wanted("zorder")) {
+        import graft.ops.ZOrder
+        // two independent uniform keys over [0, n): x = doc_id, y = hash
+        val keyed = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id").as("x"),
+            pmod(xxhash64(col("doc_id")), lit(n)).as("y"), col("text"))
+        val files = math.max(cpus.toInt, (n / 250000L).toInt)
+        val byX = s"$scratch/zx_$n"; val byZ = s"$scratch/zz_$n"
+        val t0 = System.nanoTime()
+        keyed.repartitionByRange(files, col("x"))
+          .sortWithinPartitions("x").write.mode("overwrite").parquet(byX)
+        val t1 = System.nanoTime()
+        ZOrder.zorderBy(keyed, Seq("x", "y"), numFiles = files)
+          .write.mode("overwrite").parquet(byZ)
+        val t2 = System.nanoTime()
+        println(s"""{"op":"zorder_write","docs":$n,""" +
+          s""""sort_sec":${math.rint((t1 - t0) / 1e7) / 100},""" +
+          s""""zorder_sec":${math.rint((t2 - t1) / 1e7) / 100}}""")
+        // SECONDARY-key predicate (1% of y) + payload aggregate: the x-sorted
+        // layout cannot prune a y filter at all (every row group spans all
+        // of y) and decompresses ~the whole text column; the z-ordered
+        // layout's row groups carry narrow y ranges, so parquet's stats
+        // pushdown skips most of them before touching text bytes
+        def yScan(path: String) = spark.read.parquet(path)
+          .filter(col("y").between(n / 2, n / 2 + n / 100))
+          .agg(sum(length(col("text")))).head.getLong(0)
+        timedRuns(n, "zorder_scan_sorted")(() => { yScan(byX); 1L })
+        timedRuns(n, "zorder_scan_zordered")(() => { yScan(byZ); 1L })
       }
 
       // ---- compaction tier: bin-pack a fragmented partitioned copy
