@@ -114,9 +114,15 @@ object IvfIndex {
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qId: String, qVec: String, k: Int, nprobe: Int = 1): DataFrame = {
     val centArr = Similarity.centroidArray(loadCentroids(spark, path))
+    // eager localCheckpoint: the assigned batch feeds BOTH the touched-cell
+    // collect and the probe join — checkpointing computes the assignment
+    // once (a query batch is small by contract) and detaches the plan from
+    // the on-disk centroid/cell files, so a concurrent append can't skew a
+    // half-evaluated probe
     val q = Similarity.assignCells(queries, qId, qVec, "query_id", centArr, nprobe)
       .withColumnRenamed("__v", "__qv").withColumnRenamed("__vn", "__qn")
       .withColumn(CellCol, col(CellCol).cast("int"))
+      .localCheckpoint(true)
     // touched-cell list: one tiny job over the (small) query batch; ≤
     // numCentroids values by construction, so the driver-side collect is
     // bounded no matter how large the batch
