@@ -243,9 +243,12 @@ object ScaleBench {
         import graft.operators.{IvfIndex, Similarity}
         val docs = spark.read.parquet(s"$scratch/docs_$n")
         // 10 queries spread across the id space — few enough that cell
-        // pruning matters (≤10 of 64 cell directories read per probe)
+        // pruning matters (≤10 of 64 cell directories read per probe).
+        // Eagerly pinned OUTSIDE the timed runs: a real caller HAS its
+        // query batch; deriving it lazily would re-scan the corpus inside
+        // both timed paths and mask the index-vs-corpus records ratio
         val queries = docs.filter(pmod(col("doc_id"), lit(n / 10)) === 7)
-          .select(col("doc_id"), col("embedding"))
+          .select(col("doc_id"), col("embedding")).localCheckpoint(true)
         val ivfPath = s"$scratch/ivf_$n"
         val t0 = System.nanoTime()
         IvfIndex.save(docs, "doc_id", "embedding", ivfPath, numCentroids = 64)
