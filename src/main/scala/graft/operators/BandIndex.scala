@@ -36,16 +36,71 @@ import org.apache.spark.sql.functions._
 object BandIndex {
 
   private val BandCol = "band"
+  private val MetaFile = "_graft_index_meta.json"
 
   /** Write `banded` (the (id, band, bucket) output of [[Dedup.lshBanded]] /
     * [[Dedup.embeddingBanded]]) to `path`, partitioned by `band`. Overwrites
     * a previous index at the same path (rebuild-from-scratch semantics;
-    * incremental growth is [[append]]). */
-  def save(banded: DataFrame, path: String): Unit = {
+    * incremental growth is [[append]]).
+    *
+    * `hashParams` (e.g. shingleK/numHashes/bands/portable) is persisted as
+    * an underscore-hidden marker file: a probe hashed with DIFFERENT
+    * parameters than the standing index produces buckets that can never
+    * collide — recall silently drops to zero — so callers that own both
+    * sides ([[graft.streaming.Streams.nearDupIngestStream]]) record their
+    * parameters here and [[checkParams]] fails fast on drift. */
+  def save(banded: DataFrame, path: String,
+      hashParams: Map[String, String] = Map.empty): Unit = {
     require(banded.columns.contains(BandCol),
       s"band index frame must carry a '$BandCol' column, " +
         s"got [${banded.columns.mkString(", ")}]")
     banded.write.mode("overwrite").partitionBy(BandCol).parquet(path)
+    if (hashParams.nonEmpty) writeParams(banded.sparkSession, path, hashParams)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, MetaFile)
+
+  /** Record hash parameters for an index created WITHOUT [[save]] (e.g. a
+    * bootstrap [[append]]); overwrites a previous marker. */
+  def recordParams(spark: SparkSession, path: String,
+      params: Map[String, String]): Unit = writeParams(spark, path, params)
+
+  private def writeParams(spark: SparkSession, path: String,
+      params: Map[String, String]): Unit = {
+    val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath(path), true)
+    try out.write(params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The hash parameters recorded at [[save]] (empty if none recorded). */
+  def readParams(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath(path))) Map.empty
+    else {
+      val in = fs.open(metaPath(path))
+      val raw = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      """"([^"]+)": "([^"]*)"""".r.findAllMatchIn(raw)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  /** Fail fast when a probe's hash parameters drift from the ones the
+    * standing index records (no-op when the index recorded none). */
+  def checkParams(spark: SparkSession, path: String,
+      expected: Map[String, String]): Unit = {
+    val saved = readParams(spark, path)
+    if (saved.nonEmpty && saved != expected)
+      throw new IllegalStateException(
+        s"band index at $path was built with hash parameters $saved but " +
+          s"this probe uses $expected — buckets from different hash " +
+          "families never collide, so every probe would silently miss; " +
+          "rebuild the index or match its parameters")
   }
 
   /** Read a saved band index. `band` comes back as a partition column

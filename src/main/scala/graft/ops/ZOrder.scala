@@ -68,6 +68,18 @@ object ZOrder {
   def zorderBy(df: DataFrame, cols: Seq[String],
       numFiles: Int, bits: Int = DefaultBits): DataFrame = {
     require(cols.nonEmpty, "zorderBy needs at least one cluster column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    // a non-orderable-numeric key would cast to null and silently land
+    // every row in bucket 0 — no clustering, no error; reject it instead
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
+      require(ok, s"zorderBy column '$c' has non-numeric type $dt; " +
+        "cluster on numeric/date/timestamp keys (hash string keys first)")
+    }
     // one pass for the 2k normalization stats; tiny driver-side collect
     val stats = df.agg(
       min(col(cols.head)).cast("double"),

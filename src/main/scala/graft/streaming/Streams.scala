@@ -179,8 +179,17 @@ object Streams {
         val p = new org.apache.hadoop.fs.Path(indexPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val none = batch.select(col(idCol)).limit(0)
+        // the batch MUST be hashed with the same parameters the standing
+        // index was built with — different hash families' buckets never
+        // collide, so a drifted probe silently misses every duplicate.
+        // The index's recorded marker turns that silence into an error.
+        val hashParams = Map("kind" -> "minhash",
+          "shingleK" -> shingleK.toString, "numHashes" -> numHashes.toString,
+          "bands" -> bands.toString, "portable" -> portable.toString)
+        val bootstrap = !fs.exists(p)
+        if (!bootstrap) BandIndex.checkParams(spark, indexPath, hashParams)
         val corpusDups =
-          if (fs.exists(p))
+          if (!bootstrap)
             // each pair holds exactly one batch member; the anti-join below
             // ignores the corpus-side ids this union also carries
             BandIndex.probe(spark, indexPath, banded, idCol, maxBucket)
@@ -206,6 +215,7 @@ object Streams {
         BandIndex.append(
           banded.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
           indexPath)
+        if (bootstrap) BandIndex.recordParams(spark, indexPath, hashParams)
         accept(survivors, batchId)
       } finally {
         banded.unpersist()

@@ -240,4 +240,35 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
   }
+
+  test("nearDupIngestStream fails fast on hash-parameter drift") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, Dedup}
+    val dir = TempDirs.create("graftdrift").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    // index built with portable=FALSE hashing, recorded in the marker
+    BandIndex.save(
+      Dedup.lshBanded(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4, portable = false),
+      idx, hashParams = Map("kind" -> "minhash", "shingleK" -> "3",
+        "numHashes" -> "8", "bands" -> "4", "portable" -> "false"))
+    Seq(2L -> "some new document").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir + "/in")
+    // the stream hashes portable=TRUE — different hash family; without the
+    // marker this would silently miss every duplicate forever
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", corpus.schema),
+        "doc_id", "text", idx, maxBucket = 200, portable = true) { (_, _) => () }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("hash parameters")),
+      s"expected the drift error, got: ${chain(e).mkString(" | ")}")
+  }
 }
