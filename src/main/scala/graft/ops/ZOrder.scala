@@ -69,6 +69,9 @@ object ZOrder {
       numFiles: Int, bits: Int = DefaultBits): DataFrame = {
     require(cols.nonEmpty, "zorderBy needs at least one cluster column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(cols.size * bits <= 63,
+      s"${cols.size} columns × $bits bits = ${cols.size * bits} interleaved " +
+        "bits overflows the signed-long z-value; lower `bits` (63 / #cols)")
     // a non-orderable-numeric key would cast to null and silently land
     // every row in bucket 0 — no clustering, no error; reject it instead
     cols.foreach { c =>
