@@ -224,12 +224,14 @@ object ScaleBench {
           println(s"""{"op":"probe_index_build","docs":$n,""" +
             s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
         }
-        if (!ops("probe_full"))
+        // gate each sub-tier on ITS OWN positive flag ("probe" runs both);
+        // negating the sibling flag made ops=probe_inc,probe_full skip both
+        if (wanted("probe") || wanted("probe_inc"))
           timedRuns(n, "probe_incremental")(() =>
             graft.operators.BandIndex.probe(spark, idxPath,
               Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4),
               "doc_id", maxBucket = 200).count())
-        if (!ops("probe_inc"))
+        if (wanted("probe") || wanted("probe_full"))
           timedRuns(n, "probe_full_recompute")(() =>
             Dedup.minhashLshPairs(
               docs.select("doc_id", "text").unionByName(batch), "doc_id", "text",

@@ -121,14 +121,29 @@ object BandIndex {
     * `path` — [[Dedup.probeBandedPairs]] over the loaded index. `bandSubset`
     * restricts the probe to specific bands as a STATIC filter, so the
     * restriction is satisfied by partition pruning at the scan (re-probing
-    * one band after a parameter change costs 1/bands of the index read). */
+    * one band after a parameter change costs 1/bands of the index read).
+    *
+    * `excludeIds` (one column, named `id`) removes those ids from the CORPUS
+    * side before probing — the replay-idempotence hook: an at-least-once
+    * ingest that already appended this batch's rows (crash between append
+    * and commit) must not let batch docs pair with their own or their batch-
+    * mates' appended copies, or a previously-accepted survivor would be
+    * dropped from the replayed delivery. The exclusion is a broadcast
+    * anti-join (an ingest batch's id set is small by contract), so the
+    * corpus index is never shuffled. */
   def probe(spark: SparkSession, path: String, batchBanded: DataFrame,
       id: String, maxBucket: Int = Int.MaxValue, strict: Boolean = false,
-      bandSubset: Option[Seq[Int]] = None): DataFrame = {
+      bandSubset: Option[Seq[Int]] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val idx = load(spark, path)
-    val corpus = bandSubset match {
-      case Some(bs) => idx.filter(col(BandCol).isin(bs.map(Integer.valueOf): _*))
+    val afterExclude = excludeIds match {
+      case Some(ex) => idx.join(broadcast(ex.select(col(id))), Seq(id), "left_anti")
       case None => idx
+    }
+    val corpus = bandSubset match {
+      case Some(bs) =>
+        afterExclude.filter(col(BandCol).isin(bs.map(Integer.valueOf): _*))
+      case None => afterExclude
     }
     val batch = bandSubset match {
       case Some(bs) =>

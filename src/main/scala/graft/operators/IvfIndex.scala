@@ -47,7 +47,19 @@ object IvfIndex {
     * int-cell contract enforced (the frame is ≤ numCentroids rows, so the
     * guard collect is bounded by construction). */
   private def intCentroids(cents: DataFrame): DataFrame = {
-    val ids = cents.select(col("cent_id").cast("long")).collect().map(_.getLong(0))
+    // a non-numeric id column (string uuids, which the in-memory window
+    // fallback tolerates) must raise the contract error up front — ANSI
+    // throws CAST_INVALID_INPUT mid-job and legacy mode casts to null and
+    // NPEs at getLong, both opaque
+    require(cents.schema("cent_id").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "IvfIndex stores cell ids as INT partition values; centroid id column " +
+        s"has non-numeric type ${cents.schema("cent_id").dataType} — pass " +
+        "integer cell ids")
+    val rows = cents.select(col("cent_id").cast("long")).collect()
+    require(rows.forall(!_.isNullAt(0)),
+      "IvfIndex stores cell ids as INT partition values; a centroid id is null")
+    val ids = rows.map(_.getLong(0))
     require(ids.forall(v => v >= Int.MinValue && v <= Int.MaxValue),
       s"IvfIndex stores cell ids as INT partition values; centroid id out of " +
         s"range: ${ids.filterNot(v => v >= Int.MinValue && v <= Int.MaxValue).mkString(", ")}")

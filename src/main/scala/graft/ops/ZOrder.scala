@@ -48,6 +48,26 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Key column as a monotone DOUBLE, per type: numerics cast directly;
+    * DATE via `unix_date` (epoch days — `CAST(DATE AS DOUBLE)` is not
+    * defined); TIMESTAMP casts to epoch seconds; TIMESTAMP_NTZ goes through
+    * TIMESTAMP first (the session-TZ reinterpretation is monotone, which is
+    * all bucketing needs — same trick as Cdc's second arithmetic); STRING
+    * via `xxhash64`, which clusters EQUAL values together — equality
+    * predicates then prune via parquet dictionary filtering (each row group
+    * holds few distinct values of the key), while range predicates on the
+    * string itself gain nothing (hashing destroys lexicographic order). */
+  private[graft] def asOrderedDouble(
+      dt: org.apache.spark.sql.types.DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => unix_date(c).cast("double")
+      case TimestampNTZType => c.cast("timestamp").cast("double")
+      case StringType => xxhash64(c).cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
   /** Linear [min,max] → [0, 2^bits) bucket of a numeric column; null and
     * degenerate (min == max) inputs land in bucket 0. */
   private[graft] def bucket(c: Column, min: Double, max: Double, bits: Int): Column = {
@@ -72,30 +92,29 @@ object ZOrder {
     require(cols.size * bits <= 63,
       s"${cols.size} columns × $bits bits = ${cols.size * bits} interleaved " +
         "bits overflows the signed-long z-value; lower `bits` (63 / #cols)")
-    // a non-orderable-numeric key would cast to null and silently land
-    // every row in bucket 0 — no clustering, no error; reject it instead
+    // an unsupported key type would cast to null and silently land every
+    // row in bucket 0 — no clustering, no error; reject it instead
     cols.foreach { c =>
       val dt = df.schema(c).dataType
       val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.DateType ||
         dt == org.apache.spark.sql.types.TimestampType ||
-        dt == org.apache.spark.sql.types.TimestampNTZType
-      require(ok, s"zorderBy column '$c' has non-numeric type $dt; " +
-        "cluster on numeric/date/timestamp keys (hash string keys first)")
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.StringType
+      require(ok, s"zorderBy column '$c' has unsupported type $dt; " +
+        "cluster on numeric/date/timestamp/string keys")
     }
+    val keyed = cols.map(c => asOrderedDouble(df.schema(c).dataType, col(c)))
     // one pass for the 2k normalization stats; tiny driver-side collect
     val stats = df.agg(
-      min(col(cols.head)).cast("double"),
-      (cols.tail.map(c => min(col(c)).cast("double")) ++
-        cols.map(c => max(col(c)).cast("double"))): _*).head()
+      min(keyed.head),
+      (keyed.tail.map(min) ++ keyed.map(max)): _*).head()
     def d(i: Int): Double =
       if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     val mins = cols.indices.map(d)
     val maxs = cols.indices.map(i => d(cols.size + i))
     val z = interleave(
-      cols.zipWithIndex.map { case (c, i) =>
-        bucket(col(c), mins(i), maxs(i), bits)
-      }, bits)
+      cols.indices.map(i => bucket(keyed(i), mins(i), maxs(i), bits)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z") +: cols.map(col): _*)

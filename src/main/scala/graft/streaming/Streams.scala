@@ -158,9 +158,13 @@ object Streams {
    * path bootstraps: the first batch probes nothing and its survivors
    * found the index. NOTE `foreachBatch` gives at-least-once side-effect
    * semantics: a batch replayed after a crash between append and commit
-   * re-appends its banded rows — duplicate index rows only widen candidate
-   * generation (pairs are `distinct`), so correctness degrades to extra
-   * probe work, not missed duplicates; compact the index periodically.
+   * re-appends its banded rows (duplicate index rows — compact the index
+   * periodically). The probe is REPLAY-IDEMPOTENT: the batch's own ids are
+   * anti-joined off the corpus side before probing, so a replayed batch
+   * sees exactly the pre-append corpus view — without that exclusion, a
+   * batch doc pairing with a batch-MATE's already-appended rows would put
+   * the previously-accepted survivor in the drop set and silently skip its
+   * delivery.
    *
    * Returns the configured writer — caller sets checkpoint/trigger and
    * calls `start()`.
@@ -190,9 +194,13 @@ object Streams {
         if (!bootstrap) BandIndex.checkParams(spark, indexPath, hashParams)
         val corpusDups =
           if (!bootstrap)
-            // each pair holds exactly one batch member; the anti-join below
-            // ignores the corpus-side ids this union also carries
-            BandIndex.probe(spark, indexPath, banded, idCol, maxBucket)
+            // excludeIds makes the probe replay-idempotent (see class doc);
+            // with batch ids off the corpus side, each pair holds exactly
+            // one batch member and one genuine-corpus member, so exploding
+            // both ids is safe — the survivor anti-join only matches the
+            // batch-side id, and corpus-side ids fall through it
+            BandIndex.probe(spark, indexPath, banded, idCol, maxBucket,
+                excludeIds = Some(batch.select(col(idCol))))
               .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
           else none
         val intraDups =

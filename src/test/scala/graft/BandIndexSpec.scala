@@ -116,6 +116,39 @@ class BandIndexSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(probe) == expected)
   }
 
+  test("probe excludeIds restores the pre-append corpus view (replay idempotence)") {
+    val path = TempDirs.create("graft-bandindex").resolve("idx5").toString
+    BandIndex.save(banded(corpus), path)
+    // the pre-append answer a first (non-replayed) run sees
+    val first = pairs(BandIndex.probe(spark, path, banded(batch1), "id",
+      maxBucket = 200))
+    // crash-replay scenario: the batch's rows were already appended, then
+    // the same batch probes again — without the exclusion, batch docs pair
+    // with their batch-mates' appended copies
+    BandIndex.append(banded(batch1), path)
+    val replayed = pairs(BandIndex.probe(spark, path, banded(batch1), "id",
+      maxBucket = 200, excludeIds = Some(batch1.select(col("id")))))
+    assert(replayed == first,
+      s"excluded replay must equal the pre-append probe: $replayed vs $first")
+    // and WITHOUT the exclusion the poisoned pairs do appear (the hazard
+    // this hook exists for): a batch with an intra-batch duplicate pair,
+    // replayed after its own append, pairs each member with the OTHER
+    // member's appended index rows — the pair that put the kept survivor
+    // in the drop set before the fix
+    val intraDup = docs(
+      301L -> "grumpy wizards make toxic brew for the evil queen",
+      302L -> "grumpy wizards make toxic brew for the evil queen")
+    BandIndex.append(banded(intraDup), path)
+    val poisoned = pairs(BandIndex.probe(spark, path, banded(intraDup), "id",
+      maxBucket = 200))
+    assert(poisoned.contains((301L, 302L)),
+      s"un-excluded replay pairs batch docs with appended batch rows: $poisoned")
+    val clean = pairs(BandIndex.probe(spark, path, banded(intraDup), "id",
+      maxBucket = 200, excludeIds = Some(intraDup.select(col("id")))))
+    assert(!clean.exists { case (a, b) => a >= 301L && b >= 301L },
+      s"excluded replay must not see the batch's own appended rows: $clean")
+  }
+
   test("lifecycle composes with embeddingBanded (sign-LSH long buckets)") {
     import spark.implicits._
     // 4-dim embeddings; sign pattern of all 4 dims = 1 band × 4 bits.

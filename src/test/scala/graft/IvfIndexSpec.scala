@@ -114,6 +114,21 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(after == before, "compaction must not change probe results")
   }
 
+  test("non-numeric centroid ids fail with the contract error, not an NPE") {
+    import graft.functions.Vectors
+    val path = TempDirs.create("graft-ivfindex").resolve("idx7").toString
+    // string cent_ids cast-to-long as null — must raise the partition-value
+    // contract message instead of an opaque NullPointerException
+    val strCents = emb.limit(4)
+      .select(concat(lit("u"), col("vec_id")).as("cent_id"),
+        Vectors.quantize(col("embedding")).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.save(emb, "vec_id", "embedding", path, centroids = Some(strCents))
+    }
+    assert(e.getMessage.contains("INT partition values"), e.getMessage)
+  }
+
   test("cellStats accounts for every corpus vector, largest cell first") {
     val path = TempDirs.create("graft-ivfindex").resolve("idx5").toString
     IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)

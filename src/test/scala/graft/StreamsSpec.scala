@@ -241,6 +241,49 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
   }
 
+  test("nearDupIngestStream replay redelivers the same survivors (at-least-once)") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, Dedup}
+    val dir = TempDirs.create("graftreplay").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    BandIndex.save(Dedup.lshBanded(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4, portable = true), idx)
+    // one batch: 101 dups corpus 1; 102 new; 103/104 intra-dup (keep 103)
+    Seq(101L -> "the quick brown fox jumps over the lazy dog",
+        102L -> "sphinx of black quartz judge my vow tonight",
+        103L -> "jinxed wizards pluck ivy from the big quilt now",
+        104L -> "jinxed wizards pluck ivy from the big quilt now")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    def runOnce(ckpt: String): Set[Long] = {
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = Streams.nearDupIngestStream(
+          Streams.parquetStream(spark, dir + "/in", corpus.schema),
+          "doc_id", "text", idx, maxBucket = 200) { (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      accepted.toList.reduce(_ ++ _)
+    }
+    val first = runOnce(dir + "/ckpt1")
+    assert(first == Set(102L, 103L), s"got $first")
+    // crash-replay: the batch's banded rows are already IN the index (the
+    // append ran) but the sink offset never committed — a fresh checkpoint
+    // reprocesses the same input. The survivors must be redelivered; before
+    // the excludeIds fix, 104's pair with 103's appended index rows put the
+    // kept survivor 103 in the drop set and its delivery was lost.
+    val replayed = runOnce(dir + "/ckpt2")
+    assert(replayed == first,
+      s"replay must redeliver the same survivors: $replayed vs $first")
+    // the index still holds exactly corpus + survivors (duplicate ROWS are
+    // allowed — documented at-least-once litter — but no new ids)
+    val idxIds = BandIndex.load(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 102L, 103L))
+  }
+
   test("nearDupIngestStream fails fast on hash-parameter drift") {
     import spark.implicits._
     import graft.operators.{BandIndex, Dedup}

@@ -32,6 +32,51 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
       .count() == 500)
   }
 
+  test("date and timestamp_ntz keys normalize instead of failing analysis") {
+    import spark.implicits._
+    // CAST(DATE AS DOUBLE) / CAST(TIMESTAMP_NTZ AS DOUBLE) are rejected by
+    // analysis — the guard used to admit both types and then throw; they
+    // now normalize via unix_date / a timestamp hop (monotone, all
+    // bucketing needs)
+    val df = (0 until 300).map { i =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i % 90),
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i * 7 % 500),
+        i.toLong)
+    }.toDF("d", "ts_ntz", "v")
+    assert(df.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(df.schema("ts_ntz").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = ZOrder.zorderBy(df, Seq("d", "ts_ntz"), numFiles = 4)
+    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // clustering is real, not just non-throwing: per-file date span must be
+    // well under the full 90-day range
+    val dir = TempDirs.create("graft-zorder-date").toString + "/d"
+    ZOrder.zorderBy(df, Seq("d", "ts_ntz"), numFiles = 4).write.parquet(dir)
+    val span = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((datediff(max(col("d")), min(col("d")))).as("s"))
+      .agg(avg("s")).head.getDouble(0)
+    assert(span < 80.0, s"date files must cluster: avg span $span")
+  }
+
+  test("string keys cluster by xxhash64: equal values co-locate") {
+    import spark.implicits._
+    val df = (0 until 4096).map(i => (s"key${i % 64}", i.toLong)).toDF("s", "v")
+    val dir = TempDirs.create("graft-zorder-str").toString
+    // single string key: pure hash clustering — every distinct value's rows
+    // land adjacent, so each value touches 1 file (2 at a range boundary)
+    ZOrder.zorderBy(df, Seq("s"), numFiles = 16).write.parquet(dir + "/one")
+    val filesPerKey = spark.read.parquet(dir + "/one")
+      .withColumn("f", input_file_name())
+      .groupBy("s").agg(countDistinct(col("f")).as("nf"))
+      .agg(avg("nf")).head.getDouble(0)
+    assert(filesPerKey < 2.0,
+      s"equal strings must co-locate, avg files/key = $filesPerKey")
+    // mixed string + numeric interleave: rows/columns preserved exactly
+    val out = ZOrder.zorderBy(df, Seq("s", "v"), numFiles = 8)
+    assert(out.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
   test("z-ordered files cover narrow rectangles on BOTH key columns") {
     import spark.implicits._
     // two independent uniform keys: single-column sort gives y no locality
