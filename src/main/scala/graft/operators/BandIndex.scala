@@ -36,7 +36,6 @@ import org.apache.spark.sql.functions._
 object BandIndex {
 
   private val BandCol = "band"
-  private val MetaFile = "_graft_index_meta.json"
 
   /** Write `banded` (the (id, band, bucket) output of [[Dedup.lshBanded]] /
     * [[Dedup.embeddingBanded]]) to `path`, partitioned by `band`. Overwrites
@@ -58,37 +57,17 @@ object BandIndex {
     if (hashParams.nonEmpty) writeParams(banded.sparkSession, path, hashParams)
   }
 
-  private def metaPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, MetaFile)
-
   /** Record hash parameters for an index created WITHOUT [[save]] (e.g. a
     * bootstrap [[append]]); overwrites a previous marker. */
   def recordParams(spark: SparkSession, path: String,
       params: Map[String, String]): Unit = writeParams(spark, path, params)
 
   private def writeParams(spark: SparkSession, path: String,
-      params: Map[String, String]): Unit = {
-    val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath(path), true)
-    try out.write(params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }
-      .mkString("{", ", ", "}").getBytes("UTF-8"))
-    finally out.close()
-  }
+      params: Map[String, String]): Unit = IndexMeta.write(spark, path, params)
 
   /** The hash parameters recorded at [[save]] (empty if none recorded). */
-  def readParams(spark: SparkSession, path: String): Map[String, String] = {
-    val fs = metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath(path))) Map.empty
-    else {
-      val in = fs.open(metaPath(path))
-      val raw = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      """"([^"]+)": "([^"]*)"""".r.findAllMatchIn(raw)
-        .map(m => m.group(1) -> m.group(2)).toMap
-    }
-  }
+  def readParams(spark: SparkSession, path: String): Map[String, String] =
+    IndexMeta.read(spark, path)
 
   /** Fail fast when a probe's hash parameters drift from the ones the
     * standing index records (no-op when the index recorded none). */

@@ -40,8 +40,55 @@ object IvfIndex {
 
   private val CellCol = "cell"
 
+  /** Identifies the vector quantization the index stores ([[Vectors.quantize]]
+    * = floor(x·1e7) longs). Bump when the scheme changes: an index probed by
+    * a build with a DIFFERENT scheme would compare incompatible integer
+    * grids and silently mis-rank. */
+  val QuantizationVersion = "int-1e7-v1"
+
   private def centroidsPath(path: String) = s"$path/centroids"
   private def cellsPath(path: String) = s"$path/cells"
+
+  private def recordMeta(spark: SparkSession, path: String,
+      dims: Int, numCentroids: Long): Unit =
+    IndexMeta.write(spark, path, Map("kind" -> "ivf",
+      "dims" -> dims.toString, "numCentroids" -> numCentroids.toString,
+      "quantization" -> QuantizationVersion))
+
+  /** The index parameters recorded at [[save]] (empty for a pre-guard index). */
+  def readParams(spark: SparkSession, path: String): Map[String, String] =
+    IndexMeta.read(spark, path)
+
+  /** Fail fast when a probe/append batch's vector geometry or this build's
+    * quantization scheme drifts from what the saved index records —
+    * [[BandIndex.checkParams]]'s sibling. A dim-drifted batch otherwise
+    * throws deep inside the dot-product scorer (or silently mis-ranks if
+    * the drifted prefix happens to be comparable); a quantization drift
+    * mis-ranks with no error at all. No-op for an index that recorded no
+    * marker (pre-guard saves). */
+  private def checkCompat(spark: SparkSession, path: String,
+      df: DataFrame, vec: String, op: String): Unit = {
+    val saved = IndexMeta.read(spark, path)
+    if (saved.isEmpty) return
+    saved.get("quantization").filter(_ != QuantizationVersion).foreach { q =>
+      throw new IllegalStateException(
+        s"IVF index at $path stores vectors quantized as '$q' but this build " +
+          s"quantizes as '$QuantizationVersion' — integer grids from " +
+          "different schemes silently mis-rank; rebuild the index")
+    }
+    // one tiny first-row job on the batch (probes are small by contract;
+    // for appends the limit(1) stops at the first non-empty partition)
+    val batchDims = df.select(size(col(vec)).cast("int").as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    (saved.get("dims").map(_.toInt), batchDims) match {
+      case (Some(d0), Some(d)) if d0 != d =>
+        throw new IllegalStateException(
+          s"IVF index at $path was built for $d0-dimensional vectors but " +
+            s"this $op batch carries $d dimensions — cell assignment and " +
+            "in-cell scores would be wrong; rebuild the index or fix the batch")
+      case _ => ()
+    }
+  }
 
   /** Quantized centroid frame `(cent_id int, __cent, __centn)` with the
     * int-cell contract enforced (the frame is ≤ numCentroids rows, so the
@@ -92,6 +139,13 @@ object IvfIndex {
     // partitionBy write sorts within tasks — nothing shuffles at save
     assignForStorage(corpus, cId, cVec, Similarity.centroidArray(saved))
       .write.mode("overwrite").partitionBy(CellCol).parquet(cellsPath(path))
+    // record the index geometry so a drifted probe/append fails fast
+    // instead of mis-ranking ([[checkCompat]]); dims read off the saved
+    // centroid file — the authority every probe will load
+    val spark = corpus.sparkSession
+    recordMeta(spark, path,
+      dims = saved.select(size(col("__cent")).cast("int")).head.getInt(0),
+      numCentroids = saved.count())
   }
 
   /** The saved centroid frame `(cent_id, __cent, __centn)`. */
@@ -107,6 +161,7 @@ object IvfIndex {
     * The nightly cycle is probe → drop duplicates / accept → append. */
   def append(batch: DataFrame, bId: String, bVec: String, path: String): Unit = {
     val spark = batch.sparkSession
+    checkCompat(spark, path, batch, bVec, "append")
     val centArr = Similarity.centroidArray(loadCentroids(spark, path))
     assignForStorage(batch, bId, bVec, centArr)
       .write.mode("append").partitionBy(CellCol).parquet(cellsPath(path))
@@ -125,6 +180,7 @@ object IvfIndex {
    */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qId: String, qVec: String, k: Int, nprobe: Int = 1): DataFrame = {
+    checkCompat(spark, path, queries, qVec, "probe")
     val centArr = Similarity.centroidArray(loadCentroids(spark, path))
     // eager localCheckpoint: the assigned batch feeds BOTH the touched-cell
     // collect and the probe join — checkpointing computes the assignment
@@ -152,9 +208,98 @@ object IvfIndex {
   /** Per-cell row counts, largest first — the imbalance audit. A cell
     * holding a large fraction of the corpus means its centroid sits on a
     * density mode and probes landing there re-rank too many candidates;
-    * re-run [[save]] with more (or k-means) centroids. */
+    * the partition-scoped remedy is [[resplitCell]] (a full [[save]]
+    * rebuild also works but rewrites every cell). */
   def cellStats(spark: SparkSession, path: String): DataFrame =
     loadCells(spark, path).groupBy(col(CellCol))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("n_vectors").desc, col(CellCol).asc)
+
+  /**
+   * Partition-scoped remedy for a hot cell — the MERGE/compaction
+   * philosophy applied to the index: re-cluster ONE over-dense cell's rows
+   * into `subCells` k-means sub-centroids and rewrite only the directories
+   * involved; every other cell's files are untouched (spec-asserted
+   * byte-for-byte). A probe landing in the hot region afterwards re-ranks
+   * one sub-cluster instead of the whole density mode.
+   *
+   * Mechanics, in crash-safe order:
+   *   1. k-means over the hot cell's rows (de-quantized through the same
+   *      1e-7 grid the index stores) yields `subCells` sub-centroids,
+   *      re-labelled onto fresh ids above the existing centroid range;
+   *   2. the cell's rows are re-assigned among the sub-centroids IN THE
+   *      QUANTIZED DOMAIN (stored vector bytes pass through unchanged) and
+   *      written as new `cell=<id>` directories — a dynamic-overwrite write,
+   *      so a crashed-and-rerun re-split overwrites its own partial output
+   *      instead of appending duplicates;
+   *   3. the centroid file is rewritten (hot centroid out, sub-centroids
+   *      in) and the parameter marker's centroid count refreshed — from
+   *      this point probes route to the sub-cells;
+   *   4. the old directory is deleted. A crash before 3 leaves probes on
+   *      the OLD centroid set reading the OLD directory (correct, with
+   *      invisible orphan sub-dirs a rerun overwrites); a crash before 4
+   *      leaves a stale unreferenced directory that [[cellStats]] surfaces
+   *      and a rerun cannot re-split (its centroid is gone) — delete it.
+   */
+  def resplitCell(spark: SparkSession, path: String, cell: Int,
+      subCells: Int, iterations: Int = 3): Unit = {
+    require(subCells >= 2, s"resplit needs >= 2 sub-cells, got $subCells")
+    val cents = intCentroids(loadCentroids(spark, path))
+    val centRows = cents.collect() // ≤ numCentroids by construction
+    require(centRows.exists(_.getInt(0) == cell),
+      s"no centroid with cell id $cell at $path (stale directory from an " +
+        "interrupted re-split? cellStats shows unreferenced cells)")
+    val maxId = centRows.map(_.getInt(0)).max
+    require(maxId.toLong + subCells <= Int.MaxValue,
+      s"sub-cell ids ${maxId + 1}..${maxId.toLong + subCells} overflow INT")
+    val hotRows = loadCells(spark, path).filter(col(CellCol) === cell)
+      .select(col("neighbor_id"), col("__cv"), col("__cn"))
+    // k-means in the de-quantized domain (the shared operator); labels are
+    // arbitrary row ids — remap onto fresh ids above the existing range
+    val deq = hotRows.select(col("neighbor_id"),
+      transform(col("__cv"), x => x.cast("double") / lit(1.0e7)).as("vec"))
+    val sub = Similarity.kmeansCentroids(deq, "neighbor_id", "vec",
+      subCells, iterations)
+    val labels = sub.select(col("cent_id")).collect().map(_.getInt(0)).sorted
+    val idMap = map(labels.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(l), lit(maxId + 1 + i)) }.toIndexedSeq: _*)
+    val subCents = sub.select(
+        element_at(idMap, col("cent_id")).cast("int").as("cent_id"),
+        col("__cent"), col("__centn"))
+      .localCheckpoint(true) // pin before the directories start moving
+    // re-assign IN THE QUANTIZED DOMAIN: same argmax as Similarity
+    // .assignCells but over the stored __cv — re-quantizing a de-quantized
+    // float could land one grid step off and change stored bytes
+    val subArr = Similarity.centroidArray(subCents)
+    val assigned = hotRows.crossJoin(broadcast(subArr))
+      .withColumn("__best", array_min(transform(col("__cents"), ct =>
+        struct(
+          coalesce(-Vectors.cosineQ(col("__cv"), ct.getField("__cent"),
+              col("__cn"), ct.getField("__centn")), lit(Double.MaxValue))
+            .as("nsim"),
+          ct.getField("cent_id").as("cell")))))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        col("__best").getField("cell").cast("int").as(CellCol))
+      // truncate lineage: the write targets the tree this plan reads, and
+      // Spark refuses to overwrite a path it is also reading from
+      .localCheckpoint(true)
+    assigned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CellCol).parquet(cellsPath(path))
+    // centroid file: survivors (from the driver-side copy — the write
+    // below replaces the file the frame was read from) + sub-centroids
+    val keep = spark.createDataFrame(
+      java.util.Arrays.asList(centRows.filter(_.getInt(0) != cell): _*),
+      cents.schema)
+    keep.unionByName(subCents).coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    if (IndexMeta.read(spark, path).nonEmpty) {
+      val dims = subCents.select(size(col("__cent")).cast("int")).head.getInt(0)
+      recordMeta(spark, path, dims, centRows.length - 1 + subCells)
+    }
+    val hotDir = new org.apache.hadoop.fs.Path(s"${cellsPath(path)}/$CellCol=$cell")
+    val fs = hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hotDir, true)
+    ()
+  }
 }

@@ -166,10 +166,21 @@ object Compaction {
    * partition overwrite; untouched partitions' files are never read nor
    * replaced). Contents are bit-for-bit row-preserving — only file layout
    * changes. Returns exact before/after file counts for the rewritten set.
+   *
+   * `zorderCols` makes the rewrite CLUSTER while it packs: rows bin by
+   * their [[ZOrder]] z-value range (not a random salt) and sort by z within
+   * each output file, so a maintenance pass preserves — or creates — the
+   * multi-column layout selective scans prune on, instead of the salt
+   * destroying whatever locality the partition had. Same file-count
+   * guarantees (a bin is still exactly one task / one file); bin SIZES
+   * follow the z distribution instead of the salt's uniformity, so heavy
+   * key skew can imbalance files (the documented linear-bucket caveat).
    */
   def compactPath(spark: SparkSession, path: String, partCols: Seq[String],
       targetFileBytes: Long = DefaultTargetFileBytes,
-      maxPartitions: Int = MaxCompactedPartitions): CompactionResult = {
+      maxPartitions: Int = MaxCompactedPartitions,
+      zorderCols: Seq[String] = Nil,
+      zorderBits: Int = ZOrder.DefaultBits): CompactionResult = {
     // worst fragmentation first: when the cap defers work to a later run,
     // each run takes the partitions with the most excess files, so capped
     // re-runs converge instead of revisiting an arbitrary subset
@@ -208,10 +219,13 @@ object Compaction {
     // API genuinely can't express, so the exchange drops to an RDD
     // partitioner for the write job only.
     val dataCols = df.columns.toSeq
+    val useZ = zorderCols.nonEmpty
+    if (useZ) ZOrder.validateKeys(df, zorderCols, zorderBits)
     val slice =
       if (partCols.isEmpty) {
         val n = selected.head.getAs[Long]("target_files").toInt
-        df.repartition(n) // explicit count: round-robin, one file per task
+        if (useZ) ZOrder.zorderBy(df, zorderCols, n, zorderBits)
+        else df.repartition(n) // explicit count: round-robin, one file per task
       } else {
         // target map under __t_-prefixed names: the join must not shadow
         // the data frame's own partition columns
@@ -233,12 +247,27 @@ object Compaction {
               org.apache.spark.sql.types.LongType, nullable = false)))
         val tdf = spark.createDataFrame(
           spark.sparkContext.parallelize(targets.toSeq, 1), tschema)
-        val binned = df.filter(slicePred)
+        val sliceDf = df.filter(slicePred)
+        // z mode: rows route to a bin by their z-RANGE slot inside the
+        // partition (each output file covers a contiguous z rectangle) and
+        // sort by z within the bin; salt mode: uniform hash of all columns
+        val withZ =
+          if (useZ) sliceDf.withColumn("__z",
+            ZOrder.zValue(sliceDf, zorderCols, zorderBits))
+          else sliceDf
+        val binInPart =
+          if (useZ) {
+            val span = math.pow(2.0, (zorderCols.size * zorderBits).toDouble)
+            least(col("__nf") - 1, greatest(lit(0L),
+              floor(col("__z").cast("double") / lit(span)
+                * col("__nf")).cast("long")))
+          } else pmod(xxhash64(dataCols.map(col): _*), col("__nf"))
+        val carried = (if (useZ) Seq(col("__z")) else Nil) ++ dataCols.map(col)
+        val binned = withZ
           .join(broadcast(tdf),
             partCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _))
-          .withColumn("__bin",
-            col("__off") + pmod(xxhash64(dataCols.map(col): _*), col("__nf")))
-          .select(col("__bin") +: dataCols.map(col): _*)
+          .withColumn("__bin", col("__off") + binInPart)
+          .select(col("__bin") +: carried: _*)
         val exactRdd = binned.rdd
           .map(r => (r.getLong(0), Row.fromSeq(r.toSeq.drop(1))))
           .partitionBy(new org.apache.spark.Partitioner {
@@ -247,9 +276,13 @@ object Compaction {
               key.asInstanceOf[Long].toInt
           })
           .map(_._2)
-        spark.createDataFrame(exactRdd,
-          org.apache.spark.sql.types.StructType(
-            dataCols.map(c => df.schema(c))))
+        val carriedSchema = org.apache.spark.sql.types.StructType(
+          (if (useZ) Seq(org.apache.spark.sql.types.StructField("__z",
+            org.apache.spark.sql.types.LongType, nullable = true)) else Nil) ++
+            dataCols.map(c => df.schema(c)))
+        val packed = spark.createDataFrame(exactRdd, carriedSchema)
+        if (useZ) packed.sortWithinPartitions(col("__z")).drop("__z")
+        else packed
       }
 
     // the rewrite reads the path it overwrites — truncate lineage first

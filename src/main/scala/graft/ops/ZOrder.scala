@@ -79,16 +79,11 @@ object ZOrder {
         * lit(buckets.toDouble)).cast("long")))
   }
 
-  /**
-   * Rewrite `df` clustered on `cols`: z-value projection, range exchange
-   * into `numFiles` partitions, in-partition sort by (z, cols) — written
-   * out, each partition is one file covering a compact key-space
-   * rectangle. Columns and rows pass through unchanged.
-   */
-  def zorderBy(df: DataFrame, cols: Seq[String],
-      numFiles: Int, bits: Int = DefaultBits): DataFrame = {
-    require(cols.nonEmpty, "zorderBy needs at least one cluster column")
-    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+  /** Validate key columns and counts — shared by [[zorderBy]] and
+    * [[graft.ops.Compaction.compactPath]]'s clustering rewrite. */
+  private[graft] def validateKeys(df: DataFrame, cols: Seq[String],
+      bits: Int): Unit = {
+    require(cols.nonEmpty, "z-order needs at least one cluster column")
     require(cols.size * bits <= 63,
       s"${cols.size} columns × $bits bits = ${cols.size * bits} interleaved " +
         "bits overflows the signed-long z-value; lower `bits` (63 / #cols)")
@@ -101,21 +96,41 @@ object ZOrder {
         dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.TimestampNTZType ||
         dt == org.apache.spark.sql.types.StringType
-      require(ok, s"zorderBy column '$c' has unsupported type $dt; " +
+      require(ok, s"z-order column '$c' has unsupported type $dt; " +
         "cluster on numeric/date/timestamp/string keys")
     }
-    val keyed = cols.map(c => asOrderedDouble(df.schema(c).dataType, col(c)))
-    // one pass for the 2k normalization stats; tiny driver-side collect
-    val stats = df.agg(
+  }
+
+  /** The z-value expression for `cols` ∈ [0, 2^(k·bits)), normalized by
+    * min/max stats computed over `statsOf` (one aggregation, 2k numbers to
+    * the driver). `statsOf` is usually the frame being rewritten — a
+    * compaction passes its selected slice so normalization reflects the
+    * data actually being laid out. */
+  private[graft] def zValue(statsOf: DataFrame, cols: Seq[String],
+      bits: Int): Column = {
+    val keyed = cols.map(c => asOrderedDouble(statsOf.schema(c).dataType, col(c)))
+    val stats = statsOf.agg(
       min(keyed.head),
       (keyed.tail.map(min) ++ keyed.map(max)): _*).head()
     def d(i: Int): Double =
       if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     val mins = cols.indices.map(d)
     val maxs = cols.indices.map(i => d(cols.size + i))
-    val z = interleave(
+    interleave(
       cols.indices.map(i => bucket(keyed(i), mins(i), maxs(i), bits)), bits)
-    df.withColumn("__z", z)
+  }
+
+  /**
+   * Rewrite `df` clustered on `cols`: z-value projection, range exchange
+   * into `numFiles` partitions, in-partition sort by (z, cols) — written
+   * out, each partition is one file covering a compact key-space
+   * rectangle. Columns and rows pass through unchanged.
+   */
+  def zorderBy(df: DataFrame, cols: Seq[String],
+      numFiles: Int, bits: Int = DefaultBits): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    validateKeys(df, cols, bits)
+    df.withColumn("__z", zValue(df, cols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z") +: cols.map(col): _*)
       .drop("__z")

@@ -148,6 +148,50 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
       "the less-fragmented partition waits for the next run")
   }
 
+  test("compactPath with zorderCols clusters while it packs") {
+    import spark.implicits._
+    val base = TempDirs.create("graft-compact-z")
+    // two independent uniform keys — a salted rewrite gives every output
+    // file the full range of both; the z rewrite must give rectangles
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) % n), ((i * 40503L) % n), (i % 2).toLong,
+        s"payload $i " * 30)
+    }.toDF("x", "y", "part", "payload")
+    def fragment(root: String): Unit =
+      df.repartition(16).write.partitionBy("part").parquet(root)
+    def avgSpan(root: String, c: String): Double =
+      spark.read.parquet(root).withColumn("f", input_file_name())
+        .groupBy("f").agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(avg("s")).head.getDouble(0)
+    val salted = base.resolve("salt").toString
+    val zed = base.resolve("z").toString
+    fragment(salted); fragment(zed)
+    val before = spark.read.parquet(zed).orderBy("x", "y")
+      .collect().map(_.toSeq).toSeq
+
+    val rs = Compaction.compactPath(spark, salted, Seq("part"),
+      targetFileBytes = 16 << 10)
+    val rz = Compaction.compactPath(spark, zed, Seq("part"),
+      targetFileBytes = 16 << 10, zorderCols = Seq("x", "y"))
+    // same bin-pack guarantees in both modes; enough bins that the z grid
+    // divides BOTH dimensions (≥4 files per partition = a 2×2+ tile grid)
+    assert(rz.partitionsSelected == 2 && rz.filesAfter < rz.filesBefore,
+      rz.toString)
+    assert(rz.filesAfter >= 8, s"need a multi-file grid for the span check: $rz")
+    assert(rz.filesAfter == rs.filesAfter,
+      s"z mode must pack to the same file count: $rz vs $rs")
+    // rows and columns pass through unchanged
+    assert(spark.read.parquet(zed).orderBy("x", "y")
+      .collect().map(_.toSeq).toSeq == before)
+    // the salted layout scatters both keys across every file; the z layout
+    // keeps narrow per-file rectangles on both (the property a later
+    // selective scan prunes on)
+    assert(avgSpan(salted, "y") > 3500.0, s"salt y span ${avgSpan(salted, "y")}")
+    assert(avgSpan(zed, "x") < 3000.0, s"z x span ${avgSpan(zed, "x")}")
+    assert(avgSpan(zed, "y") < 3000.0, s"z y span ${avgSpan(zed, "y")}")
+  }
+
   test("per-partition file counts respect each partition's own bin-pack target") {
     import spark.implicits._
     val root = TempDirs.create("graft-compact-target").resolve("t").toString

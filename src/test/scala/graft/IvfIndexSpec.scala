@@ -129,6 +129,87 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("INT partition values"), e.getMessage)
   }
 
+  test("probe/append fail fast on dims or quantization drift (checkParams parity)") {
+    val path = TempDirs.create("graft-ivfindex").resolve("idx8").toString
+    IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 4)
+    val p = IvfIndex.readParams(spark, path)
+    assert(p.get("kind").contains("ivf") && p.contains("dims") &&
+      p.get("numCentroids").contains("4") &&
+      p.get("quantization").contains(IvfIndex.QuantizationVersion), p.toString)
+    // a 4-dim slice of the corpus vectors drifts from the saved geometry —
+    // without the guard this throws deep in the scorer or silently mis-ranks
+    val drifted = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
+    val e1 = intercept[IllegalStateException] {
+      IvfIndex.probe(spark, path, drifted, "vec_id", "embedding", k = 3)
+    }
+    assert(e1.getMessage.contains("dimensions"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      IvfIndex.append(drifted, "vec_id", "embedding", path)
+    }
+    assert(e2.getMessage.contains("dimensions"), e2.getMessage)
+    // quantization drift: overwrite the marker (same file both index
+    // families share) with a future scheme version
+    graft.operators.BandIndex.recordParams(spark, path,
+      p.updated("quantization", "int-1e9-v9"))
+    val e3 = intercept[IllegalStateException] {
+      IvfIndex.probe(spark, path, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3)
+    }
+    assert(e3.getMessage.contains("quantiz"), e3.getMessage)
+  }
+
+  test("resplitCell rewrites only the hot cell; probes identical; others byte-untouched") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val path = TempDirs.create("graft-ivfindex").resolve("idx9").toString
+    // three tight, well-separated clusters in 4-d: X on e1 (ids 0-9),
+    // Y on e2 (even ids 100-118), Z on e3 (odd ids 101-119). Centroid c1
+    // sits between Y and Z, so cell 1 holds BOTH (2/3 of the corpus — the
+    // injected hot cell); interleaved ids put one k-means seed in each
+    // sub-cluster (seeds are the cell's two smallest ids: 100∈Y, 101∈Z).
+    def v(main: Int, i: Int) = Array.tabulate(4)(d =>
+      (if (d == main) 1.0f else 0.0f) + (if (d == 3) 0.01f * (i % 5) else 0.0f))
+    val corpus = ((0 until 10).map(i => (i.toLong, v(0, i))) ++
+      (0 until 10).map(i => (100L + 2 * i, v(1, i))) ++
+      (0 until 10).map(i => (101L + 2 * i, v(2, i)))).toDF("id", "vec")
+    val cents = Seq(
+        (0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1, Array(0.0f, 0.7f, 0.7f, 0.0f))).toDF("cent_id", "cvec")
+      .select(col("cent_id"), Vectors.quantize(col("cvec")).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+    IvfIndex.save(corpus, "id", "vec", path, centroids = Some(cents))
+    val mass = IvfIndex.cellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mass == Map(0 -> 10L, 1 -> 20L), s"hot cell must exist: $mass")
+
+    def cell0Files() = {
+      val d = new java.io.File(new java.net.URI("file://" + path + "/cells/cell=0"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val queries = corpus.filter(col("id").isin(0L, 100L, 101L))
+    val before = rows(IvfIndex.probe(spark, path, queries, "id", "vec", k = 3))
+    val cell0Before = cell0Files()
+
+    IvfIndex.resplitCell(spark, path, cell = 1, subCells = 2)
+
+    // the cold cell's files never moved; the hot cell is gone, replaced by
+    // two sub-cells above the old id range that split its mass
+    assert(cell0Files() == cell0Before, "cell 0 must be byte-untouched")
+    val after = IvfIndex.cellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!after.contains(1) && after(0) == 10L &&
+      after.keySet == Set(0, 2, 3) && after(2) + after(3) == 20L &&
+      after(2) == 10L && after(3) == 10L,
+      s"mass must re-split into the sub-cells: $after")
+    // probes route through the sub-centroids to the SAME answers (each
+    // query's true neighbors live in its own sub-cluster)
+    assert(rows(IvfIndex.probe(spark, path, queries, "id", "vec", k = 3)) == before)
+    // the marker reflects the new centroid count
+    assert(IvfIndex.readParams(spark, path).get("numCentroids").contains("3"))
+  }
+
   test("cellStats accounts for every corpus vector, largest cell first") {
     val path = TempDirs.create("graft-ivfindex").resolve("idx5").toString
     IvfIndex.save(emb, "vec_id", "embedding", path, numCentroids = 8)
