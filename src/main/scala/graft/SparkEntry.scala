@@ -1023,6 +1023,37 @@ object SparkEntry {
           Seq("doc_id", "n_chars"), numFiles = 8)
         .write.parquet(tmp)
       s.read.parquet(tmp).orderBy("doc_id")
+    }),
+
+    // the nightly-ingest pipeline END TO END (IngestPipeline.runNight × 2):
+    // probe → accept → index append → compact → DQ → execution log over two
+    // synthetic nights. The oracle replays both nights' dedup algebra
+    // (intra-batch pairs night 1, standing-index cross probe + intra pairs
+    // night 2) in SQL, so a hash match proves the LANDED corpus — partition
+    // values included — is exactly the two nights' survivor sets.
+    "q74_ingest_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz extra tail")).as("text")))
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .union(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zzz extra tail")).as("text")))
+      val root = Scratch.dir("graft_q74_")
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        maxBucket = LshMaxBucket, strict = true)
+      val n1 = graft.reports.IngestPipeline.runNight(s, b1, "n1", cfg)
+      val n2 = graft.reports.IngestPipeline.runNight(s, b2, "n2", cfg)
+      require(n1.dqFailures == 0 && n2.dqFailures == 0,
+        s"ingest DQ must pass: $n1 / $n2")
+      s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"), col("load_date"))
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1940,6 +1971,10 @@ object SparkEntry {
     // a hash match proves the disk round-trip is content-preserving
     "q71_lsh_probe_persisted" -> ProbeCrossPairsSql,
 
+    // two-night ingest pipeline: the landed corpus equals both nights'
+    // survivor sets under the pipeline's dedup algebra (see the SQL's doc)
+    "q74_ingest_pipeline" -> IngestTwoNightsSql,
+
     // kmeans IVF: 3 unrolled Lloyd iterations on the dyadic 1/128 grid
     // (means of dyadic rationals are exact → engine-portable), then the
     // q44 assignment/re-rank skeleton with the learned centroids. Dot
@@ -2090,6 +2125,53 @@ object SparkEntry {
        |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
        |WHERE a.doc_id < 10000 AND b.doc_id >= 10000
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Two-night ingest parity (q74): night 1 drops the greater id of every
+    * capped intra-batch pair; night 2 drops batch docs pairing with the
+    * standing index (= night-1 survivors' banded rows, combined-count cap)
+    * or with a batch-mate — exactly IngestPipeline.runNight's algebra. The
+    * landed corpus is each night's survivor set under its `load_date`. */
+  private lazy val IngestTwoNightsSql: String = {
+    val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH b1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text || ' zzz extra tail' FROM documents WHERE doc_id % 9 = 0),
+       |b2 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' zzz extra tail' FROM documents WHERE doc_id % 6 = 0),
+       |corpus AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+       |$ShinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       | $bands),
+       |bn1 AS (SELECT bd.* FROM banded bd JOIN b1 ON bd.doc_id = b1.doc_id),
+       |ok1 AS (SELECT band, bucket FROM bn1 GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop1 AS (SELECT DISTINCT b.doc_id
+       |  FROM bn1 a JOIN bn1 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok1 ON ok1.band = a.band AND ok1.bucket = a.bucket),
+       |s1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+       |idx AS (SELECT bd.* FROM banded bd JOIN s1 ON bd.doc_id = s1.doc_id),
+       |bn2 AS (SELECT bd.* FROM banded bd JOIN b2 ON bd.doc_id = b2.doc_id),
+       |ok2 AS (SELECT band, bucket FROM (SELECT * FROM idx UNION ALL SELECT * FROM bn2)
+       |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop2x AS (SELECT DISTINCT b.doc_id
+       |  FROM idx a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN ok2 ON ok2.band = a.band AND ok2.bucket = a.bucket),
+       |ok2i AS (SELECT band, bucket FROM bn2 GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop2i AS (SELECT DISTINCT b.doc_id
+       |  FROM bn2 a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok2i ON ok2i.band = a.band AND ok2i.bucket = a.bucket),
+       |s2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2x)
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop2i))
+       |SELECT doc_id, 'n1' AS load_date FROM s1
+       |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */

@@ -1,0 +1,187 @@
+package graft.reports
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dq.Metrics
+import graft.meta.{DmfResultRow, ExecutionLogger, MetaStore}
+import graft.operators.{BandIndex, Dedup, IvfIndex}
+import graft.ops.{Compaction, CompactionResult}
+
+/**
+ * The nightly corpus-ingest pipeline, end to end — the LLM-data-pipeline
+ * counterpart of [[ClaimsPipeline]]'s report composition, mirroring the
+ * reference's entry-point shape (steps + timing + failure logging, ref:
+ * sql/new_rfb_and_total_claimants_active/new_rfb_and_total_claimants_active.py:38-74)
+ * over the engine's own standing-index operators:
+ *
+ *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
+ *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
+ *      the batch's own ids are excluded from the corpus view), plus
+ *      intra-batch pairs; hash parameters are checked against the index's
+ *      recorded marker so a drifted batch fails fast.
+ *   2. ACCEPT — survivors (batch minus both drop sets) append to the
+ *      corpus table under `load_date=<night>`: every night's growth lands
+ *      in its own partition directory, prior nights' files never move.
+ *   3. INDEX — survivors' banded rows append to the band index (only
+ *      touched band partitions gain files) and, when configured, their
+ *      embeddings append to the persisted IVF index (only touched cells
+ *      gain files; the first night bootstraps both indexes).
+ *   4. MAINTAIN — [[Compaction.compactPath]] sweeps the band index's
+ *      per-night file litter, partition-scoped, worst-first.
+ *   5. VERIFY — DQ metrics over the standing corpus (id null/dup counts,
+ *      exact-content duplicate count) persist as DMF result rows: the
+ *      dedup guarantee is re-checked against the LANDED table every night,
+ *      not assumed from the operator.
+ *   6. LOG — each step runs inside [[ExecutionLogger.logged]] (SUCCESS /
+ *      FAILED + timings + sanitized error, the reference's audit shape)
+ *      and the night's high-water mark is recorded for incremental
+ *      restarts.
+ *
+ * Scale shape: the standing corpus is never re-read for dedup (the probe
+ * touches O(batch buckets) of the index); corpus/index growth is confined
+ * to the partitions a night touches; maintenance is metadata-planned and
+ * partition-scoped. The spec drives two simulated nights and asserts all
+ * of that plus the log trail.
+ */
+object IngestPipeline {
+
+  final case class IngestConfig(
+      corpusPath: String,
+      bandIndexPath: String,
+      metaDir: String,
+      ivfIndexPath: Option[String] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      embCol: String = "embedding",
+      loadDateCol: String = "load_date",
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      portable: Boolean = true,
+      maxBucket: Int = 200,
+      strict: Boolean = false,
+      ivfCentroids: Int = 8,
+      compactTargetFileBytes: Long = Compaction.DefaultTargetFileBytes,
+      carrier: String = "corpus")
+
+  final case class NightResult(
+      night: String,
+      batchRows: Long,
+      accepted: Long,
+      dropped: Long,
+      indexCompaction: CompactionResult,
+      dqFailures: Long)
+
+  private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
+    "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
+    "numHashes" -> cfg.numHashes.toString, "bands" -> cfg.bands.toString,
+    "portable" -> cfg.portable.toString)
+
+  /**
+   * Run one night's ingest of `batch` against the standing corpus/indexes.
+   * Idempotent per night: a crash-and-rerun of the same batch re-probes
+   * with the batch's ids excluded from the corpus view, so survivors are
+   * re-accepted identically (the corpus append under the same `load_date`
+   * partition does duplicate rows on replay — run [[Dedup]] batch ops or
+   * dynamic-overwrite the night's partition when exactly-once landing
+   * matters; the index tolerates duplicate rows by construction).
+   */
+  def runNight(spark: SparkSession, batch: DataFrame, night: String,
+      cfg: IngestConfig): NightResult = {
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val params = hashParams(cfg)
+    val idxPath = new org.apache.hadoop.fs.Path(cfg.bandIndexPath)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(idxPath)
+    val batchRows = batch.count()
+
+    // 1. PROBE — batch-only hashing; the standing corpus is only touched
+    // through the index, and only in the buckets this batch lands in
+    val banded = Dedup.lshBanded(batch, cfg.idCol, cfg.textCol,
+      cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
+    try {
+      val survivors = ExecutionLogger.logged(meta, s"ingest_probe_$night",
+          cfg.carrier, (df: DataFrame) => (df.count(), 0L, 0L)) {
+        if (!bootstrap) BandIndex.checkParams(spark, cfg.bandIndexPath, params)
+        val none = batch.select(col(cfg.idCol)).limit(0)
+        val corpusDups =
+          if (bootstrap) none
+          else BandIndex.probe(spark, cfg.bandIndexPath, banded, cfg.idCol,
+              cfg.maxBucket, cfg.strict,
+              excludeIds = Some(batch.select(col(cfg.idCol))))
+            .select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
+        val intraDups = Dedup.pairsFromBanded(banded, cfg.idCol,
+            cfg.maxBucket, caller = "IngestPipeline", strict = cfg.strict)
+          .select(col("id_b").as(cfg.idCol))
+        // pin survivors BEFORE any append mutates what the plan reads
+        batch.join(corpusDups.union(intraDups).distinct(),
+          Seq(cfg.idCol), "left_anti").localCheckpoint(true)
+      }
+      val accepted = survivors.count()
+
+      // 2. ACCEPT — the night's partition directory is the only corpus
+      // growth; prior nights' files are never rewritten (spec-asserted)
+      ExecutionLogger.logged(meta, s"ingest_accept_$night", cfg.carrier,
+          (_: Unit) => (accepted, 0L, 0L)) {
+        survivors.withColumn(cfg.loadDateCol, lit(night))
+          .write.mode("append").partitionBy(cfg.loadDateCol)
+          .parquet(cfg.corpusPath)
+      }
+
+      // 3. INDEX — appends touch only the partitions the survivors hit
+      ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
+        BandIndex.append(
+          banded.join(survivors.select(col(cfg.idCol)), Seq(cfg.idCol),
+            "left_semi"), cfg.bandIndexPath)
+        if (bootstrap)
+          BandIndex.recordParams(spark, cfg.bandIndexPath, params)
+        cfg.ivfIndexPath.foreach { ip =>
+          val ipath = new org.apache.hadoop.fs.Path(ip)
+          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(ipath))
+            IvfIndex.save(survivors, cfg.idCol, cfg.embCol, ip,
+              numCentroids = cfg.ivfCentroids)
+          else
+            IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
+        }
+      }
+
+      // 4. MAINTAIN — partition-scoped sweep of per-night index litter
+      val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
+          cfg.carrier, (r: CompactionResult) =>
+            (0L, r.filesBefore - r.filesAfter, 0L)) {
+        Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
+          cfg.compactTargetFileBytes)
+      }
+
+      // 5. VERIFY — re-check the dedup/identity guarantees on the LANDED
+      // corpus and persist the outcomes as DMF result rows
+      val dqFailures = ExecutionLogger.logged(meta, s"ingest_dq_$night",
+          cfg.carrier, (n: Long) => (0L, 0L, n)) {
+        val corpus = spark.read.parquet(cfg.corpusPath)
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        val checks = Seq(
+          ("id_null_count", Metrics.nullCount(corpus, cfg.idCol)),
+          ("id_duplicate_count", Metrics.duplicateCount(corpus, cfg.idCol)),
+          ("exact_content_duplicates",
+            Dedup.exactGroups(corpus, cfg.idCol, cfg.textCol)
+              .filter(col("n_docs") > 1).count()))
+        meta.appendDmfResults(checks.map { case (name, v) =>
+          DmfResultRow(now, "corpus", name, s"$name = 0", Some(v),
+            if (v == 0) "PASS" else "FAIL")
+        })
+        checks.count(_._2 != 0).toLong
+      }
+
+      // 6. LOG — the night's high-water mark for incremental restarts
+      meta.recordLoad("ingest", cfg.carrier,
+        new java.sql.Timestamp(System.currentTimeMillis()))
+
+      NightResult(night, batchRows, accepted, batchRows - accepted,
+        comp, dqFailures)
+    } finally {
+      banded.unpersist()
+      graft.core.Caches.releaseAll()
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.meta.MetaStore
+import graft.operators.Dedup
+import graft.reports.IngestPipeline
+import graft.reports.IngestPipeline.IngestConfig
+
+/**
+ * Two simulated nights through the end-to-end ingest runner: the landed
+ * corpus is dedup'd, each night's growth is confined to the partitions it
+ * touches (corpus load_date dirs, IVF cell dirs), the band index's
+ * per-night litter compacts back down, and the audit trail (execution log,
+ * DMF results, high-water marks) records every step.
+ */
+class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private def files(dir: File): Set[(String, Long, Long)] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+
+  test("two nights: dedup'd state, confined growth, compaction, audit trail") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      ivfIndexPath = Some(root.resolve("ivf").toString),
+      ivfCentroids = 2)
+
+    def doc(id: Long, text: String, emb: Array[Float]) = (id, text, emb)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today",
+      3L -> "sphinx of black quartz judge my vow tonight",
+      4L -> "how vexingly quick daft zebras jump around",
+      5L -> "grumpy wizards make toxic brew for the evil queen",
+      6L -> "jinxed wizards pluck ivy from the big quilt now",
+      7L -> "amazingly few discotheques provide jukeboxes here")
+    // embeddings: docs 1 and 2 become the IVF centroids (smallest survivor
+    // ids); 4 sits in doc-1's cell, 3/5 in doc-2's; night-2 docs 6/7 are
+    // near doc 1, so ONLY cell 1 may gain files on night 2
+    val embs = Map(
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0.9f, 0.1f, 0f), 4L -> Array(0.95f, 0f, 0.05f, 0f),
+      5L -> Array(0f, 0.95f, 0f, 0.05f),
+      6L -> Array(0.9f, 0.1f, 0f, 0f), 7L -> Array(0.85f, 0f, 0.15f, 0f))
+    // night 1: docs 1-5 plus an exact intra-batch dup of doc 1 (dropped);
+    // night 2: docs 6-7 plus an exact dup of the STANDING doc 2 — only the
+    // persisted index can catch it
+    val b1 = ((1L to 5L).map(i => doc(i, texts(i), embs(i))) :+
+      doc(101L, texts(1L), Array(1f, 0f, 0f, 0.01f)))
+      .toDF("doc_id", "text", "embedding")
+    val b2 = (Seq(6L, 7L).map(i => doc(i, texts(i), embs(i))) :+
+      doc(102L, texts(2L), Array(0f, 1f, 0.01f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+
+    val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(n1.batchRows == 6 && n1.accepted == 5 && n1.dropped == 1, n1.toString)
+    assert(n1.dqFailures == 0, n1.toString)
+
+    // snapshots AFTER night 1: these exact files must survive night 2
+    val n1Dir = new File(root.resolve("corpus/load_date=n1").toFile.getPath)
+    val corpusN1 = files(n1Dir)
+    assert(corpusN1.nonEmpty)
+    val coldCell = new File(root.resolve("ivf/cells/cell=2").toFile.getPath)
+    val coldCellN1 = files(coldCell)
+    assert(coldCellN1.nonEmpty, "doc-2's cell must exist after night 1")
+
+    val n2 = IngestPipeline.runNight(spark, b2, "n2", cfg)
+    assert(n2.batchRows == 3 && n2.accepted == 2 && n2.dropped == 1, n2.toString)
+    assert(n2.dqFailures == 0, n2.toString)
+
+    // 1. dedup'd state: exactly the survivors landed, no duplicate content
+    val corpus = spark.read.parquet(cfg.corpusPath)
+    val byNight = corpus.select(col("doc_id"), col("load_date").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byNight == Map(1L -> "n1", 2L -> "n1", 3L -> "n1", 4L -> "n1",
+      5L -> "n1", 6L -> "n2", 7L -> "n2"), byNight.toString)
+    assert(Dedup.exactGroups(corpus, "doc_id", "text")
+      .filter(col("n_docs") > 1).count() == 0)
+
+    // 2. growth confined to touched partitions: night 1's corpus partition
+    // and the IVF cell night-2 docs do NOT land in are byte-untouched
+    assert(files(n1Dir) == corpusN1, "night 1 corpus files must not move")
+    assert(files(coldCell) == coldCellN1, "untouched IVF cell must not move")
+    assert(files(new File(root.resolve("corpus/load_date=n2").toFile.getPath))
+      .nonEmpty)
+    assert(spark.read.parquet(cfg.ivfIndexPath.get + "/cells")
+      .select("neighbor_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    // 3. maintenance: night 2's append littered a second file into every
+    // band partition; the in-pipeline compaction swept them back down
+    assert(n2.indexCompaction.filesBefore > n2.indexCompaction.filesAfter,
+      n2.indexCompaction.toString)
+    val bandDirs = Option(root.resolve("band_index").toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty &&
+      bandDirs.forall(d => files(d).size == 1),
+      bandDirs.map(d => d.getName -> files(d).size).mkString(", "))
+
+    // 4. audit trail: five SUCCESS steps per night, counts carried; DMF
+    // results and high-water marks per night
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val log = meta.executionLog.collect()
+    assert(log.length == 10 &&
+      log.forall(_.getAs[String]("execution_status") == "SUCCESS"),
+      log.map(_.getAs[String]("target_table")).mkString(", "))
+    val steps = log.map(_.getAs[String]("target_table")).toSet
+    assert(Seq("probe", "accept", "index", "compact", "dq").forall(s =>
+      steps.contains(s"ingest_${s}_n1") && steps.contains(s"ingest_${s}_n2")),
+      steps.toString)
+    val probeN2 = log.find(_.getAs[String]("target_table") == "ingest_probe_n2").get
+    assert(probeN2.getAs[Long]("records_inserted") == 2)
+    assert(meta.dmfResults.count() == 6)
+    assert(meta.dmfResults.filter(col("status") =!= "PASS").count() == 0)
+    assert(spark.read.parquet(cfg.metaDir + "/high_water_mark").count() == 2)
+  }
+}
