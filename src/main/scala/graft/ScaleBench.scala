@@ -65,11 +65,16 @@ object ScaleBench {
   /** Deterministic corpus: ~120 tokens/doc from a 5000-word vocab keyed by
     * xxhash64(src, position); every 33rd doc is a near-duplicate of its
     * predecessor (same src stream + a 3-token tail), and embeddings hash
-    * off the same src so near-dup docs carry identical vectors. */
-  private def corpus(spark: SparkSession, n: Long): DataFrame = {
+    * off the same src so near-dup docs carry identical vectors. `seed`
+    * shifts the hash stream so the aging tier can mint nightly batches of
+    * GENUINELY new text (seed 0 reproduces the historical corpus exactly —
+    * src + 0 = src, so every scratch parquet from earlier rounds re-reads
+    * unchanged). */
+  private def corpus(spark: SparkSession, n: Long, seed: Long = 0L): DataFrame = {
     val base = spark.range(n).toDF("doc_id")
       .withColumn("is_dup", col("doc_id") % 33 === 0 && col("doc_id") > 0)
-      .withColumn("src", when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")))
+      .withColumn("src",
+        when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")) + lit(seed))
     base.select(
       col("doc_id"),
       concat(
@@ -317,6 +322,85 @@ object ScaleBench {
         })
         println(s"""{"op":"compact_files","docs":$n,"partitions":$parts,""" +
           s""""files_before":$before,"files_after":$after}""")
+      }
+
+      // ---- aging tier: N nights of probe→append against ONE standing band
+      // index — the longitudinal evidence for the lifecycle claims. Each
+      // night probes a fresh batch (90% genuinely new hash streams, 10%
+      // near-dup copies of standing docs so the drop path runs every
+      // night), appends the survivors' banded rows, and records the probe
+      // wall time plus the index's data-file count (the small-file litter
+      // the appends accumulate). A final partition-scoped compaction pass
+      // restores the file count; one more probe after it shows the
+      // steady-state cost is back.
+      if (wanted("aging")) {
+        import graft.operators.BandIndex
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("text"))
+        val idxPath = s"$scratch/aging_idx_$n"
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // every invocation ages from night 0
+        def fileCount(): Long = {
+          val it = fs.listFiles(p, true)
+          var c = 0L
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+          c
+        }
+        val tb = System.nanoTime()
+        BandIndex.save(
+          Dedup.lshBanded(docs, "doc_id", "text", 3, 8, 4), idxPath)
+        println(s"""{"op":"aging_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - tb) / 1e7) / 100},""" +
+          s""""index_files":${fileCount()}}""")
+        val nights = sys.env.get("SPARK_GRAFT_SCALE_NIGHTS")
+          .flatMap(_.toIntOption).getOrElse(5)
+        val batchN = math.max(1000L, n / 20) // 5% nightly growth
+        def nightBatch(night: Int): DataFrame = {
+          val fresh = corpus(spark, batchN, seed = night * 1000000007L)
+            .select((col("doc_id") + night * 100000000L).as("doc_id"), col("text"))
+          val dups = docs.filter(pmod(col("doc_id"), lit(200)) === night % 200)
+            .select((col("doc_id") + night * 100000000L + 50000000L).as("doc_id"),
+              concat(col("text"), lit(" zzz night tail")).as("text"))
+          fresh.unionByName(dups).localCheckpoint(true)
+        }
+        def probeNight(night: Int, append: Boolean): Unit = {
+          val batch = nightBatch(night)
+          val banded = Dedup.lshBanded(batch, "doc_id", "text", 3, 8, 4).persist()
+          try {
+            val t0 = System.nanoTime()
+            val dropIds = BandIndex.probe(spark, idxPath, banded, "doc_id",
+                maxBucket = 200)
+              .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+              .distinct()
+            val survivors = batch
+              .join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+            val nSurv = survivors.count()
+            val t1 = System.nanoTime()
+            if (append)
+              BandIndex.append(banded.join(survivors.select("doc_id"),
+                Seq("doc_id"), "left_semi"), idxPath)
+            val t2 = System.nanoTime()
+            def r2(a: Long, b: Long) = math.rint((b - a) / 1e7) / 100
+            println(s"""{"op":"aging_night","docs":$n,"night":$night,""" +
+              s""""batch":${batch.count()},"survivors":$nSurv,""" +
+              s""""probe_sec":${r2(t0, t1)},"append_sec":${r2(t1, t2)},""" +
+              s""""index_files":${fileCount()}}""")
+          } finally {
+            banded.unpersist()
+            graft.core.Caches.releaseAll()
+          }
+        }
+        (1 to nights).foreach(probeNight(_, append = true))
+        val tc = System.nanoTime()
+        val res = graft.ops.Compaction.compactPath(spark, idxPath, Seq("band"))
+        println(s"""{"op":"aging_compact","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - tc) / 1e7) / 100},""" +
+          s""""files_before":${res.filesBefore},"files_after":${res.filesAfter},""" +
+          s""""partitions":${res.partitionsSelected}}""")
+        // post-maintenance probe (no append): the steady-state cost check
+        probeNight(nights + 1, append = false)
       }
     }
     spark.stop()

@@ -982,7 +982,11 @@ object SparkEntry {
     // q68's probe routed through the PERSISTED band-index lifecycle
     // (BandIndex.save → probe): the standing corpus is hashed once, saved
     // partitioned by band, and the ingest batch probes the on-disk index —
-    // identical oracle to q68 proves disk round-trip changes nothing
+    // identical oracle to q68 proves disk round-trip changes nothing.
+    // BENCH NOTE: a correctness query must be self-contained, so the timed
+    // cost here is index BUILD + probe; the steady-state probe a user sees
+    // (index already on disk) is ScaleBench's probe tier number (O(batch):
+    // 21.4 s vs 946 s full recompute at 5M docs, SCALE.md round-12).
     "q71_lsh_probe_persisted" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val batch = corpus.filter(col("doc_id") % 7 === 0)
@@ -1002,7 +1006,10 @@ object SparkEntry {
     // (IvfIndex.save → probe): cells are assigned and quantized once at
     // save, partitioned by cell on disk, and the query batch reads only its
     // own cell directories — identical oracle to q44 proves the on-disk
-    // round trip changes nothing
+    // round trip changes nothing.
+    // BENCH NOTE: self-contained like q71, so the timed cost is index
+    // BUILD + probe; the steady-state probe reads only the touched cell
+    // directories (15.4% of a 5M-doc index, ScaleBench ann tier, SCALE.md).
     "q72_ann_ivf_persisted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = Scratch.dir("graft_q72_").resolve("ivf_index").toString
@@ -1053,6 +1060,26 @@ object SparkEntry {
         s"ingest DQ must pass: $n1 / $n2")
       s.read.parquet(cfg.corpusPath)
         .select(col("doc_id"), col("load_date"))
+        .orderBy("doc_id")
+    }),
+
+    // weighted corpus mixing: de ×2.5 epochs, en ×0.5, everything else ×1 —
+    // deterministic md5-bucket fractional epochs, engine-portable (Mixing)
+    "q75_corpus_mix" -> ((s, dir) => {
+      graft.operators.Mixing.mixCorpus(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", col("lang"), Map("de" -> 2.5, "en" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // token-budget shard packing: global cumsum via the two-phase
+    // distributed form (Packing), oracle = the naive single-window SQL
+    "q76_shard_pack" -> ((s, dir) => {
+      graft.operators.Packing.packShards(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 50000, buckets = 64)
+        .select(col("doc_id"), col("n_chars"), col("token_offset"), col("shard"))
         .orderBy("doc_id")
     }))
 
@@ -1974,6 +2001,35 @@ object SparkEntry {
     // two-night ingest pipeline: the landed corpus equals both nights'
     // survivor sets under the pipeline's dedup algebra (see the SQL's doc)
     "q74_ingest_pipeline" -> IngestTwoNightsSql,
+
+    // weighted mix: integer-percent weights (de 250, en 50, default 100) →
+    // pct//100 full epochs + md5-bucket-selected fractional epoch; the
+    // epoch explode is a constant-range lateral filtered by the copy count
+    "q75_corpus_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'de' THEN 250 WHEN lang = 'en' THEN 50 ELSE 100 END AS pct,
+         |    ${bucketSql("doc_id")} AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS copies
+         |  FROM w)
+         |SELECT doc_id, lang, CAST(t.e AS INTEGER) AS epoch
+         |FROM c, range(0, 100) AS t(e)
+         |WHERE t.e < c.copies
+         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // shard packing: the naive single-window global cumsum — the engine's
+    // two-phase distributed form must be bit-identical to it
+    "q76_shard_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS token_offset
+        |  FROM documents)
+        |SELECT doc_id, n_chars, token_offset,
+        |  CAST(token_offset // 50000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // kmeans IVF: 3 unrolled Lloyd iterations on the dyadic 1/128 grid
     // (means of dyadic rationals are exact → engine-portable), then the

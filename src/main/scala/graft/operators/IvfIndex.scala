@@ -177,9 +177,17 @@ object IvfIndex {
    * size. Output schema and ordering semantics are identical to
    * [[Similarity.ivfTopK]]: (query_id, neighbor_id, rank, cosine), score
    * desc / id asc tie-break.
+   *
+   * `excludeIds` (one column, matching the stored id) removes those ids
+   * from the CORPUS side before scoring — the replay-idempotence hook for
+   * streaming ingest: re-probing a batch whose append already landed must
+   * not pair the batch with its own rows (BandIndex.probe's contract). The
+   * exclusion broadcasts (an ingest batch is small by contract), so the
+   * cells scan stays directory-pruned.
    */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
-      qId: String, qVec: String, k: Int, nprobe: Int = 1): DataFrame = {
+      qId: String, qVec: String, k: Int, nprobe: Int = 1,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     checkCompat(spark, path, queries, qVec, "probe")
     val centArr = Similarity.centroidArray(loadCentroids(spark, path))
     // eager localCheckpoint: the assigned batch feeds BOTH the touched-cell
@@ -195,8 +203,14 @@ object IvfIndex {
     // numCentroids values by construction, so the driver-side collect is
     // bounded no matter how large the batch
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
-    val cells = loadCells(spark, path)
+    val pruned = loadCells(spark, path)
       .filter(col(CellCol).isin(touched.map(Int.box): _*))
+    val cells = excludeIds match {
+      case Some(ex) =>
+        val exIds = broadcast(ex.toDF("__xid").distinct())
+        pruned.join(exIds, pruned("neighbor_id") === col("__xid"), "left_anti")
+      case None => pruned
+    }
     graft.core.ShuffleSizing.ensureFor(cells, expansionFactor = 2.0)
     val scored = cells.join(broadcast(q), Seq(CellCol))
       .filter(col("query_id") =!= col("neighbor_id"))

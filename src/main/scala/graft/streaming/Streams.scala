@@ -233,4 +233,92 @@ object Streams {
         graft.core.Caches.releaseAll()
       }
     }
+
+  /**
+   * Embedding-space twin of [[nearDupIngestStream]]: continuous ANN ingest
+   * against the persisted IVF index. Each micro-batch:
+   *
+   *   1. probes the on-disk index for each batch vector's nearest standing
+   *      neighbor ([[graft.operators.IvfIndex.probe]] — broadcast-argmax
+   *      cell assignment, directory-pruned cells scan, O(touched cells)
+   *      reads regardless of corpus size; geometry drift against the saved
+   *      index fails fast via the recorded marker),
+   *   2. drops batch docs whose best corpus cosine ≥ `threshold`; with
+   *      `dedupWithinBatch`, also drops the GREATER id of every intra-batch
+   *      pair above the threshold (greedy keep-min, exact pairwise over the
+   *      broadcast batch — micro-batches are small by contract, so the
+   *      O(batch²) comparison is bounded while staying cap-free),
+   *   3. appends survivors' vectors to the index (only their cell
+   *      directories gain files) and hands the surviving rows to `accept`.
+   *
+   * Cross-batch state lives entirely in the on-disk index (no state store).
+   * A missing index path bootstraps from the first batch via
+   * [[graft.operators.IvfIndex.save]] with `numCentroids` k-means cells —
+   * later batches inherit that fixed geometry (re-run `save`, or
+   * `resplitCell` on hot cells, when the corpus outgrows it). The probe is
+   * REPLAY-IDEMPOTENT like the MinHash sink's: the batch's own ids are
+   * anti-joined off the corpus side, so an at-least-once replay after a
+   * crash between append and commit re-sees the pre-append corpus view
+   * (the re-appended duplicate index rows are compaction litter, never
+   * missed or double-dropped deliveries).
+   *
+   * `nprobe` > 1 widens the probe to the n nearest cells — the recall knob
+   * for vectors near a cell boundary (same contract as `IvfIndex.probe`).
+   *
+   * Returns the configured writer — caller sets checkpoint/trigger and
+   * calls `start()`.
+   */
+  def annIngestStream(
+      docs: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      threshold: Double, numCentroids: Int = 64, nprobe: Int = 2,
+      dedupWithinBatch: Boolean = true)
+      (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.IvfIndex
+    import graft.functions.Vectors
+    docs.writeStream.foreachBatch { (rawBatch: Dataset[Row], batchId: Long) =>
+      val spark = rawBatch.sparkSession
+      // pin the batch once: it feeds the probe, the intra-batch pairs, the
+      // survivor anti-join, and the append — and must be detached from any
+      // source lineage before the index append refreshes file caches
+      val batch = rawBatch.localCheckpoint(true)
+      try {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bootstrap = !fs.exists(p)
+        val none = batch.select(col(idCol)).limit(0)
+        val corpusDups =
+          if (!bootstrap)
+            // k=1: ANY standing neighbor at/above the threshold drops the
+            // batch doc, so only the best match matters
+            IvfIndex.probe(spark, indexPath, batch, idCol, vecCol,
+                k = 1, nprobe = nprobe,
+                excludeIds = Some(batch.select(col(idCol))))
+              .filter(col("cosine") >= threshold)
+              .select(col("query_id").as(idCol))
+          else none
+        val intraDups =
+          if (dedupWithinBatch) {
+            val l = batch.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
+            val r = batch.select(col(idCol).as("__ib"), col(vecCol).as("__vb"))
+            l.join(broadcast(r), col("__ia") < col("__ib"))
+              .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
+              .select(col("__ib").as(idCol))
+          } else none
+        // survivors pinned BEFORE the append for the same read-after-append
+        // reason as the MinHash sink (append refreshes file-listing caches)
+        val survivors = batch.join(
+            corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (bootstrap) {
+          // an empty first batch must not found the index with zero-vector
+          // k-means centroids — stay unbootstrapped until data arrives
+          // (isEmpty is cheap: survivors is already checkpointed)
+          if (!survivors.isEmpty)
+            IvfIndex.save(survivors, idCol, vecCol, indexPath, numCentroids)
+        } else
+          IvfIndex.append(survivors, idCol, vecCol, indexPath)
+        accept(survivors, batchId)
+      } finally graft.core.Caches.releaseAll()
+    }
+  }
 }

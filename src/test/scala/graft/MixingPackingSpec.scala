@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Mixing, Packing, Sampling}
+
+class MixingPackingSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, Seq("web", "wiki", "code")(i % 3), 10L + i % 90))
+      .toDF("doc_id", "domain", "n_tokens")
+  }
+
+  // ------------------------------------------------------------- mixCorpus
+
+  test("mixCorpus: integer weights replicate each row exactly weight times") {
+    val mixed = Mixing.mixCorpus(docs(90), "doc_id", col("domain"),
+      Map("web" -> 2.0, "wiki" -> 0.0)) // code gets default 1.0
+    val byDomain = mixed.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("web" -> 60L, "code" -> 30L)) // wiki dropped
+    // epochs are 0-based and dense per row
+    val epochs = mixed.filter(col("domain") === "web")
+      .groupBy("doc_id").agg(sort_array(collect_list("epoch")).as("es"))
+      .select("es").distinct().collect().map(_.getSeq[Int](0))
+    assert(epochs.toSeq == Seq(Seq(0, 1)))
+  }
+
+  test("mixCorpus: fractional weight keeps the hashBucket-selected subset") {
+    val d = docs(300)
+    val mixed = Mixing.mixCorpus(d, "doc_id", col("domain"),
+      Map("web" -> 0.25), defaultWeight = 0.0)
+    val kept = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = d.filter(col("domain") === "web" &&
+        Sampling.hashBucket(col("doc_id")) < 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected && kept.nonEmpty && kept.size < 100)
+    // deterministic: a re-run selects the identical subset
+    val again = Mixing.mixCorpus(d, "doc_id", col("domain"),
+      Map("web" -> 0.25), defaultWeight = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
+  test("mixCorpus: upsample fraction rides on top of full epochs") {
+    val d = docs(300).filter(col("domain") === "web") // 100 rows
+    val mixed = Mixing.mixCorpus(d, "doc_id", col("domain"), Map("web" -> 2.5))
+    val copies = mixed.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies.values.toSet == Set(2L, 3L))
+    // the 3-copy rows are exactly the bucket<50 rows
+    val three = copies.filter(_._2 == 3L).keySet
+    val expected = d.filter(Sampling.hashBucket(col("doc_id")) < 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(three == expected)
+  }
+
+  test("mixCorpus rejects negative weights; mixReport shares sum to 1") {
+    intercept[IllegalArgumentException] {
+      Mixing.mixCorpus(docs(10), "doc_id", col("domain"), Map("web" -> -1.0))
+    }
+    val mixed = Mixing.mixCorpus(docs(90), "doc_id", col("domain"),
+      Map("web" -> 2.0))
+    val rep = Mixing.mixReport(mixed, "doc_id", col("domain")).collect()
+    assert(math.abs(rep.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val web = rep.find(_.getString(0) == "web").get
+    assert(web.getAs[Long]("n_rows") == 60L &&
+      web.getAs[Long]("n_source_rows") == 30L)
+  }
+
+  // ------------------------------------------------------------ packShards
+
+  test("packShards equals the naive single-window cumsum bit for bit") {
+    val d = docs(500)
+    val packed = Packing.packShards(d, "doc_id", "n_tokens",
+        budget = 1000, buckets = 16)
+      .select("doc_id", "token_offset", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d
+      .withColumn("token_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", floor(col("token_offset") / 1000).cast("long"))
+      .select("doc_id", "token_offset", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(packed.toSeq == naive.toSeq)
+  }
+
+  test("packShards: shard totals stay within budget + one straddling doc") {
+    val d = docs(400)
+    val manifest = Packing.shardManifest(
+      Packing.packShards(d, "doc_id", "n_tokens", budget = 500, buckets = 8),
+      "n_tokens").collect()
+    val maxTok = 99L // corpus max doc size
+    assert(manifest.nonEmpty)
+    manifest.dropRight(1).foreach { r =>
+      val tok = r.getAs[Long]("n_tokens")
+      assert(tok >= 500 - maxTok && tok < 500 + maxTok,
+        s"shard ${r.getAs[Long]("shard")} holds $tok tokens")
+    }
+    // offsets tile the token stream: each shard starts where the prior ended
+    val sorted = manifest.sortBy(_.getAs[Long]("shard"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("end_offset") == b.getAs[Long]("start_offset"))
+      case _ => ()
+    }
+  }
+
+  test("packShards: bucket geometry does not change the assignment") {
+    val d = docs(300)
+    def run(buckets: Int) =
+      Packing.packShards(d, "doc_id", "n_tokens", budget = 700, buckets = buckets)
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(1) == run(7) && run(7) == run(256))
+  }
+
+  test("packShards rejects non-numeric keys and null tokens") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Packing.packShards(
+        Seq(("a", 5L)).toDF("k", "tok"), "k", "tok", budget = 10)
+    }
+    val withNull = Seq((1L, Some(5L)), (2L, Option.empty[Long]))
+      .toDF("doc_id", "tok")
+    val e = intercept[Exception] {
+      Packing.packShards(withNull, "doc_id", "tok", budget = 10).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("de-sync"))
+  }
+
+  test("packShards on an empty frame returns the empty packed schema") {
+    val out = Packing.packShards(docs(0), "doc_id", "n_tokens", budget = 10)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "domain", "n_tokens", "token_offset", "shard"))
+    assert(out.count() == 0)
+  }
+}

@@ -314,4 +314,124 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("hash parameters")),
       s"expected the drift error, got: ${chain(e).mkString(" | ")}")
   }
+
+  // ------------------------------------------------- ANN streaming ingest
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("annIngestStream: probe → accept → append across micro-batches") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val dir = TempDirs.create("graftanning").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(
+      1L -> vec(1, 0, 0, 0),
+      2L -> vec(0, 1, 0, 0)).toDF("doc_id", "embedding")
+    IvfIndex.save(corpus, "doc_id", "embedding", idx, numCentroids = 2)
+    // batch 1: 101 dups corpus 1 (identical vector); 102 new; 103/104 dup
+    // each other (keep min 103). batch 2: 201 dups 102 — a batch-1
+    // SURVIVOR, only the index append can catch it; 202 is far from all.
+    Seq(101L -> vec(1, 0, 0, 0), 102L -> vec(0, 0, 1, 0),
+        103L -> vec(0, 0, 0, 1), 104L -> vec(0, 0, 0, 1))
+      .toDF("doc_id", "embedding").coalesce(1).write.parquet(dir + "/in")
+    Seq(201L -> vec(0, 0, 1, 0), 202L -> vec(0.5, 0.5, 0.5, 0.5))
+      .toDF("doc_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir + "/in")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.annIngestStream(
+        Streams.parquetStream(spark, dir + "/in", corpus.schema),
+        "doc_id", "embedding", idx, threshold = 0.9, nprobe = 2) {
+        (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(102L, 103L), Set(202L)),
+      s"got $accepted")
+    val idxIds = IvfIndex.loadCells(spark, idx)
+      .select("neighbor_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
+  }
+
+  test("annIngestStream replay redelivers the same survivors (at-least-once)") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val dir = TempDirs.create("graftannreplay").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(1L -> vec(1, 0, 0, 0)).toDF("doc_id", "embedding")
+    IvfIndex.save(corpus, "doc_id", "embedding", idx, numCentroids = 1)
+    // 101 dups corpus 1; 102 new; 103/104 intra-dup (keep 103)
+    Seq(101L -> vec(1, 0, 0, 0), 102L -> vec(0, 0, 1, 0),
+        103L -> vec(0, 0, 0, 1), 104L -> vec(0, 0, 0, 1))
+      .toDF("doc_id", "embedding").coalesce(1).write.parquet(dir + "/in")
+    def runOnce(ckpt: String): Set[Long] = {
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = Streams.annIngestStream(
+          Streams.parquetStream(spark, dir + "/in", corpus.schema),
+          "doc_id", "embedding", idx, threshold = 0.9, nprobe = 1) {
+          (survivors, _) =>
+            accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      accepted.toList.reduce(_ ++ _)
+    }
+    val first = runOnce(dir + "/ckpt1")
+    assert(first == Set(102L, 103L), s"got $first")
+    // crash-replay: the appends landed but the sink offset never committed;
+    // a fresh checkpoint reprocesses the same batch. Without excludeIds the
+    // batch docs would pair with their OWN appended rows and every
+    // previously-accepted survivor's delivery would be lost.
+    val replayed = runOnce(dir + "/ckpt2")
+    assert(replayed == first,
+      s"replay must redeliver the same survivors: $replayed vs $first")
+    val idxIds = IvfIndex.loadCells(spark, idx)
+      .select("neighbor_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 102L, 103L))
+  }
+
+  test("annIngestStream bootstraps from the first batch, then fails fast on dim drift") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val dir = TempDirs.create("graftannboot").toString
+    val idx = dir + "/idx"
+    val schema = Seq(1L -> vec(1, 0, 0, 0)).toDF("doc_id", "embedding").schema
+    Seq(11L -> vec(1, 0, 0, 0), 12L -> vec(0, 1, 0, 0))
+      .toDF("doc_id", "embedding").coalesce(1).write.parquet(dir + "/in")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.annIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "embedding", idx, threshold = 0.9, numCentroids = 2) {
+        (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(11L, 12L)))
+    assert(IndexMetaReadable(idx)) // geometry marker recorded at bootstrap
+    // a 3-dim batch against the 4-dim index must fail fast, not mis-rank
+    Seq(21L -> vec(1, 0, 0)).toDF("doc_id", "embedding")
+      .coalesce(1).write.parquet(dir + "/in2")
+    val q2 = Streams.annIngestStream(
+        Streams.parquetStream(spark, dir + "/in2",
+          Seq(1L -> vec(1, 0, 0)).toDF("doc_id", "embedding").schema),
+        "doc_id", "embedding", idx, threshold = 0.9) { (_, _) => () }
+      .option("checkpointLocation", dir + "/ckpt2").start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("dimensions")),
+      s"expected the dim-drift error, got: ${chain(e).mkString(" | ")}")
+  }
+
+  // IndexMeta is private[operators]; the marker file on disk is the
+  // observable contract (underscore-hidden JSON next to the index data)
+  private def IndexMetaReadable(idx: String): Boolean = {
+    val f = java.nio.file.Paths.get(idx, "_graft_index_meta.json")
+    java.nio.file.Files.exists(f) &&
+      java.nio.file.Files.readString(f).contains("dims")
+  }
 }
