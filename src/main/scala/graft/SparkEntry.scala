@@ -1081,6 +1081,20 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 50000, buckets = 64)
         .select(col("doc_id"), col("n_chars"), col("token_offset"), col("shard"))
         .orderBy("doc_id")
+    }),
+
+    // deterministic shuffle-then-pack: the block-shuffle key decorrelates
+    // training order (hash-bucket high digits, id low digits) and stays a
+    // valid packShards key — the one-line composition a trainer pipeline
+    // actually runs
+    "q77_shuffled_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("skey",
+          graft.operators.Packing.shuffleKey(col("doc_id"), 1000000L))
+      graft.operators.Packing.packShards(d, "skey", "n_chars",
+          budget = 50000, buckets = 64)
+        .select(col("doc_id"), col("skey"), col("shard"))
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2030,6 +2044,20 @@ object SparkEntry {
         |SELECT doc_id, n_chars, token_offset,
         |  CAST(token_offset // 50000 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // shuffle-then-pack: block-shuffle key (hash bucket high digits, id
+    // low digits), then the same naive global-window pack in skey order
+    "q77_shuffled_pack" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${bucketSql("doc_id")} AS BIGINT) * 1000000 + doc_id AS skey
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, skey,
+         |    CAST(SUM(n_chars) OVER (ORDER BY skey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS token_offset
+         |  FROM s)
+         |SELECT doc_id, skey, CAST(token_offset // 50000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // kmeans IVF: 3 unrolled Lloyd iterations on the dyadic 1/128 grid
     // (means of dyadic rationals are exact → engine-portable), then the

@@ -211,7 +211,14 @@ object IvfIndex {
         pruned.join(exIds, pruned("neighbor_id") === col("__xid"), "left_anti")
       case None => pruned
     }
-    graft.core.ShuffleSizing.ensureFor(cells, expansionFactor = 2.0)
+    // no ShuffleSizing raise here — MEASURED, not guessed (r12 flagged the
+    // former expansionFactor = 2.0 as a guess): the cells side never
+    // shuffles (the query batch broadcasts), and the only exchange in the
+    // probe is rankTopK's partial BoundedTopK aggregate, whose volume is
+    // ≤ tasks × queries × k heap entries regardless of corpus size —
+    // task-metrics shuffle_write at 1M docs / 147,894 pruned cell records:
+    // 0 MB (ScaleBench ann tier, SCALE.md round-13). A partition raise can
+    // never help a shuffle that small.
     val scored = cells.join(broadcast(q), Seq(CellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",

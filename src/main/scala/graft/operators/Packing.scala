@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -94,6 +94,28 @@ object Packing {
         col("__boff") + sum(col(tokens).cast("long")).over(w) - col(tokens).cast("long"))
       .withColumn("shard", floor(col("token_offset") / budget).cast("long"))
       .drop("__pb", "__boff")
+  }
+
+  /**
+   * Deterministic shuffle key for training order: documents sorted by raw
+   * ingest key arrive correlated (same crawl, same source, same day next to
+   * each other), and a trainer reading shards in key order sees them in
+   * that correlated order. `shuffleKey` decorrelates with a stable
+   * block-shuffle — the md5 hash bucket (0..99) becomes the high digits and
+   * the original key the low digits, so rows land in hash-scattered blocks
+   * while the key stays NUMERIC, UNIQUE (given `span` > every key), and
+   * engine-portable — exactly what [[packShards]] requires, making
+   * "shuffle then pack" a one-line composition:
+   * {{{
+   *   packShards(df.withColumn("sk", Packing.shuffleKey(col("id"), span)),
+   *     "sk", "n_tokens", budget)
+   * }}}
+   * Reproducible forever (content hash, no seed) — re-running the pipeline
+   * on the same corpus yields byte-identical shards.
+   */
+  def shuffleKey(key: Column, span: Long): Column = {
+    require(span > 0, "shuffleKey span must be positive")
+    Sampling.hashBucket(key).cast("long") * span + key.cast("long")
   }
 
   /**

@@ -133,6 +133,24 @@ class MixingPackingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("de-sync"))
   }
 
+  test("shuffleKey is injective, decorrelates id order, and packs cleanly") {
+    import spark.implicits._
+    val d = docs(400)
+    val keyed = d.withColumn("sk", Packing.shuffleKey(col("doc_id"), 1000L))
+    // injective given span > max key: one sk per doc and back
+    assert(keyed.select("sk").distinct().count() == 400)
+    // decorrelated: ordering by sk is NOT id order (hash blocks interleave)
+    val bySk = keyed.orderBy("sk").select("doc_id").as[Long].collect().toSeq
+    assert(bySk != bySk.sorted && bySk.sorted == (0L until 400L))
+    // deterministic forever: same expression, same order
+    val again = d.withColumn("sk", Packing.shuffleKey(col("doc_id"), 1000L))
+      .orderBy("sk").select("doc_id").as[Long].collect().toSeq
+    assert(again == bySk)
+    // composes with packShards (unique numeric key contract holds)
+    val packed = Packing.packShards(keyed, "sk", "n_tokens", budget = 900)
+    assert(packed.count() == 400)
+  }
+
   test("packShards on an empty frame returns the empty packed schema") {
     val out = Packing.packShards(docs(0), "doc_id", "n_tokens", budget = 10)
     assert(out.columns.toSeq ==

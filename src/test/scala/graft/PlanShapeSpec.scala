@@ -244,4 +244,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(shim == hand,
       s"dialect-shim plan (windows, exchanges)=$shim must match hand-written $hand")
   }
+
+  test("q76: shard packing's cumsum window is bucket-partitioned, never a global sort") {
+    // the whole point of the two-phase form: the naive global-window pack
+    // funnels the corpus through ONE task (Exchange SinglePartition before
+    // the Window); packShards must show a window partitioned on the range
+    // bucket and no single-partition exchange anywhere upstream of it.
+    // (Strip the final presentation orderBy — its range exchange is the
+    // query's, not the operator's.)
+    val packed = graft.operators.Packing.packShards(
+      core.Tables.load(core.GraftSession.tune(spark), dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_chars")),
+      "doc_id", "n_chars", budget = 50000, buckets = 64)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing must not serialize through one partition\n$plan")
+    assert(plan.contains("__pb"),
+      s"cumsum window must partition on the range bucket\n$plan")
+  }
 }
