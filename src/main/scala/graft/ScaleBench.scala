@@ -324,6 +324,28 @@ object ScaleBench {
           s""""files_before":$before,"files_after":$after}""")
       }
 
+      // ---- pack tier: token-budget shard packing, two-phase distributed
+      // cumsum vs the naive global window (identical output by spec; the
+      // naive form funnels the corpus through ONE task — the thing
+      // packShards exists to avoid). Token counts derive per-row from the
+      // text so the tier measures the cumsum topology, not tokenization.
+      if (wanted("pack")) {
+        import graft.operators.Packing
+        import org.apache.spark.sql.expressions.Window
+        val toks = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        timedRuns(n, "pack_two_phase")(() =>
+          Packing.packShards(toks, "doc_id", "n_tokens",
+              budget = 1L << 20, buckets = 1024)
+            .agg(countDistinct(col("shard"))).head.getLong(0))
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        timedRuns(n, "pack_naive_window")(() =>
+          toks.withColumn("shard",
+              floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / (1L << 20)))
+            .agg(countDistinct(col("shard"))).head.getLong(0))
+      }
+
       // ---- aging tier: N nights of probe→append against ONE standing band
       // index — the longitudinal evidence for the lifecycle claims. Each
       // night probes a fresh batch (90% genuinely new hash streams, 10%

@@ -1038,6 +1038,12 @@ object SparkEntry {
     // (intra-batch pairs night 1, standing-index cross probe + intra pairs
     // night 2) in SQL, so a hash match proves the LANDED corpus — partition
     // values included — is exactly the two nights' survivor sets.
+    // BENCH NOTE: the timed cost is TWO full audited nights (~12 logged
+    // steps: index builds/appends, per-night compaction, the DQ re-scan,
+    // per-step execution-log commits) — at bench scale that is dominated by
+    // fixed small-job and commit overhead, not data; the per-operator
+    // steady-state costs are the individual q68/q71/q69/q54 entries and
+    // ScaleBench's probe/aging tiers.
     "q74_ingest_pipeline" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val b1 = d.filter(col("doc_id") % 3 === 0)

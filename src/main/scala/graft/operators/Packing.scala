@@ -48,24 +48,37 @@ object Packing {
    * Null keys or token counts are rejected up front: a null key has no
    * position in the order, and `sum` silently skips null tokens, which
    * would de-sync the two phases' offsets.
+   *
+   * Cost shape: three narrow scans of (key, tokens) — bucket geometry
+   * (min/max), per-bucket totals, and the bucketed window — all
+   * column-pruned at the source. `keyBounds` skips the first scan when the
+   * caller already knows the key range (monotonic ids, a catalog stat);
+   * values only need to COVER the range — rows outside [lo, hi] clamp into
+   * the edge buckets, which skews bucket balance but never correctness
+   * (the cumsum is exact for any contiguous bucketing).
    */
   def packShards(
       df: DataFrame, key: String, tokens: String, budget: Long,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      keyBounds: Option[(Double, Double)] = None): DataFrame = {
     require(budget > 0, "packShards budget must be positive")
     require(buckets > 0, "packShards buckets must be positive")
     require(df.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"packShards key must be numeric (got ${df.schema(key).dataType}); " +
         "hash non-numeric keys into a stable numeric order first")
-    // one tiny driver-side aggregate (2 values) fixes the bucket geometry
-    val mm = df.agg(min(col(key)).cast("double"), max(col(key)).cast("double")).head()
-    if (mm.isNullAt(0)) return df
-      .withColumn("token_offset", lit(0L)).withColumn("shard", lit(0L)).limit(0)
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // one tiny driver-side aggregate (2 values) fixes the bucket geometry —
+    // skipped entirely when the caller supplies the range
+    val (lo, hi) = keyBounds.getOrElse {
+      val mm = df.agg(min(col(key)).cast("double"), max(col(key)).cast("double")).head()
+      if (mm.isNullAt(0)) return df
+        .withColumn("token_offset", lit(0L)).withColumn("shard", lit(0L)).limit(0)
+      (mm.getDouble(0), mm.getDouble(1))
+    }
+    require(hi >= lo, s"packShards keyBounds must satisfy hi >= lo (got $lo, $hi)")
     val span = math.max(hi - lo, 0.0) + 1.0
-    val bucketCol = least(
+    val bucketCol = greatest(least(
       floor((col(key).cast("double") - lit(lo)) / lit(span / buckets)),
-      lit(buckets - 1L)).cast("int")
+      lit(buckets - 1L)), lit(0L)).cast("int")
     val checked = df.withColumn("__pb",
       when(col(key).isNull, raise_error(lit(
         s"packShards: null $key has no position in the pack order")))

@@ -160,12 +160,31 @@ object IngestPipeline {
           cfg.carrier, (n: Long) => (0L, 0L, n)) {
         val corpus = spark.read.parquet(cfg.corpusPath)
         val now = new java.sql.Timestamp(System.currentTimeMillis())
+        // ONE corpus scan for all three checks (the column-form DMF
+        // philosophy applied to the pipeline): GROUPING SETS ((id),(hash))
+        // computes both group-by keys off a single pass — same total
+        // shuffle bytes as two separate groupBys (each row feeds two
+        // groups), but the standing corpus, the big cost at scale, is read
+        // once per night instead of three times. Values match the separate
+        // Metrics.nullCount / Metrics.duplicateCount / exactGroups forms
+        // exactly (null ids group together; null text hashes to a null
+        // group of its own) — spec-pinned against planted violations.
+        val g = corpus
+          .select(col(cfg.idCol), md5(col(cfg.textCol).cast("binary")).as("__h"))
+          .groupingSets(Seq(Seq(col(cfg.idCol)), Seq(col("__h"))),
+            col(cfg.idCol), col("__h"))
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        val r = g.agg(
+          coalesce(sum(when(col("gid") === 1 && col(cfg.idCol).isNull,
+            col("n"))), lit(0L)).as("id_nulls"),
+          coalesce(sum(when(col("gid") === 1 && col("n") > 1,
+            col("n"))), lit(0L)).as("id_dups"),
+          count(when(col("gid") === 2 && col("n") > 1, 1))
+            .as("content_dup_groups")).head()
         val checks = Seq(
-          ("id_null_count", Metrics.nullCount(corpus, cfg.idCol)),
-          ("id_duplicate_count", Metrics.duplicateCount(corpus, cfg.idCol)),
-          ("exact_content_duplicates",
-            Dedup.exactGroups(corpus, cfg.idCol, cfg.textCol)
-              .filter(col("n_docs") > 1).count()))
+          ("id_null_count", r.getLong(0)),
+          ("id_duplicate_count", r.getLong(1)),
+          ("exact_content_duplicates", r.getLong(2)))
         meta.appendDmfResults(checks.map { case (name, v) =>
           DmfResultRow(now, "corpus", name, s"$name = 0", Some(v),
             if (v == 0) "PASS" else "FAIL")

@@ -122,4 +122,41 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(meta.dmfResults.filter(col("status") =!= "PASS").count() == 0)
     assert(spark.read.parquet(cfg.metaDir + "/high_water_mark").count() == 2)
   }
+
+  test("fused DQ pass reports planted violations, equal to the separate metric forms") {
+    import spark.implicits._
+    import graft.dq.Metrics
+    val root = TempDirs.create("graft-ingest-dq")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString)
+    val n1 = IngestPipeline.runNight(spark,
+      Seq((Option(1L), "the quick brown fox jumps over the lazy dog"),
+          (Option(2L), "pack my box with five dozen liquor jugs today"))
+        .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.dqFailures == 0, n1.toString)
+    // night 2 plants the violations the per-night DQ re-check exists for:
+    // a RE-INGESTED id with different text (dedup can't catch it — content
+    // differs) and a null-id doc (survives the probe, fails identity)
+    val n2 = IngestPipeline.runNight(spark,
+      Seq((Option(1L), "sphinx of black quartz judge my vow tonight"),
+          (Option.empty[Long], "how vexingly quick daft zebras jump around"))
+        .toDF("doc_id", "text"), "n2", cfg)
+    assert(n2.dqFailures == 2, n2.toString) // null id + duplicate id
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val got = meta.dmfResults.orderBy(col("run_ts").desc).limit(3)
+      .collect().map(r =>
+        r.getAs[String]("metric_name") -> r.getAs[Long]("value")).toMap
+    // the fused GROUPING SETS pass must equal the separate metric forms
+    // on the same landed corpus
+    val corpus = spark.read.parquet(cfg.corpusPath)
+    assert(got == Map(
+      "id_null_count" -> Metrics.nullCount(corpus, "doc_id"),
+      "id_duplicate_count" -> Metrics.duplicateCount(corpus, "doc_id"),
+      "exact_content_duplicates" -> Dedup.exactGroups(corpus, "doc_id", "text")
+        .filter(col("n_docs") > 1).count()), got.toString)
+    assert(got("id_null_count") == 1 && got("id_duplicate_count") == 2 &&
+      got("exact_content_duplicates") == 0, got.toString)
+  }
 }

@@ -117,6 +117,18 @@ class MixingPackingSpec extends AnyFunSuite with SparkSpec {
         .select("doc_id", "shard").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(run(1) == run(7) && run(7) == run(256))
+    // caller-supplied bounds skip the min/max scan without changing the
+    // assignment — even bounds that merely COVER the range (edge clamp)
+    def runBounds(b: (Double, Double)) =
+      Packing.packShards(d, "doc_id", "n_tokens", budget = 700, buckets = 7,
+          keyBounds = Some(b))
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(runBounds((0.0, 299.0)) == run(7))
+    assert(runBounds((-1000.0, 5000.0)) == run(7))
+    // bounds NARROWER than the data: out-of-range rows clamp into the edge
+    // buckets — bucket balance skews, the assignment does not
+    assert(runBounds((100.0, 200.0)) == run(7))
   }
 
   test("packShards rejects non-numeric keys and null tokens") {
