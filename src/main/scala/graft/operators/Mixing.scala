@@ -64,6 +64,36 @@ object Mixing {
   }
 
   /**
+   * Derive the per-domain weights a temperature-flattened mixture needs,
+   * instead of hand-tuning them: with temperature `t`, domain sampling
+   * probabilities are p_d ∝ n_d^(1/t) (t = 1 keeps natural proportions,
+   * t → ∞ approaches uniform over domains — the standard remedy for a
+   * head-heavy corpus where one crawl dominates). The returned weights
+   * feed [[mixCorpus]] directly: w_d = (p_d · targetRows) / n_d, i.e. the
+   * expected-epoch factor that makes the mixed corpus hit `targetRows`
+   * rows in expectation with the flattened shares. Weights are rounded to
+   * mixCorpus's 1% granularity, so realized totals drift below 1% of
+   * target.
+   *
+   * One count aggregation; the collect is bounded by the number of
+   * domains (a mixture recipe is human-sized by definition).
+   */
+  def temperatureWeights(
+      df: DataFrame, domain: Column, t: Double,
+      targetRows: Long): Map[String, Double] = {
+    require(t > 0, "temperature must be positive")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val powed = counts.map { case (d, n) => d -> math.pow(n.toDouble, 1.0 / t) }
+    val z = powed.values.sum
+    powed.map { case (d, p) =>
+      d -> math.rint((p / z) * targetRows / counts(d) * 100) / 100
+    }
+  }
+
+  /**
    * The audit that belongs next to every mix: realized per-domain row
    * counts and their share of the mixed corpus, with the distinct source
    * rows drawn (upsampling repeats rows; `n_source_rows` is what a

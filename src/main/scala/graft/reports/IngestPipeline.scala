@@ -19,9 +19,11 @@ import graft.ops.{Compaction, CompactionResult}
  *      the batch's own ids are excluded from the corpus view), plus
  *      intra-batch pairs; hash parameters are checked against the index's
  *      recorded marker so a drifted batch fails fast.
- *   2. ACCEPT — survivors (batch minus both drop sets) append to the
- *      corpus table under `load_date=<night>`: every night's growth lands
- *      in its own partition directory, prior nights' files never move.
+ *   2. ACCEPT — survivors (batch minus both drop sets) land in the corpus
+ *      table under `load_date=<night>` via DYNAMIC partition overwrite:
+ *      every night's growth lands in its own partition directory, prior
+ *      nights' files never move, and a crash-and-rerun of the same night
+ *      REPLACES the partition instead of double-appending it.
  *   3. INDEX — survivors' banded rows append to the band index (only
  *      touched band partitions gain files) and, when configured, their
  *      embeddings append to the persisted IVF index (only touched cells
@@ -34,8 +36,10 @@ import graft.ops.{Compaction, CompactionResult}
  *      not assumed from the operator.
  *   6. LOG — each step runs inside [[ExecutionLogger.logged]] (SUCCESS /
  *      FAILED + timings + sanitized error, the reference's audit shape)
- *      and the night's high-water mark is recorded for incremental
- *      restarts.
+ *      and the night's high-water mark is recorded AS THE LAST STEP — it
+ *      is the night's commit record: a re-run of a night whose mark exists
+ *      short-circuits (SKIPPED log row, nothing touched), so the night id
+ *      is the pipeline's idempotence key.
  *
  * Scale shape: the standing corpus is never re-read for dedup (the probe
  * touches O(batch buckets) of the index); corpus/index growth is confined
@@ -70,7 +74,8 @@ object IngestPipeline {
       accepted: Long,
       dropped: Long,
       indexCompaction: CompactionResult,
-      dqFailures: Long)
+      dqFailures: Long,
+      skipped: Boolean = false)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -79,16 +84,34 @@ object IngestPipeline {
 
   /**
    * Run one night's ingest of `batch` against the standing corpus/indexes.
-   * Idempotent per night: a crash-and-rerun of the same batch re-probes
-   * with the batch's ids excluded from the corpus view, so survivors are
-   * re-accepted identically (the corpus append under the same `load_date`
-   * partition does duplicate rows on replay — run [[Dedup]] batch ops or
-   * dynamic-overwrite the night's partition when exactly-once landing
-   * matters; the index tolerates duplicate rows by construction).
+   * Idempotent per night, in two layers:
+   *  - a COMPLETED night (its high-water mark exists — the mark is written
+   *    last, so it is the commit record) short-circuits with a SKIPPED
+   *    audit row and touches nothing — the night id is the idempotence key;
+   *  - a night re-run after a MID-NIGHT crash (mark absent) re-probes with
+   *    the batch's ids excluded from the corpus view, recomputes the same
+   *    survivors, and dynamic-overwrites the night's corpus partition, so
+   *    the landed table never holds a replayed double. The index appends
+   *    again — duplicate index ROWS are benign by construction (drop sets
+   *    are distinct'd; compaction sweeps the litter) and never change
+   *    probe answers.
    */
   def runNight(spark: SparkSession, batch: DataFrame, night: String,
       cfg: IngestConfig): NightResult = {
     val meta = new MetaStore(spark, cfg.metaDir)
+    if (meta.lastLoadTimestamp(s"ingest_$night", cfg.carrier).isDefined) {
+      // the commit record exists: this night already ran to completion —
+      // leave an audit row saying so (a silent no-op would read as a lost
+      // night in the log) and touch neither the corpus nor the indexes
+      meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
+        java.util.UUID.randomUUID().toString,
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        "SKIPPED", s"ingest_skip_$night", 0L, 0L, 0L, cfg.carrier,
+        "night already committed (high-water mark present)")))
+      return NightResult(night, 0L, 0L, 0L,
+        CompactionResult(0, 0L, 0L, 0L), 0L, skipped = true)
+    }
     val params = hashParams(cfg)
     val idxPath = new org.apache.hadoop.fs.Path(cfg.bandIndexPath)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,11 +143,16 @@ object IngestPipeline {
       val accepted = survivors.count()
 
       // 2. ACCEPT — the night's partition directory is the only corpus
-      // growth; prior nights' files are never rewritten (spec-asserted)
+      // growth; prior nights' files are never rewritten (spec-asserted).
+      // Dynamic overwrite (replaces ONLY the load_date=<night> partition
+      // the data carries) makes a mid-night crash replay land exactly-once
+      // instead of double-appending the survivors
       ExecutionLogger.logged(meta, s"ingest_accept_$night", cfg.carrier,
           (_: Unit) => (accepted, 0L, 0L)) {
         survivors.withColumn(cfg.loadDateCol, lit(night))
-          .write.mode("append").partitionBy(cfg.loadDateCol)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(cfg.loadDateCol)
           .parquet(cfg.corpusPath)
       }
 
@@ -192,8 +220,9 @@ object IngestPipeline {
         checks.count(_._2 != 0).toLong
       }
 
-      // 6. LOG — the night's high-water mark for incremental restarts
-      meta.recordLoad("ingest", cfg.carrier,
+      // 6. LOG — the night's commit record, written LAST: its presence is
+      // what makes a later re-run of this night short-circuit
+      meta.recordLoad(s"ingest_$night", cfg.carrier,
         new java.sql.Timestamp(System.currentTimeMillis()))
 
       NightResult(night, batchRows, accepted, batchRows - accepted,

@@ -159,4 +159,52 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got("id_null_count") == 1 && got("id_duplicate_count") == 2 &&
       got("exact_content_duplicates") == 0, got.toString)
   }
+
+  test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-replay")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString)
+    val b1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today",
+      3L -> "pack my box with five dozen liquor jugs today") // intra dup of 2
+      .toDF("doc_id", "text")
+    val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(!n1.skipped && n1.accepted == 2 && n1.dropped == 1, n1.toString)
+    val nightDir = new File(root.resolve("corpus/load_date=n1").toFile.getPath)
+    val landed1 = files(nightDir)
+
+    // (a) re-running a COMPLETED night is a SKIPPED no-op: the commit
+    // record (high-water mark, written last) short-circuits the run and
+    // neither the corpus nor the audit counts change — only a SKIPPED row
+    val again = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(again.skipped && again.accepted == 0, again.toString)
+    assert(files(nightDir) == landed1, "skip must not touch the corpus")
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val skips = meta.executionLog
+      .filter(col("execution_status") === "SKIPPED").collect()
+    assert(skips.length == 1 &&
+      skips.head.getAs[String]("target_table") == "ingest_skip_n1")
+
+    // (b) mid-night crash replay: the mark never landed (crash between
+    // accept and commit) — simulated by removing it. The re-run must
+    // recompute the same survivors (probe excludes the batch's own ids
+    // from the corpus view) and REPLACE the night partition, not double it
+    val hwm = root.resolve("meta/high_water_mark")
+    val walk = java.nio.file.Files.walk(hwm)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    val replay = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(!replay.skipped && replay.accepted == 2, replay.toString)
+    val corpus = spark.read.parquet(cfg.corpusPath)
+    assert(corpus.count() == 2 &&
+      corpus.select("doc_id").distinct().count() == 2,
+      "replay must land exactly once, not double-append")
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(replay.dqFailures == 0, replay.toString)
+  }
 }

@@ -58,6 +58,40 @@ class MixingPackingSpec extends AnyFunSuite with SparkSpec {
     assert(three == expected)
   }
 
+  test("temperatureWeights: t=1 keeps proportions, large t flattens, and feeds mixCorpus") {
+    import spark.implicits._
+    // head-heavy corpus: web 800, wiki 150, code 50
+    val d = ((0 until 800).map(i => (i.toLong, "web")) ++
+      (800 until 950).map(i => (i.toLong, "wiki")) ++
+      (950 until 1000).map(i => (i.toLong, "code")))
+      .toDF("doc_id", "domain")
+    // t=1: natural shares — every weight is targetRows/corpusRows
+    val w1 = Mixing.temperatureWeights(d, col("domain"), t = 1.0, targetRows = 2000)
+    assert(w1.values.forall(v => math.abs(v - 2.0) < 0.011), w1.toString)
+    // large t → uniform domain shares: each domain gets ~target/3 rows,
+    // so the tail is upsampled far more than the head
+    val wU = Mixing.temperatureWeights(d, col("domain"), t = 1e9, targetRows = 3000)
+    assert(math.abs(wU("web") - 1.25) < 0.011 &&
+      math.abs(wU("wiki") - 1000.0 / 150) < 0.011 &&
+      math.abs(wU("code") - 20.0) < 0.011, wU.toString)
+    // derived weights drive mixCorpus to the target in expectation; the
+    // realized count adds md5-bucket sampling noise on the fractional
+    // epochs (σ ≈ √(n·f·(1−f)) ≈ 13 here), so allow ~4σ + the 1% rounding
+    val mixed = Mixing.mixCorpus(d, "doc_id", col("domain"), wU)
+    val total = mixed.count()
+    assert(math.abs(total - 3000L) <= 100, s"got $total rows for target 3000")
+    // flattened: realized per-domain rows near uniform (same noise bound)
+    val byDom = mixed.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.values.forall(n => math.abs(n - 1000L) <= 60), byDom.toString)
+  }
+
+  test("mixCorpus plan is narrow: no exchange anywhere") {
+    val plan = Mixing.mixCorpus(docs(90), "doc_id", col("domain"),
+      Map("web" -> 2.5)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixCorpus must not shuffle\n$plan")
+  }
+
   test("mixCorpus rejects negative weights; mixReport shares sum to 1") {
     intercept[IllegalArgumentException] {
       Mixing.mixCorpus(docs(10), "doc_id", col("domain"), Map("web" -> -1.0))
