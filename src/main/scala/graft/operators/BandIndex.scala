@@ -50,11 +50,25 @@ object BandIndex {
     * parameters here and [[checkParams]] fails fast on drift. */
   def save(banded: DataFrame, path: String,
       hashParams: Map[String, String] = Map.empty): Unit = {
-    require(banded.columns.contains(BandCol),
-      s"band index frame must carry a '$BandCol' column, " +
-        s"got [${banded.columns.mkString(", ")}]")
-    banded.write.mode("overwrite").partitionBy(BandCol).parquet(path)
+    clusteredForWrite(banded).write.mode("overwrite")
+      .partitionBy(BandCol).parquet(path)
     if (hashParams.nonEmpty) writeParams(banded.sparkSession, path, hashParams)
+  }
+
+  /** Cluster banded rows by (band, bucket) range before a partitioned
+    * write: without it every upstream task writes into EVERY band
+    * directory (tasks × bands small files — measured 320 files for a 4-band
+    * 1M-doc build, the aging tier's litter source); range partitioning
+    * gives each task a contiguous (band, bucket) slice, so total files ≈
+    * shuffle partitions, AQE coalesces small appends down further (a 55k
+    * nightly batch lands as ~one file per band), and buckets are
+    * range-clustered within each file. Costs one sampling exchange on the
+    * write path — the build/append side, never the probe side. */
+  private def clusteredForWrite(banded: DataFrame): DataFrame = {
+    require(banded.columns.contains(BandCol) && banded.columns.contains("bucket"),
+      s"band index frame must carry '$BandCol' and 'bucket' columns, " +
+        s"got [${banded.columns.mkString(", ")}]")
+    banded.repartitionByRange(col(BandCol), col("bucket"))
   }
 
   /** Record hash parameters for an index created WITHOUT [[save]] (e.g. a
@@ -89,12 +103,9 @@ object BandIndex {
 
   /** Append an accepted batch's banded rows to the standing index. Only the
     * touched band partitions gain files; nothing is rewritten. */
-  def append(batchBanded: DataFrame, path: String): Unit = {
-    require(batchBanded.columns.contains(BandCol),
-      s"band index frame must carry a '$BandCol' column, " +
-        s"got [${batchBanded.columns.mkString(", ")}]")
-    batchBanded.write.mode("append").partitionBy(BandCol).parquet(path)
-  }
+  def append(batchBanded: DataFrame, path: String): Unit =
+    clusteredForWrite(batchBanded).write.mode("append")
+      .partitionBy(BandCol).parquet(path)
 
   /** Candidate cross pairs between `batchBanded` and the index saved at
     * `path` — [[Dedup.probeBandedPairs]] over the loaded index. `bandSubset`

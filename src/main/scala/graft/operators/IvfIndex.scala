@@ -119,6 +119,15 @@ object IvfIndex {
     Similarity.assignCells(df, id, vec, "neighbor_id", centArr)
       .select(col("neighbor_id"), col("__v").as("__cv"), col("__vn").as("__cn"),
         col(CellCol).cast("int").as(CellCol))
+      // cluster by cell range before the partitioned write: without it every
+      // upstream task writes into every cell directory it touches (tasks ×
+      // cells small files — at cluster scale, 10k tasks × 1k cells is
+      // millions of files). The exchange costs one shuffle of the quantized
+      // assignment (build/append side only, never the probe side); write
+      // parallelism is bounded by the distinct-cell count, which the sizing
+      // guidance (cells ~ √N) keeps in the thousands at scale, and AQE
+      // coalesces small appends down to ~one file per touched cell
+      .repartitionByRange(col(CellCol))
 
   /**
    * Build and persist the index: centroids (default id-subset, or pass
@@ -135,8 +144,8 @@ object IvfIndex {
     // assignment reads the JUST-SAVED centroids so the cells on disk are
     // guaranteed consistent with the centroid file probes will load
     val saved = corpus.sparkSession.read.parquet(centroidsPath(path))
-    // no ensureFor here: assignment is a broadcast projection and the
-    // partitionBy write sorts within tasks — nothing shuffles at save
+    // assignment is a broadcast projection; the only shuffle at save is
+    // assignForStorage's cell-range cluster (file-count hygiene, see there)
     assignForStorage(corpus, cId, cVec, Similarity.centroidArray(saved))
       .write.mode("overwrite").partitionBy(CellCol).parquet(cellsPath(path))
     // record the index geometry so a drifted probe/append fails fast

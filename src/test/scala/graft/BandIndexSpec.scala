@@ -77,6 +77,27 @@ class BandIndexSpec extends AnyFunSuite with SparkSpec {
     assert(key(BandIndex.load(spark, path)) == key(b) ++ key(banded(batch1)))
   }
 
+  test("writes are (band, bucket)-range-clustered: file count ~ tasks, not tasks x bands") {
+    // without the range cluster every upstream task writes into every band
+    // directory (tasks × bands files — the aging tier's measured litter);
+    // with it, AQE coalesces this tiny frame to one task, so each band
+    // directory holds exactly ONE file after save and TWO after an append
+    val path = TempDirs.create("graft-bandindex").resolve("idx5").toString
+    BandIndex.save(banded(corpus).repartition(8), path)
+    def perBand: Map[String, Int] =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("band="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val afterSave = perBand
+    assert(afterSave.size == 4 && afterSave.values.forall(_ == 1),
+      s"one clustered file per band after save, got $afterSave")
+    BandIndex.append(banded(batch1).repartition(8), path)
+    val afterAppend = perBand
+    assert(afterAppend.values.forall(_ == 2),
+      s"one new file per band per append, got $afterAppend")
+  }
+
   test("band-subset probe prunes index partitions at the scan") {
     val path = TempDirs.create("graft-bandindex").resolve("idx3").toString
     BandIndex.save(banded(corpus), path)

@@ -217,4 +217,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(stats.map(_.getLong(1)).sum == emb.count())
     assert(stats.map(_.getLong(1)).toSeq == stats.map(_.getLong(1)).sortBy(-_).toSeq)
   }
+
+  test("writes are cell-range-clustered: file count ~ cells, not tasks x cells") {
+    // without the range cluster every upstream task writes into every cell
+    // directory it touches (tasks × cells files — millions at cluster
+    // scale); with it, AQE coalesces this small frame so each cell
+    // directory holds ONE file after save and at most one more per append
+    val path = TempDirs.create("graft-ivfindex").resolve("idx6").toString
+    IvfIndex.save(emb.repartition(8), "vec_id", "embedding", path,
+      numCentroids = 4)
+    def perCell: Map[String, Int] =
+      Option(new java.io.File(path, "cells").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val afterSave = perCell
+    assert(afterSave.nonEmpty && afterSave.values.forall(_ == 1),
+      s"one clustered file per cell after save, got $afterSave")
+    IvfIndex.append(emb.repartition(8)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", path)
+    assert(perCell.values.forall(_ <= 2),
+      s"at most one new file per touched cell per append, got $perCell")
+  }
 }
