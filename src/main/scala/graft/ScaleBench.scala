@@ -259,8 +259,18 @@ object ScaleBench {
         val ivfPath = s"$scratch/ivf_$n"
         val t0 = System.nanoTime()
         IvfIndex.save(docs, "doc_id", "embedding", ivfPath, numCentroids = 64)
+        val cellFiles = {
+          val p = new org.apache.hadoop.fs.Path(ivfPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          var c = 0L
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+          c
+        }
         println(s"""{"op":"ann_index_build","docs":$n,""" +
-          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100},""" +
+          s""""index_files":$cellFiles}""")
         timedRuns(n, "ann_ivf_probe")(() =>
           IvfIndex.probe(spark, ivfPath, queries, "doc_id", "embedding",
             k = 10).count())
