@@ -279,6 +279,46 @@ object ScaleBench {
             "embedding", "embedding", k = 10).count())
       }
 
+      // ---- PQ tier: ADC scoring over 8-code rows vs full-vector scans —
+      // the bytes-read lever (IVF prunes WHICH vectors are read, PQ
+      // shrinks WHAT each vector costs); input_read_mb is the headline
+      // metric, recall@10 after exact re-rank the honesty check
+      if (wanted("pq")) {
+        import graft.operators.{PqIndex, Similarity}
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val queries = docs.filter(pmod(col("doc_id"), lit(n / 10)) === 7)
+          .localCheckpoint(true)
+        val pqPath = s"$scratch/pq_$n"
+        val t0 = System.nanoTime()
+        // m=8 four-dim subspaces, 16 codewords each: a 32-dim float vector
+        // (≈132 B of parquet) becomes 8 small ints (≈12 B encoded)
+        PqIndex.save(docs, "doc_id", "embedding", pqPath,
+          m = 8, ksub = 16, iterations = 2)
+        println(s"""{"op":"pq_index_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+        timedRuns(n, "pq_adc_probe")(() =>
+          PqIndex.probe(spark, pqPath, queries, "doc_id", "embedding",
+            candidates = 100).count())
+        timedRuns(n, "pq_rerank_probe")(() =>
+          PqIndex.probe(spark, pqPath, queries, "doc_id", "embedding",
+            candidates = 100, rerank = Some((docs, "doc_id", "embedding")),
+            k = 10).count())
+        // recall vs the exact answer, once (correctness evidence, untimed)
+        val truth = Similarity.bruteForceTopKAgg(queries, docs, "doc_id",
+            "doc_id", "embedding", "embedding", k = 10)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = PqIndex.probe(spark, pqPath, queries, "doc_id", "embedding",
+            candidates = 100, rerank = Some((docs, "doc_id", "embedding")),
+            k = 10)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = math.rint(1000.0 * (truth & got).size / truth.size) / 1000
+        println(s"""{"op":"pq_recall_at_10","docs":$n,""" +
+          s""""candidates":100,"recall":$recall}""")
+      }
+
       // ---- zorder tier: 2-D selective scan on z-ordered vs sorted layout
       // (row-group min/max pruning is the mechanism; input_read_mb and wall
       // time of the same filtered count on each layout are the measure)

@@ -1101,6 +1101,60 @@ object SparkEntry {
           budget = 50000, buckets = 64)
         .select(col("doc_id"), col("skey"), col("shard"))
         .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary top-k: explode → map-side-combined count → bounded
+    // per-task heap (TakeOrderedAndProject — never a global sort); the
+    // (count desc, token asc) order is total, so the output is deterministic
+    "q78_vocab_topk" -> ((s, dir) =>
+      graft.operators.Vocab.topTokens(
+        t(s, dir, "documents").select(col("text")), "text", 50)),
+
+    // adjacent-token pair frequencies — the statistic one BPE merge step
+    // maximises; same explode → partial-agg → top-k heap shape as q78
+    "q79_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Vocab.topPairs(
+        t(s, dir, "documents").select(col("text")), "text", 50)),
+
+    // overlapping character chunking (size 120, stride 80) for an
+    // embedding/RAG pipeline: pure per-row explode, no shuffle; geometry is
+    // integer arithmetic reproduced verbatim by the oracle
+    "q80_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunk(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", size = 120, stride = 80)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // vocabulary coverage: fraction of all token instances the top-20
+    // vocabulary covers — one persisted counts frame feeds both the top-k
+    // heap and the coverage sums, so the token stream is aggregated once
+    "q81_vocab_coverage" -> ((s, dir) =>
+      graft.operators.Vocab.coverage(
+        t(s, dir, "documents").select(col("text")), "text", 20)),
+
+    // ANN scale path 4 — product quantization: vectors stored as m=8
+    // codebook codes (PqIndex.save), queries score the code table via an
+    // ADC lookup table, then the exact re-rank fetches candidates' full
+    // vectors. With candidates ≥ |corpus| the re-rank covers everything,
+    // so the result must equal brute force EXACTLY (q31's oracle) — the
+    // hash match pins the whole train→encode→ADC→fetch→re-rank plumbing.
+    // BENCH NOTE: self-contained like q71/q72 — the timed cost is codebook
+    // TRAINING + encode + probe; the steady-state ADC probe a user sees is
+    // ScaleBench's pq tier number.
+    "q82_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Scratch.dir("graft_q82_").resolve("pq_index").toString
+      // one Lloyd iteration: the oracle equality holds for ANY codebooks
+      // (the all-covering re-rank is exact); more iterations only buy ADC
+      // quality, which ScaleBench's pq tier measures separately
+      graft.operators.PqIndex.save(e, "vec_id", "embedding", idx,
+        m = 8, ksub = 8, iterations = 1)
+      graft.operators.PqIndex.probe(s, idx, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", candidates = 5000,
+          rerank = Some((e, "vec_id", "embedding")), k = 10)
+        .orderBy("query_id", "rank")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -1411,16 +1465,7 @@ object SparkEntry {
          |WHERE cosine >= 0.95 ORDER BY id_a, id_b""".stripMargin
     },
 
-    "q31_ann_topk" ->
-      s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
-         |  FROM (SELECT * FROM v WHERE vec_id < 5) a, v b
-         |  WHERE a.vec_id <> b.vec_id)
-         |SELECT query_id, neighbor_id, rank, cosine FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q31_ann_topk" -> BruteTopKSql,
 
     "q32_ann_lsh" -> {
       val bucket = (0 until 6).map(j =>
@@ -2123,7 +2168,68 @@ object SparkEntry {
     // z-order parity: the clustered rewrite must read back exactly as the
     // original table
     "q73_zorder" ->
-      "SELECT doc_id, n_chars, text FROM documents ORDER BY doc_id")
+      "SELECT doc_id, n_chars, text FROM documents ORDER BY doc_id",
+
+    // vocabulary top-k: Text.tokens' convention (trim, split \s+; empty
+    // text → no tokens) as unnest(string_split_regex); (n desc, token asc)
+    // is a total order, so LIMIT is deterministic
+    "q78_vocab_topk" ->
+      """SELECT token, n FROM (
+        |  SELECT tok AS token, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY tok)
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // adjacent-pair frequencies: pairs via a 1-based range lateral over the
+    // token list (range(1, len) is empty for 0/1-token docs, matching the
+    // Spark side's size>=2 guard)
+    "q79_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT pair, n FROM (
+        |  SELECT pair, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS pair FROM toks)
+        |  GROUP BY pair)
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // overlapping chunk geometry, verbatim integer arithmetic:
+    // n_chunks = ceil(max(len-size,0)/stride) + 1, window i at i*stride+1.
+    // DuckDB 1.0's range() cannot laterally reference n_chunks (q75's
+    // constraint), so the lateral is a fixed range filtered by the count —
+    // 64 windows covers documents up to 120+63*80 = 5160 chars (testdata
+    // max is 577; the Spark operator itself has no such bound)
+    "q80_doc_chunks" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor((greatest(length(text) - 120, 0) + 79) / 80) AS BIGINT) + 1 AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  CAST(i * 80 + 1 AS INTEGER) AS chunk_start,
+        |  substr(text, CAST(i * 80 + 1 AS INTEGER), 120) AS chunk_text
+        |FROM g, range(0, 64) AS r(i) WHERE i < n_chunks
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // vocabulary coverage: top-20 instance coverage off one counts CTE
+    "q81_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT tok AS token, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 20)
+        |SELECT 20 AS vocab_size,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top) THEN n END) AS BIGINT) AS covered,
+        |  CAST(SUM(n) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top) THEN n END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS coverage
+        |FROM counts""".stripMargin,
+
+    // PQ probe with an all-covering exact re-rank ≡ brute force: the codes
+    // and codebooks must be invisible in the result (q31's oracle verbatim)
+    "q82_ann_pq" -> BruteTopKSql)
 
   // -------------------------------------------- shared oracle SQL fragments
 
@@ -2270,6 +2376,20 @@ object SparkEntry {
 
   /** IVF top-k with id-subset centroids (q44, and q72's persisted path —
     * the on-disk index must be invisible in the results). */
+  /** Exact brute-force cosine top-10 for queries vec_id < 5 — q31, and
+    * q82's oracle: a PQ probe whose exact re-rank covers EVERY candidate
+    * must collapse to brute force, codes and codebooks invisible. */
+  private lazy val BruteTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
+       |  FROM (SELECT * FROM v WHERE vec_id < 5) a, v b
+       |  WHERE a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private lazy val IvfTopKSql: String = {
     def cos(x: String, y: String) =
       s"list_dot_product($x, $y) / sqrt(list_dot_product($x, $x) * list_dot_product($y, $y))"

@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/**
+ * Product-quantization (PQ) index — the bytes-read lever for ANN at
+ * corpus scale (Jégou, Douze, Schmid 2011, "Product Quantization for
+ * Nearest Neighbor Search"). [[IvfIndex]] prunes WHICH vectors a probe
+ * reads (cell directories); PQ shrinks HOW MANY BYTES each vector costs:
+ * a D-dim float vector (4·D bytes; 256 B at D=64) is stored as `m` small
+ * codebook codes (m bytes-ish as ints; 8 codes at m=8) — a ~16–32×
+ * reduction in what an exhaustive scoring scan reads and shuffles.
+ *
+ * Pipeline:
+ *   - [[trainCodebooks]]: L2-normalize, split each vector into `m`
+ *     contiguous subvectors of D/m dims, and run Lloyd k-means PER
+ *     SUBSPACE — all `m` subspaces in ONE distributed job per iteration
+ *     (the subspace id is just another grouping key; one corpus pass per
+ *     iteration regardless of m). Deterministic: seeds are the ksub
+ *     smallest-id rows' subvectors; assignment ties break toward the
+ *     lower code.
+ *   - [[save]]/[[append]]: encode every vector as its per-subspace
+ *     nearest-codeword ids (broadcast argmin, zero shuffle) and persist
+ *     `path/codebooks` (m·ksub rows, tiny) + `path/codes` (id + m ints
+ *     per vector) + a geometry marker ([[IndexMeta]], the
+ *     BandIndex/IvfIndex drift-guard discipline).
+ *   - [[probe]]: asymmetric-distance computation (ADC) — per query, ONE
+ *     m×ksub lookup table of subvector inner products (computed once
+ *     against the broadcast codebooks), then every stored vector scores
+ *     in m array lookups + adds, never touching float vectors. The heap
+ *     aggregate keeps `candidates` per query; an optional exact re-rank
+ *     fetches ONLY the candidates' full vectors (id-pushdown into the
+ *     scan when the candidate set is small) and re-scores with the same
+ *     quantized-exact cosine as [[Similarity.bruteForceTopK]] — with
+ *     `candidates` ≥ corpus the result is EXACTLY brute force
+ *     (oracle-checked), which pins the whole plumbing; real deployments
+ *     run candidates ≈ 10–50× k for recall at a fraction of the bytes.
+ *
+ * Cosine ranking contract: vectors are L2-normalized BEFORE codebook
+ * training and encoding, so inner product against the reconstruction
+ * approximates cosine (the standard unit-sphere PQ setup). Zero-norm
+ * vectors have no direction — they are dropped at save/append (counted
+ * nowhere in the index) and score null as queries.
+ */
+object PqIndex {
+
+  /** Identifies the normalization/encoding scheme; bump on change — codes
+    * from different schemes silently mis-rank ([[IvfIndex]]'s rule). */
+  val SchemeVersion = "unit-l2-pq-v1"
+
+  private def codebooksPath(path: String) = s"$path/codebooks"
+  private def codesPath(path: String) = s"$path/codes"
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** `(… , __xn array<double>)`: L2-normalized double vector, null for
+    * zero-norm/null input. */
+  private def withUnit(df: DataFrame, vec: String): DataFrame = {
+    val x = col(vec).cast("array<double>")
+    df.withColumn("__n2", dot(x, x))
+      .withColumn("__xn",
+        when(col("__n2") > 0.0, transform(x, v => v / sqrt(col("__n2")))))
+      .drop("__n2")
+  }
+
+  /** Vector dims off the first row — one tiny job; the caller's frames are
+    * small or the value is read once at save time. */
+  private def dimsOf(df: DataFrame, vec: String): Int =
+    df.select(size(col(vec)).cast("int").as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot infer vector dims from an empty frame"))
+
+  /**
+   * Per-subspace Lloyd k-means codebooks `(s, cent_id, cvec)` with DENSE
+   * codes 0..ksub-1 in every subspace (the ADC lookup table indexes by
+   * code). One corpus pass per iteration covers all m subspaces: rows
+   * explode into (subspace, subvector) pairs and the subspace id joins the
+   * grouping key — m never multiplies the job count.
+   */
+  def trainCodebooks(corpus: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int, iterations: Int = 3): DataFrame = {
+    val dims = dimsOf(corpus, vec)
+    require(m > 0 && dims % m == 0,
+      s"m=$m must divide the vector dims ($dims)")
+    require(ksub >= 2, s"ksub must be >= 2, got $ksub")
+    val dsub = dims / m
+    // persist the exploded subvector frame: every consumer below (seeds +
+    // one plan per Lloyd round) would otherwise re-inline the normalize/
+    // slice HOF tree into its own plan — the train loop then spends its
+    // time re-optimizing and re-evaluating deep nested-lambda expressions,
+    // not clustering (measured: seeds alone cost seconds at 2k vectors)
+    val sv = graft.core.Caches.track(
+      withUnit(corpus.select(col(id).cast("long").as("__pid"),
+          col(vec).as("__pv")), "__pv")
+        .filter(col("__xn").isNotNull) // zero-norm rows carry no direction
+        .select(col("__pid"), col("__xn"),
+          explode(sequence(lit(0), lit(m - 1))).as("s"))
+        .withColumn("sv", slice(col("__xn"), col("s") * dsub + 1, lit(dsub)))
+        .select(col("__pid"), col("s"), col("sv")))
+    // deterministic seeds: the ksub smallest-id rows' subvectors, re-labelled
+    // densely 0..ksub-1 per subspace (ADC indexing needs dense codes). The
+    // seed ids come from a TakeOrdered over ONE subspace's id column (every
+    // surviving row carries all m subspaces) — a windowed row_number over
+    // the full exploded frame would globally sort corpus×m rows to pick k
+    val seedIds = sv.filter(col("s") === 0)
+      .select(col("__pid")).orderBy(col("__pid").asc).limit(ksub)
+    val w = Window.partitionBy(col("s")).orderBy(col("__pid").asc)
+    var cents = sv.join(broadcast(seedIds), Seq("__pid"))
+      .withColumn("__rn", row_number().over(w)) // ksub×m rows — trivial sort
+      .select(col("s"), (col("__rn") - 1).cast("int").as("cent_id"),
+        col("sv").as("cvec"))
+      .localCheckpoint(true) // truncate lineage per round (iterative plan)
+    (0 until iterations).foreach { _ =>
+      // per-sub codeword array, broadcast; L2 argmin = argmin(cn2 - 2·x·c)
+      // (the row's own norm is constant under the argmin)
+      val centArr = cents
+        .groupBy(col("s")).agg(sort_array(collect_list(struct(
+          col("cent_id"), col("cvec"), dot(col("cvec"), col("cvec")).as("cn2"))))
+          .as("__cents"))
+      val assigned = sv.join(broadcast(centArr), Seq("s"))
+        .withColumn("__best", array_min(transform(col("__cents"), ct =>
+          struct(
+            coalesce(ct.getField("cn2") - lit(2.0) * dot(col("sv"), ct.getField("cvec")),
+              lit(Double.MaxValue)).as("d2"),
+            ct.getField("cent_id").as("code")))))
+        .select(col("s"), col("__best").getField("code").as("cell"), col("sv"))
+      // per-(sub, cell) mean, position-wise (kmeansCentroids' shape + one key)
+      val means = assigned
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cell"), col("pos")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("s"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("s"), col("cell"),
+          transform(col("pm"), e => e.getField("mu")).as("mvec"))
+      // empty cells keep their previous codeword
+      cents = cents.alias("c")
+        .join(means.alias("m"),
+          col("c.s") === col("m.s") && col("c.cent_id") === col("m.cell"), "left")
+        .select(col("c.s").as("s"), col("c.cent_id").as("cent_id"),
+          coalesce(col("m.mvec"), col("c.cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** One-row frame `(__books array<struct<s, cents array<struct<cent_id,
+    * cvec, cn2>>>>)`, subspaces AND codes sorted — broadcast for encode
+    * (argmin needs cn2) and ADC (lookup indexes by position = dense code). */
+  private def bookArray(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy(col("s")).agg(sort_array(collect_list(struct(
+        col("cent_id"), col("cvec"), dot(col("cvec"), col("cvec")).as("cn2"))))
+        .as("cents"))
+      .agg(sort_array(collect_list(struct(col("s"), col("cents"))))
+        .as("__books"))
+
+  /** Encode each row's unit vector as `m` dense codes (broadcast argmin,
+    * zero shuffle): `(<outId>, codes array<int>)`; zero-norm rows dropped. */
+  private def encode(df: DataFrame, id: String, vec: String, outId: String,
+      books: DataFrame, dsub: Int): DataFrame =
+    withUnit(df.select(col(id).as(outId), col(vec).as("__pv")), "__pv")
+      .filter(col("__xn").isNotNull)
+      .crossJoin(broadcast(books))
+      .select(col(outId),
+        transform(col("__books"), sb =>
+          array_min(transform(sb.getField("cents"), ct =>
+            struct(
+              coalesce(ct.getField("cn2") - lit(2.0) *
+                  dot(slice(col("__xn"), sb.getField("s") * dsub + 1, lit(dsub)),
+                    ct.getField("cvec")),
+                lit(Double.MaxValue)).as("d2"),
+              ct.getField("cent_id").as("code"))))
+            .getField("code")).as("codes"))
+
+  /**
+   * Train codebooks on `corpus` and persist codebooks + codes + geometry
+   * marker. Overwrite semantics (rebuild); growth is [[append]].
+   */
+  def save(corpus: DataFrame, id: String, vec: String, path: String,
+      m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+      codebooks: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    requireNumericId(corpus, id)
+    val dims = dimsOf(corpus, vec)
+    require(m > 0 && dims % m == 0, s"m=$m must divide the vector dims ($dims)")
+    val books = codebooks.getOrElse(
+      trainCodebooks(corpus, id, vec, m, ksub, iterations))
+    books.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
+    // encode against the JUST-SAVED codebooks — the file probes will load
+    val saved = spark.read.parquet(codebooksPath(path))
+    encode(corpus, id, vec, "vec_id", bookArray(saved), dims / m)
+      .write.mode("overwrite").parquet(codesPath(path))
+    IndexMeta.write(spark, path, Map("kind" -> "pq",
+      "dims" -> dims.toString, "m" -> m.toString,
+      "ksub" -> saved.select(max(col("cent_id"))).head.getInt(0).+(1).toString,
+      "scheme" -> SchemeVersion))
+  }
+
+  /** The index parameters recorded at [[save]] ([[IvfIndex.readParams]]'
+    * twin). */
+  def readParams(spark: SparkSession, path: String): Map[String, String] =
+    IndexMeta.read(spark, path)
+
+  def loadCodebooks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(codebooksPath(path))
+
+  def loadCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(codesPath(path))
+
+  /** Geometry/scheme drift guard — [[IvfIndex]]'s checkCompat for PQ. */
+  private def checkCompat(spark: SparkSession, path: String,
+      df: DataFrame, vec: String, op: String): Map[String, String] = {
+    val saved = IndexMeta.read(spark, path)
+    require(saved.nonEmpty, s"no PQ index marker at $path — not a PQ index?")
+    saved.get("scheme").filter(_ != SchemeVersion).foreach { sc =>
+      throw new IllegalStateException(
+        s"PQ index at $path encodes scheme '$sc' but this build is " +
+          s"'$SchemeVersion' — codes from different schemes mis-rank; rebuild")
+    }
+    val batchDims = df.select(size(col(vec)).cast("int").as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    (saved.get("dims").map(_.toInt), batchDims) match {
+      case (Some(d0), Some(d)) if d0 != d =>
+        throw new IllegalStateException(
+          s"PQ index at $path was built for $d0-dim vectors but this $op " +
+            s"batch carries $d dims — subvector split would be wrong; rebuild")
+      case _ => ()
+    }
+    saved
+  }
+
+  /** Encode an accepted ingest batch with the saved codebooks and append
+    * its codes — the nightly-growth path ([[IvfIndex.append]]'s twin). */
+  def append(batch: DataFrame, id: String, vec: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    requireNumericId(batch, id)
+    val meta = checkCompat(spark, path, batch, vec, "append")
+    val dsub = meta("dims").toInt / meta("m").toInt
+    encode(batch, id, vec, "vec_id", bookArray(loadCodebooks(spark, path)), dsub)
+      .write.mode("append").parquet(codesPath(path))
+  }
+
+  /**
+   * ADC top-k: per query one m×ksub inner-product lookup table (one
+   * projection against the broadcast codebooks), then every stored code
+   * row scores in m lookups+adds — the scan and the heap aggregate touch
+   * code bytes only, never float vectors. Keeps `candidates` per query by
+   * approximate score (desc, id asc).
+   *
+   * `rerank`: exact refinement — fetch ONLY the candidates' full vectors
+   * from the given `(id, vec)` table and re-score with the quantized-exact
+   * cosine ([[Similarity.bruteForceTopK]]'s arithmetic), returning top-k of
+   * `(query_id, neighbor_id, rank, cosine)`. When the candidate id set is
+   * small (≤ [[IsinPushdownCap]]) it is pushed into the vector scan as a
+   * static IN filter — parquet row-group pruning, the [[IvfIndex.probe]]
+   * touched-cells discipline — else a broadcast semi-join prunes post-scan.
+   * Without `rerank`, rows are `(query_id, neighbor_id, rank, pq_score)`
+   * and `candidates` is the k.
+   */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      qId: String, qVec: String, candidates: Int,
+      rerank: Option[(DataFrame, String, String)] = None,
+      k: Int = 10): DataFrame = {
+    require(candidates > 0, s"candidates must be positive, got $candidates")
+    val meta = checkCompat(spark, path, queries, qVec, "probe")
+    val dsub = meta("dims").toInt / meta("m").toInt
+    val books = bookArray(loadCodebooks(spark, path))
+    // per-query ADC lookup table: lut[s][code+1] = <q_s, codeword>; the
+    // batch is small by contract → broadcast to the codes scan
+    val q = withUnit(queries.select(col(qId).as("query_id"), col(qVec).as("__pv")),
+        "__pv")
+      .crossJoin(broadcast(books))
+      .select(col("query_id"),
+        transform(col("__books"), sb =>
+          transform(sb.getField("cents"), ct =>
+            dot(slice(col("__xn"), sb.getField("s") * dsub + 1, lit(dsub)),
+              ct.getField("cvec")))).as("__lut"))
+      // a zero-norm query has no direction: no LUT, no candidates (the
+      // same "carries no direction" rule the encoder applies to the corpus)
+      .filter(col("__lut").isNotNull)
+    val scored = loadCodes(spark, path).crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("pq_score",
+        aggregate(zip_with(col("__lut"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), (s, x) => s + x))
+    val cands = scored
+      .groupBy(col("query_id"))
+      .agg(Similarity.boundedTopK(col("pq_score"), col("vec_id").cast("long"),
+        candidates).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("pq_score"))
+    rerank match {
+      case None => cands
+      case Some((full, fId, fVec)) =>
+        // candidate ids: ≤ |queries| × candidates by construction (bounded
+        // heap), so the collect is bounded no matter the corpus size
+        val pairs = cands.select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val ids = pairs.select(col("neighbor_id")).distinct()
+          .collect().map(_.getLong(0))
+        val fetchedBase = full.select(col(fId).cast("long").as("neighbor_id"),
+          Vectors.quantize(col(fVec)).as("__cv"))
+        val fetched =
+          if (ids.length <= IsinPushdownCap)
+            // static IN filter reaches the parquet scan (row-group pruning)
+            fetchedBase.filter(col("neighbor_id").isin(ids.map(Long.box): _*))
+          else
+            fetchedBase.join(
+              broadcast(pairs.select(col("neighbor_id")).distinct()),
+              Seq("neighbor_id"), "left_semi")
+        val qq = Similarity.queriesQuantized(queries, qId, qVec)
+        val exact = fetched.join(broadcast(pairs), Seq("neighbor_id"))
+          .join(broadcast(qq), Seq("query_id"))
+          .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
+          .withColumn("cosine",
+            Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+          .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        Similarity.rankTopKPublic(exact, k)
+    }
+  }
+
+  /** Per-subspace code-usage histogram `(s, code, n)` — the imbalance
+    * audit ([[IvfIndex.cellStats]]' twin): a code soaking up most of a
+    * subspace means its codeword sits on a density mode and ADC loses
+    * resolution there; remedy is retraining that subspace (cheap — one
+    * corpus pass) or raising ksub. */
+  def codeStats(spark: SparkSession, path: String): DataFrame =
+    loadCodes(spark, path)
+      .select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy(col("s"), col("code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s").asc, col("n").desc, col("code").asc)
+
+  /** Codes ride the BoundedTopK heap as BIGINT — the [[IvfIndex]]
+    * numeric-id contract; fail up front, not as a null-cast NPE mid-job. */
+  private def requireNumericId(df: DataFrame, id: String): Unit =
+    require(df.schema(id).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"PqIndex stores numeric vector ids; column '$id' has type " +
+        s"${df.schema(id).dataType} — map string ids to a stable numeric " +
+        "key first")
+
+  /** Above this many candidate ids, the rerank fetch switches from a
+    * pushed-down IN filter to a broadcast semi-join (a giant IN list costs
+    * more to evaluate per row-group than it prunes). */
+  val IsinPushdownCap = 10000
+}

@@ -105,6 +105,19 @@ object Similarity {
     }
   }
 
+  /** Quantized query frame `(query_id, __qv, __qn)` — the broadcast side
+    * every probe variant builds; shared so PqIndex's exact re-rank uses the
+    * same arithmetic as bruteForceTopK. */
+  private[operators] def queriesQuantized(
+      queries: DataFrame, qId: String, qVec: String): DataFrame =
+    queries.select(col(qId).as("query_id"),
+        Vectors.quantize(col(qVec)).as("__qv"))
+      .withColumn("__qn", Vectors.dotQ(col("__qv"), col("__qv")))
+
+  /** [[rankTopK]] for sibling operator packages (same contract). */
+  private[operators] def rankTopKPublic(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored, k)
+
   /**
    * Brute-force top-k via the bounded heap aggregate instead of a window
    * sort: partial aggregation keeps only k candidates per query on the map

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{PqIndex, Similarity}
+
+class PqIndexSpec extends AnyFunSuite with SparkSpec {
+
+  /** Deterministic clustered corpus: `n` vectors of `dims` dims in four
+    * quadrant-ish clusters keyed by id — near neighbors share a cluster, so
+    * ADC ranking has real structure to find. */
+  private def corpus(n: Int, dims: Int = 8): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(dims) { d =>
+        val centre = if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f
+        centre + 0.05f * (((i * 31 + d * 7) % 11) - 5)
+      }
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def newPath(): String =
+    TempDirs.create("graft-pq").resolve("idx").toString
+
+  // --------------------------------------------------------------- training
+
+  test("trainCodebooks: dense codes 0..ksub-1 in every subspace") {
+    val books = PqIndex.trainCodebooks(corpus(64), "vec_id", "embedding",
+      m = 4, ksub = 4, iterations = 2)
+    val bySub = books.collect()
+      .groupBy(_.getInt(0))
+      .map { case (s, rows) => s -> rows.map(_.getInt(1)).sorted.toSeq }
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach(codes => assert(codes == Seq(0, 1, 2, 3)))
+    // codewords carry dsub = 8/4 = 2 dims
+    assert(books.select(size(col("cvec"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("trainCodebooks: rejects m not dividing dims") {
+    intercept[IllegalArgumentException] {
+      PqIndex.trainCodebooks(corpus(16), "vec_id", "embedding", m = 3, ksub = 2)
+    }
+  }
+
+  // ------------------------------------------------------------ save/probe
+
+  test("save records geometry; codes are m ints within [0, ksub)") {
+    val path = newPath()
+    PqIndex.save(corpus(64), "vec_id", "embedding", path, m = 4, ksub = 4)
+    val meta = PqIndex.readParams(spark, path)
+    assert(meta("kind") == "pq" && meta("dims") == "8" && meta("m") == "4"
+      && meta("ksub") == "4" && meta("scheme") == PqIndex.SchemeVersion)
+    val codes = PqIndex.loadCodes(spark, path).collect()
+    assert(codes.length == 64)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 4))
+    }
+  }
+
+  test("ADC scores match a driver-side reference computation") {
+    val path = newPath()
+    val c = corpus(32)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    val q = c.filter(col("vec_id") === 3)
+    val got = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 31)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // reference: unit-normalize in Scala, look up each stored code's word
+    val books = PqIndex.loadCodebooks(spark, path).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val vecs = c.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val codes = PqIndex.loadCodes(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val qn = unit(vecs(3L))
+    got.foreach { case (nid, score) =>
+      val expected = codes(nid).zipWithIndex.map { case (code, s) =>
+        val cw = books((s, code))
+        qn.slice(s * 2, s * 2 + 2).zip(cw).map { case (a, b) => a * b }.sum
+      }.sum
+      assert(math.abs(score - expected) < 1e-9,
+        s"neighbor $nid: got $score, expected $expected")
+    }
+    assert(got.size == 31 && !got.contains(3L)) // self excluded
+  }
+
+  test("probe + exact re-rank over ALL candidates equals brute force") {
+    val path = newPath()
+    val c = corpus(60)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    val q = c.filter(col("vec_id") < 3)
+    val got = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 60, rerank = Some((c, "vec_id", "embedding")), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val want = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("narrow candidate budget still recalls most true neighbors") {
+    val path = newPath()
+    val c = corpus(200)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 8)
+    val q = c.filter(col("vec_id") < 4)
+    val truth = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 30, rerank = Some((c, "vec_id", "embedding")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall@10 with 30/200 candidates = $recall")
+  }
+
+  test("append: new vectors are probe-able; drift guards fail fast") {
+    import spark.implicits._
+    val path = newPath()
+    val c = corpus(40)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    // append an exact copy of vector 5 under a new id → after exact
+    // re-rank it must come first for query 5 (cosine exactly 1). The ADC
+    // candidate budget covers the corpus: with 4×4 codebooks the twin's
+    // codes tie with its whole cluster and the id tie-break would
+    // otherwise cut the HIGH id out of a narrow candidate set
+    val twin = c.filter(col("vec_id") === 5)
+      .select(lit(1005L).as("vec_id"), col("embedding"))
+    PqIndex.append(twin, "vec_id", "embedding", path)
+    val top = PqIndex.probe(spark, path, c.filter(col("vec_id") === 5),
+        "vec_id", "embedding", candidates = 41,
+        rerank = Some((c.unionByName(twin), "vec_id", "embedding")), k = 1)
+      .collect()
+    assert(top.head.getLong(1) == 1005L && top.head.getDouble(3) > 0.999999)
+    // dim drift: 6-dim batch against the 8-dim index
+    val drifted = Seq((9000L, Seq.fill(6)(0.5f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalStateException] {
+      PqIndex.append(drifted, "vec_id", "embedding", path)
+    }
+    assert(e1.getMessage.contains("8-dim"))
+    val e2 = intercept[IllegalStateException] {
+      PqIndex.probe(spark, path, drifted, "vec_id", "embedding", 5)
+    }
+    assert(e2.getMessage.contains("dims"))
+  }
+
+  test("zero-norm vectors: dropped at save, no candidates as queries") {
+    import spark.implicits._
+    val zero = Seq((100L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val path = newPath()
+    PqIndex.save(corpus(16).unionByName(zero), "vec_id", "embedding", path,
+      m = 4, ksub = 4)
+    assert(PqIndex.loadCodes(spark, path).filter(col("vec_id") === 100).count() == 0)
+    assert(PqIndex.probe(spark, path, zero, "vec_id", "embedding", 5).count() == 0)
+  }
+
+  test("codeStats: per-subspace histogram covers every stored row") {
+    val path = newPath()
+    PqIndex.save(corpus(48), "vec_id", "embedding", path, m = 4, ksub = 4)
+    val stats = PqIndex.codeStats(spark, path).collect()
+    val bySub = stats.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach(total => assert(total == 48L))
+  }
+
+  test("probe scans codes only — the full-vector table stays untouched") {
+    val path = newPath()
+    val c = corpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    val plan = PqIndex.probe(spark, path,
+        c.filter(col("vec_id") === 0).localCheckpoint(true),
+        "vec_id", "embedding", candidates = 10)
+      .queryExecution.executedPlan.toString
+    // the data-sized file scan in the ADC plan is the codes table — the
+    // corpus's full-vector parquet never appears (no rerank requested);
+    // the query/codebook sides enter through broadcast exchanges
+    assert(plan.contains("/codes]"), plan)
+    assert(!plan.contains("docs") && !plan.contains("embeddings.parquet"),
+      s"ADC scoring must not scan a full-vector table:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}
