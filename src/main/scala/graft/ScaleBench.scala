@@ -292,9 +292,12 @@ object ScaleBench {
         val pqPath = s"$scratch/pq_$n"
         val t0 = System.nanoTime()
         // m=8 four-dim subspaces, 16 codewords each: a 32-dim float vector
-        // (≈132 B of parquet) becomes 8 small ints (≈12 B encoded)
+        // (≈132 B of parquet) becomes 8 small ints (≈12 B encoded).
+        // Codebooks train on the deterministic 10% hash sample — the
+        // standard PQ discipline (they converge on a sample; the full
+        // corpus only pays the one-pass encode)
         PqIndex.save(docs, "doc_id", "embedding", pqPath,
-          m = 8, ksub = 16, iterations = 2)
+          m = 8, ksub = 16, iterations = 2, trainFraction = 0.1)
         println(s"""{"op":"pq_index_build","docs":$n,""" +
           s""""sec":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
         timedRuns(n, "pq_adc_probe")(() =>
@@ -304,19 +307,35 @@ object ScaleBench {
           PqIndex.probe(spark, pqPath, queries, "doc_id", "embedding",
             candidates = 100, rerank = Some((docs, "doc_id", "embedding")),
             k = 10).count())
-        // recall vs the exact answer, once (correctness evidence, untimed)
+        // composed IVF×PQ: the probe touches nprobe/64 of the corpus AND
+        // pays code bytes for it — both levers in one number
+        val ivfpqPath = s"$scratch/ivfpq_$n"
+        val t1 = System.nanoTime()
+        graft.operators.IvfPqIndex.save(docs, "doc_id", "embedding",
+          ivfpqPath, numCells = 64, m = 8, ksub = 16, iterations = 2,
+          trainFraction = 0.1)
+        println(s"""{"op":"ivfpq_index_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - t1) / 1e7) / 100}}""")
+        timedRuns(n, "ivfpq_rerank_probe")(() =>
+          graft.operators.IvfPqIndex.probe(spark, ivfpqPath, queries,
+            "doc_id", "embedding", candidates = 100, nprobe = 8,
+            rerank = Some((docs, "doc_id", "embedding")), k = 10).count())
+        // recall vs the exact answer, once per candidate budget (the
+        // recall-vs-bytes tradeoff curve; untimed correctness evidence)
         val truth = Similarity.bruteForceTopKAgg(queries, docs, "doc_id",
             "doc_id", "embedding", "embedding", k = 10)
           .select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val got = PqIndex.probe(spark, pqPath, queries, "doc_id", "embedding",
-            candidates = 100, rerank = Some((docs, "doc_id", "embedding")),
-            k = 10)
-          .select("query_id", "neighbor_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val recall = math.rint(1000.0 * (truth & got).size / truth.size) / 1000
-        println(s"""{"op":"pq_recall_at_10","docs":$n,""" +
-          s""""candidates":100,"recall":$recall}""")
+        Seq(100, 1000, 10000).foreach { cand =>
+          val got = PqIndex.probe(spark, pqPath, queries, "doc_id",
+              "embedding", candidates = cand,
+              rerank = Some((docs, "doc_id", "embedding")), k = 10)
+            .select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = math.rint(1000.0 * (truth & got).size / truth.size) / 1000
+          println(s"""{"op":"pq_recall_at_10","docs":$n,""" +
+            s""""candidates":$cand,"recall":$recall}""")
+        }
       }
 
       // ---- zorder tier: 2-D selective scan on z-ordered vs sorted layout

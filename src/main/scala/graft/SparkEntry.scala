@@ -1155,6 +1155,24 @@ object SparkEntry {
           "vec_id", "embedding", candidates = 5000,
           rerank = Some((e, "vec_id", "embedding")), k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path 5 — IVF×PQ composed (the production layout): coarse
+    // cells prune which rows a probe reads (partitioned directories), PQ
+    // codes shrink what each row costs. nprobe = all cells + all-covering
+    // re-rank collapses to brute force — same oracle as q31/q82, so the
+    // hash match proves cells, codes, LUTs, and the pruning scan are all
+    // invisible in the exact path. BENCH NOTE: self-contained — timed cost
+    // is build + probe; steady-state probes are ScaleBench's pq tier.
+    "q83_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Scratch.dir("graft_q83_").resolve("ivfpq_index").toString
+      graft.operators.IvfPqIndex.save(e, "vec_id", "embedding", idx,
+        numCells = 8, m = 8, ksub = 8, iterations = 1)
+      graft.operators.IvfPqIndex.probe(s, idx, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", candidates = 5000, nprobe = 8,
+          rerank = Some((e, "vec_id", "embedding")), k = 10)
+        .orderBy("query_id", "rank")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2229,7 +2247,10 @@ object SparkEntry {
 
     // PQ probe with an all-covering exact re-rank ≡ brute force: the codes
     // and codebooks must be invisible in the result (q31's oracle verbatim)
-    "q82_ann_pq" -> BruteTopKSql)
+    "q82_ann_pq" -> BruteTopKSql,
+
+    // IVF×PQ with nprobe = all cells + all-covering re-rank ≡ brute force
+    "q83_ann_ivfpq" -> BruteTopKSql)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/**
+ * IVF + PQ composed — the production ANN layout (FAISS's IVFPQ shape;
+ * Jégou et al. 2011 §V): the coarse IVF quantizer prunes WHICH rows a
+ * probe reads (cell-partitioned directories, [[IvfIndex]]'s discipline)
+ * and PQ codes shrink what each surviving row costs (m ints instead of a
+ * float vector, [[PqIndex]]'s discipline). A probe touches
+ * `nprobe/numCells` of the corpus AND pays only code bytes for it —
+ * the two levers multiply.
+ *
+ * Layout under `path`:
+ *   - `centroids` — the coarse quantizer (quantized ints, [[Similarity]]
+ *     conventions; pass [[Similarity.kmeansCentroids]] output or default
+ *     id-subset cells)
+ *   - `codebooks` — PQ codebooks over unit vectors (shared scheme with
+ *     [[PqIndex]]: same `SchemeVersion`, same dense-code layout)
+ *   - `cells` — `(vec_id, codes, cell)` partitioned by `cell`,
+ *     range-clustered before the write (file count scales with touched
+ *     cells, not tasks × cells — [[IvfIndex]]'s write discipline)
+ *
+ * Encoding is direct (unit vector → codes), not the residual (x − c)
+ * variant: residual codes recall better at equal m/ksub but tie every
+ * code to its cell (append-time re-encode on re-split, per-cell LUTs at
+ * probe); the direct form keeps codes cell-independent — [[resplitCell]]
+ * -style maintenance could move rows WITHOUT re-encoding — and lets one
+ * codebook train serve both this index and a standalone [[PqIndex]].
+ * The recall cost is measured, not guessed (ScaleBench pq tier).
+ *
+ * Probe: queries are assigned their `nprobe` nearest cells (broadcast
+ * argmax, zero shuffle) and ONE m×ksub ADC lookup table each; the cells
+ * scan carries a static `cell IN (...)` filter (directory pruning — only
+ * the touched cell directories are read), each code row scores in m
+ * lookups + adds, the bounded heap keeps `candidates` per query, and the
+ * optional exact re-rank refines against full vectors exactly like
+ * [[PqIndex.probe]]. With `nprobe = numCells` and all-covering
+ * `candidates`, the result is EXACTLY brute force (oracle-checked).
+ */
+object IvfPqIndex {
+
+  private val CellCol = "cell"
+
+  private def centroidsPath(path: String) = s"$path/centroids"
+  private def codebooksPath(path: String) = s"$path/codebooks"
+  private def cellsPath(path: String) = s"$path/cells"
+
+  private def recordMeta(spark: SparkSession, path: String, dims: Int,
+      numCentroids: Long, m: Int, ksub: Int): Unit =
+    IndexMeta.write(spark, path, Map("kind" -> "ivfpq",
+      "dims" -> dims.toString, "numCentroids" -> numCentroids.toString,
+      "m" -> m.toString, "ksub" -> ksub.toString,
+      "scheme" -> PqIndex.SchemeVersion,
+      "quantization" -> IvfIndex.QuantizationVersion))
+
+  /** The index parameters recorded at [[save]]. */
+  def readParams(spark: SparkSession, path: String): Map[String, String] =
+    IndexMeta.read(spark, path)
+
+  /** Geometry/scheme drift guard — both parents' checks in one marker. */
+  private def checkCompat(spark: SparkSession, path: String,
+      df: DataFrame, vec: String, op: String): Map[String, String] = {
+    val saved = IndexMeta.read(spark, path)
+    require(saved.nonEmpty, s"no IVFPQ index marker at $path")
+    saved.get("scheme").filter(_ != PqIndex.SchemeVersion).foreach { sc =>
+      throw new IllegalStateException(
+        s"IVFPQ index at $path encodes scheme '$sc' but this build is " +
+          s"'${PqIndex.SchemeVersion}' — codes mis-rank; rebuild")
+    }
+    saved.get("quantization")
+        .filter(_ != IvfIndex.QuantizationVersion).foreach { q =>
+      throw new IllegalStateException(
+        s"IVFPQ index at $path assigns cells on quantization '$q' but this " +
+          s"build uses '${IvfIndex.QuantizationVersion}' — cell routing " +
+          "drifts; rebuild")
+    }
+    val batchDims = df.select(size(col(vec)).cast("int").as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    (saved.get("dims").map(_.toInt), batchDims) match {
+      case (Some(d0), Some(d)) if d0 != d =>
+        throw new IllegalStateException(
+          s"IVFPQ index at $path was built for $d0-dim vectors but this " +
+            s"$op batch carries $d dims — rebuild the index or fix the batch")
+      case _ => ()
+    }
+    saved
+  }
+
+  /** Assign `cell` (coarse argmax over broadcast centroids, quantized
+    * cosine) AND `codes` (PQ argmin over broadcast codebooks, unit-L2
+    * domain) in ONE projection over the batch — no self-join of the
+    * corpus against itself to marry the two labels. */
+  private def encodeWithCells(df: DataFrame, id: String, vec: String,
+      centArr: DataFrame, books: DataFrame, m: Int, dsub: Int): DataFrame =
+    PqIndex.withUnit(
+        df.select(col(id).cast("long").as("vec_id"), col(vec).as("__pv")),
+        "__pv")
+      .filter(col("__xn").isNotNull) // zero-norm: no direction, no cell
+      .withColumn("__v", Vectors.quantize(col("__pv")))
+      .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
+      .withColumn("__subs", PqIndex.subsColumn(m, dsub))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(books))
+      .select(col("vec_id"),
+        PqIndex.codesColumn(col("__books"), col("__subs")).as("codes"),
+        array_min(transform(col("__cents"), ct =>
+          struct(
+            coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
+                col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
+              .as("nsim"),
+            ct.getField("cent_id").as(CellCol))))
+          .getField(CellCol).cast("int").as(CellCol))
+      // cluster by cell range before the partitioned write (file-count
+      // hygiene — IvfIndex.assignForStorage's reasoning verbatim)
+      .repartitionByRange(col(CellCol))
+
+  /**
+   * Build and persist: coarse centroids + PQ codebooks (trained on the
+   * deterministic `trainFraction` hash sample) + cell-partitioned codes.
+   * Overwrite semantics; growth is [[append]].
+   */
+  def save(corpus: DataFrame, id: String, vec: String, path: String,
+      numCells: Int = 64, m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val dims = corpus.select(size(col(vec)).cast("int")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty corpus"))
+    require(m > 0 && dims % m == 0, s"m=$m must divide the vector dims ($dims)")
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
+    val cents = centroids.getOrElse(
+      Similarity.defaultCentroids(corpus, id, vec, numCells))
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    val books = codebooks.getOrElse(
+      PqIndex.trainCodebooks(trainSet, id, vec, m, ksub, iterations))
+    books.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
+    // encode against the JUST-SAVED artifacts — the files probes will load
+    val savedCents = spark.read.parquet(centroidsPath(path))
+    val savedBooks = spark.read.parquet(codebooksPath(path))
+    encodeWithCells(corpus, id, vec, Similarity.centroidArray(savedCents),
+        PqIndex.bookArray(savedBooks), m, dims / m)
+      .write.mode("overwrite").partitionBy(CellCol).parquet(cellsPath(path))
+    recordMeta(spark, path, dims, savedCents.count(), m,
+      savedBooks.select(max(col("cent_id"))).head.getInt(0) + 1)
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
+  def loadCodebooks(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(codebooksPath(path))
+
+  /** The stored assignment `(vec_id, codes, cell)`. */
+  def loadCells(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(cellsPath(path))
+
+  /** Encode + cell-assign an ingest batch with the SAVED artifacts and
+    * append — only the touched cell directories gain files. */
+  def append(batch: DataFrame, id: String, vec: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = checkCompat(spark, path, batch, vec, "append")
+    val m = meta("m").toInt
+    encodeWithCells(batch, id, vec,
+        Similarity.centroidArray(loadCentroids(spark, path)),
+        PqIndex.bookArray(loadCodebooks(spark, path)),
+        m, meta("dims").toInt / m)
+      .write.mode("append").partitionBy(CellCol).parquet(cellsPath(path))
+  }
+
+  /**
+   * Cell-pruned ADC top-k: each query reads only its `nprobe` nearest
+   * cells' code rows (static `cell IN` → directory pruning), scores them
+   * in m lookups + adds, keeps `candidates` in the bounded heap, and —
+   * with `rerank` — refines exactly against full vectors. Output matches
+   * [[PqIndex.probe]]'s shapes.
+   */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      qId: String, qVec: String, candidates: Int, nprobe: Int = 1,
+      rerank: Option[(DataFrame, String, String)] = None,
+      k: Int = 10): DataFrame = {
+    require(candidates > 0, s"candidates must be positive, got $candidates")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val meta = checkCompat(spark, path, queries, qVec, "probe")
+    val m = meta("m").toInt
+    val dsub = meta("dims").toInt / m
+    val centArr = Similarity.centroidArray(loadCentroids(spark, path))
+    val books = PqIndex.bookArray(loadCodebooks(spark, path))
+    // one projection per query row: nprobe nearest cells + the ADC LUT;
+    // eagerly pinned (small by contract) so the touched-cell collect and
+    // the probe join share one computation, detached from the on-disk
+    // files a concurrent append might be touching
+    val q = PqIndex.withUnit(
+        queries.select(col(qId).as("query_id"), col(qVec).as("__pv")), "__pv")
+      .filter(col("__xn").isNotNull)
+      .withColumn("__v", Vectors.quantize(col("__pv")))
+      .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
+      .withColumn("__subs", PqIndex.subsColumn(m, dsub))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(books))
+      .select(col("query_id"),
+        explode(slice(array_sort(transform(col("__cents"), ct =>
+          struct(
+            coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
+                col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
+              .as("nsim"),
+            ct.getField("cent_id").as(CellCol)))), 1, nprobe)).as("__near"),
+        PqIndex.lutColumn(col("__books"), col("__subs")).as("__lut"))
+      .select(col("query_id"),
+        col("__near").getField(CellCol).cast("int").as(CellCol), col("__lut"))
+      .localCheckpoint(true)
+    // touched cells: ≤ numCentroids values by construction
+    val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
+    val scored = loadCells(spark, path)
+      .filter(col(CellCol).isin(touched.map(Int.box): _*))
+      .join(broadcast(q), Seq(CellCol))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("pq_score", PqIndex.adcScore(col("__lut"), col("codes")))
+    val cands = PqIndex.adcTopCandidates(scored, candidates)
+    rerank match {
+      case None => cands
+      case Some((full, fId, fVec)) =>
+        PqIndex.exactRerank(cands, queries, qId, qVec, full, fId, fVec, k)
+    }
+  }
+
+  /** Per-cell row counts, largest first — [[IvfIndex.cellStats]]' audit
+    * over the composed index. */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    loadCells(spark, path).groupBy(col(CellCol))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("n_vectors").desc, col(CellCol).asc)
+}

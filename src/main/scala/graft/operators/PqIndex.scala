@@ -59,13 +59,23 @@ object PqIndex {
 
   /** `(… , __xn array<double>)`: L2-normalized double vector, null for
     * zero-norm/null input. */
-  private def withUnit(df: DataFrame, vec: String): DataFrame = {
+  private[operators] def withUnit(df: DataFrame, vec: String): DataFrame = {
     val x = col(vec).cast("array<double>")
     df.withColumn("__n2", dot(x, x))
       .withColumn("__xn",
         when(col("__n2") > 0.0, transform(x, v => v / sqrt(col("__n2")))))
       .drop("__n2")
   }
+
+  /** The m subvector slices of `__xn`, materialized ONCE per row as an
+    * array column. Inlining `slice` into the per-codeword lambdas instead
+    * re-slices (and re-allocates) per (subspace × codeword) evaluation —
+    * measured as the dominant cost of encoding 1M vectors. Aligned by
+    * position with [[bookArray]]'s subspace order, so `zip_with` walks
+    * both in lock-step. */
+  private[operators] def subsColumn(m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col("__xn"), s * dsub + 1, lit(dsub)))
 
   /** Vector dims off the first row — one tiny job; the caller's frames are
     * small or the value is read once at save time. */
@@ -151,7 +161,7 @@ object PqIndex {
   /** One-row frame `(__books array<struct<s, cents array<struct<cent_id,
     * cvec, cn2>>>>)`, subspaces AND codes sorted — broadcast for encode
     * (argmin needs cn2) and ADC (lookup indexes by position = dense code). */
-  private def bookArray(codebooks: DataFrame): DataFrame =
+  private[operators] def bookArray(codebooks: DataFrame): DataFrame =
     codebooks
       .groupBy(col("s")).agg(sort_array(collect_list(struct(
         col("cent_id"), col("cvec"), dot(col("cvec"), col("cvec")).as("cn2"))))
@@ -159,23 +169,32 @@ object PqIndex {
       .agg(sort_array(collect_list(struct(col("s"), col("cents"))))
         .as("__books"))
 
+  /** The per-subspace nearest-codeword codes off aligned `__books` /
+    * `__subs` columns — shared with the IVF+PQ composition. */
+  private[operators] def codesColumn(books: Column, subs: Column): Column =
+    zip_with(books, subs, (sb, sub) =>
+      array_min(transform(sb.getField("cents"), ct =>
+        struct(
+          coalesce(ct.getField("cn2") - lit(2.0) * dot(sub, ct.getField("cvec")),
+            lit(Double.MaxValue)).as("d2"),
+          ct.getField("cent_id").as("code"))))
+        .getField("code"))
+
+  /** The per-subspace ADC lookup table (lut[s][code+1] = <q_s, codeword>)
+    * off aligned `__books` / `__subs` columns. */
+  private[operators] def lutColumn(books: Column, subs: Column): Column =
+    zip_with(books, subs, (sb, sub) =>
+      transform(sb.getField("cents"), ct => dot(sub, ct.getField("cvec"))))
+
   /** Encode each row's unit vector as `m` dense codes (broadcast argmin,
     * zero shuffle): `(<outId>, codes array<int>)`; zero-norm rows dropped. */
   private def encode(df: DataFrame, id: String, vec: String, outId: String,
-      books: DataFrame, dsub: Int): DataFrame =
+      books: DataFrame, m: Int, dsub: Int): DataFrame =
     withUnit(df.select(col(id).as(outId), col(vec).as("__pv")), "__pv")
       .filter(col("__xn").isNotNull)
+      .withColumn("__subs", subsColumn(m, dsub))
       .crossJoin(broadcast(books))
-      .select(col(outId),
-        transform(col("__books"), sb =>
-          array_min(transform(sb.getField("cents"), ct =>
-            struct(
-              coalesce(ct.getField("cn2") - lit(2.0) *
-                  dot(slice(col("__xn"), sb.getField("s") * dsub + 1, lit(dsub)),
-                    ct.getField("cvec")),
-                lit(Double.MaxValue)).as("d2"),
-              ct.getField("cent_id").as("code"))))
-            .getField("code")).as("codes"))
+      .select(col(outId), codesColumn(col("__books"), col("__subs")).as("codes"))
 
   /**
    * Train codebooks on `corpus` and persist codebooks + codes + geometry
@@ -183,17 +202,28 @@ object PqIndex {
    */
   def save(corpus: DataFrame, id: String, vec: String, path: String,
       m: Int = 8, ksub: Int = 16, iterations: Int = 3,
-      codebooks: Option[DataFrame] = None): Unit = {
+      codebooks: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     requireNumericId(corpus, id)
     val dims = dimsOf(corpus, vec)
     require(m > 0 && dims % m == 0, s"m=$m must divide the vector dims ($dims)")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    // codebooks converge on a sample long before the full corpus (the
+    // standard PQ training discipline); the sample is the deterministic
+    // md5-bucket subset, so retrains are reproducible and consistent with
+    // the corpus's split/mix hash order
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
     val books = codebooks.getOrElse(
-      trainCodebooks(corpus, id, vec, m, ksub, iterations))
+      trainCodebooks(trainSet, id, vec, m, ksub, iterations))
     books.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     // encode against the JUST-SAVED codebooks — the file probes will load
     val saved = spark.read.parquet(codebooksPath(path))
-    encode(corpus, id, vec, "vec_id", bookArray(saved), dims / m)
+    encode(corpus, id, vec, "vec_id", bookArray(saved), m, dims / m)
       .write.mode("overwrite").parquet(codesPath(path))
     IndexMeta.write(spark, path, Map("kind" -> "pq",
       "dims" -> dims.toString, "m" -> m.toString,
@@ -241,7 +271,8 @@ object PqIndex {
     requireNumericId(batch, id)
     val meta = checkCompat(spark, path, batch, vec, "append")
     val dsub = meta("dims").toInt / meta("m").toInt
-    encode(batch, id, vec, "vec_id", bookArray(loadCodebooks(spark, path)), dsub)
+    encode(batch, id, vec, "vec_id", bookArray(loadCodebooks(spark, path)),
+      meta("m").toInt, dsub)
       .write.mode("append").parquet(codesPath(path))
   }
 
@@ -268,61 +299,79 @@ object PqIndex {
       k: Int = 10): DataFrame = {
     require(candidates > 0, s"candidates must be positive, got $candidates")
     val meta = checkCompat(spark, path, queries, qVec, "probe")
-    val dsub = meta("dims").toInt / meta("m").toInt
+    val m = meta("m").toInt
+    val dsub = meta("dims").toInt / m
     val books = bookArray(loadCodebooks(spark, path))
     // per-query ADC lookup table: lut[s][code+1] = <q_s, codeword>; the
     // batch is small by contract → broadcast to the codes scan
     val q = withUnit(queries.select(col(qId).as("query_id"), col(qVec).as("__pv")),
         "__pv")
+      .withColumn("__subs", subsColumn(m, dsub))
       .crossJoin(broadcast(books))
       .select(col("query_id"),
-        transform(col("__books"), sb =>
-          transform(sb.getField("cents"), ct =>
-            dot(slice(col("__xn"), sb.getField("s") * dsub + 1, lit(dsub)),
-              ct.getField("cvec")))).as("__lut"))
+        lutColumn(col("__books"), col("__subs")).as("__lut"))
       // a zero-norm query has no direction: no LUT, no candidates (the
       // same "carries no direction" rule the encoder applies to the corpus)
       .filter(col("__lut").isNotNull)
     val scored = loadCodes(spark, path).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("pq_score",
-        aggregate(zip_with(col("__lut"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0.0), (s, x) => s + x))
-    val cands = scored
+      .withColumn("pq_score", adcScore(col("__lut"), col("codes")))
+    val cands = adcTopCandidates(scored, candidates)
+    rerank match {
+      case None => cands
+      case Some((full, fId, fVec)) =>
+        exactRerank(cands, queries, qId, qVec, full, fId, fVec, k)
+    }
+  }
+
+  /** ADC approximate score: m lookups + adds against the per-query LUT. */
+  private[operators] def adcScore(lut: Column, codes: Column): Column =
+    aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Top-`candidates` per query by (pq_score desc, id asc) via the bounded
+    * heap — at most `candidates` rows per query cross the exchange. */
+  private[operators] def adcTopCandidates(
+      scored: DataFrame, candidates: Int): DataFrame =
+    scored
       .groupBy(col("query_id"))
       .agg(Similarity.boundedTopK(col("pq_score"), col("vec_id").cast("long"),
         candidates).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(col("query_id"), col("entry.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("entry.score").as("pq_score"))
-    rerank match {
-      case None => cands
-      case Some((full, fId, fVec)) =>
-        // candidate ids: ≤ |queries| × candidates by construction (bounded
-        // heap), so the collect is bounded no matter the corpus size
-        val pairs = cands.select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true)
-        val ids = pairs.select(col("neighbor_id")).distinct()
-          .collect().map(_.getLong(0))
-        val fetchedBase = full.select(col(fId).cast("long").as("neighbor_id"),
-          Vectors.quantize(col(fVec)).as("__cv"))
-        val fetched =
-          if (ids.length <= IsinPushdownCap)
-            // static IN filter reaches the parquet scan (row-group pruning)
-            fetchedBase.filter(col("neighbor_id").isin(ids.map(Long.box): _*))
-          else
-            fetchedBase.join(
-              broadcast(pairs.select(col("neighbor_id")).distinct()),
-              Seq("neighbor_id"), "left_semi")
-        val qq = Similarity.queriesQuantized(queries, qId, qVec)
-        val exact = fetched.join(broadcast(pairs), Seq("neighbor_id"))
-          .join(broadcast(qq), Seq("query_id"))
-          .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
-          .withColumn("cosine",
-            Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-          .select(col("query_id"), col("neighbor_id"), col("cosine"))
-        Similarity.rankTopKPublic(exact, k)
-    }
+
+  /** Exact refinement of an approximate candidate list: fetch ONLY the
+    * candidates' full vectors (IN-pushdown under [[IsinPushdownCap]], else
+    * broadcast semi-join) and re-rank with the quantized-exact cosine —
+    * shared by the PQ and IVF+PQ probes. */
+  private[operators] def exactRerank(cands: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      full: DataFrame, fId: String, fVec: String, k: Int): DataFrame = {
+    // candidate ids: ≤ |queries| × candidates by construction (bounded
+    // heap), so the collect is bounded no matter the corpus size
+    val pairs = cands.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val ids = pairs.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0))
+    val fetchedBase = full.select(col(fId).cast("long").as("neighbor_id"),
+      Vectors.quantize(col(fVec)).as("__cv"))
+    val fetched =
+      if (ids.length <= IsinPushdownCap)
+        // static IN filter reaches the parquet scan (row-group pruning)
+        fetchedBase.filter(col("neighbor_id").isin(ids.map(Long.box): _*))
+      else
+        fetchedBase.join(
+          broadcast(pairs.select(col("neighbor_id")).distinct()),
+          Seq("neighbor_id"), "left_semi")
+    val qq = Similarity.queriesQuantized(queries, qId, qVec)
+    val exact = fetched.join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .withColumn("__cn", Vectors.dotQ(col("__cv"), col("__cv")))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.rankTopKPublic(exact, k)
   }
 
   /** Per-subspace code-usage histogram `(s, code, n)` — the imbalance
