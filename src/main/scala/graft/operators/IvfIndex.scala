@@ -93,7 +93,7 @@ object IvfIndex {
   /** Quantized centroid frame `(cent_id int, __cent, __centn)` with the
     * int-cell contract enforced (the frame is ≤ numCentroids rows, so the
     * guard collect is bounded by construction). */
-  private def intCentroids(cents: DataFrame): DataFrame = {
+  private[operators] def intCentroids(cents: DataFrame): DataFrame = {
     // a non-numeric id column (string uuids, which the in-memory window
     // fallback tolerates) must raise the contract error up front — ANSI
     // throws CAST_INVALID_INPUT mid-job and legacy mode casts to null and

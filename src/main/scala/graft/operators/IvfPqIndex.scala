@@ -128,6 +128,7 @@ object IvfPqIndex {
       codebooks: Option[DataFrame] = None,
       trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
+    PqIndex.requireNumericId(corpus, id)
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     val dims = corpus.select(size(col(vec)).cast("int")).limit(1)
@@ -138,11 +139,14 @@ object IvfPqIndex {
       if (trainFraction >= 1.0) corpus
       else corpus.filter(
         Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
-    val cents = centroids.getOrElse(
-      Similarity.defaultCentroids(corpus, id, vec, numCells))
+    // int-cell contract enforced like IvfIndex.save: a >32-bit or
+    // non-numeric centroid id would silently overflow the partition value
+    val cents = IvfIndex.intCentroids(centroids.getOrElse(
+      Similarity.defaultCentroids(corpus, id, vec, numCells)))
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
     val books = codebooks.getOrElse(
       PqIndex.trainCodebooks(trainSet, id, vec, m, ksub, iterations))
+    PqIndex.requireDenseCodes(books)
     books.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     // encode against the JUST-SAVED artifacts — the files probes will load
     val savedCents = spark.read.parquet(centroidsPath(path))
@@ -168,6 +172,7 @@ object IvfPqIndex {
     * append — only the touched cell directories gain files. */
   def append(batch: DataFrame, id: String, vec: String, path: String): Unit = {
     val spark = batch.sparkSession
+    PqIndex.requireNumericId(batch, id)
     val meta = checkCompat(spark, path, batch, vec, "append")
     val m = meta("m").toInt
     encodeWithCells(batch, id, vec,

@@ -94,6 +94,7 @@ object PqIndex {
    */
   def trainCodebooks(corpus: DataFrame, id: String, vec: String,
       m: Int, ksub: Int, iterations: Int = 3): DataFrame = {
+    requireNumericId(corpus, id) // a string id would null-cast silently
     val dims = dimsOf(corpus, vec)
     require(m > 0 && dims % m == 0,
       s"m=$m must divide the vector dims ($dims)")
@@ -158,6 +159,24 @@ object PqIndex {
     cents
   }
 
+  /** Every subspace's codes must be exactly 0..k-1 (dense): the ADC table
+    * indexes codewords BY POSITION (`element_at(lut, code + 1)`), so a
+    * gap or duplicate in externally-supplied codebooks would mis-index
+    * silently. [[trainCodebooks]] guarantees density; this guards the
+    * `codebooks`-param path at save time (m×ksub rows — bounded). */
+  private[operators] def requireDenseCodes(books: DataFrame): Unit = {
+    val bad = books.groupBy(col("s")).agg(
+        min(col("cent_id")).as("mn"), max(col("cent_id")).as("mx"),
+        countDistinct(col("cent_id")).as("nd"), count(lit(1)).as("n"))
+      .collect()
+      .filter(r => r.getInt(1) != 0 || r.getInt(2).toLong != r.getLong(3) - 1
+        || r.getLong(4) != r.getLong(3))
+    require(bad.isEmpty,
+      s"PQ codebooks must carry dense codes 0..k-1 per subspace (ADC " +
+        s"indexes by position); subspaces ${bad.map(_.getInt(0)).mkString(",")} " +
+        "have gaps or duplicates")
+  }
+
   /** One-row frame `(__books array<struct<s, cents array<struct<cent_id,
     * cvec, cn2>>>>)`, subspaces AND codes sorted — broadcast for encode
     * (argmin needs cn2) and ADC (lookup indexes by position = dense code). */
@@ -220,6 +239,7 @@ object PqIndex {
         Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
     val books = codebooks.getOrElse(
       trainCodebooks(trainSet, id, vec, m, ksub, iterations))
+    requireDenseCodes(books)
     books.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     // encode against the JUST-SAVED codebooks — the file probes will load
     val saved = spark.read.parquet(codebooksPath(path))
@@ -348,6 +368,8 @@ object PqIndex {
   private[operators] def exactRerank(cands: DataFrame,
       queries: DataFrame, qId: String, qVec: String,
       full: DataFrame, fId: String, fVec: String, k: Int): DataFrame = {
+    requireNumericId(full, fId) // candidate ids are BIGINT; a string id
+    // table would null-cast and silently fetch nothing
     // candidate ids: ≤ |queries| × candidates by construction (bounded
     // heap), so the collect is bounded no matter the corpus size
     val pairs = cands.select(col("query_id"), col("neighbor_id"))
@@ -387,7 +409,7 @@ object PqIndex {
 
   /** Codes ride the BoundedTopK heap as BIGINT — the [[IvfIndex]]
     * numeric-id contract; fail up front, not as a null-cast NPE mid-job. */
-  private def requireNumericId(df: DataFrame, id: String): Unit =
+  private[operators] def requireNumericId(df: DataFrame, id: String): Unit =
     require(df.schema(id).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"PqIndex stores numeric vector ids; column '$id' has type " +
