@@ -1173,6 +1173,21 @@ object SparkEntry {
           "vec_id", "embedding", candidates = 5000, nprobe = 8,
           rerank = Some((e, "vec_id", "embedding")), k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // the curation report's Quality sheet over q64's corpus variant and
+    // thresholds — the sheet a curation run files is the same aggregation
+    // the oracle computes from the raw rules (CurationReport.sections)
+    "q84_curation_quality" -> ((s, dir) => {
+      val docs2 = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nrepeat me\nrepeat me")))
+          .otherwise(col("text")).as("text"))
+      graft.reports.CurationReport.sections(s, docs2,
+          graft.reports.CurationReport.CurationConfig(minTokens = 30,
+            minAvgWordLen = 3.8, minStopwordFrac = 0.0,
+            maxDupLineFrac = 0.2))
+        .toMap.apply("Quality")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2250,7 +2265,45 @@ object SparkEntry {
     "q82_ann_pq" -> BruteTopKSql,
 
     // IVF×PQ with nprobe = all cells + all-covering re-rank ≡ brute force
-    "q83_ann_ivfpq" -> BruteTopKSql)
+    "q83_ann_ivfpq" -> BruteTopKSql,
+
+    // the Quality sheet: q64's verdict battery grouped by reason with an
+    // instance share; (n_docs desc, reason asc) is a total order
+    "q84_curation_quality" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS awl,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |      / greatest(len(lines), 1) AS dup_line_frac,
+        |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS dup_token_ratio
+        |  FROM (SELECT doc_id, text,
+        |      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |        x -> x <> '') AS lines,
+        |      string_split_regex(trim(text), '\s+') AS toks
+        |    FROM docs2)),
+        |verdict AS (
+        |  SELECT CASE WHEN n_tokens < 30 THEN 'too_few_tokens'
+        |              WHEN n_tokens > 100000 THEN 'too_many_tokens'
+        |              WHEN awl < 3.8 OR awl > 10.0 THEN 'word_length'
+        |              WHEN dup_line_frac > 0.2 THEN 'dup_lines'
+        |              WHEN dup_token_ratio > 0.6 THEN 'dup_tokens'
+        |              ELSE 'keep' END AS reason
+        |  FROM sig)
+        |SELECT reason, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share
+        |FROM (SELECT reason, count(*) AS n_docs,
+        |        sum(count(*)) OVER () AS total
+        |      FROM verdict GROUP BY reason)
+        |ORDER BY n_docs DESC, reason""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

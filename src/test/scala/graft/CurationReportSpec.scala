@@ -1,0 +1,91 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.reports.CurationReport
+import graft.reports.CurationReport.CurationConfig
+
+class CurationReportSpec extends AnyFunSuite with SparkSpec {
+
+  /** Long English filler that passes the quality battery: 50+ tokens,
+    * stopword fraction ≈ 0.5, and enough per-sentence-numbered tokens
+    * that the duplicate-token ratio stays under the 0.6 Gopher cut. */
+  private val enBody: String =
+    (1 to 30).map(i => s"the animal$i walks$i and jumps$i gently$i to a " +
+      s"forest$i near city$i that is of note$i today$i").mkString(" ")
+
+  private def fixture = {
+    import spark.implicits._
+    val rows =
+      // 4 distinct good English docs, one carrying an email + ssn
+      (0L to 3L).map(i => (i, enBody + s" doc copy $i" +
+        (if (i == 0) " contact jane.doe@example.com ssn 123-45-6789" else ""))) ++
+      // an exact duplicate pair
+      Seq((10L, enBody + " unique tail ten"), (11L, enBody + " unique tail ten")) ++
+      // a too-short doc
+      Seq((20L, "too short"))
+    rows.toDF("doc_id", "text")
+  }
+
+  private def zipSheetNames(path: String): Seq[String] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val wb = zf.entries().asScala.find(_.getName == "xl/workbook.xml").get
+      val content = new String(zf.getInputStream(wb).readAllBytes, "UTF-8")
+      """<sheet name="([^"]+)"""".r.findAllMatchIn(content)
+        .map(_.group(1)).toSeq
+    } finally zf.close()
+  }
+
+  test("run: one workbook, all sheets, audited, summary numbers exact") {
+    val dir = TempDirs.create("graft-curation")
+    val xlsx = dir.resolve("curation.xlsx").toString
+    val summary = CurationReport.run(spark, fixture, xlsx,
+      dir.resolve("meta").toString)
+    assert(summary.docs == 7 && summary.exactDupDocs == 1) // 11 duplicates 10
+    assert(summary.keptDocs == 6) // doc 20 fails too_few_tokens
+    assert(summary.sheets == Seq("Overview", "Languages", "Quality", "PII",
+      "Token Histogram", "Exact Dup Groups", "Top Vocabulary"))
+    assert(zipSheetNames(xlsx) == summary.sheets)
+    // the run is audited: both phases logged SUCCESS
+    val log = new graft.meta.MetaStore(spark, dir.resolve("meta").toString)
+      .executionLog
+    val byProc = log.collect().map(r =>
+      r.getAs[String]("target_table") -> r.getAs[String]("execution_status")).toMap
+    assert(byProc.get("curation_sections").contains("SUCCESS"))
+    assert(byProc.get("curation_render").contains("SUCCESS"))
+    assert(graft.core.Caches.trackedCount == 0) // released on the way out
+  }
+
+  test("sections: quality reasons, PII patterns, dup groups, vocab size") {
+    val secs = CurationReport.sections(spark, fixture,
+      CurationConfig(vocabK = 5)).toMap
+    val quality = secs("Quality").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quality("keep") == 6L && quality("too_few_tokens") == 1L)
+    val pii = secs("PII").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pii("email") == 1L && pii("ssn") == 1L && pii("card") == 0L)
+    val dups = secs("Exact Dup Groups").collect()
+    assert(dups.length == 1 && dups(0).getLong(0) == 10L
+      && dups(0).getLong(1) == 2L)
+    assert(secs("Top Vocabulary").count() == 5)
+    val langs = secs("Languages").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.getOrElse("en", 0L) >= 6L)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("nearDup sheet appears when enabled and finds the planted pair") {
+    import spark.implicits._
+    val d = fixture.union(
+      Seq((30L, enBody + " unique tail ten zzz")).toDF("doc_id", "text"))
+    val dir = TempDirs.create("graft-curation-nd")
+    val summary = CurationReport.run(spark, d,
+      dir.resolve("c.xlsx").toString, dir.resolve("meta").toString,
+      CurationConfig(nearDup = true))
+    assert(summary.sheets.last == "Near-Dup Pairs")
+    assert(summary.nearDupPairs >= 1L) // 10/11 exact, 30 near of both
+  }
+}
