@@ -393,6 +393,28 @@ object ScaleBench {
           s""""files_before":$before,"files_after":$after}""")
       }
 
+      // ---- vocab tier: corpus token counting and top-k — the explode
+      // multiplies rows ~120× (docs → token instances), and the evidence
+      // that the shape survives is SHUFFLE bytes: map-side partial
+      // aggregation collapses the instance stream to the distinct-token
+      // space per task before the exchange, and top-k goes through a
+      // per-task heap (TakeOrderedAndProject), so what crosses the wire
+      // is vocabulary-sized (5k synthetic words), not token-stream-sized
+      if (wanted("vocab")) {
+        import graft.operators.Vocab
+        val docs = spark.read.parquet(s"$scratch/docs_$n").select(col("text"))
+        timedRuns(n, "vocab_word_counts")(() =>
+          Vocab.wordCounts(docs, "text").count())
+        timedRuns(n, "vocab_top100")(() =>
+          Vocab.topTokens(docs, "text", 100).count())
+        // adjacent-pair space is quadratic-in-vocab at worst (~25M distinct
+        // pairs possible here) — the minCount cut happens post-aggregation,
+        // so the shuffle carries distinct pairs per task; measured so the
+        // growth curve is on record
+        timedRuns(n, "vocab_pair_counts")(() =>
+          Vocab.pairCounts(docs, "text", minCount = 2).count())
+      }
+
       // ---- pack tier: token-budget shard packing, two-phase distributed
       // cumsum vs the naive global window (identical output by spec; the
       // naive form funnels the corpus through ONE task — the thing

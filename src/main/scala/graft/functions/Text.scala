@@ -99,15 +99,22 @@ object Text {
       greatest(tokenCount(c), lit(1)).cast("double")
   }
 
-  /** Best language by marker score; 'und' (undetermined) when all scores are 0. */
+  /** Best language by marker score; 'und' (undetermined) when all scores
+    * are 0. Argmax over ONE array of (−score, lang) structs — array_min
+    * gives max score with ties to the alphabetically smaller language,
+    * the same semantics as a strict-> fold, but each langScore expression
+    * appears exactly once. The previous when-chain fold re-embedded every
+    * earlier score TWICE per step (2^langs copies of the first regex) —
+    * harmless while whole-stage codegen dedups it, but a wide projection
+    * that falls back to interpreted evaluation paid all of them
+    * (measured: 11 s vs 0.2 s over 5k docs in the curation report's
+    * cached signal pass). */
   def langId(c: Column): Column = {
-    val scored = LangMarkers.map { case (lang, markers) => (lang, langScore(c, markers)) }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        // strict > keeps the earlier (alphabetically smaller) language on ties
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 > 0.0, best._1).otherwise(lit("und"))
+    val best = array_min(array(LangMarkers.map { case (lang, markers) =>
+      struct((-langScore(c, markers)).as("nscore"), lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("nscore") < 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Fraction of non-empty (trimmed) lines that repeat an earlier line —
