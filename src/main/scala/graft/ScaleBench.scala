@@ -413,6 +413,11 @@ object ScaleBench {
         // growth curve is on record
         timedRuns(n, "vocab_pair_counts")(() =>
           Vocab.pairCounts(docs, "text", minCount = 2).count())
+        // the bounded variant: pair space cut to the top-1000 vocabulary
+        // BEFORE aggregation — ≤1M keys per task instead of vocab²
+        timedRuns(n, "vocab_pair_counts_v1000")(() =>
+          Vocab.pairCounts(docs, "text", minCount = 2,
+            vocabLimit = 1000).count())
       }
 
       // ---- pack tier: token-budget shard packing, two-phase distributed

@@ -143,4 +143,30 @@ object Packing {
         min(col("token_offset")).as("start_offset"),
         max(col("token_offset") + col(tokens).cast("long")).as("end_offset"))
       .orderBy(col("shard"))
+
+  /**
+   * Materialize a packed frame as the layout a training loader consumes:
+   * `path/shards/shard=<k>/...jsonl` (one JSON document per line, rows of
+   * shard k only, in `key` order within each file) plus
+   * `path/manifest` ([[shardManifest]] as parquet). The write
+   * range-clusters by shard first so each task owns contiguous shards and
+   * file count scales with shards touched, not tasks × shards (the
+   * IvfIndex write discipline); `sortWithinPartitions(shard, key)` makes
+   * every file's line order reproducible. Loaders that stream a shard
+   * straight through get documents in global pack order.
+   */
+  def writeShards(packed: DataFrame, key: String, tokens: String,
+      path: String): Unit = {
+    // the packed frame (an aggregate + window upstream) feeds both the
+    // shard write and the manifest — persist so the pack computes once
+    val p = packed.persist()
+    try {
+      p.repartitionByRange(col("shard"))
+        .sortWithinPartitions(col("shard"), col(key))
+        .write.mode("overwrite").partitionBy("shard")
+        .json(s"$path/shards")
+      shardManifest(p, tokens)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    } finally { p.unpersist(); () }
+  }
 }

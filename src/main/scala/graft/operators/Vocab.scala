@@ -79,14 +79,45 @@ object Vocab {
    * here — BPE only ever needs the head of this distribution.
    */
   def pairCounts(df: DataFrame, text: String, minCount: Long = 1L,
-      lowercase: Boolean = true): DataFrame = {
+      lowercase: Boolean = true, vocabLimit: Int = 0): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     // materialize the token array behind a projection boundary: inlining
     // tokensOf into the pair lambda would re-run the split per PAIR
     // (element_at references the split expression twice per element —
     // O(tokens²) splits per doc; measured 9.9 s → sub-second at sf0.1)
-    df.select(tokensOf(col(text), lowercase).as("__toks"))
-      .select(explode(adjacentPairs(col("__toks"))).as("pair"))
+    val toks = df.select(tokensOf(col(text), lowercase).as("__toks"))
+    val pairs = toks.select(explode(adjacentPairs(col("__toks"))).as("pair"))
+    // `vocabLimit` > 0 bounds the pair SPACE to the top-V vocabulary: the
+    // pre-aggregation filter keeps only pairs whose BOTH sides are top-V
+    // tokens (an out-of-vocab token breaks adjacency — its neighbors are
+    // never spliced into a fabricated pair), so per-task aggregation
+    // state is ≤ V² keys instead of (distinct pairs in the corpus). On
+    // Zipfian text partial aggregation collapses the stream anyway, but
+    // adversarial (uniform-random) token streams realize ~vocab² distinct
+    // pairs and spill (measured: 50 GB at 5M docs × 5k-word vocab,
+    // SCALE.md); BPE merges can only ever pick pairs of frequent symbols,
+    // so the cut is semantically free for tokenizer training. Tokens are
+    // whitespace-split, so the pair string splits back unambiguously.
+    val kept =
+      if (vocabLimit <= 0) pairs
+      else {
+        // two broadcast hash semi-joins (O(1) lookup per side) — an
+        // array_contains over the vocab array would scan V entries per
+        // pair instance
+        val top = toks.select(explode(col("__toks")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc).limit(vocabLimit)
+          .select(col("token"))
+        pairs
+          .withColumn("__l", element_at(split(col("pair"), " "), 1))
+          .withColumn("__r", element_at(split(col("pair"), " "), 2))
+          .join(broadcast(top.withColumnRenamed("token", "__l")),
+            Seq("__l"), "left_semi")
+          .join(broadcast(top.withColumnRenamed("token", "__r")),
+            Seq("__r"), "left_semi")
+          .select(col("pair"))
+      }
+    kept
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }

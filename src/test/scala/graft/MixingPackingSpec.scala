@@ -203,4 +203,35 @@ class MixingPackingSpec extends AnyFunSuite with SparkSpec {
       Seq("doc_id", "domain", "n_tokens", "token_offset", "shard"))
     assert(out.count() == 0)
   }
+
+  test("writeShards: jsonl layout, per-file pack order, manifest parity") {
+    import spark.implicits._
+    val packed = Packing.packShards(docs(200), "doc_id", "n_tokens",
+      budget = 2000, buckets = 8)
+    val root = TempDirs.create("graft-shards").resolve("out").toString
+    Packing.writeShards(packed, "doc_id", "n_tokens", root)
+    // one directory per shard; the jsonl reads back as the packed frame
+    val back = spark.read.json(s"$root/shards")
+    assert(back.count() == 200)
+    val shards = packed.select("shard").distinct().as[Long].collect().toSet
+    val dirs = new java.io.File(s"$root/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == shards.map(s => s"shard=$s"))
+    // within one shard file, lines are in key (= pack) order
+    val f0 = new java.io.File(s"$root/shards/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val ids = scala.io.Source.fromFile(f0).getLines()
+      .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+      .toSeq
+    assert(ids == ids.sorted && ids.nonEmpty)
+    // manifest matches a recount of the landed files
+    val manifest = spark.read.parquet(s"$root/manifest")
+      .orderBy("shard").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the partition directory value reads back as INT — normalize
+    val recount = back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest == recount)
+  }
 }

@@ -67,6 +67,15 @@ class VocabChunkingSpec extends AnyFunSuite with SparkSpec {
       Map("x y" -> 1L))
   }
 
+  test("pairCounts vocabLimit: OOV breaks adjacency, never splices a pair") {
+    // top-2 vocabulary of "a x b a b" is {a, b}; the pair across the
+    // dropped x must NOT appear — splicing would fabricate a second "a b"
+    val counts = Vocab.pairCounts(docs((1L, "a x b a b")), "text",
+        vocabLimit = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 1L, "b a" -> 1L))
+  }
+
   test("topPairs: the max-count pair ranks first — one BPE merge step") {
     val top = Vocab.topPairs(docs((1L, "lo w lo w lo w e r")), "text", 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
