@@ -104,6 +104,74 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunk: stride=size reconstructs; any stride covers every char in order") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val geomGen = Gen.zip(Gen.choose(1, 12), Gen.choose(1, 12))
+      .map { case (sz, st) => (sz, math.min(st, sz)) }
+    samples(Gen.zip(textGen, geomGen), 8).foreach { case (text, (size, stride)) =>
+      val chunks = graft.operators.Chunking.chunk(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", size, stride)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getAs[Int]("chunk_start"), r.getAs[String]("chunk_text")))
+      // exact tiling reconstructs the text
+      if (stride == size)
+        assert(chunks.map(_._2).mkString == text, s"size=$size text='$text'")
+      // every chunk is the substring its start claims; consecutive starts
+      // advance by stride; the windows cover the full length
+      chunks.foreach { case (start, ct) =>
+        assert(ct == text.slice(start - 1, start - 1 + size)) }
+      assert(chunks.map(_._1).toSeq ==
+        chunks.indices.map(i => i * stride + 1))
+      assert(chunks.last._1 - 1 + size >= text.length)
+    }
+  }
+
+  test("packShards: offsets are the prefix sums of tokens in key order") {
+    import spark.implicits._
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 30L)))
+      .map(_.toMap.toSeq) // unique keys
+    samples(Gen.zip(rowsGen, Gen.choose(5L, 60L)), 6).foreach {
+      case (rows, budget) =>
+        if (rows.nonEmpty) {
+          val packed = graft.operators.Packing.packShards(
+              rows.toDF("k", "tok"), "k", "tok", budget, buckets = 4)
+            .orderBy("k").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val expectOffsets = rows.sortBy(_._1)
+            .scanLeft(0L)(_ + _._2).dropRight(1)
+          assert(packed.map(_._3).toSeq == expectOffsets, s"rows=$rows")
+          packed.foreach { case (_, _, off, shard) =>
+            assert(shard == off / budget) }
+        }
+    }
+  }
+
+  test("PQ probe with all-covering re-rank ≡ brute force on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 5f))
+    val corpusGen = Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, vecGen))
+    samples(corpusGen, 3).zipWithIndex.foreach { case (vecs, i) =>
+      // skip zero-norm rows up front — brute force cannot rank them either
+      val rows = vecs.zipWithIndex.collect {
+        case (v, id) if v.exists(_ != 0f) => (id.toLong, v)
+      }
+      val c = rows.toDF("vec_id", "embedding")
+      val path = TempDirs.create(s"graft-pq-prop$i").resolve("idx").toString
+      graft.operators.PqIndex.save(c, "vec_id", "embedding", path,
+        m = 2, ksub = 2, iterations = 1)
+      val q = c.limit(2)
+      val got = graft.operators.PqIndex.probe(spark, path, q, "vec_id",
+          "embedding", candidates = rows.size,
+          rerank = Some((c, "vec_id", "embedding")), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = graft.operators.Similarity.bruteForceTopKAgg(q, c, "vec_id",
+          "vec_id", "embedding", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"vectors=$rows")
+    }
+  }
+
   test("WorkingDaysBetween.compute matches brute force on random epoch days") {
     // pure JVM closed form — no Spark jobs, so the sample count can be large
     val dayGen = Gen.choose(18000, 23000) // ~2019..2032
