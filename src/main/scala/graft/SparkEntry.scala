@@ -1188,6 +1188,26 @@ object SparkEntry {
             minAvgWordLen = 3.8, minStopwordFrac = 0.0,
             maxDupLineFrac = 0.2))
         .toMap.apply("Quality")
+    }),
+
+    // the full training-set build plan, end to end in ONE oracle: quality
+    // filter (q64's battery) → weighted mix (q75's epoch algebra) →
+    // shuffle pack key (q77's block-shuffle) → two-phase distributed pack
+    // (q76's cumsum). Every stage is a pure function of content hashes
+    // and ids, so the composed frame is engine-portable — the hash match
+    // proves the whole last mile from curated corpus to shard layout.
+    "q85_training_set" -> ((s, dir) => {
+      graft.reports.TrainingSetBuild.plan(
+          t(s, dir, "documents").select(col("doc_id"), col("text"),
+            col("lang"), col("n_chars")),
+          graft.reports.TrainingSetBuild.BuildConfig(
+            weights = Map("de" -> 2.5, "en" -> 0.5),
+            maxEpochs = 100, shuffleSpan = 1000000L, budget = 50000,
+            packBuckets = 64, minTokens = 30, minAvgWordLen = 3.8,
+            minStopwordFrac = 0.0, maxDupLineFrac = 0.2))
+        .select(col("doc_id"), col("epoch"), col("pack_key"),
+          col("n_chars"), col("token_offset"), col("shard"))
+        .orderBy("doc_id", "epoch")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2303,7 +2323,57 @@ object SparkEntry {
         |FROM (SELECT reason, count(*) AS n_docs,
         |        sum(count(*)) OVER () AS total
         |      FROM verdict GROUP BY reason)
-        |ORDER BY n_docs DESC, reason""".stripMargin)
+        |ORDER BY n_docs DESC, reason""".stripMargin,
+
+    // the training-set build: q64's verdict battery filters, q75's epoch
+    // algebra mixes (de 250 / en 50 / default 100 integer percent), the
+    // q77 block-shuffle keys (doc_id·100+epoch), and q76's naive global
+    // cumsum packs — the engine's two-phase distributed form must match
+    // the single-window SQL bit for bit
+    "q85_training_set" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS awl,
+         |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS dup_line_frac,
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS dup_token_ratio
+         |  FROM (SELECT doc_id, lang, n_chars, text,
+         |      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+         |        x -> x <> '') AS lines,
+         |      string_split_regex(trim(text), '\\s+') AS toks
+         |    FROM documents)),
+         |kept AS (
+         |  SELECT doc_id, lang, n_chars FROM sig
+         |  WHERE NOT (n_tokens < 30 OR n_tokens > 100000
+         |    OR awl < 3.8 OR awl > 10.0
+         |    OR dup_line_frac > 0.2 OR dup_token_ratio > 0.6)),
+         |w AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN lang = 'de' THEN 250 WHEN lang = 'en' THEN 50 ELSE 100 END AS pct,
+         |    ${bucketSql("doc_id")} AS bucket
+         |  FROM kept),
+         |c AS (
+         |  SELECT doc_id, n_chars,
+         |    pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS copies
+         |  FROM w),
+         |m AS (
+         |  SELECT doc_id, n_chars, CAST(t.e AS INTEGER) AS epoch
+         |  FROM c, range(0, 100) AS t(e) WHERE t.e < c.copies),
+         |k AS (
+         |  SELECT doc_id, epoch, n_chars,
+         |    CAST(${bucketSql("doc_id * 100 + epoch")} AS BIGINT) * 1000000
+         |      + (doc_id * 100 + epoch) AS pack_key
+         |  FROM m),
+         |p AS (
+         |  SELECT doc_id, epoch, pack_key, n_chars,
+         |    CAST(SUM(n_chars) OVER (ORDER BY pack_key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS token_offset
+         |  FROM k)
+         |SELECT doc_id, epoch, pack_key, n_chars, token_offset,
+         |  CAST(token_offset // 50000 AS BIGINT) AS shard
+         |FROM p ORDER BY doc_id, epoch""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

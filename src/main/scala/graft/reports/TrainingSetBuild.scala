@@ -1,0 +1,107 @@
+package graft.reports
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.meta.{ExecutionLogger, MetaStore}
+import graft.operators.{Mixing, Packing}
+
+/**
+ * The training-set build — the last mile from a curated corpus to
+ * loader-ready shards, composed from the engine's own operators the way
+ * [[IngestPipeline]] composes the index operators:
+ *
+ *   1. FILTER — [[Text.qualityVerdict]] keeps only documents passing the
+ *      configured C4/Gopher battery (the curation report's thresholds —
+ *      the report SHOWS the outcome distribution, this applies it).
+ *   2. MIX — [[Mixing.mixCorpus]] replicates/samples per domain
+ *      (deterministic md5-bucket fractional epochs); each copy carries
+ *      its 0-based `epoch`.
+ *   3. KEY — every (doc, epoch) copy gets the UNIQUE numeric pack key
+ *      `shuffleKey(doc_id · maxEpochs + epoch)`: the hash block
+ *      decorrelates ingest order, the low digits keep copies distinct —
+ *      [[Packing.packShards]]' contract by construction.
+ *   4. PACK — start-offset shard assignment over the key order
+ *      (two-phase distributed cumsum; budget in the configured token
+ *      column's units).
+ *   5. WRITE + LOG — [[Packing.writeShards]] lands per-shard jsonl in
+ *      reproducible pack order plus the parquet manifest; every phase
+ *      runs inside [[ExecutionLogger.logged]].
+ *
+ * [[plan]] is the pure composition (no IO) — oracle-checked end to end
+ * (q85: filter → mix → key → pack reproduced in one SQL statement);
+ * [[run]] materializes it. Reproducible forever: every step is a pure
+ * function of content hashes and ids, so re-running on the same corpus
+ * yields byte-identical shards.
+ */
+object TrainingSetBuild {
+
+  final case class BuildConfig(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      domainCol: String = "lang",
+      tokensCol: String = "n_chars", // token-count proxy column
+      weights: Map[String, Double] = Map.empty,
+      defaultWeight: Double = 1.0,
+      maxEpochs: Int = 100, // key stride per doc; > any ceil(weight)
+      shuffleSpan: Long = 1L << 40, // > maxEpochs · max doc id
+      budget: Long = 1L << 20, // tokens per shard
+      packBuckets: Int = 1024,
+      // quality battery (Text.qualityVerdict defaults)
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      minStopwordFrac: Double = 0.06,
+      maxDupLineFrac: Double = 0.3, maxDupTokenRatio: Double = 0.6,
+      carrier: String = "corpus")
+
+  final case class BuildSummary(
+      inputDocs: Long, keptDocs: Long, packedRows: Long, shards: Long,
+      totalTokens: Long)
+
+  /**
+   * The deterministic packed frame: input columns + `epoch`, `pack_key`,
+   * `token_offset`, `shard`. Pure composition — no IO, no state; q85
+   * pins it against a single-statement SQL oracle.
+   */
+  def plan(corpus: DataFrame, cfg: BuildConfig): DataFrame = {
+    require(cfg.maxEpochs > 0, "maxEpochs must be positive")
+    val kept = corpus.filter(
+      Text.qualityVerdict(col(cfg.textCol), cfg.minTokens, cfg.maxTokens,
+        cfg.minAvgWordLen, cfg.maxAvgWordLen, cfg.minStopwordFrac,
+        cfg.maxDupLineFrac, cfg.maxDupTokenRatio).getField("keep"))
+    val mixed = Mixing.mixCorpus(kept, cfg.idCol, col(cfg.domainCol),
+      cfg.weights, cfg.defaultWeight)
+    val keyed = mixed.withColumn("pack_key",
+      Packing.shuffleKey(
+        col(cfg.idCol).cast("long") * cfg.maxEpochs + col("epoch"),
+        cfg.shuffleSpan))
+    Packing.packShards(keyed, "pack_key", cfg.tokensCol, cfg.budget,
+      cfg.packBuckets)
+  }
+
+  /** Materialize [[plan]] as the loader layout at `path` (per-shard jsonl
+    * + manifest) with an execution-log audit trail at `metaDir`. */
+  def run(spark: SparkSession, corpus: DataFrame, path: String,
+      metaDir: String, cfg: BuildConfig = BuildConfig()): BuildSummary = {
+    val meta = new MetaStore(spark, metaDir)
+    val inputDocs = corpus.count()
+    val packed = ExecutionLogger.logged[DataFrame](meta, "trainset_plan",
+        cfg.carrier) {
+      // the plan feeds the shard write, the manifest, and the summary —
+      // pin it once (bounded: the kept × mixed corpus)
+      plan(corpus, cfg).persist()
+    }
+    try {
+      ExecutionLogger.logged(meta, "trainset_write", cfg.carrier,
+          (_: Unit) => (packed.count(), 0L, 0L)) {
+        Packing.writeShards(packed, "pack_key", cfg.tokensCol, path)
+      }
+      val stats = packed.agg(
+        count(lit(1)), countDistinct(col(cfg.idCol)),
+        countDistinct(col("shard")),
+        coalesce(sum(col(cfg.tokensCol).cast("long")), lit(0L))).head()
+      BuildSummary(inputDocs, stats.getLong(1), stats.getLong(0),
+        stats.getLong(2), stats.getLong(3))
+    } finally { packed.unpersist(); () }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.reports.TrainingSetBuild
+import graft.reports.TrainingSetBuild.BuildConfig
+
+class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
+
+  /** Quality-passing filler (the CurationReportSpec recipe). */
+  private val body: String =
+    (1 to 30).map(i => s"the animal$i walks$i and jumps$i gently$i to a " +
+      s"forest$i near city$i that is of note$i today$i").mkString(" ")
+
+  private def corpus = {
+    import spark.implicits._
+    ((0L to 19L).map(i =>
+      (i, body + s" doc $i", if (i % 2 == 0) "web" else "wiki", 100L + i)) ++
+      Seq((90L, "too short to keep", "web", 5L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  private val cfg = BuildConfig(
+    weights = Map("web" -> 2.0, "wiki" -> 0.5),
+    maxEpochs = 10, shuffleSpan = 1000L, budget = 300, packBuckets = 4)
+
+  test("plan: filter -> mix -> unique keys -> contiguous offsets") {
+    val p = TrainingSetBuild.plan(corpus, cfg)
+    val rows = p.orderBy("pack_key").collect()
+    // doc 90 filtered; web docs (10) twice, wiki (10) halved by hash
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(90L))
+    byDoc.foreach { case (id, rs) =>
+      if (id % 2 == 0) assert(rs.length == 2, s"web doc $id gets 2 epochs")
+      else assert(rs.length <= 1, s"wiki doc $id is sampled, not replicated")
+    }
+    // pack keys unique; offsets are prefix sums in key order
+    val keys = rows.map(_.getAs[Long]("pack_key"))
+    assert(keys.distinct.length == keys.length)
+    val offs = rows.map(_.getAs[Long]("token_offset"))
+    val toks = rows.map(_.getAs[Long]("n_chars"))
+    assert(offs.toSeq == toks.scanLeft(0L)(_ + _).dropRight(1).toSeq)
+    rows.foreach(r => assert(r.getAs[Long]("shard") ==
+      r.getAs[Long]("token_offset") / cfg.budget))
+  }
+
+  test("run: shards + manifest land, audit trail written, summary exact") {
+    val dir = TempDirs.create("graft-trainset")
+    val out = dir.resolve("out").toString
+    val summary = TrainingSetBuild.run(spark, corpus, out,
+      dir.resolve("meta").toString, cfg)
+    assert(summary.inputDocs == 21)
+    val planned = TrainingSetBuild.plan(corpus, cfg)
+    assert(summary.packedRows == planned.count())
+    assert(summary.keptDocs ==
+      planned.select("doc_id").distinct().count())
+    // jsonl shards read back as the plan, manifest covers every shard
+    val back = spark.read.json(s"$out/shards")
+    assert(back.count() == summary.packedRows)
+    val manifest = spark.read.parquet(s"$out/manifest")
+    assert(manifest.count() == summary.shards)
+    assert(manifest.agg(sum("n_tokens")).head.getLong(0) == summary.totalTokens)
+    // audited
+    val log = new graft.meta.MetaStore(spark, dir.resolve("meta").toString)
+      .executionLog
+    val status = log.collect().map(r =>
+      r.getAs[String]("target_table") -> r.getAs[String]("execution_status")).toMap
+    assert(status.get("trainset_plan").contains("SUCCESS"))
+    assert(status.get("trainset_write").contains("SUCCESS"))
+  }
+
+  test("rebuild is byte-identical: same corpus, same shard lines") {
+    val d1 = TempDirs.create("graft-trainset-a").resolve("o").toString
+    val d2 = TempDirs.create("graft-trainset-b").resolve("o").toString
+    val m = TempDirs.create("graft-trainset-m")
+    TrainingSetBuild.run(spark, corpus, d1, m.resolve("m1").toString, cfg)
+    TrainingSetBuild.run(spark, corpus, d2, m.resolve("m2").toString, cfg)
+    def lines(root: String): Seq[(String, Seq[String])] =
+      new java.io.File(s"$root/shards").listFiles().filter(_.isDirectory)
+        .sortBy(_.getName).toSeq.map { d =>
+          val fs = d.listFiles().filter(_.getName.endsWith(".json"))
+            .sortBy(_.getName)
+          d.getName -> fs.toSeq.flatMap(f =>
+            scala.io.Source.fromFile(f).getLines().toSeq)
+        }
+    assert(lines(d1) == lines(d2))
+  }
+}
