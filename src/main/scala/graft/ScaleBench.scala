@@ -420,6 +420,29 @@ object ScaleBench {
             vocabLimit = 1000).count())
       }
 
+      // ---- trainset tier: the composed last mile (quality filter → mix →
+      // shuffle-key → pack → jsonl shards + manifest) as ONE wall number —
+      // the components are measured in their own tiers; this is the
+      // end-to-end cost a nightly training-set build pays
+      if (wanted("trainset")) {
+        import graft.reports.TrainingSetBuild
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+          .withColumn("lang",
+            when(pmod(col("doc_id"), lit(3)) === 0, "web").otherwise("wiki"))
+          .withColumn("n_chars", length(col("text")))
+        timedRuns(n, "trainset_build")(() => {
+          val s = TrainingSetBuild.run(spark, docs,
+            s"$scratch/trainset_$n", s"$scratch/trainset_meta_$n",
+            TrainingSetBuild.BuildConfig(
+              weights = Map("web" -> 2.0, "wiki" -> 0.5),
+              // synthetic docs are uniform-random tokens: disable the
+              // repetition cuts that would junk the whole corpus
+              minStopwordFrac = 0.0, maxDupTokenRatio = 1.0,
+              minTokens = 10, budget = 1L << 22))
+          s.packedRows
+        })
+      }
+
       // ---- pack tier: token-budget shard packing, two-phase distributed
       // cumsum vs the naive global window (identical output by spec; the
       // naive form funnels the corpus through ONE task — the thing

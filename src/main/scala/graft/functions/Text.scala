@@ -121,7 +121,17 @@ object Text {
     * C4's duplicate-line signal (Raffel et al. 2020 §2.2 discard rules).
     * Doc-local, zero shuffle. */
   def duplicateLineFraction(c: Column): Column = {
-    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    // deliberately HOF-free: the previous filter(transform(...)) form is a
+    // CodegenFallback expression, and ONE fallback pins every projection
+    // containing the quality verdict to interpreted evaluation — at 5M
+    // docs that made the training-set build's filter the dominant cost.
+    // Equivalent: strip per-line leading/trailing spaces (trim(Column)
+    // trims 0x20 only, so `[ ]` matches its semantics), let the `\n+`
+    // split collapse now-empty lines, drop boundary empties — all
+    // codegen'd string/array expressions
+    val stripped =
+      regexp_replace(regexp_replace(c, "(?m)[ ]+$", ""), "(?m)^[ ]+", "")
+    val lines = array_remove(split(stripped, "\n+"), "")
     (size(lines) - size(array_distinct(lines))).cast("double") /
       greatest(size(lines), lit(1)).cast("double")
   }

@@ -58,12 +58,10 @@ object TrainingSetBuild {
       inputDocs: Long, keptDocs: Long, packedRows: Long, shards: Long,
       totalTokens: Long)
 
-  /**
-   * The deterministic packed frame: input columns + `epoch`, `pack_key`,
-   * `token_offset`, `shard`. Pure composition — no IO, no state; q85
-   * pins it against a single-statement SQL oracle.
-   */
-  def plan(corpus: DataFrame, cfg: BuildConfig): DataFrame = {
+  /** Stages 1–3 (filter → mix → key) as one frame — [[plan]] packs it
+    * directly; [[run]] stages it to parquet first so the pack's passes
+    * never re-evaluate the quality battery. */
+  def keyedPlan(corpus: DataFrame, cfg: BuildConfig): DataFrame = {
     require(cfg.maxEpochs > 0, "maxEpochs must be positive")
     val kept = corpus.filter(
       Text.qualityVerdict(col(cfg.textCol), cfg.minTokens, cfg.maxTokens,
@@ -71,25 +69,53 @@ object TrainingSetBuild {
         cfg.maxDupLineFrac, cfg.maxDupTokenRatio).getField("keep"))
     val mixed = Mixing.mixCorpus(kept, cfg.idCol, col(cfg.domainCol),
       cfg.weights, cfg.defaultWeight)
-    val keyed = mixed.withColumn("pack_key",
+    mixed.withColumn("pack_key",
       Packing.shuffleKey(
         col(cfg.idCol).cast("long") * cfg.maxEpochs + col("epoch"),
         cfg.shuffleSpan))
-    Packing.packShards(keyed, "pack_key", cfg.tokensCol, cfg.budget,
-      cfg.packBuckets)
   }
 
-  /** Materialize [[plan]] as the loader layout at `path` (per-shard jsonl
-    * + manifest) with an execution-log audit trail at `metaDir`. */
+  /**
+   * The deterministic packed frame: input columns + `epoch`, `pack_key`,
+   * `token_offset`, `shard`. Pure composition — no IO, no state; q85
+   * pins it against a single-statement SQL oracle.
+   */
+  def plan(corpus: DataFrame, cfg: BuildConfig): DataFrame =
+    Packing.packShards(keyedPlan(corpus, cfg), "pack_key", cfg.tokensCol,
+      cfg.budget, cfg.packBuckets)
+
+  /**
+   * Materialize [[plan]] as the loader layout at `path` (per-shard jsonl
+   * + manifest) with an execution-log audit trail at `metaDir`.
+   *
+   * The curated/mixed/keyed frame is STAGED to parquet first (one pass
+   * over the raw corpus evaluates the quality battery exactly once);
+   * the pack then runs over the staged table, where its two cumsum
+   * passes are COLUMN-PRUNED scans of (pack_key, tokens) — without the
+   * stage, every pack pass re-read the raw text and re-ran the battery
+   * (measured at 5M docs: 603 s unstaged vs 343 s staged — 1.8×; the
+   * staged variant reads MORE total bytes but the expensive expression
+   * work runs once). The staged table is also the natural resume point
+   * after a crashed write.
+   */
   def run(spark: SparkSession, corpus: DataFrame, path: String,
       metaDir: String, cfg: BuildConfig = BuildConfig()): BuildSummary = {
     val meta = new MetaStore(spark, metaDir)
     val inputDocs = corpus.count()
+    val staged = ExecutionLogger.logged[DataFrame](meta, "trainset_stage",
+        cfg.carrier, (df: DataFrame) => (df.count(), 0L, 0L)) {
+      keyedPlan(corpus, cfg)
+        .write.mode("overwrite").parquet(s"$path/staged")
+      spark.read.parquet(s"$path/staged")
+    }
     val packed = ExecutionLogger.logged[DataFrame](meta, "trainset_plan",
-        cfg.carrier) {
-      // the plan feeds the shard write, the manifest, and the summary —
-      // pin it once (bounded: the kept × mixed corpus)
-      plan(corpus, cfg).persist()
+        cfg.carrier, (df: DataFrame) => (df.count(), 0L, 0L)) {
+      // the packed frame feeds the shard write, the manifest, and the
+      // summary — pin it once; the count in the log-counts hook
+      // materializes the cache INSIDE this phase, so the audit row
+      // carries the pack's real cost, not the write's
+      Packing.packShards(staged, "pack_key", cfg.tokensCol, cfg.budget,
+        cfg.packBuckets).persist()
     }
     try {
       ExecutionLogger.logged(meta, "trainset_write", cfg.carrier,

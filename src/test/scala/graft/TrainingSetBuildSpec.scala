@@ -65,8 +65,11 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
       .executionLog
     val status = log.collect().map(r =>
       r.getAs[String]("target_table") -> r.getAs[String]("execution_status")).toMap
+    assert(status.get("trainset_stage").contains("SUCCESS"))
     assert(status.get("trainset_plan").contains("SUCCESS"))
     assert(status.get("trainset_write").contains("SUCCESS"))
+    // the staged table is the battery-once resume point
+    assert(spark.read.parquet(s"$out/staged").count() == summary.packedRows)
   }
 
   test("rebuild is byte-identical: same corpus, same shard lines") {
