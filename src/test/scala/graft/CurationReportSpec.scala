@@ -77,6 +77,17 @@ class CurationReportSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("empty corpus: zeroed overview, workbook still renders") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dir = TempDirs.create("graft-curation-empty")
+    val summary = CurationReport.run(spark, empty,
+      dir.resolve("c.xlsx").toString, dir.resolve("meta").toString)
+    assert(summary.docs == 0 && summary.keptDocs == 0
+      && summary.exactDupDocs == 0)
+    assert(zipSheetNames(dir.resolve("c.xlsx").toString).nonEmpty)
+  }
+
   test("nearDup sheet appears when enabled and finds the planted pair") {
     import spark.implicits._
     val d = fixture.union(

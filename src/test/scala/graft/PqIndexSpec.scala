@@ -163,6 +163,16 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(PqIndex.probe(spark, path, zero, "vec_id", "embedding", 5).count() == 0)
   }
 
+  test("probe with an empty query batch returns empty (no job explosion)") {
+    val path = newPath()
+    val c = corpus(16)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    val none = c.filter(col("vec_id") < 0)
+    assert(PqIndex.probe(spark, path, none, "vec_id", "embedding", 5).count() == 0)
+    assert(PqIndex.probe(spark, path, none, "vec_id", "embedding", 5,
+      rerank = Some((c, "vec_id", "embedding"))).count() == 0)
+  }
+
   test("codeStats: per-subspace histogram covers every stored row") {
     val path = newPath()
     PqIndex.save(corpus(48), "vec_id", "embedding", path, m = 4, ksub = 4)

@@ -72,6 +72,19 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$out/staged").count() == summary.packedRows)
   }
 
+  test("a fully-filtered corpus builds an empty-but-well-formed layout") {
+    import spark.implicits._
+    val junk = Seq((1L, "too short", "web", 2L), (2L, "also short", "web", 2L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = TempDirs.create("graft-trainset-empty")
+    val summary = TrainingSetBuild.run(spark, junk,
+      dir.resolve("o").toString, dir.resolve("m").toString, cfg)
+    assert(summary.inputDocs == 2 && summary.keptDocs == 0
+      && summary.packedRows == 0 && summary.shards == 0
+      && summary.totalTokens == 0)
+    assert(spark.read.parquet(s"${dir.resolve("o")}/manifest").count() == 0)
+  }
+
   test("rebuild is byte-identical: same corpus, same shard lines") {
     val d1 = TempDirs.create("graft-trainset-a").resolve("o").toString
     val d2 = TempDirs.create("graft-trainset-b").resolve("o").toString
