@@ -1196,6 +1196,20 @@ object SparkEntry {
     // (q76's cumsum). Every stage is a pure function of content hashes
     // and ids, so the composed frame is engine-portable — the hash match
     // proves the whole last mile from curated corpus to shard layout.
+    // decontamination APPLIED (q60 is the detector): drop every corpus doc
+    // containing ≥60% of any probe doc's rare 3-shingles — the anti-join
+    // of a broadcast flagged set, the corpus itself never shuffles
+    "q86_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probe = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.decontaminate(d, probe, "doc_id", "text",
+          k = 3, minOverlap = 5, minContainment = 0.6, maxShingleDf = 50)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q85_training_set" -> ((s, dir) => {
       graft.reports.TrainingSetBuild.plan(
           t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -2373,7 +2387,32 @@ object SparkEntry {
          |  FROM k)
          |SELECT doc_id, epoch, pack_key, n_chars, token_offset,
          |  CAST(token_offset // 50000 AS BIGINT) AS shard
-         |FROM p ORDER BY doc_id, epoch""".stripMargin)
+         |FROM p ORDER BY doc_id, epoch""".stripMargin,
+
+    // q60's detector wrapped as removal: corpus minus docs whose
+    // containment of any probe reaches 0.6 with >= 5 shared rare shingles
+    "q86_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$ShinglesSql,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+         |csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |probe AS (SELECT doc_id + 20000 AS probe_id, substr(text, 1, 200) AS text
+         |          FROM documents WHERE doc_id % 13 = 0),
+         |ptoks AS (SELECT probe_id, string_split_regex(trim(text), '\\s+') AS t FROM probe),
+         |psh AS (SELECT DISTINCT probe_id, u.shingle
+         |        FROM ptoks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+         |          i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle)),
+         |sizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM psh GROUP BY 1),
+         |common AS (SELECT c.doc_id, p.probe_id, count(*) AS n_common
+         |           FROM csh c JOIN psh p USING (shingle) GROUP BY 1, 2),
+         |flagged AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM common JOIN sizes USING (probe_id)
+         |  WHERE n_common >= 5
+         |    AND CAST(n_common AS DOUBLE) / CAST(n_probe_sh AS DOUBLE) >= 0.6)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

@@ -369,6 +369,29 @@ object Dedup {
   }
 
   /**
+   * Apply decontamination: drop from `corpus` every document whose n-gram
+   * containment against ANY probe document reaches `minContainment` (with
+   * at least `minOverlap` shared shingles) — the removal counterpart of
+   * [[containmentPairs]]' detector, the way the training-set build applies
+   * the verdict the curation report shows. The flagged id set is
+   * |contaminated docs|-sized (small by construction — an eval set only
+   * touches so much of a corpus), so the anti-join broadcasts and the
+   * corpus is never shuffled.
+   */
+  def decontaminate(
+      corpus: DataFrame, probe: DataFrame, id: String, text: String,
+      k: Int = 8, minOverlap: Long = 1, minContainment: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment must be in [0, 1], got $minContainment")
+    val flagged = containmentPairs(corpus, probe, id, text, k, minOverlap,
+        maxShingleDf)
+      .filter(col("containment") >= minContainment)
+      .select(col(id)).distinct()
+    corpus.join(broadcast(flagged), Seq(id), "left_anti")
+  }
+
+  /**
    * Resolve candidate pairs into duplicate CLUSTERS: connected components
    * by iterative min-label propagation, so each document maps to the
    * smallest id reachable through the pair graph (= the canonical doc of

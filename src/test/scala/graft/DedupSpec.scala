@@ -328,6 +328,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("decontaminate drops only the containing docs; corpus side broadcasts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark execution engines"),
+      (3L, "another clean document holding its own distinct words only")
+    ).toDF("id", "text")
+    val probe = Seq(
+      (100L, "quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    val kept = Dedup.decontaminate(corpus, probe, "id", "text",
+      k = 3, minOverlap = 2, minContainment = 0.8)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    // a threshold above the real containment keeps everything
+    assert(Dedup.decontaminate(corpus, probe, "id", "text",
+      k = 3, minOverlap = 2, minContainment = 1.1 - 0.1).count() == 2)
+    // the corpus is filtered by a BROADCAST anti-join, never reshuffled
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"), plan)
+  }
+
   test("trainTestSplit is deterministic and proportionally sane") {
     import spark.implicits._
     import graft.operators.Sampling
