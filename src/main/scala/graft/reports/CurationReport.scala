@@ -19,12 +19,12 @@ import graft.operators.{Dedup, Vocab}
  * signal (token count, language, quality verdict, PII hits, content
  * hash) into a narrow cached projection — the text column, the big
  * bytes, is read once — and all single-doc-signal sheets are small
- * aggregations of that frame. Known cost: the verdict's higher-order
- * array functions are CodegenFallback expressions, which pins the whole
- * signal projection to interpreted evaluation (~0.5 ms/doc measured);
- * a once-nightly single pass wears that, and the regex-duplication
- * pathology that used to dominate it is fixed at the source
- * ([[graft.functions.Text.langId]]'s single-array argmax). Only the operators that inherently need
+ * aggregations of that frame. The projection stays in whole-stage
+ * codegen: both expressions that used to break it are fixed at the
+ * source ([[graft.functions.Text.langId]]'s single-array argmax;
+ * [[graft.functions.Text.duplicateLineFraction]]'s HOF-free rewrite) —
+ * keep it that way, ONE CodegenFallback expression de-compiles the
+ * whole pass. Only the operators that inherently need
  * their own topology scan again: vocabulary (explode → map-side-combined
  * count) and, when enabled, MinHash near-dup (banded LSH). Every sheet
  * is a bounded aggregate (verdicts, languages, top-k, histogram
