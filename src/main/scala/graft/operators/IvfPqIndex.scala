@@ -135,10 +135,12 @@ object IvfPqIndex {
       .collect().headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("empty corpus"))
     require(m > 0 && dims % m == 0, s"m=$m must divide the vector dims ($dims)")
+    // 1% hash-bucket granularity, floored to one bucket — PqIndex.save's
+    // sampling rule (a sub-1% fraction must not yield an empty train set)
     val trainSet =
       if (trainFraction >= 1.0) corpus
-      else corpus.filter(
-        Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
+      else corpus.filter(Sampling.hashBucket(col(id)) <
+        math.max(1, math.rint(trainFraction * 100).toInt))
     // int-cell contract enforced like IvfIndex.save: a >32-bit or
     // non-numeric centroid id would silently overflow the partition value
     val cents = IvfIndex.intCentroids(centroids.getOrElse(

@@ -125,10 +125,22 @@ object Packing {
    * }}}
    * Reproducible forever (content hash, no seed) — re-running the pipeline
    * on the same corpus yields byte-identical shards.
+   *
+   * Uniqueness holds ONLY while every key lies in [0, span): a key at or
+   * above `span` bleeds into the next hash block (bucket b's key k collides
+   * with bucket b+1's key k−span) and a negative key into the previous —
+   * either silently corrupts the pack order. The expression checks the
+   * bound per row and raises instead (a codegen'd comparison, the
+   * [[packShards]] null-guard discipline), so a mis-sized span fails fast.
    */
   def shuffleKey(key: Column, span: Long): Column = {
     require(span > 0, "shuffleKey span must be positive")
-    Sampling.hashBucket(key).cast("long") * span + key.cast("long")
+    val k = key.cast("long")
+    when(k < 0 || k >= span, raise_error(concat(
+        lit("shuffleKey: key "), k.cast("string"),
+        lit(s" outside [0, $span) — hash blocks would collide and corrupt" +
+          " the pack order; raise span above every key"))))
+      .otherwise(Sampling.hashBucket(key).cast("long") * span + k)
   }
 
   /**

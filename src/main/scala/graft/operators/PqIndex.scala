@@ -232,11 +232,14 @@ object PqIndex {
     // codebooks converge on a sample long before the full corpus (the
     // standard PQ training discipline); the sample is the deterministic
     // md5-bucket subset, so retrains are reproducible and consistent with
-    // the corpus's split/mix hash order
+    // the corpus's split/mix hash order. Granularity is the hash's 100
+    // buckets — fractions below 1% floor to ONE bucket (max(1, …)), never
+    // to an empty training set that would surface as a misleading
+    // "cannot infer vector dims from an empty frame" on a non-empty corpus
     val trainSet =
       if (trainFraction >= 1.0) corpus
-      else corpus.filter(
-        Sampling.hashBucket(col(id)) < math.rint(trainFraction * 100).toInt)
+      else corpus.filter(Sampling.hashBucket(col(id)) <
+        math.max(1, math.rint(trainFraction * 100).toInt))
     val books = codebooks.getOrElse(
       trainCodebooks(trainSet, id, vec, m, ksub, iterations))
     requireDenseCodes(books)
@@ -326,13 +329,17 @@ object PqIndex {
     // batch is small by contract → broadcast to the codes scan
     val q = withUnit(queries.select(col(qId).as("query_id"), col(qVec).as("__pv")),
         "__pv")
+      // a zero-norm query has no direction: drop it BEFORE building the LUT
+      // (the same "carries no direction" rule the encoder applies to the
+      // corpus, and the same filter position encode() uses). Filtering the
+      // LUT column instead would be a no-op — subsColumn over a null __xn
+      // yields a non-null array of nulls, so such a query would broadcast
+      // and score the whole codes table for nothing
+      .filter(col("__xn").isNotNull)
       .withColumn("__subs", subsColumn(m, dsub))
       .crossJoin(broadcast(books))
       .select(col("query_id"),
         lutColumn(col("__books"), col("__subs")).as("__lut"))
-      // a zero-norm query has no direction: no LUT, no candidates (the
-      // same "carries no direction" rule the encoder applies to the corpus)
-      .filter(col("__lut").isNotNull)
     val scored = loadCodes(spark, path).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("pq_score", adcScore(col("__lut"), col("codes")))

@@ -79,8 +79,15 @@ object CurationReport {
         countDistinct(col("lang")).as("n_languages"),
         sum(when(col("verdict.keep"), 1L).otherwise(0L)).as("kept_docs"),
         sum(col("pii_hits")).as("total_pii_hits"),
-        (count(lit(1)) - countDistinct(col("content_hash")))
-          .as("exact_dup_docs"))
+        // null text hashes to a null content_hash: such docs are not
+        // duplicates of anything, so the dup arithmetic runs over NON-NULL
+        // hashes only (count(col) skips nulls exactly like countDistinct
+        // does) and the null-text population gets its own overview metric
+        // instead of silently inflating the dup count
+        (count(col("content_hash")) - countDistinct(col("content_hash")))
+          .as("exact_dup_docs"),
+        sum(when(col("content_hash").isNull, 1L).otherwise(0L))
+          .as("null_text_docs"))
 
     val languages = perDoc.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -112,7 +119,9 @@ object CurationReport {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("token_bucket").asc)
 
-    val dupGroups = perDoc.groupBy(col("content_hash"))
+    val dupGroups = perDoc
+      .filter(col("content_hash").isNotNull) // null-text docs are not copies
+      .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keeper_id"))
       .filter(col("n_copies") > 1)
       .select(col("keeper_id"), col("n_copies"))

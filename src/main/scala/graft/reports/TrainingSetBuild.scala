@@ -63,6 +63,18 @@ object TrainingSetBuild {
     * never re-evaluate the quality battery. */
   def keyedPlan(corpus: DataFrame, cfg: BuildConfig): DataFrame = {
     require(cfg.maxEpochs > 0, "maxEpochs must be positive")
+    // pack_key uniqueness is a CONTRACT, not a convention ([[Packing
+    // .packShards]] requires unique keys or shard assignment goes
+    // nondeterministic): epochs run 0..ceil(w)-1, so any configured weight
+    // whose ceil exceeds maxEpochs would make two (doc, epoch) copies share
+    // a key — fail fast here; the companion bound (doc_id·maxEpochs+epoch <
+    // shuffleSpan) is data-dependent and enforced per row inside
+    // [[Packing.shuffleKey]]
+    val maxW = (cfg.weights.values.toSeq :+ cfg.defaultWeight).max
+    require(math.ceil(maxW).toLong <= cfg.maxEpochs,
+      s"maxEpochs=${cfg.maxEpochs} cannot keep (doc, epoch) pack keys " +
+        s"unique under a domain weight of $maxW (epochs run 0..ceil(w)-1); " +
+        s"raise maxEpochs to at least ${math.ceil(maxW).toLong}")
     val kept = corpus.filter(
       Text.qualityVerdict(col(cfg.textCol), cfg.minTokens, cfg.maxTokens,
         cfg.minAvgWordLen, cfg.maxAvgWordLen, cfg.minStopwordFrac,

@@ -77,6 +77,23 @@ class CurationReportSpec extends AnyFunSuite with SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("null-text docs are counted on their own, never as duplicates") {
+    import spark.implicits._
+    // three null-text docs: md5(null) is null, so naive count(*) −
+    // countDistinct arithmetic would report them as 3 phantom duplicates
+    val d = fixture.union(Seq((40L, Option.empty[String]),
+        (41L, None), (42L, None))
+      .toDF("doc_id", "text"))
+    val secs = CurationReport.sections(spark, d, CurationConfig()).toMap
+    val ov = secs("Overview").head()
+    assert(ov.getAs[Long]("exact_dup_docs") == 1L) // still just 11 dup of 10
+    assert(ov.getAs[Long]("null_text_docs") == 3L)
+    // the dup-groups sheet never lumps null-text docs into a null-hash group
+    val dups = secs("Exact Dup Groups").collect()
+    assert(dups.length == 1 && dups(0).getLong(0) == 10L)
+    graft.core.Caches.releaseAll()
+  }
+
   test("empty corpus: zeroed overview, workbook still renders") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

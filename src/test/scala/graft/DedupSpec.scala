@@ -342,9 +342,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       k = 3, minOverlap = 2, minContainment = 0.8)
     assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(2L, 3L))
-    // a threshold above the real containment keeps everything
+    // the >= boundary: doc 1's containment is exactly 1.0, so the maximal
+    // threshold still drops it (and only it)
     assert(Dedup.decontaminate(corpus, probe, "id", "text",
-      k = 3, minOverlap = 2, minContainment = 1.1 - 0.1).count() == 2)
+      k = 3, minOverlap = 2, minContainment = 1.0).count() == 2)
+    // a genuinely unreachable threshold via minOverlap keeps everything:
+    // no pair reaches 9 shared rare shingles, so nothing is flagged
+    assert(Dedup.decontaminate(corpus, probe, "id", "text",
+      k = 3, minOverlap = 9, minContainment = 1.0).count() == 3)
     // the corpus is filtered by a BROADCAST anti-join, never reshuffled
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") &&

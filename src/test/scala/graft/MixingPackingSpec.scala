@@ -195,6 +195,13 @@ class MixingPackingSpec extends AnyFunSuite with SparkSpec {
     // composes with packShards (unique numeric key contract holds)
     val packed = Packing.packShards(keyed, "sk", "n_tokens", budget = 900)
     assert(packed.count() == 400)
+    // a key outside [0, span) would collide across hash blocks — the
+    // per-row bound check raises instead of silently corrupting the order
+    val e = intercept[Exception] {
+      d.withColumn("sk", Packing.shuffleKey(col("doc_id"), 100L)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("shuffleKey"),
+      String.valueOf(e.getMessage))
   }
 
   test("packShards on an empty frame returns the empty packed schema") {

@@ -163,6 +163,15 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(PqIndex.probe(spark, path, zero, "vec_id", "embedding", 5).count() == 0)
   }
 
+  test("trainFraction below the 1% hash granularity floors to one bucket") {
+    val path = newPath()
+    // 0.001 used to round its bucket threshold to 0 — an empty training set
+    // surfacing as "cannot infer vector dims" on a non-empty corpus
+    PqIndex.save(corpus(64), "vec_id", "embedding", path, m = 4, ksub = 4,
+      trainFraction = 0.001)
+    assert(PqIndex.loadCodes(spark, path).count() == 64)
+  }
+
   test("probe with an empty query batch returns empty (no job explosion)") {
     val path = newPath()
     val c = corpus(16)

@@ -85,6 +85,23 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"${dir.resolve("o")}/manifest").count() == 0)
   }
 
+  test("pack-key collision misconfiguration fails fast, never corrupts") {
+    // a weight whose ceil exceeds maxEpochs would alias (doc, epoch) keys —
+    // the config guard raises before any job runs
+    val e = intercept[IllegalArgumentException] {
+      TrainingSetBuild.plan(corpus, cfg.copy(weights = Map("web" -> 11.0)))
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+    // keys reaching shuffleSpan bleed into the next hash block — the
+    // per-row guard inside Packing.shuffleKey raises instead of silently
+    // reordering the pack (doc_id·maxEpochs+epoch reaches 191 here)
+    val err = intercept[Exception] {
+      TrainingSetBuild.plan(corpus, cfg.copy(shuffleSpan = 100L)).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("shuffleKey"),
+      String.valueOf(err.getMessage))
+  }
+
   test("rebuild is byte-identical: same corpus, same shard lines") {
     val d1 = TempDirs.create("graft-trainset-a").resolve("o").toString
     val d2 = TempDirs.create("graft-trainset-b").resolve("o").toString
