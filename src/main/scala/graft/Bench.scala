@@ -56,6 +56,44 @@ object Bench {
     // diag shows what was re-run.
     val maxRetries = math.max(0,
       sys.env.get("SPARK_GRAFT_BENCH_RETRIES").flatMap(_.toIntOption).getOrElse(2))
+    // cross-round regression guard (r13's lesson): a SUSTAINED background
+    // load plateau slows every run of a query uniformly, so the spread
+    // detector sees "stable" and the loadavg bound (cpus/4) can sit above a
+    // partial plateau — r13 filed a q20–q27 block 1.5–9× slower than r12
+    // with unchanged code under load1 ≈ 4. The one signal that catches
+    // uniform slowness is the LAST FILED ROUND: any query whose median
+    // exceeds 1.5× its previously-filed time re-samples like a noisy one,
+    // and if it stays slow it is flagged `suspect` in the artifact instead
+    // of silently becoming the next round's baseline. The baseline file is
+    // SPARK_GRAFT_BENCH_BASELINE or the highest BENCH_r*.json in cwd;
+    // parsing is a tolerant regex scan, so a truncated record still yields
+    // its surviving queries.
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
+      val rx = """BENCH_r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getPath)); case _ => None
+        }).sortBy(_._1).lastOption.map(_._2)
+    }
+    val baseline: Map[String, Double] = baselinePath.map { p =>
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        """"(q\d+[A-Za-z0-9_]*)"\s*:\s*(\d+(?:\.\d+)?)""".r
+          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    // regressed = >1.5× the filed median AND a material gap (>0.3 s —
+    // sub-second queries jitter multiplicatively), the noisy-flag thresholds
+    def regressed(name: String, median: Double): Boolean =
+      baseline.get(name).exists(b => b > 0 && median > 1.5 * b
+        && median - b > 0.3)
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     // sustained-background-load trigger: ALL of a set's per-run loadavg
     // samples above cpus/4 means something else owns the machine (min-of-set,
     // not max, so our own heavy queries' self-load spikes don't false-fire)
@@ -85,7 +123,8 @@ object Bench {
       }
       def isBad(s: Seq[(Double, Double)]): Boolean = {
         val loads = s.map(_._2).filter(_ >= 0)
-        spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound)
+        spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound) ||
+          regressed(name, medianOf(s.map(_._1)))
       }
       def spreadRatio(s: Seq[(Double, Double)]): Double = {
         val st = steadyOf(s.map(_._1))
@@ -105,12 +144,9 @@ object Bench {
           else if (spreadRatio(next) < spreadRatio(best)) next
           else best
       }
-      val times = best.map(_._1).sorted
       // true median: even run counts average the two middle elements — the
       // upper-middle alone systematically inflates round-over-round compares
-      val median =
-        if (times.length % 2 == 1) times(times.length / 2)
-        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      val median = medianOf(best.map(_._1))
       // runTimes kept in RUN ORDER (not sorted): a spike's position matters —
       // run 1 slow = codegen warmup (expected), later runs slow = contention
       name -> QueryStat(best.map(_._1), best.map(_._2), median,
@@ -132,6 +168,14 @@ object Bench {
     val retried = stats.collect {
       case (k, st) if st.attempts > 1 => k -> st.attempts
     }.toSeq.sortBy(_._1)
+    // queries STILL >1.5× their last filed time after the retries: either a
+    // real regression (root-cause it) or sustained contamination the machine
+    // never shook — either way the filed number is not a trustworthy new
+    // baseline and says so in the artifact
+    val suspect = stats.collect {
+      case (k, st) if !st.failed && regressed(k, st.median) =>
+        k -> baseline(k)
+    }.toSeq.sortBy(_._1)
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
     // the front of the line out of it — that truncation is what produced
@@ -139,6 +183,21 @@ object Bench {
     // bench noise anyway; full precision lives in target/bench.json.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // compact per-query keys for the FINAL stdout line: at 86 queries even
+    // the rounded full-name line (~2.3 kB) outgrows the tail window, cutting
+    // the leading "value" total off the filed record (r13's parsed:null).
+    // The documented driver contract keys queries as {"q1":sec,…}, so the
+    // last line — the one the tail capture always ends with, and the one
+    // that must parse — uses the qNN prefix (unique by construction; a
+    // collision falls back to the full name rather than dropping a query)
+    val shortKey: Map[String, String] = {
+      val pref = results.keys.map(k => k -> k.split("_")(0)).toMap
+      val counts = pref.values.groupBy(identity).view.mapValues(_.size)
+      pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
+    }
+    val qsShort = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failed queries are excluded from the headline total
     val total = results.values.filter(_ >= 0).sum
@@ -155,8 +214,14 @@ object Bench {
     val failedJson = failures.map { case (k, v) =>
       "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
-    val stdoutLine =
+    // two stdout lines, detail first: the full-name line for humans and
+    // greps, then the compact line LAST so the driver's tail capture always
+    // ends with one complete parseable record carrying the total + every
+    // query
+    val detailLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val stdoutLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
     // self-contained record: the full result (unrounded medians, run count,
     // per-query run times + per-run loadavg samples, the noisy-query flags,
     // failure detail) also lands in target/bench.json so the filed numbers
@@ -172,8 +237,12 @@ object Bench {
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val suspectJson = suspect.map { case (k, b) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val baselineNote = baselinePath.map("\"" + jsonEscape(_) + "\"")
+      .getOrElse("null")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"detail":$detailJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -182,9 +251,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"BENCH_DIAG could not write target/bench.json: $e")
     }
-    // stderr diag, stdout exactly the documented one-line shape — extra keys
-    // after "sf" broke the driver's parse in r05/r06
-    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"failed":$failedJson}""")
+    // stderr diag; stdout keeps exactly the documented line shape (extra
+    // keys after "sf" broke the driver's parse in r05/r06) — detail line
+    // first, compact line LAST (see above)
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"failed":$failedJson}""")
+    println(detailLine)
     println(stdoutLine)
     spark.stop()
   }
