@@ -66,6 +66,13 @@ object IngestPipeline {
       strict: Boolean = false,
       ivfCentroids: Int = 8,
       compactTargetFileBytes: Long = Compaction.DefaultTargetFileBytes,
+      // when true, a night whose landed-corpus DQ re-check FAILs withholds
+      // its high-water mark: the night stays re-runnable (fix the batch,
+      // re-run — dynamic partition overwrite replaces the bad landing)
+      // instead of committing bad data as complete. Default keeps the
+      // record-and-continue behavior for compositions that check
+      // NightResult.dqFailures themselves (q74's require does).
+      failOnDq: Boolean = false,
       carrier: String = "corpus")
 
   final case class NightResult(
@@ -221,9 +228,23 @@ object IngestPipeline {
       }
 
       // 6. LOG — the night's commit record, written LAST: its presence is
-      // what makes a later re-run of this night short-circuit
-      meta.recordLoad(s"ingest_$night", cfg.carrier,
-        new java.sql.Timestamp(System.currentTimeMillis()))
+      // what makes a later re-run of this night short-circuit. NOTE the
+      // default semantics: a night with FAIL DMF rows still commits (the
+      // FAIL rows and NightResult.dqFailures are the caller's signal);
+      // failOnDq withholds the mark instead, leaving the night re-runnable
+      // after the data is fixed — the FAILED audit row says why
+      if (cfg.failOnDq && dqFailures > 0) {
+        meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
+          java.util.UUID.randomUUID().toString,
+          new java.sql.Timestamp(System.currentTimeMillis()),
+          new java.sql.Timestamp(System.currentTimeMillis()),
+          "FAILED", s"ingest_commit_$night", 0L, 0L, dqFailures, cfg.carrier,
+          s"$dqFailures DQ check(s) FAILED on the landed corpus — " +
+            "high-water mark withheld; night stays re-runnable")))
+      } else {
+        meta.recordLoad(s"ingest_$night", cfg.carrier,
+          new java.sql.Timestamp(System.currentTimeMillis()))
+      }
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures)

@@ -207,4 +207,51 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     assert(replay.dqFailures == 0, replay.toString)
   }
+
+  test("failOnDq: a FAILing night withholds its commit record and stays re-runnable") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-faildq")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      failOnDq = true)
+    val n1 = IngestPipeline.runNight(spark,
+      Seq(1L -> "the quick brown fox jumps over the lazy dog",
+          2L -> "pack my box with five dozen liquor jugs today")
+        .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.dqFailures == 0 && !n1.skipped, n1.toString)
+    // night 2 re-ingests id 1 with DIFFERENT text — dedup can't catch it,
+    // the landed-corpus identity check does, and under failOnDq the night
+    // must NOT commit: a FAILED audit row instead of the high-water mark
+    val bad = Seq(1L -> "sphinx of black quartz judge my vow tonight")
+      .toDF("doc_id", "text")
+    val n2 = IngestPipeline.runNight(spark, bad, "n2", cfg)
+    assert(n2.dqFailures == 1, n2.toString)
+    val meta = new MetaStore(spark, cfg.metaDir)
+    assert(meta.lastLoadTimestamp("ingest_n2", cfg.carrier).isEmpty,
+      "a FAILing night must not write its commit record")
+    val failRow = meta.executionLog
+      .filter(col("target_table") === "ingest_commit_n2").collect()
+    assert(failRow.length == 1 &&
+      failRow.head.getAs[String]("execution_status") == "FAILED")
+    // the night stays re-runnable: the FIXED batch replaces the bad
+    // landing (dynamic partition overwrite), the DQ re-check passes, and
+    // the commit record lands — the repaired corpus holds no dup ids.
+    // (New text too: the failed night already appended the bad doc's
+    // banded rows to the index, so a re-run of the SAME text would be
+    // probe-dropped as a near-dup of that litter — correct behavior, but
+    // not the repair this test drives)
+    val fixed = Seq(9L -> "how vexingly quick daft zebras jump around there")
+      .toDF("doc_id", "text")
+    val n2b = IngestPipeline.runNight(spark, fixed, "n2", cfg)
+    assert(!n2b.skipped && n2b.dqFailures == 0 && n2b.accepted == 1,
+      n2b.toString)
+    assert(meta.lastLoadTimestamp("ingest_n2", cfg.carrier).isDefined)
+    val corpus = spark.read.parquet(cfg.corpusPath)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 9L))
+    // and a third run of the now-committed night short-circuits
+    assert(IngestPipeline.runNight(spark, fixed, "n2", cfg).skipped)
+  }
 }
