@@ -27,9 +27,10 @@ import graft.functions.Vectors
  * variant: residual codes recall better at equal m/ksub but tie every
  * code to its cell (append-time re-encode on re-split, per-cell LUTs at
  * probe); the direct form keeps codes cell-independent — [[resplitCell]]
- * -style maintenance could move rows WITHOUT re-encoding — and lets one
- * codebook train serve both this index and a standalone [[PqIndex]].
- * The recall cost is measured, not guessed (ScaleBench pq tier).
+ * moves a hot cell's rows into sub-cells WITHOUT re-encoding them — and
+ * lets one codebook train serve both this index and a standalone
+ * [[PqIndex]]. The recall cost is measured, not guessed (ScaleBench pq
+ * tier).
  *
  * Probe: queries are assigned their `nprobe` nearest cells (broadcast
  * argmax, zero shuffle) and ONE m×ksub ADC lookup table each; the cells
@@ -190,11 +191,19 @@ object IvfPqIndex {
    * in m lookups + adds, keeps `candidates` in the bounded heap, and —
    * with `rerank` — refines exactly against full vectors. Output matches
    * [[PqIndex.probe]]'s shapes.
+   *
+   * `excludeIds` (one column matching the stored id) removes those ids
+   * from the CORPUS side before scoring — [[IvfIndex.probe]]'s
+   * replay-idempotence hook for streaming ingest: re-probing a batch
+   * whose append already landed must not pair the batch with its own
+   * rows. The exclusion broadcasts (an ingest batch is small by
+   * contract), so the cells scan stays directory-pruned.
    */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       qId: String, qVec: String, candidates: Int, nprobe: Int = 1,
       rerank: Option[(DataFrame, String, String)] = None,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     require(candidates > 0, s"candidates must be positive, got $candidates")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val meta = checkCompat(spark, path, queries, qVec, "probe")
@@ -227,9 +236,15 @@ object IvfPqIndex {
       .localCheckpoint(true)
     // touched cells: ≤ numCentroids values by construction
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
-    val scored = loadCells(spark, path)
+    val pruned = loadCells(spark, path)
       .filter(col(CellCol).isin(touched.map(Int.box): _*))
-      .join(broadcast(q), Seq(CellCol))
+    val cells = excludeIds match {
+      case Some(ex) =>
+        val exIds = broadcast(ex.toDF("__xid").distinct())
+        pruned.join(exIds, pruned("vec_id") === col("__xid"), "left_anti")
+      case None => pruned
+    }
+    val scored = cells.join(broadcast(q), Seq(CellCol))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("pq_score", PqIndex.adcScore(col("__lut"), col("codes")))
     val cands = PqIndex.adcTopCandidates(scored, candidates)
@@ -241,9 +256,102 @@ object IvfPqIndex {
   }
 
   /** Per-cell row counts, largest first — [[IvfIndex.cellStats]]' audit
-    * over the composed index. */
+    * over the composed index; the partition-scoped remedy for the top row
+    * is [[resplitCell]]. */
   def cellStats(spark: SparkSession, path: String): DataFrame =
     loadCells(spark, path).groupBy(col(CellCol))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("n_vectors").desc, col(CellCol).asc)
+
+  /**
+   * Partition-scoped remedy for a hot cell — [[IvfIndex.resplitCell]]'s
+   * twin over the composed layout, and the payoff of direct (non-residual)
+   * encoding: the hot cell's CODE rows move into `subCells` fresh
+   * sub-cells with their codes byte-untouched (residual codes would all
+   * need re-encoding against each new cell's centroid).
+   *
+   * Self-contained in the index: the float corpus is never read. Each hot
+   * row is DECODED to its PQ reconstruction ([[PqIndex.reconstructColumn]]
+   * — everything the index knows about the row), sub-centroids come from
+   * k-means over those reconstructions, and rows re-route to their nearest
+   * sub-centroid by the same quantized-cosine argmax the probe uses for
+   * queries. Routing error vs true vectors is bounded by the PQ
+   * quantization error — the usual `nprobe > 1` slack covers boundaries,
+   * and a probe covering all cells is EXACTLY unchanged (spec-pinned).
+   * Cost is O(hot cell), not O(corpus); every other cell directory is
+   * byte-untouched (spec-asserted).
+   *
+   * Crash-safe order ([[IvfIndex.resplitCell]]'s discipline): sub-cell
+   * directories land first (dynamic overwrite — a rerun replaces its own
+   * partial output), then the centroid file swap (the routing commit
+   * point), then the marker refresh and the old directory delete. A crash
+   * before the centroid swap leaves probes on the old centroid set reading
+   * the old directory; after it, a stale unreferenced directory remains
+   * for [[cellStats]] to surface and the operator to delete.
+   */
+  def resplitCell(spark: SparkSession, path: String, cell: Int,
+      subCells: Int, iterations: Int = 3): Unit = {
+    require(subCells >= 2, s"resplit needs >= 2 sub-cells, got $subCells")
+    val meta = IndexMeta.read(spark, path)
+    require(meta.nonEmpty, s"no IVFPQ index marker at $path")
+    val cents = IvfIndex.intCentroids(loadCentroids(spark, path))
+    val centRows = cents.collect() // ≤ numCentroids by construction
+    require(centRows.exists(_.getInt(0) == cell),
+      s"no centroid with cell id $cell at $path (stale directory from an " +
+        "interrupted re-split? cellStats shows unreferenced cells)")
+    val maxId = centRows.map(_.getInt(0)).max
+    require(maxId.toLong + subCells <= Int.MaxValue,
+      s"sub-cell ids ${maxId + 1}..${maxId.toLong + subCells} overflow INT")
+    val books = PqIndex.bookArray(loadCodebooks(spark, path))
+    // decode once; lineage truncated because the write below targets the
+    // very tree this plan reads (and the frame feeds k-means + re-route)
+    val hot = loadCells(spark, path).filter(col(CellCol) === cell)
+      .select(col("vec_id"), col("codes"))
+      .crossJoin(broadcast(books))
+      .select(col("vec_id"), col("codes"),
+        PqIndex.reconstructColumn(col("__books"), col("codes")).as("__rv"))
+      .localCheckpoint(true)
+    val sub = Similarity.kmeansCentroids(hot, "vec_id", "__rv",
+      subCells, iterations)
+    // k-means labels are arbitrary row ids — remap onto fresh ids above
+    // the existing range (IvfIndex.resplitCell's rule)
+    val labels = sub.select(col("cent_id")).collect().map(_.getInt(0)).sorted
+    val idMap = map(labels.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(l), lit(maxId + 1 + i)) }.toIndexedSeq: _*)
+    val subCents = sub.select(
+        element_at(idMap, col("cent_id")).cast("int").as("cent_id"),
+        col("__cent"), col("__centn"))
+      .localCheckpoint(true) // pin before the directories start moving
+    val subArr = Similarity.centroidArray(subCents)
+    val assigned = hot
+      .withColumn("__v", Vectors.quantizeHof(col("__rv")))
+      .withColumn("__vn", Vectors.dotQ(col("__v"), col("__v")))
+      .crossJoin(broadcast(subArr))
+      .withColumn("__best", array_min(transform(col("__cents"), ct =>
+        struct(
+          coalesce(-Vectors.cosineQ(col("__v"), ct.getField("__cent"),
+              col("__vn"), ct.getField("__centn")), lit(Double.MaxValue))
+            .as("nsim"),
+          ct.getField("cent_id").as(CellCol)))))
+      .select(col("vec_id"), col("codes"), // codes byte-untouched
+        col("__best").getField(CellCol).cast("int").as(CellCol))
+      .localCheckpoint(true)
+    assigned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CellCol).parquet(cellsPath(path))
+    // centroid file: survivors (from the driver-side copy — the write
+    // replaces the file the frame was read from) + sub-centroids
+    val keep = spark.createDataFrame(
+      java.util.Arrays.asList(centRows.filter(_.getInt(0) != cell): _*),
+      cents.schema)
+    keep.unionByName(subCents).coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    recordMeta(spark, path, meta("dims").toInt,
+      centRows.length - 1 + subCells, meta("m").toInt, meta("ksub").toInt)
+    val hotDir = new org.apache.hadoop.fs.Path(
+      s"${cellsPath(path)}/$CellCol=$cell")
+    hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hotDir, true)
+    ()
+  }
 }

@@ -93,12 +93,29 @@ object PqIndex {
    * grouping key — m never multiplies the job count.
    */
   def trainCodebooks(corpus: DataFrame, id: String, vec: String,
-      m: Int, ksub: Int, iterations: Int = 3): DataFrame = {
+      m: Int, ksub: Int, iterations: Int = 3): DataFrame =
+    trainCodebooksFor(corpus, id, vec, m, ksub, iterations, 0 until m,
+      hashSeeds = false)
+
+  /** [[trainCodebooks]] restricted to `subs` — the single-subspace path
+    * [[retrainSubspace]] takes (training cost scales with the subspaces
+    * actually trained, not m). `hashSeeds` orders the deterministic seed
+    * pick by (md5 bucket, id) instead of plain id: a subspace usually
+    * collapses BECAUSE the smallest-id rows sat on one density mode, and
+    * near-identical seeds are (up to ties) a Lloyd fixed point — a retrain
+    * that re-seeds identically reproduces the pathology it exists to heal.
+    * Hash order stays deterministic and engine-portable while
+    * decorrelating the pick from ingest adjacency. */
+  private def trainCodebooksFor(corpus: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int, iterations: Int, subs: Seq[Int],
+      hashSeeds: Boolean): DataFrame = {
     requireNumericId(corpus, id) // a string id would null-cast silently
     val dims = dimsOf(corpus, vec)
     require(m > 0 && dims % m == 0,
       s"m=$m must divide the vector dims ($dims)")
     require(ksub >= 2, s"ksub must be >= 2, got $ksub")
+    require(subs.nonEmpty && subs.forall(s => s >= 0 && s < m),
+      s"subspaces must lie in [0, $m), got ${subs.mkString(",")}")
     val dsub = dims / m
     // persist the exploded subvector frame: every consumer below (seeds +
     // one plan per Lloyd round) would otherwise re-inline the normalize/
@@ -110,16 +127,19 @@ object PqIndex {
           col(vec).as("__pv")), "__pv")
         .filter(col("__xn").isNotNull) // zero-norm rows carry no direction
         .select(col("__pid"), col("__xn"),
-          explode(sequence(lit(0), lit(m - 1))).as("s"))
+          explode(array(subs.map(lit): _*)).as("s"))
         .withColumn("sv", slice(col("__xn"), col("s") * dsub + 1, lit(dsub)))
         .select(col("__pid"), col("s"), col("sv")))
     // deterministic seeds: the ksub smallest-id rows' subvectors, re-labelled
     // densely 0..ksub-1 per subspace (ADC indexing needs dense codes). The
     // seed ids come from a TakeOrdered over ONE subspace's id column (every
-    // surviving row carries all m subspaces) — a windowed row_number over
-    // the full exploded frame would globally sort corpus×m rows to pick k
-    val seedIds = sv.filter(col("s") === 0)
-      .select(col("__pid")).orderBy(col("__pid").asc).limit(ksub)
+    // surviving row carries all trained subspaces) — a windowed row_number
+    // over the full exploded frame would globally sort corpus×m rows to pick k
+    val seedIds = sv.filter(col("s") === subs.head)
+      .select(col("__pid"))
+      .orderBy((if (hashSeeds) Seq(Sampling.hashBucket(col("__pid")).asc)
+        else Seq.empty[Column]) :+ col("__pid").asc: _*)
+      .limit(ksub)
     val w = Window.partitionBy(col("s")).orderBy(col("__pid").asc)
     var cents = sv.join(broadcast(seedIds), Seq("__pid"))
       .withColumn("__rn", row_number().over(w)) // ksub×m rows — trivial sort
@@ -204,6 +224,16 @@ object PqIndex {
   private[operators] def lutColumn(books: Column, subs: Column): Column =
     zip_with(books, subs, (sb, sub) =>
       transform(sb.getField("cents"), ct => dot(sub, ct.getField("cvec"))))
+
+  /** The unit-domain reconstruction of a code row off aligned `__books` /
+    * `codes` columns: per subspace the codeword the code indexes (dense
+    * codes ⇒ element_at by position), concatenated back to a D-dim double
+    * vector — the decode side of the PQ contract, i.e. everything the
+    * index knows about a stored vector WITHOUT touching the float table.
+    * [[IvfPqIndex.resplitCell]] sub-clusters and re-routes on this. */
+  private[operators] def reconstructColumn(books: Column, codes: Column): Column =
+    flatten(zip_with(books, codes, (sb, c) =>
+      element_at(sb.getField("cents"), c + 1).getField("cvec")))
 
   /** Encode each row's unit vector as `m` dense codes (broadcast argmin,
     * zero shuffle): `(<outId>, codes array<int>)`; zero-norm rows dropped. */
@@ -297,6 +327,86 @@ object PqIndex {
     encode(batch, id, vec, "vec_id", bookArray(loadCodebooks(spark, path)),
       meta("m").toInt, dsub)
       .write.mode("append").parquet(codesPath(path))
+  }
+
+  /**
+   * The remedy [[codeStats]] prescribes for a saturated subspace: re-run
+   * Lloyd's for ONE subspace (training cost = one slice of one corpus
+   * pass, not m of them; seeds re-picked in hash order so the retrain
+   * escapes the collapsed initialization — see [[trainCodebooksFor]]),
+   * splice the new codewords into the codebooks file, and refresh the
+   * codes column — scheme, m, ksub and every OTHER subspace's codewords
+   * stay exactly as recorded, so the drift markers never bump and
+   * appended batches keep composing.
+   *
+   * `corpus` must cover EVERY indexed row (the original save plus all
+   * appended batches): codes are recomputed from vectors, and a row
+   * absent from `corpus` would vanish from the index — guarded by a
+   * row-count check before anything on disk changes.
+   *
+   * The refresh re-encodes all m positions rather than splice-joining the
+   * new position onto the old codes: codes are a pure deterministic
+   * function of (codebooks, vector), so unchanged subspaces reproduce
+   * bit-identical codes (spec-pinned), and the broadcast-argmin
+   * projection is SHUFFLE-FREE — a position-splice join would shuffle the
+   * corpus-sized codes table by id to save m−1 codegen'd argmins.
+   *
+   * Crash discipline: new codes stage to `codes__retrain` first; the
+   * codebooks overwrite and the codes swap then commit back to back. A
+   * crash between those two steps leaves codebooks and codes from
+   * different trains (ADC mis-ranks) — re-run the retrain to repair (it
+   * is deterministic and idempotent); the staging directory's presence
+   * marks the interruption.
+   */
+  def retrainSubspace(corpus: DataFrame, id: String, vec: String,
+      path: String, s: Int, iterations: Int = 3,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    requireNumericId(corpus, id)
+    val meta = checkCompat(spark, path, corpus, vec, "retrain")
+    val m = meta("m").toInt
+    val ksub = meta("ksub").toInt
+    require(s >= 0 && s < m, s"subspace $s outside [0, $m)")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val dims = meta("dims").toInt
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(Sampling.hashBucket(col(id)) <
+        math.max(1, math.rint(trainFraction * 100).toInt))
+    val retrained = trainCodebooksFor(trainSet, id, vec, m, ksub,
+      iterations, Seq(s), hashSeeds = true)
+    // splice DRIVER-SIDE (m×ksub rows — bounded by construction, the
+    // IvfIndex.resplitCell centroid-file discipline): the codebooks write
+    // below replaces the very file the kept rows were read from, and a
+    // plan-side filtered-scan ∪ aggregate union trips a Catalyst
+    // constraint-rewrite NoSuchElementException besides
+    val bookSchema = loadCodebooks(spark, path).schema
+    val keptRows = loadCodebooks(spark, path).filter(col("s") =!= s).collect()
+    val newRows = retrained
+      .select(bookSchema.fieldNames.map(col).toIndexedSeq: _*).collect()
+    val spliced = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows ++ newRows: _*), bookSchema)
+    requireDenseCodes(spliced)
+    val tmp = codesPath(path) + "__retrain"
+    encode(corpus, id, vec, "vec_id", bookArray(spliced), m, dims / m)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have = spark.read.parquet(tmp).count()
+    val expect = loadCodes(spark, path).count()
+    if (have != expect) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"retrainSubspace corpus encodes $have rows but the index holds " +
+          s"$expect — pass the FULL indexed corpus (save + every append); " +
+          "missing rows would silently vanish from the index")
+    }
+    spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
+    fs.delete(new org.apache.hadoop.fs.Path(codesPath(path)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(codesPath(path)))
+    ()
   }
 
   /**
@@ -406,8 +516,8 @@ object PqIndex {
   /** Per-subspace code-usage histogram `(s, code, n)` — the imbalance
     * audit ([[IvfIndex.cellStats]]' twin): a code soaking up most of a
     * subspace means its codeword sits on a density mode and ADC loses
-    * resolution there; remedy is retraining that subspace (cheap — one
-    * corpus pass) or raising ksub. */
+    * resolution there; remedy is [[retrainSubspace]] (cheap — one corpus
+    * pass, only that subspace trains) or raising ksub. */
   def codeStats(spark: SparkSession, path: String): DataFrame =
     loadCodes(spark, path)
       .select(posexplode(col("codes")).as(Seq("s", "code")))

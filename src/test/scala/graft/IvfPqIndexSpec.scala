@@ -124,4 +124,71 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("8-dim"))
   }
+
+  test("resplitCell: codes byte-untouched, cold cells byte-untouched, probes identical") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    val path = newPath()
+    // IvfIndexSpec's hot-cell geometry: X on e1 (ids 0-9), Y on e2 (even
+    // ids 100-118), Z on e3 (odd ids 101-119); centroid c1 between Y and Z
+    // makes cell 1 hold 2/3 of the corpus, and the interleaved ids put one
+    // k-means seed in each sub-cluster (100∈Y, 101∈Z)
+    def v(main: Int, i: Int) = Array.tabulate(4)(d =>
+      (if (d == main) 1.0f else 0.0f) + (if (d == 3) 0.01f * (i % 5) else 0.0f)).toSeq
+    val c3 = ((0 until 10).map(i => (i.toLong, v(0, i))) ++
+      (0 until 10).map(i => (100L + 2 * i, v(1, i))) ++
+      (0 until 10).map(i => (101L + 2 * i, v(2, i)))).toDF("vec_id", "embedding")
+    val cents = Seq(
+        (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1, Seq(0.0f, 0.7f, 0.7f, 0.0f))).toDF("cent_id", "cvec")
+      .select(col("cent_id"), Vectors.quantize(col("cvec")).as("__cent"))
+      .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
+    IvfPqIndex.save(c3, "vec_id", "embedding", path,
+      numCells = 2, m = 4, ksub = 4, iterations = 2, centroids = Some(cents))
+    val mass = IvfPqIndex.cellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mass == Map(0 -> 10L, 1 -> 20L), s"hot cell must exist: $mass")
+    def codesOf() = IvfPqIndex.loadCells(spark, path)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def cell0Files() = {
+      val d = new java.io.File(new java.net.URI("file://" + path + "/cells/cell=0"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val queries = c3.filter(col("vec_id").isin(0L, 100L, 101L))
+    def probeAll(nprobe: Int) =
+      IvfPqIndex.probe(spark, path, queries, "vec_id", "embedding",
+          candidates = 30, nprobe = nprobe)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val codesBefore = codesOf()
+    val before = probeAll(nprobe = 2) // all cells
+    val cell0Before = cell0Files()
+
+    IvfPqIndex.resplitCell(spark, path, cell = 1, subCells = 2)
+
+    // no re-encode: every row's codes are exactly the bytes it had — the
+    // direct-encoding payoff this operator exists to prove
+    assert(codesOf() == codesBefore, "codes must pass through untouched")
+    assert(cell0Files() == cell0Before, "cell 0 must be byte-untouched")
+    val after = IvfPqIndex.cellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!after.contains(1) && after.keySet == Set(0, 2, 3) &&
+      after(0) == 10L && after(2) == 10L && after(3) == 10L,
+      s"mass must re-split into the sub-cells: $after")
+    // an all-cells probe is EXACTLY unchanged (same codes, same ADC
+    // scores, only the directory layout moved)
+    assert(probeAll(nprobe = 3) == before)
+    assert(IvfPqIndex.readParams(spark, path).get("numCentroids").contains("3"))
+    // routing still works cell-scoped: each sub-cluster query finds its
+    // own kin at nprobe = 1
+    val n1 = IvfPqIndex.probe(spark, path,
+        c3.filter(col("vec_id") === 100L), "vec_id", "embedding",
+        candidates = 30, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(n1.nonEmpty && n1.forall(id => id >= 100L && id % 2 == 0),
+      s"query 100 must probe the Y sub-cell: $n1")
+  }
 }
