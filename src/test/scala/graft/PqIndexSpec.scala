@@ -191,6 +191,75 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     bySub.values.foreach(total => assert(total == 48L))
   }
 
+  test("retrainSubspace: one subspace heals, the others' codes stay bit-identical") {
+    import spark.implicits._
+    val path = newPath()
+    // seed sabotage: ids 0..3 (the deterministic Lloyd seeds) are all the
+    // SAME direction, so with iterations = 0 every subspace's codebook is
+    // four near-identical codewords and the code histogram collapses
+    val skewSeeds = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 1.0f + 0.001f * (i + d)).toSeq))
+    val rest = (4 until 64).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8) { d =>
+        (if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f) +
+          0.05f * (((i * 31 + d * 7) % 11) - 5)
+      }.toSeq)
+    }
+    val c = (skewSeeds ++ rest).toDF("vec_id", "embedding")
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 0)
+    def imbalance(sub: Int): Double = {
+      val ns = PqIndex.codeStats(spark, path)
+        .filter(col("s") === sub).collect().map(_.getLong(2))
+      ns.max.toDouble / ns.sum
+    }
+    def codesBySub(): Map[Int, Map[Long, Int]] = {
+      val rows = PqIndex.loadCodes(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      (0 until 4).map(sub =>
+        sub -> rows.map { case (id, cs) => id -> cs(sub) }.toMap).toMap
+    }
+    val skewBefore = imbalance(1)
+    val before = codesBySub()
+    assert(skewBefore > 0.8, s"sabotaged codebook must be collapsed: $skewBefore")
+
+    PqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 1)
+
+    // the retrained subspace spreads out; the untouched subspaces'
+    // codebooks AND codes reproduce bit-identically (codes are a pure
+    // function of codebooks + vector — the no-bump contract)
+    assert(imbalance(1) < skewBefore, s"${imbalance(1)} !< $skewBefore")
+    assert(imbalance(1) <= 0.5, s"retrained subspace still collapsed: ${imbalance(1)}")
+    val after = codesBySub()
+    assert(after(0) == before(0) && after(2) == before(2)
+      && after(3) == before(3))
+    assert(after(1) != before(1), "the skewed subspace must re-encode")
+    // scheme/geometry markers never bump — appends still compose
+    assert(PqIndex.readParams(spark, path) ==
+      PqIndex.readParams(spark, path).updated("ksub", "4"))
+    // exactness is unaffected: all-covering re-rank still equals brute
+    // force (q82's oracle contract survives maintenance)
+    val q = c.filter(col("vec_id") < 2)
+    val got = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 64, rerank = Some((c, "vec_id", "embedding")), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val want = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // a corpus missing indexed rows must fail BEFORE touching the index
+    val e = intercept[IllegalStateException] {
+      PqIndex.retrainSubspace(c.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, s = 0)
+    }
+    assert(e.getMessage.contains("FULL indexed corpus"))
+    assert(PqIndex.loadCodes(spark, path).count() == 64,
+      "the failed retrain must leave the index intact")
+  }
+
   test("probe scans codes only — the full-vector table stays untouched") {
     val path = newPath()
     val c = corpus(64)
