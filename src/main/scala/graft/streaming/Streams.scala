@@ -321,4 +321,103 @@ object Streams {
       } finally graft.core.Caches.releaseAll()
     }
   }
+
+  /**
+   * Continuous ingest against the PRODUCTION ANN layout — the
+   * [[annIngestStream]] cycle over [[graft.operators.IvfPqIndex]] instead
+   * of the float IVF index: a corpus standardized on the composed
+   * cells+codes layout gets the same probe → accept → append stream
+   * without maintaining a parallel float index. Each micro-batch:
+   *
+   *   1. probes the on-disk index for each batch vector's best standing
+   *      match ([[graft.operators.IvfPqIndex.probe]] — directory-pruned
+   *      cells scan, ADC scoring over code bytes; drift fails fast on the
+   *      recorded marker),
+   *   2. drops batch docs whose best standing score ≥ `threshold`; with
+   *      `dedupWithinBatch`, also drops the GREATER id of every
+   *      intra-batch pair at/above the threshold (exact pairwise over the
+   *      broadcast batch, [[annIngestStream]]'s bounded O(batch²)),
+   *   3. appends survivors' codes to the index (only touched cell
+   *      directories gain files) and hands the survivors to `accept`.
+   *
+   * THRESHOLD SEMANTICS: without `rerankFrom` the standing-side score is
+   * the ADC approximation of cosine (exact cosine ± the PQ quantization
+   * error — the index stores no float vectors to re-rank against), so set
+   * the threshold with slack or pass `rerankFrom` (a maintained
+   * full-vector table, e.g. the accepted corpus itself) to refine
+   * candidates into exact cosines before thresholding. Intra-batch pairs
+   * always score exactly (the batch's floats are in hand).
+   *
+   * Replay-idempotent like its siblings: the batch's own ids are excluded
+   * from the corpus side, so an at-least-once replay after a crash
+   * between append and commit re-sees the pre-append corpus view.
+   * Bootstrap founds the index from the first non-empty batch's
+   * survivors via [[graft.operators.IvfPqIndex.save]] (fixed geometry
+   * afterwards — `resplitCell` hot cells, or re-`save`, when the corpus
+   * outgrows it). Cross-batch state lives entirely on disk.
+   *
+   * Returns the configured writer — caller sets checkpoint/trigger and
+   * calls `start()`.
+   */
+  def ivfPqIngestStream(
+      docs: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      threshold: Double, numCells: Int = 64, m: Int = 8, ksub: Int = 16,
+      nprobe: Int = 2, rerankCandidates: Int = 16,
+      rerankFrom: Option[(DataFrame, String, String)] = None,
+      dedupWithinBatch: Boolean = true)
+      (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.IvfPqIndex
+    import graft.functions.Vectors
+    docs.writeStream.foreachBatch { (rawBatch: Dataset[Row], batchId: Long) =>
+      val spark = rawBatch.sparkSession
+      // pinned once, detached from source lineage before the append
+      // refreshes file caches (annIngestStream's reasoning verbatim)
+      val batch = rawBatch.localCheckpoint(true)
+      try {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bootstrap = !fs.exists(p)
+        val none = batch.select(col(idCol)).limit(0)
+        val corpusDups =
+          if (!bootstrap) {
+            val ex = Some(batch.select(col(idCol)))
+            rerankFrom match {
+              case Some((full, fId, fVec)) =>
+                // exact path: ADC shortlists `rerankCandidates`, the
+                // full-vector fetch re-scores, k=1 (any match ≥ threshold
+                // drops the doc, so only the best matters)
+                IvfPqIndex.probe(spark, indexPath, batch, idCol, vecCol,
+                    candidates = rerankCandidates, nprobe = nprobe,
+                    rerank = rerankFrom, k = 1, excludeIds = ex)
+                  .filter(col("cosine") >= threshold)
+                  .select(col("query_id").as(idCol))
+              case None =>
+                // approximate path: the best ADC score IS candidate #1
+                IvfPqIndex.probe(spark, indexPath, batch, idCol, vecCol,
+                    candidates = 1, nprobe = nprobe, excludeIds = ex)
+                  .filter(col("pq_score") >= threshold)
+                  .select(col("query_id").as(idCol))
+            }
+          } else none
+        val intraDups =
+          if (dedupWithinBatch) {
+            val l = batch.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
+            val r = batch.select(col(idCol).as("__ib"), col(vecCol).as("__vb"))
+            l.join(broadcast(r), col("__ia") < col("__ib"))
+              .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
+              .select(col("__ib").as(idCol))
+          } else none
+        val survivors = batch.join(
+            corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (bootstrap) {
+          if (!survivors.isEmpty)
+            IvfPqIndex.save(survivors, idCol, vecCol, indexPath,
+              numCells = numCells, m = m, ksub = ksub)
+        } else
+          IvfPqIndex.append(survivors, idCol, vecCol, indexPath)
+        accept(survivors, batchId)
+      } finally graft.core.Caches.releaseAll()
+    }
+  }
 }

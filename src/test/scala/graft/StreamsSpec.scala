@@ -391,6 +391,82 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 102L, 103L))
   }
 
+  test("ivfPqIngestStream: probe → accept → append across micro-batches on the composed index") {
+    import spark.implicits._
+    import graft.operators.IvfPqIndex
+    val dir = TempDirs.create("graftivfpqing").toString
+    val idx = dir + "/idx"
+    // one seed per axis, so the bootstrap codebooks can represent every
+    // direction the batches use (an ADC index trained on 2 basis vectors
+    // cannot score dims it never saw)
+    val corpus = Seq(1L -> vec(1, 0, 0, 0), 2L -> vec(0, 1, 0, 0),
+      3L -> vec(0, 0, 1, 0), 4L -> vec(0, 0, 0, 1)).toDF("doc_id", "embedding")
+    IvfPqIndex.save(corpus, "doc_id", "embedding", idx,
+      numCells = 2, m = 4, ksub = 4)
+    // batch 1: 101 dups corpus 1 (ADC score 1.0); 102 is nobody's match
+    // (best ADC 0.8 < threshold); 103/104 dup each other (exact intra
+    // pairwise, keep min 103). batch 2: 201 dups 103 — a batch-1 SURVIVOR,
+    // only the index append can catch it; 202 is far from everything.
+    Seq(101L -> vec(1, 0, 0, 0), 102L -> vec(0.8, -0.6, 0, 0),
+        103L -> vec(0.6, 0.8, 0, 0), 104L -> vec(0.6, 0.8, 0, 0))
+      .toDF("doc_id", "embedding").coalesce(1).write.parquet(dir + "/in")
+    Seq(201L -> vec(0.6, 0.8, 0, 0), 202L -> vec(0, 0, 0.6, -0.8))
+      .toDF("doc_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir + "/in")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.ivfPqIngestStream(
+        Streams.parquetStream(spark, dir + "/in", corpus.schema),
+        "doc_id", "embedding", idx, threshold = 0.93, nprobe = 2) {
+        (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(102L, 103L), Set(202L)),
+      s"got $accepted")
+    val idxIds = IvfPqIndex.loadCells(spark, idx)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 3L, 4L, 102L, 103L, 202L))
+  }
+
+  test("ivfPqIngestStream replay redelivers the same survivors (at-least-once)") {
+    import spark.implicits._
+    import graft.operators.IvfPqIndex
+    val dir = TempDirs.create("graftivfpqreplay").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(1L -> vec(1, 0, 0, 0), 2L -> vec(0, 1, 0, 0),
+      3L -> vec(0, 0, 1, 0), 4L -> vec(0, 0, 0, 1)).toDF("doc_id", "embedding")
+    IvfPqIndex.save(corpus, "doc_id", "embedding", idx,
+      numCells = 2, m = 4, ksub = 4)
+    Seq(101L -> vec(1, 0, 0, 0), 102L -> vec(0.8, -0.6, 0, 0),
+        103L -> vec(0.6, 0.8, 0, 0), 104L -> vec(0.6, 0.8, 0, 0))
+      .toDF("doc_id", "embedding").coalesce(1).write.parquet(dir + "/in")
+    def runOnce(ckpt: String): Set[Long] = {
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = Streams.ivfPqIngestStream(
+          Streams.parquetStream(spark, dir + "/in", corpus.schema),
+          "doc_id", "embedding", idx, threshold = 0.93, nprobe = 2) {
+          (survivors, _) =>
+            accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      accepted.toList.reduce(_ ++ _)
+    }
+    val first = runOnce(dir + "/ckpt1")
+    assert(first == Set(102L, 103L), s"got $first")
+    // crash-replay: appends landed, sink offset never committed; a fresh
+    // checkpoint reprocesses the batch. Without excludeIds the batch docs
+    // would pair with their OWN appended code rows and drop.
+    val replayed = runOnce(dir + "/ckpt2")
+    assert(replayed == first,
+      s"replay must redeliver the same survivors: $replayed vs $first")
+    val idxIds = IvfPqIndex.loadCells(spark, idx)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(1L, 2L, 3L, 4L, 102L, 103L))
+  }
+
   test("annIngestStream bootstraps from the first batch, then fails fast on dim drift") {
     import spark.implicits._
     import graft.operators.IvfIndex
