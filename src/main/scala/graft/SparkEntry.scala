@@ -1210,6 +1210,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ANN maintenance path 1 — hot-cell re-split on the COMPOSED index:
+    // the hottest cell's code rows move into three sub-cells with their
+    // codes byte-untouched (direct encoding's payoff), then an all-cells
+    // probe + all-covering re-rank must STILL equal brute force — the
+    // oracle proves maintenance is invisible in the exact path. BENCH
+    // NOTE: self-contained like q83 (build + resplit + probe timed).
+    "q87_ivfpq_resplit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Scratch.dir("graft_q87_").resolve("ivfpq_index").toString
+      graft.operators.IvfPqIndex.save(e, "vec_id", "embedding", idx,
+        numCells = 8, m = 8, ksub = 8, iterations = 1)
+      val hot = graft.operators.IvfPqIndex.cellStats(s, idx).head.getInt(0)
+      graft.operators.IvfPqIndex.resplitCell(s, idx, hot, subCells = 3)
+      // 8 - 1 + 3 = 10 cells now; nprobe = all of them
+      graft.operators.IvfPqIndex.probe(s, idx, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", candidates = 5000, nprobe = 10,
+          rerank = Some((e, "vec_id", "embedding")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN maintenance path 2 — single-subspace retrain: subspace 0's
+    // codebook re-trains (hash-ordered seeds) and the codes column
+    // refreshes, scheme/m/ksub untouched; the all-covering probe must
+    // still equal brute force. BENCH NOTE: self-contained (train + encode
+    // + retrain + re-encode + probe timed).
+    "q88_pq_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Scratch.dir("graft_q88_").resolve("pq_index").toString
+      graft.operators.PqIndex.save(e, "vec_id", "embedding", idx,
+        m = 8, ksub = 8, iterations = 1)
+      graft.operators.PqIndex.retrainSubspace(e, "vec_id", "embedding",
+        idx, 0, iterations = 1)
+      graft.operators.PqIndex.probe(s, idx, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", candidates = 5000,
+          rerank = Some((e, "vec_id", "embedding")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q85_training_set" -> ((s, dir) => {
       graft.reports.TrainingSetBuild.plan(
           t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -2300,6 +2338,12 @@ object SparkEntry {
 
     // IVF×PQ with nprobe = all cells + all-covering re-rank ≡ brute force
     "q83_ann_ivfpq" -> BruteTopKSql,
+
+    // maintenance must be invisible in the exact path: a re-split index
+    // (q87) and a retrained-subspace index (q88) still collapse to brute
+    // force under all-covering probes
+    "q87_ivfpq_resplit" -> BruteTopKSql,
+    "q88_pq_retrain" -> BruteTopKSql,
 
     // the Quality sheet: q64's verdict battery grouped by reason with an
     // instance share; (n_docs desc, reason asc) is a total order

@@ -102,6 +102,55 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
       String.valueOf(err.getMessage))
   }
 
+  test("resume: a committed staged table skips the battery; shards byte-identical") {
+    val dir = TempDirs.create("graft-trainset-resume")
+    val out = dir.resolve("out").toString
+    def lines(root: String): Seq[(String, Seq[String])] =
+      new java.io.File(s"$root/shards").listFiles().filter(_.isDirectory)
+        .sortBy(_.getName).toSeq.map { d =>
+          val fs = d.listFiles().filter(_.getName.endsWith(".json"))
+            .sortBy(_.getName)
+          d.getName -> fs.toSeq.flatMap(f =>
+            scala.io.Source.fromFile(f).getLines().toSeq)
+        }
+    val s1 = TrainingSetBuild.run(spark, corpus, out,
+      dir.resolve("m1").toString, cfg)
+    val full = lines(out)
+    // crash after the stage committed, before the shard write landed:
+    // the staged table (with its _SUCCESS marker) survives, the layout
+    // below it is gone
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      finally walk.close()
+    }
+    rmTree(java.nio.file.Paths.get(s"$out/shards"))
+    rmTree(java.nio.file.Paths.get(s"$out/manifest"))
+    val s2 = TrainingSetBuild.run(spark, corpus, out,
+      dir.resolve("m2").toString, cfg.copy(resume = true))
+    assert(s2.packedRows == s1.packedRows && s2.shards == s1.shards
+      && s2.totalTokens == s1.totalTokens)
+    assert(lines(out) == full, "resumed shards must be byte-identical")
+    // the audit trail says the stage was skipped, not silently absent
+    val log = new graft.meta.MetaStore(spark, dir.resolve("m2").toString)
+      .executionLog.collect().map(r =>
+        r.getAs[String]("target_table") -> r.getAs[String]("execution_status"))
+      .toMap
+    assert(log.get("trainset_stage").contains("SKIPPED"), log.toString)
+    assert(log.get("trainset_plan").contains("SUCCESS"))
+    assert(log.get("trainset_write").contains("SUCCESS"))
+    // default (resume = false) restages: the stage phase runs again
+    val s3 = TrainingSetBuild.run(spark, corpus, out,
+      dir.resolve("m3").toString, cfg)
+    assert(s3.packedRows == s1.packedRows)
+    val log3 = new graft.meta.MetaStore(spark, dir.resolve("m3").toString)
+      .executionLog.collect().map(r =>
+        r.getAs[String]("target_table") -> r.getAs[String]("execution_status"))
+      .toMap
+    assert(log3.get("trainset_stage").contains("SUCCESS"), log3.toString)
+  }
+
   test("rebuild is byte-identical: same corpus, same shard lines") {
     val d1 = TempDirs.create("graft-trainset-a").resolve("o").toString
     val d2 = TempDirs.create("graft-trainset-b").resolve("o").toString
