@@ -543,6 +543,95 @@ object ScaleBench {
         // post-maintenance probe (no append): the steady-state cost check
         probeNight(nights + 1, append = false)
       }
+
+      // ---- ivfpq aging tier: the aging evidence extended to the PRODUCTION
+      // ANN layout — N nights of probe→append against ONE standing composed
+      // (IVF+PQ) index. Each night probes a fresh embedding batch (10%
+      // identical-vector copies of standing docs so the ADC drop path runs
+      // every night), appends survivors' codes (touched cell directories
+      // only), and logs probe/append seconds plus the index's file count;
+      // then the full maintenance cycle runs — hottest-cell re-split
+      // (codes move, never re-encode) and partition-scoped compaction —
+      // and one more probe shows the steady-state cost after it.
+      if (wanted("ivfpqaging")) {
+        import graft.operators.IvfPqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val idxPath = s"$scratch/ivfpq_aging_idx_$n"
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // age from night 0 every run
+        def fileCount(): Long = {
+          val it = fs.listFiles(p, true)
+          var c = 0L
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+          c
+        }
+        val tb = System.nanoTime()
+        IvfPqIndex.save(emb, "doc_id", "embedding", idxPath,
+          numCells = 64, m = 8, ksub = 16, iterations = 1,
+          trainFraction = 0.1)
+        println(s"""{"op":"ivfpq_aging_build","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - tb) / 1e7) / 100},""" +
+          s""""index_files":${fileCount()}}""")
+        val nights = sys.env.get("SPARK_GRAFT_SCALE_NIGHTS")
+          .flatMap(_.toIntOption).getOrElse(5)
+        val batchN = math.max(1000L, n / 20) // 5% nightly growth
+        def nightBatch(night: Int): DataFrame = {
+          val fresh = corpus(spark, batchN, seed = night * 1000000007L)
+            .select((col("doc_id") + night * 100000000L).as("doc_id"),
+              col("embedding"))
+          // identical-vector copies of standing docs: ADC scores them ≈ 1
+          val dups = emb.filter(pmod(col("doc_id"), lit(200)) === night % 200)
+            .select((col("doc_id") + night * 100000000L + 50000000L)
+              .as("doc_id"), col("embedding"))
+          fresh.unionByName(dups).localCheckpoint(true)
+        }
+        def probeNight(night: Int, append: Boolean): Unit = {
+          val batch = nightBatch(night)
+          try {
+            val t0 = System.nanoTime()
+            // best ADC match is candidate #1; ≥ 0.95 of the unit dot means
+            // "standing twin" at these m/ksub (identical copies score ~1)
+            val dropIds = IvfPqIndex.probe(spark, idxPath, batch,
+                "doc_id", "embedding", candidates = 1, nprobe = 2)
+              .filter(col("pq_score") >= 0.95)
+              .select(col("query_id").as("doc_id"))
+            val survivors = batch
+              .join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+            val nSurv = survivors.count()
+            val t1 = System.nanoTime()
+            if (append)
+              IvfPqIndex.append(survivors, "doc_id", "embedding", idxPath)
+            val t2 = System.nanoTime()
+            def r2(a: Long, b: Long) = math.rint((b - a) / 1e7) / 100
+            println(s"""{"op":"ivfpq_aging_night","docs":$n,"night":$night,""" +
+              s""""batch":${batch.count()},"survivors":$nSurv,""" +
+              s""""probe_sec":${r2(t0, t1)},"append_sec":${r2(t1, t2)},""" +
+              s""""index_files":${fileCount()}}""")
+          } finally graft.core.Caches.releaseAll()
+        }
+        (1 to nights).foreach(probeNight(_, append = true))
+        // maintenance: split the hottest cell (codes byte-untouched), then
+        // sweep the nightly append litter partition-scoped
+        val hot = IvfPqIndex.cellStats(spark, idxPath).head.getInt(0)
+        val tr = System.nanoTime()
+        IvfPqIndex.resplitCell(spark, idxPath, hot, subCells = 4)
+        println(s"""{"op":"ivfpq_aging_resplit","docs":$n,"cell":$hot,""" +
+          s""""sec":${math.rint((System.nanoTime() - tr) / 1e7) / 100},""" +
+          s""""index_files":${fileCount()}}""")
+        val tc = System.nanoTime()
+        val res = graft.ops.Compaction.compactPath(
+          spark, s"$idxPath/cells", Seq("cell"))
+        println(s"""{"op":"ivfpq_aging_compact","docs":$n,""" +
+          s""""sec":${math.rint((System.nanoTime() - tc) / 1e7) / 100},""" +
+          s""""files_before":${res.filesBefore},"files_after":${res.filesAfter},""" +
+          s""""partitions":${res.partitionsSelected}}""")
+        // post-maintenance probe (no append): steady-state after re-split +
+        // compaction — routing now spans 67 cells and fewer files
+        probeNight(nights + 1, append = false)
+      }
     }
     spark.stop()
   }
