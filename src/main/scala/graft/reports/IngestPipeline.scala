@@ -28,8 +28,14 @@ import graft.ops.{Compaction, CompactionResult}
  *      touched band partitions gain files) and, when configured, their
  *      embeddings append to the persisted IVF index (only touched cells
  *      gain files; the first night bootstraps both indexes).
- *   4. MAINTAIN — [[Compaction.compactPath]] sweeps the band index's
- *      per-night file litter, partition-scoped, worst-first.
+ *   4. MAINTAIN — [[Compaction.compactPath]] sweeps the per-night file
+ *      litter of the band index AND (when configured) the IVF index's
+ *      cells, partition-scoped, worst-first. Compaction runs INSIDE the
+ *      nightly cycle, not as an occasional chore: the composed-index
+ *      aging measurement (SCALE.md round-14) shows probe cost tracking
+ *      file count, not data — five nights of uncompacted appends made
+ *      probes 2.6× slower while the sweep costs seconds and restores the
+ *      flat per-row cost.
  *   5. VERIFY — DQ metrics over the standing corpus (id null/dup counts,
  *      exact-content duplicate count) persist as DMF result rows: the
  *      dedup guarantee is re-checked against the LANDED table every night,
@@ -82,7 +88,8 @@ object IngestPipeline {
       dropped: Long,
       indexCompaction: CompactionResult,
       dqFailures: Long,
-      skipped: Boolean = false)
+      skipped: Boolean = false,
+      ivfCompaction: Option[CompactionResult] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -181,12 +188,24 @@ object IngestPipeline {
         }
       }
 
-      // 4. MAINTAIN — partition-scoped sweep of per-night index litter
+      // 4. MAINTAIN — partition-scoped sweep of per-night index litter,
+      // EVERY night: probe cost tracks file count, not data (SCALE.md
+      // round-14 — 2.6× probe slowdown from five nights of append litter,
+      // restored by a seconds-cheap sweep), so the sweep belongs in the
+      // cycle rather than deferred until probes degrade
       val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
           cfg.carrier, (r: CompactionResult) =>
             (0L, r.filesBefore - r.filesAfter, 0L)) {
         Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
           cfg.compactTargetFileBytes)
+      }
+      val ivfComp = cfg.ivfIndexPath.map { ip =>
+        ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+            cfg.compactTargetFileBytes)
+        }
       }
 
       // 5. VERIFY — re-check the dedup/identity guarantees on the LANDED
@@ -247,7 +266,7 @@ object IngestPipeline {
       }
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
-        comp, dqFailures)
+        comp, dqFailures, ivfCompaction = ivfComp)
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()

@@ -96,7 +96,9 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
 
     // 3. maintenance: night 2's append littered a second file into every
-    // band partition; the in-pipeline compaction swept them back down
+    // band partition; the in-pipeline compaction swept them back down —
+    // and the IVF cells get the same nightly sweep (probe cost tracks file
+    // count, SCALE.md round-14), so the hot cell is back to one file too
     assert(n2.indexCompaction.filesBefore > n2.indexCompaction.filesAfter,
       n2.indexCompaction.toString)
     val bandDirs = Option(root.resolve("band_index").toFile.listFiles())
@@ -104,17 +106,24 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(bandDirs.nonEmpty &&
       bandDirs.forall(d => files(d).size == 1),
       bandDirs.map(d => d.getName -> files(d).size).mkString(", "))
+    assert(n2.ivfCompaction.exists(r => r.filesBefore > r.filesAfter),
+      n2.ivfCompaction.toString)
+    val cellDirs = Option(root.resolve("ivf/cells").toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(d => files(d).size == 1),
+      cellDirs.map(d => d.getName -> files(d).size).mkString(", "))
 
-    // 4. audit trail: five SUCCESS steps per night, counts carried; DMF
-    // results and high-water marks per night
+    // 4. audit trail: six SUCCESS steps per night (incl. the IVF sweep),
+    // counts carried; DMF results and high-water marks per night
     val meta = new MetaStore(spark, cfg.metaDir)
     val log = meta.executionLog.collect()
-    assert(log.length == 10 &&
+    assert(log.length == 12 &&
       log.forall(_.getAs[String]("execution_status") == "SUCCESS"),
       log.map(_.getAs[String]("target_table")).mkString(", "))
     val steps = log.map(_.getAs[String]("target_table")).toSet
-    assert(Seq("probe", "accept", "index", "compact", "dq").forall(s =>
-      steps.contains(s"ingest_${s}_n1") && steps.contains(s"ingest_${s}_n2")),
+    assert(Seq("probe", "accept", "index", "compact", "compact_ivf", "dq")
+      .forall(s => steps.contains(s"ingest_${s}_n1")
+        && steps.contains(s"ingest_${s}_n2")),
       steps.toString)
     val probeN2 = log.find(_.getAs[String]("target_table") == "ingest_probe_n2").get
     assert(probeN2.getAs[Long]("records_inserted") == 2)
