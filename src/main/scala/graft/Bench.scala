@@ -10,6 +10,26 @@ object Bench {
     try graft.core.ShuffleSizing.scoped(spark) { fn(spark, sfDir).count(); () }
     finally graft.core.Caches.releaseAll() // drop operator-taken caches
 
+  /** Tolerant per-query extraction from a prior round's filed bench record:
+    * a regex scan, not a JSON parse, because the one record this guard most
+    * needs to read is precisely the TRUNCATED one (r13's parsed:null tail) —
+    * whatever query/seconds pairs survive are the baseline. Extracted for
+    * the spec. */
+  private[graft] def parseBaseline(text: String): Map[String, Double] =
+    """"(q\d+[A-Za-z0-9_]*)"\s*:\s*(\d+(?:\.\d+)?)""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  /** The cross-round regression trigger: >1.5× the filed median AND a
+    * material gap (>0.3 s — sub-second queries jitter multiplicatively).
+    * Catches what the spread detector and the loadavg bound both miss: a
+    * SUSTAINED background-load plateau slows every run uniformly (r13's
+    * q20–q27 block). Extracted for the spec. */
+  private[graft] def regressedAgainst(baseline: Map[String, Double],
+      name: String, median: Double): Boolean =
+    baseline.get(name).exists(b => b > 0 && median > 1.5 * b
+      && median - b > 0.3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,19 +96,12 @@ object Bench {
         }).sortBy(_._1).lastOption.map(_._2)
     }
     val baseline: Map[String, Double] = baselinePath.map { p =>
-      try {
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
-        """"(q\d+[A-Za-z0-9_]*)"\s*:\s*(\d+(?:\.\d+)?)""".r
-          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      try parseBaseline(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
-    // regressed = >1.5× the filed median AND a material gap (>0.3 s —
-    // sub-second queries jitter multiplicatively), the noisy-flag thresholds
     def regressed(name: String, median: Double): Boolean =
-      baseline.get(name).exists(b => b > 0 && median > 1.5 * b
-        && median - b > 0.3)
+      regressedAgainst(baseline, name, median)
     def medianOf(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)

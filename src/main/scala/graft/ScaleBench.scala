@@ -544,6 +544,31 @@ object ScaleBench {
         probeNight(nights + 1, append = false)
       }
 
+      // ---- pq retrain tier: the codeStats remedy's cost, measured — a
+      // single-subspace retrain (Lloyd on ONE slice + the shuffle-free
+      // full re-encode + codes swap) against the full save (train all m +
+      // encode) it replaces. The delta is the m−1 subspace trains the
+      // focused path skips; the floor is the encode pass both must pay.
+      if (wanted("pqretrain")) {
+        import graft.operators.PqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val idxPath = s"$scratch/pq_retrain_idx_$n"
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val tb = System.nanoTime()
+        PqIndex.save(emb, "doc_id", "embedding", idxPath,
+          m = 8, ksub = 16, iterations = 3, trainFraction = 0.1)
+        val buildSec = math.rint((System.nanoTime() - tb) / 1e7) / 100
+        val tr = System.nanoTime()
+        PqIndex.retrainSubspace(emb, "doc_id", "embedding", idxPath,
+          s = 3, iterations = 3, trainFraction = 0.1)
+        val retrainSec = math.rint((System.nanoTime() - tr) / 1e7) / 100
+        println(s"""{"op":"pq_retrain","docs":$n,"build_sec":$buildSec,""" +
+          s""""retrain_sec":$retrainSec}""")
+      }
+
       // ---- ivfpq aging tier: the aging evidence extended to the PRODUCTION
       // ANN layout — N nights of probe→append against ONE standing composed
       // (IVF+PQ) index. Each night probes a fresh embedding batch (10%

@@ -284,6 +284,24 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("Bench regression guard: truncated baselines parse, the trigger fires right") {
+    // r13's filed artifact was truncated mid-record (parsed:null) — the
+    // guard must still read whatever query pairs survive
+    val truncated = """5,"q23_dq_suite":2.672,"q24_json_props":1.153,""" +
+      """"q25_dedup_exact":1.07},"sf":"/root/testdata/sf0.1"}"""
+    val base = Bench.parseBaseline(truncated)
+    assert(base == Map("q23_dq_suite" -> 2.672, "q24_json_props" -> 1.153,
+      "q25_dedup_exact" -> 1.07), base.toString)
+    // fires only on >1.5x AND a >0.3s material gap — a sub-second query
+    // doubling is jitter, not contamination; an unknown query never fires
+    assert(Bench.regressedAgainst(base, "q23_dq_suite", 4.5))
+    assert(!Bench.regressedAgainst(base, "q23_dq_suite", 2.9)) // < 1.5x
+    assert(!Bench.regressedAgainst(base, "q24_json_props", 1.4)) // gap <= 0.3
+    assert(Bench.regressedAgainst(base, "q24_json_props", 1.8))
+    assert(!Bench.regressedAgainst(base, "q99_unknown", 100.0))
+    assert(!Bench.regressedAgainst(Map("q1" -> 0.0), "q1", 9.0)) // b > 0 guard
+  }
+
   test("ShuffleSizing raises the initial partition count only when needed") {
     import spark.implicits._
     import graft.core.ShuffleSizing
