@@ -26,8 +26,9 @@ import graft.ops.{Compaction, CompactionResult}
  *      REPLACES the partition instead of double-appending it.
  *   3. INDEX — survivors' banded rows append to the band index (only
  *      touched band partitions gain files) and, when configured, their
- *      embeddings append to the persisted IVF index (only touched cells
- *      gain files; the first night bootstraps both indexes).
+ *      embeddings append to the persisted IVF index and/or the composed
+ *      IVF+PQ index (only touched cells gain files; the first night
+ *      bootstraps every configured index).
  *   4. MAINTAIN — [[Compaction.compactPath]] sweeps the per-night file
  *      litter of the band index AND (when configured) the IVF index's
  *      cells, partition-scoped, worst-first. Compaction runs INSIDE the
@@ -60,6 +61,12 @@ object IngestPipeline {
       bandIndexPath: String,
       metaDir: String,
       ivfIndexPath: Option[String] = None,
+      // the production ANN layout as a nightly target: survivors' codes
+      // append to a standing [[graft.operators.IvfPqIndex]] (bootstrap on
+      // first night), swept by the same nightly compaction. m must divide
+      // the embedding dims
+      ivfPqIndexPath: Option[String] = None,
+      ivfPqCells: Int = 8, ivfPqM: Int = 8, ivfPqKsub: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text",
       embCol: String = "embedding",
@@ -89,7 +96,8 @@ object IngestPipeline {
       indexCompaction: CompactionResult,
       dqFailures: Long,
       skipped: Boolean = false,
-      ivfCompaction: Option[CompactionResult] = None)
+      ivfCompaction: Option[CompactionResult] = None,
+      ivfPqCompaction: Option[CompactionResult] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -186,6 +194,17 @@ object IngestPipeline {
           else
             IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
         }
+        cfg.ivfPqIndexPath.foreach { ip =>
+          val ipath = new org.apache.hadoop.fs.Path(ip)
+          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(ipath))
+            graft.operators.IvfPqIndex.save(survivors, cfg.idCol, cfg.embCol,
+              ip, numCells = cfg.ivfPqCells, m = cfg.ivfPqM,
+              ksub = cfg.ivfPqKsub)
+          else
+            graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
+              cfg.embCol, ip)
+        }
       }
 
       // 4. MAINTAIN — partition-scoped sweep of per-night index litter,
@@ -201,6 +220,14 @@ object IngestPipeline {
       }
       val ivfComp = cfg.ivfIndexPath.map { ip =>
         ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+            cfg.compactTargetFileBytes)
+        }
+      }
+      val ivfPqComp = cfg.ivfPqIndexPath.map { ip =>
+        ExecutionLogger.logged(meta, s"ingest_compact_ivfpq_$night",
             cfg.carrier, (r: CompactionResult) =>
               (0L, r.filesBefore - r.filesAfter, 0L)) {
           Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
@@ -266,7 +293,8 @@ object IngestPipeline {
       }
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
-        comp, dqFailures, ivfCompaction = ivfComp)
+        comp, dqFailures, ivfCompaction = ivfComp,
+        ivfPqCompaction = ivfPqComp)
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()

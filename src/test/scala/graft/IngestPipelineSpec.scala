@@ -217,6 +217,51 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(replay.dqFailures == 0, replay.toString)
   }
 
+  test("production-layout nights: IVFPQ bootstraps, appends, and gets the nightly sweep") {
+    import spark.implicits._
+    import graft.operators.IvfPqIndex
+    val root = TempDirs.create("graft-ingest-ivfpq")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      ivfPqIndexPath = Some(root.resolve("ivfpq").toString),
+      ivfPqCells = 2, ivfPqM = 4, ivfPqKsub = 4)
+    // one doc per axis so the bootstrap codebooks can represent every
+    // direction (the StreamsSpec geometry: basis vectors reconstruct
+    // exactly, so ADC probes score them exactly)
+    def e(d: Int) = Array.tabulate(4)(i => if (i == d) 1f else 0f)
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", e(0)),
+      (2L, "pack my box with five dozen liquor jugs today", e(1)),
+      (3L, "sphinx of black quartz judge my vow tonight", e(2)),
+      (4L, "how vexingly quick daft zebras jump around", e(3)))
+      .toDF("doc_id", "text", "embedding")
+    val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(n1.accepted == 4 && n1.dqFailures == 0, n1.toString)
+    val ip = cfg.ivfPqIndexPath.get
+    assert(IvfPqIndex.readParams(spark, ip).get("kind").contains("ivfpq"))
+    val b2 = Seq((6L, "grumpy wizards make toxic brew for the evil queen",
+      Array(0.6f, 0.8f, 0f, 0f))).toDF("doc_id", "text", "embedding")
+    val n2 = IngestPipeline.runNight(spark, b2, "n2", cfg)
+    assert(n2.accepted == 1, n2.toString)
+    assert(n2.ivfPqCompaction.isDefined, n2.toString)
+    // the standing index holds every accepted doc's codes and answers
+    // probes: doc 6's identical twin scores top with ADC 1.4 (= <q, recon>)
+    val ids = IvfPqIndex.loadCells(spark, ip)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 6L))
+    val twin = Seq((99L, Array(0.6f, 0.8f, 0f, 0f))).toDF("doc_id", "embedding")
+    val top = IvfPqIndex.probe(spark, ip, twin, "doc_id", "embedding",
+      candidates = 1, nprobe = 2).head()
+    assert(top.getLong(1) == 6L, top.toString)
+    // audit: the IVFPQ sweep is its own logged step each night
+    val log = new MetaStore(spark, cfg.metaDir).executionLog.collect()
+      .map(r => r.getAs[String]("target_table")).toSet
+    assert(log.contains("ingest_compact_ivfpq_n1") &&
+      log.contains("ingest_compact_ivfpq_n2"), log.toString)
+  }
+
   test("failOnDq: a FAILing night withholds its commit record and stays re-runnable") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-faildq")
