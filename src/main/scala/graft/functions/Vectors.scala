@@ -45,6 +45,13 @@ object Vectors {
     ColumnBridge.column(DotProductQ(
       ColumnBridge.expression(aq), ColumnBridge.expression(bq)))
 
+  /** ADC score `sum over s of lut[s][codes[s]]` — the PQ probe's hot loop
+    * as a native codegen'd expression; `PqIndex.adcScoreHof` is the
+    * composable reference form it must match (PlansSpec). */
+  def adcScoreQ(lut: Column, codes: Column): Column =
+    ColumnBridge.column(graft.plans.AdcScoreQ(
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
+
   def dotQHof(aq: Column, bq: Column): Column =
     aggregate(zip_with(aq, bq, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 

@@ -461,8 +461,17 @@ object PqIndex {
     }
   }
 
-  /** ADC approximate score: m lookups + adds against the per-query LUT. */
+  /** ADC approximate score: m lookups + adds against the per-query LUT —
+    * the native codegen'd loop ([[graft.plans.AdcScoreQ]]): this expression
+    * runs corpus×queries/cells times per probe (billions in a batch-dedup
+    * night), where the interpreted HOF chain was the measured bottleneck. */
   private[operators] def adcScore(lut: Column, codes: Column): Column =
+    Vectors.adcScoreQ(lut, codes)
+
+  /** The composable reference form of [[adcScore]] — semantics the native
+    * expression must reproduce exactly (PlansSpec pins equivalence,
+    * including the null/poison cases). */
+  private[graft] def adcScoreHof(lut: Column, codes: Column): Column =
     aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)),
       lit(0.0), (s, x) => s + x)
 

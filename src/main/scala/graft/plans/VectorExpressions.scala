@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /**
  * Native Catalyst expressions for the embedding hot path. The composable
@@ -70,6 +70,83 @@ case class DotProductQ(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductQ =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * The ADC inner loop — `sum over s of lut[s][codes[s]]` — as one tight
+ * codegen'd loop. This is THE hot expression of the PQ/IVFPQ probes: a
+ * batch-dedup night evaluates it corpus×queries/cells times (billions at
+ * 1M docs — SCALE.md round-14), and the composable form
+ * `aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)), …)`
+ * interprets three lambdas per subspace per evaluation.
+ *
+ * Null semantics mirror that composable form exactly (PlansSpec-pinned):
+ * null lut/codes → null; length mismatch, null subspace table, null code,
+ * or null table entry → null (zip_with pads with null and a null poisons
+ * the sum). An out-of-range code also yields null rather than erroring —
+ * codes out of [0, ksub) only occur on a corrupted or drift-bypassed
+ * index, and the drift markers are the guard that THROWS; the scorer
+ * stays total so one bad row cannot kill a billion-row probe.
+ */
+case class AdcScoreQ(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<int>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null beyond input nullability
+  override def prettyName: String = "adc_score_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val n = lut.numElements()
+    if (n != codes.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (lut.isNullAt(i) || codes.isNullAt(i)) return null
+      val table = lut.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= table.numElements() || table.isNullAt(c)) return null
+      s += table.getDouble(c)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ad = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    $ad t = $a.getArray(i);
+         |    int c = $b.getInt(i);
+         |    if (c < 0 || c >= t.numElements() || t.isNullAt(c)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    s += t.getDouble(c);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScoreQ =
     copy(left = newLeft, right = newRight)
 }
 

@@ -43,6 +43,40 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("native adcScoreQ matches the higher-order reference form, nulls included") {
+    // valid lookups: sum of lut[s][codes[s]] over aligned subspaces
+    val valid = spark.sql(
+      """SELECT array(array(1.5D, 2.5D), array(10.0D, 20.0D)) AS lut,
+        |       array(1, 0) AS codes""".stripMargin)
+    val both = valid.select(
+      Vectors.adcScoreQ(col("lut"), col("codes")).as("native"),
+      graft.operators.PqIndex.adcScoreHof(col("lut"), col("codes")).as("hof"))
+      .head()
+    assert(both.getDouble(0) == 12.5 && both.getDouble(1) == 12.5, both)
+    // null poison cases, both forms: null input, length mismatch, null
+    // subspace table, null code, null table entry
+    val cases = Seq(
+      "CAST(NULL AS ARRAY<ARRAY<DOUBLE>>) AS lut, array(0) AS codes",
+      "array(array(1.0D), array(2.0D)) AS lut, array(0) AS codes",
+      "array(CAST(NULL AS ARRAY<DOUBLE>), array(2.0D)) AS lut, array(0, 0) AS codes",
+      "array(array(1.0D), array(2.0D)) AS lut, array(0, CAST(NULL AS INT)) AS codes",
+      "array(array(CAST(NULL AS DOUBLE)), array(2.0D)) AS lut, array(0, 0) AS codes")
+    cases.foreach { c =>
+      val r = spark.sql(s"SELECT $c").select(
+        Vectors.adcScoreQ(col("lut"), col("codes")).as("native"),
+        graft.operators.PqIndex.adcScoreHof(col("lut"), col("codes")).as("hof"))
+        .head()
+      assert(r.isNullAt(0) && r.isNullAt(1), s"case [$c] gave $r")
+    }
+    // out-of-range code: the native form stays TOTAL (null) where the ANSI
+    // element_at in the reference form would error — corrupted codes are
+    // the drift markers' job to catch, not the billion-row scorer's
+    val oob = spark.sql(
+      "SELECT array(array(1.0D)) AS lut, array(5) AS codes")
+      .select(Vectors.adcScoreQ(col("lut"), col("codes"))).head()
+    assert(oob.isNullAt(0))
+  }
+
   test("installFunctions exposes the native expressions to SQL") {
     org.apache.spark.sql.graft.ColumnBridge.installFunctions(spark)
     val r = spark.sql(
