@@ -476,7 +476,12 @@ object PqIndex {
       lit(0.0), (s, x) => s + x)
 
   /** Top-`candidates` per query by (pq_score desc, id asc) via the bounded
-    * heap — at most `candidates` rows per query cross the exchange. */
+    * heap — at most `candidates` rows per query cross the exchange.
+    * (A declarative `max(struct)` special case for candidates = 1 was
+    * tried and measured SLOWER — 202 vs 190 s on the aging tier's night-6
+    * workload: Max over a struct plans through ObjectHashAggregate with a
+    * struct copy per row, while the heap's k=1 update is one primitive
+    * compare. The heap stays for every k.) */
   private[operators] def adcTopCandidates(
       scored: DataFrame, candidates: Int): DataFrame =
     scored

@@ -27,6 +27,8 @@ object ColumnBridge {
       args => graft.plans.DotProductQ(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("quantize_vector",
       args => graft.plans.QuantizeVector(args.head), "built-in")
+    reg.createOrReplaceTempFunction("adc_score_q",
+      args => graft.plans.AdcScoreQ(args.head, args(1)), "built-in")
     // the reference's external FM_WORKINGDAYSBETWEEN warehouse UDF, bound to
     // the CLOSED-FORM native expression (plans/DateExpressions.scala) —
     // O(1) per row and codegen'd, vs the naive O(days) iterate-and-count

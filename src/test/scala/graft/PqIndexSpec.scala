@@ -182,6 +182,25 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       rerank = Some((c, "vec_id", "embedding"))).count() == 0)
   }
 
+  test("candidates=1 probe equals the rank-1 rows of a wider probe, ties included") {
+    import spark.implicits._
+    val path = newPath()
+    // ids 30 and 31 carry the SAME vector: identical codes, identical ADC
+    // score — the (score desc, id ASC) tie must pick the lower id at any k
+    val twin = corpus(64).filter(col("vec_id") === 30)
+      .select(lit(31L).as("vec_id"), col("embedding"))
+    val c = corpus(64).filter(col("vec_id") =!= 31).unionByName(twin)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    val q = c.filter(col("vec_id") < 6)
+    def rows(cand: Int) =
+      PqIndex.probe(spark, path, q, "vec_id", "embedding", candidates = cand)
+        .filter(col("rank") === 1)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(rows(1) == rows(5), s"${rows(1)} vs ${rows(5)}")
+  }
+
   test("codeStats: per-subspace histogram covers every stored row") {
     val path = newPath()
     PqIndex.save(corpus(48), "vec_id", "embedding", path, m = 4, ksub = 4)
