@@ -279,7 +279,12 @@ object IvfPqIndex {
    * quantization error — the usual `nprobe > 1` slack covers boundaries,
    * and a probe covering all cells is EXACTLY unchanged (spec-pinned).
    * Cost is O(hot cell), not O(corpus); every other cell directory is
-   * byte-untouched (spec-asserted).
+   * byte-untouched (spec-asserted). One degenerate mode to know: the
+   * reconstruction space is discrete (≤ ksub^m points), so a hot cell of
+   * near-identical docs can hand k-means duplicate seeds and the split
+   * leaves most mass in one sub-cell — never wrong (probes stay exact),
+   * just unhelpful; [[cellStats]] shows it, and re-running with more
+   * `subCells`/`iterations` or raising ksub is the recourse.
    *
    * Crash-safe order ([[IvfIndex.resplitCell]]'s discipline): sub-cell
    * directories land first (dynamic overwrite — a rerun replaces its own

@@ -395,12 +395,21 @@ object PqIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val have = spark.read.parquet(tmp).count()
     val expect = loadCodes(spark, path).count()
-    if (have != expect) {
+    // equal counts + zero missing ids ⇒ identical id sets: a same-sized
+    // corpus SNAPSHOT with swapped rows must fail too, not just a short one
+    // (one anti-join of two id columns — maintenance-op budget)
+    val missing =
+      if (have != expect) -1L
+      else loadCodes(spark, path).select(col("vec_id"))
+        .join(spark.read.parquet(tmp).select(col("vec_id")),
+          Seq("vec_id"), "left_anti").count()
+    if (have != expect || missing != 0) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       throw new IllegalStateException(
-        s"retrainSubspace corpus encodes $have rows but the index holds " +
-          s"$expect — pass the FULL indexed corpus (save + every append); " +
-          "missing rows would silently vanish from the index")
+        s"retrainSubspace corpus encodes $have rows ($missing indexed ids " +
+          s"uncovered) but the index holds $expect — pass the FULL indexed " +
+          "corpus (save + every append); missing rows would silently " +
+          "vanish from the index")
     }
     spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     fs.delete(new org.apache.hadoop.fs.Path(codesPath(path)), true)

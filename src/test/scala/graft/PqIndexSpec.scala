@@ -269,14 +269,21 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy("query_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(got.toSeq == want.toSeq)
-    // a corpus missing indexed rows must fail BEFORE touching the index
+    // a corpus missing indexed rows must fail BEFORE touching the index —
+    // including a SAME-SIZED snapshot whose id set drifted
     val e = intercept[IllegalStateException] {
       PqIndex.retrainSubspace(c.filter(col("vec_id") < 10), "vec_id",
         "embedding", path, s = 0)
     }
     assert(e.getMessage.contains("FULL indexed corpus"))
+    val swapped = c.withColumn("vec_id",
+      when(col("vec_id") === 0L, lit(999L)).otherwise(col("vec_id")))
+    val e2 = intercept[IllegalStateException] {
+      PqIndex.retrainSubspace(swapped, "vec_id", "embedding", path, s = 0)
+    }
+    assert(e2.getMessage.contains("uncovered"), e2.getMessage)
     assert(PqIndex.loadCodes(spark, path).count() == 64,
-      "the failed retrain must leave the index intact")
+      "the failed retrains must leave the index intact")
   }
 
   test("probe scans codes only — the full-vector table stays untouched") {
