@@ -10,15 +10,36 @@ object Bench {
     try graft.core.ShuffleSizing.scoped(spark) { fn(spark, sfDir).count(); () }
     finally graft.core.Caches.releaseAll() // drop operator-taken caches
 
+  /** The compact-line key of a query name (`q79_bpe_pairs` → `q79`) —
+    * unique by construction (main's shortKey logic falls back to the full
+    * name on a collision, which maps to itself here). The baseline map and
+    * every lookup into it normalize through this, because filed artifacts
+    * key the healthy `parsed` block by SHORT names while the runner holds
+    * FULL names — r14's guard missed every lookup over that mismatch. */
+  private[graft] def shortKeyOf(name: String): String = name.split("_")(0)
+
   /** Tolerant per-query extraction from a prior round's filed bench record:
     * a regex scan, not a JSON parse, because the one record this guard most
     * needs to read is precisely the TRUNCATED one (r13's parsed:null tail) —
-    * whatever query/seconds pairs survive are the baseline. Extracted for
-    * the spec. */
-  private[graft] def parseBaseline(text: String): Map[String, Double] =
+    * whatever query/seconds pairs survive are the baseline. Two filed
+    * shapes, BOTH of which r14's naive scan missed (the guard never armed):
+    * entries inside the JSON-escaped `"tail"` string are literally
+    * `\"q79_bpe_pairs\":3.503` — the backslash before the closing quote
+    * defeats a plain `"name":` scan — so the text is unescaped wholesale
+    * before scanning; and names normalize to their qNN prefix (see
+    * [[shortKeyOf]]). The same entry recovered from several shapes agrees
+    * (all filed values round to 3 decimals); keeping the max means a value
+    * cut mid-number by tail truncation can only make the baseline
+    * conservative, never a false regression flag. Spec-pinned against the
+    * LITERAL BYTES of the filed r13 (truncated) and r14 artifacts. */
+  private[graft] def parseBaseline(text: String): Map[String, Double] = {
+    val unescaped = text.replace("\\\\", "\\").replace("\\\"", "\"")
     """"(q\d+[A-Za-z0-9_]*)"\s*:\s*(\d+(?:\.\d+)?)""".r
-      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
-      .toMap
+      .findAllMatchIn(unescaped)
+      .map(m => shortKeyOf(m.group(1)) -> m.group(2).toDouble).toSeq
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      .filter(_._2 > 0)
+  }
 
   /** The cross-round regression trigger: >1.5× the filed median AND a
     * material gap (>0.3 s — sub-second queries jitter multiplicatively).
@@ -27,7 +48,7 @@ object Bench {
     * q20–q27 block). Extracted for the spec. */
   private[graft] def regressedAgainst(baseline: Map[String, Double],
       name: String, median: Double): Boolean =
-    baseline.get(name).exists(b => b > 0 && median > 1.5 * b
+    baseline.get(shortKeyOf(name)).exists(b => b > 0 && median > 1.5 * b
       && median - b > 0.3)
 
   def main(args: Array[String]): Unit = {
@@ -187,7 +208,7 @@ object Bench {
     // baseline and says so in the artifact
     val suspect = stats.collect {
       case (k, st) if !st.failed && regressed(k, st.median) =>
-        k -> baseline(k)
+        k -> baseline(shortKeyOf(k))
     }.toSeq.sortBy(_._1)
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
@@ -268,7 +289,23 @@ object Bench {
     // keys after "sf" broke the driver's parse in r05/r06) — detail line
     // first, compact line LAST (see above)
     System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"failed":$failedJson}""")
+    // contention evidence INTO the filed artifact: the driver keeps only a
+    // ~2000-char stdout tail, so r14's undetected load plateau was invisible
+    // to the next round's judge without target/bench.json. A compact diag
+    // line between detail and compact lines (its OWN line — extra keys
+    // inside the record broke the r05/r06 parse; the parseable record stays
+    // last) carries the flags plus each flagged query's per-run max load1.
+    // Bounded: per-query loads only for flagged queries, capped at 12 — a
+    // clean round emits ~100 bytes and never crowds the compact line out of
+    // the tail window.
+    val flagged = (suspect.map(_._1) ++ noisy ++ retried.map(_._1))
+      .distinct.sorted.take(12)
+    val flaggedLoads = flagged.flatMap(k => stats.get(k).map { st =>
+      val mx = (st.loads.filter(_ >= 0) :+ -1.0).max
+      "\"" + shortKeyOf(k) + "\":" + r3(mx)
+    }).mkString("{", ",", "}")
     println(detailLine)
+    println(s"""{"bench_diag":{"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"maxload":$flaggedLoads}}""")
     println(stdoutLine)
     spark.stop()
   }

@@ -351,8 +351,12 @@ object IvfPqIndex {
       cents.schema)
     keep.unionByName(subCents).coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(path))
+    // labels.length, not subCells: degenerate k-means (duplicate seeds —
+    // the discrete-reconstruction mode the scaladoc calls out) can write
+    // FEWER sub-centroids than requested, and the marker must record the
+    // centroid count actually on disk
     recordMeta(spark, path, meta("dims").toInt,
-      centRows.length - 1 + subCells, meta("m").toInt, meta("ksub").toInt)
+      centRows.length - 1 + labels.length, meta("m").toInt, meta("ksub").toInt)
     val hotDir = new org.apache.hadoop.fs.Path(
       s"${cellsPath(path)}/$CellCol=$cell")
     hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -352,17 +352,26 @@ object PqIndex {
    * corpus-sized codes table by id to save m−1 codegen'd argmins.
    *
    * Crash discipline: new codes stage to `codes__retrain` first; the
-   * codebooks overwrite and the codes swap then commit back to back. A
-   * crash between those two steps leaves codebooks and codes from
-   * different trains (ADC mis-ranks) — re-run the retrain to repair (it
-   * is deterministic and idempotent); the staging directory's presence
-   * marks the interruption.
+   * codebooks overwrite and the codes swap then commit back to back. The
+   * swap itself is the [[DirSwap]] rename-aside sequence (old codes move
+   * to `codes__old` before the staged directory renames in), and entry
+   * REPAIRS an interrupted swap by rolling the verified staged directory
+   * forward — so "re-run the retrain" is always a valid repair, with no
+   * crash point that leaves the index without a codes directory a re-run
+   * would then die reading. A crash between the codebooks overwrite and
+   * the swap still leaves codebooks and codes from different trains (ADC
+   * mis-ranks until the re-run); the staging directory's presence marks
+   * the interruption.
    */
   def retrainSubspace(corpus: DataFrame, id: String, vec: String,
       path: String, s: Int, iterations: Int = 3,
       trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     requireNumericId(corpus, id)
+    // a prior retrain may have crashed mid-swap: restore a consistent
+    // codes directory BEFORE anything reads it (checkCompat's dims probe
+    // does not, but the coverage counts below do)
+    DirSwap.repair(spark, codesPath(path), codesPath(path) + "__retrain")
     val meta = checkCompat(spark, path, corpus, vec, "retrain")
     val m = meta("m").toInt
     val ksub = meta("ksub").toInt
@@ -412,10 +421,7 @@ object PqIndex {
           "vanish from the index")
     }
     spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
-    fs.delete(new org.apache.hadoop.fs.Path(codesPath(path)), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(codesPath(path)))
-    ()
+    DirSwap.swap(spark, codesPath(path), tmp)
   }
 
   /**
@@ -478,8 +484,10 @@ object PqIndex {
     Vectors.adcScoreQ(lut, codes)
 
   /** The composable reference form of [[adcScore]] — semantics the native
-    * expression must reproduce exactly (PlansSpec pins equivalence,
-    * including the null/poison cases). */
+    * expression reproduces for null and NON-NEGATIVE codes (PlansSpec pins
+    * equivalence on the null/poison cases; on a negative code the forms
+    * intentionally diverge — element_at throws or wraps, the native form
+    * returns null — see [[graft.plans.AdcScoreQ]]). */
   private[graft] def adcScoreHof(lut: Column, codes: Column): Column =
     aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)),
       lit(0.0), (s, x) => s + x)

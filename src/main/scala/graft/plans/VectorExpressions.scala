@@ -52,21 +52,29 @@ case class DotProductQ(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // every local goes through ctx.freshName: with two instances in one
+  // codegen scope and non-nullable children, nullSafeCodeGen splices the
+  // blocks unbraced — fixed names would declare duplicate Java locals,
+  // fail janino, and silently fall back to interpreted evaluation
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.freshName("sum")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long s = 0L;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    s += $a.getLong(i) * $b.getLong(i);
+         |  long $s = 0L;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductQ =
@@ -81,13 +89,18 @@ case class DotProductQ(left: Expression, right: Expression)
  * `aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)), …)`
  * interprets three lambdas per subspace per evaluation.
  *
- * Null semantics mirror that composable form exactly (PlansSpec-pinned):
- * null lut/codes → null; length mismatch, null subspace table, null code,
- * or null table entry → null (zip_with pads with null and a null poisons
- * the sum). An out-of-range code also yields null rather than erroring —
- * codes out of [0, ksub) only occur on a corrupted or drift-bypassed
- * index, and the drift markers are the guard that THROWS; the scorer
- * stays total so one bad row cannot kill a billion-row probe.
+ * Null semantics mirror that composable form for null and NON-NEGATIVE
+ * inputs (PlansSpec-pinned): null lut/codes → null; length mismatch, null
+ * subspace table, null code, or null table entry → null (zip_with pads
+ * with null and a null poisons the sum); a code past the table's end →
+ * null. The forms INTENTIONALLY diverge on a NEGATIVE code: the HOF's
+ * `element_at(lut[s], c + 1)` throws at index 0 (c = -1) and indexes from
+ * the END of the table for c <= -2 (a wrong non-null score), while this
+ * expression returns null — the safer total behavior. Codes outside
+ * [0, ksub) only occur on a corrupted or drift-bypassed index, and the
+ * drift markers are the guard that THROWS; the scorer stays total so one
+ * bad row cannot kill a billion-row probe (the negative case is pinned in
+ * PlansSpec as a documented divergence).
  */
 case class AdcScoreQ(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -122,25 +135,35 @@ case class AdcScoreQ(left: Expression, right: Expression)
     s
   }
 
+  // locals via ctx.freshName — with non-nullable children nullSafeCodeGen
+  // splices the block unbraced, so two adc_score_q instances in one scope
+  // with fixed names would duplicate Java locals, fail janino compilation,
+  // and silently fall back to interpreted evaluation on the very
+  // expression this class exists to speed up
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ad = classOf[ArrayData].getName
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("sum")
+    val i = ctx.freshName("i")
+    val t = ctx.freshName("table")
+    val c = ctx.freshName("code")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    $ad t = $a.getArray(i);
-         |    int c = $b.getInt(i);
-         |    if (c < 0 || c >= t.numElements() || t.isNullAt(c)) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $ad $t = $a.getArray($i);
+         |    int $c = $b.getInt($i);
+         |    if ($c < 0 || $c >= $t.numElements() || $t.isNullAt($c)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    s += t.getDouble(c);
+         |    $s += $t.getDouble($c);
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin)
   }
@@ -177,18 +200,23 @@ case class QuantizeVector(child: Expression)
     new GenericArrayData(out)
   }
 
+  // ctx.freshName locals — same unbraced-splice duplicate-declaration
+  // hazard as AdcScoreQ when two instances share a codegen scope
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gad = classOf[GenericArrayData].getName
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, a =>
       s"""
-         |int n = $a.numElements();
-         |Object[] out = new Object[n];
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i)) {
-         |    out[i] = (long) java.lang.Math.floor(((double) $a.getFloat(i)) * 1.0E7);
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1.0E7);
          |  }
          |}
-         |${ev.value} = new $gad(out);
+         |${ev.value} = new $gad($out);
        """.stripMargin)
   }
 

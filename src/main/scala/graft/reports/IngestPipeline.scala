@@ -24,12 +24,20 @@ import graft.ops.{Compaction, CompactionResult}
  *      every night's growth lands in its own partition directory, prior
  *      nights' files never move, and a crash-and-rerun of the same night
  *      REPLACES the partition instead of double-appending it.
- *   3. INDEX — survivors' banded rows append to the band index (only
+ *   3. VERIFY — DQ metrics over the standing corpus (id null/dup counts,
+ *      exact-content duplicate count) persist as DMF result rows: the
+ *      dedup guarantee is re-checked against the LANDED table every night,
+ *      not assumed from the operator. The check runs BEFORE the index
+ *      appends so a `failOnDq` night that FAILs stops with the standing
+ *      indexes untouched — the repair re-run replaces the bad corpus
+ *      partition AND the indexes never held the bad rows (no phantom
+ *      content for future probes to drop against).
+ *   4. INDEX — survivors' banded rows append to the band index (only
  *      touched band partitions gain files) and, when configured, their
  *      embeddings append to the persisted IVF index and/or the composed
  *      IVF+PQ index (only touched cells gain files; the first night
  *      bootstraps every configured index).
- *   4. MAINTAIN — [[Compaction.compactPath]] sweeps the per-night file
+ *   5. MAINTAIN — [[Compaction.compactPath]] sweeps the per-night file
  *      litter of the band index AND (when configured) the IVF index's
  *      cells, partition-scoped, worst-first. Compaction runs INSIDE the
  *      nightly cycle, not as an occasional chore: the composed-index
@@ -37,10 +45,6 @@ import graft.ops.{Compaction, CompactionResult}
  *      file count, not data — five nights of uncompacted appends made
  *      probes 2.6× slower while the sweep costs seconds and restores the
  *      flat per-row cost.
- *   5. VERIFY — DQ metrics over the standing corpus (id null/dup counts,
- *      exact-content duplicate count) persist as DMF result rows: the
- *      dedup guarantee is re-checked against the LANDED table every night,
- *      not assumed from the operator.
  *   6. LOG — each step runs inside [[ExecutionLogger.logged]] (SUCCESS /
  *      FAILED + timings + sanitized error, the reference's audit shape)
  *      and the night's high-water mark is recorded AS THE LAST STEP — it
@@ -79,12 +83,15 @@ object IngestPipeline {
       strict: Boolean = false,
       ivfCentroids: Int = 8,
       compactTargetFileBytes: Long = Compaction.DefaultTargetFileBytes,
-      // when true, a night whose landed-corpus DQ re-check FAILs withholds
-      // its high-water mark: the night stays re-runnable (fix the batch,
-      // re-run — dynamic partition overwrite replaces the bad landing)
-      // instead of committing bad data as complete. Default keeps the
-      // record-and-continue behavior for compositions that check
-      // NightResult.dqFailures themselves (q74's require does).
+      // when true, a night whose landed-corpus DQ re-check FAILs stops
+      // before the index appends and withholds its high-water mark: the
+      // night stays re-runnable (fix the batch, re-run — dynamic partition
+      // overwrite replaces the bad landing) instead of committing bad data
+      // as complete, and the standing indexes never see the bad night's
+      // rows. Default keeps the record-and-continue behavior for
+      // compositions that check NightResult.dqFailures themselves (q74's
+      // require does) — under the default the indexes DO append before the
+      // caller sees the failure count.
       failOnDq: Boolean = false,
       carrier: String = "corpus")
 
@@ -178,65 +185,14 @@ object IngestPipeline {
           .parquet(cfg.corpusPath)
       }
 
-      // 3. INDEX — appends touch only the partitions the survivors hit
-      ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
-        BandIndex.append(
-          banded.join(survivors.select(col(cfg.idCol)), Seq(cfg.idCol),
-            "left_semi"), cfg.bandIndexPath)
-        if (bootstrap)
-          BandIndex.recordParams(spark, cfg.bandIndexPath, params)
-        cfg.ivfIndexPath.foreach { ip =>
-          val ipath = new org.apache.hadoop.fs.Path(ip)
-          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(ipath))
-            IvfIndex.save(survivors, cfg.idCol, cfg.embCol, ip,
-              numCentroids = cfg.ivfCentroids)
-          else
-            IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
-        }
-        cfg.ivfPqIndexPath.foreach { ip =>
-          val ipath = new org.apache.hadoop.fs.Path(ip)
-          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(ipath))
-            graft.operators.IvfPqIndex.save(survivors, cfg.idCol, cfg.embCol,
-              ip, numCells = cfg.ivfPqCells, m = cfg.ivfPqM,
-              ksub = cfg.ivfPqKsub)
-          else
-            graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
-              cfg.embCol, ip)
-        }
-      }
-
-      // 4. MAINTAIN — partition-scoped sweep of per-night index litter,
-      // EVERY night: probe cost tracks file count, not data (SCALE.md
-      // round-14 — 2.6× probe slowdown from five nights of append litter,
-      // restored by a seconds-cheap sweep), so the sweep belongs in the
-      // cycle rather than deferred until probes degrade
-      val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
-          cfg.carrier, (r: CompactionResult) =>
-            (0L, r.filesBefore - r.filesAfter, 0L)) {
-        Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
-          cfg.compactTargetFileBytes)
-      }
-      val ivfComp = cfg.ivfIndexPath.map { ip =>
-        ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
-            cfg.compactTargetFileBytes)
-        }
-      }
-      val ivfPqComp = cfg.ivfPqIndexPath.map { ip =>
-        ExecutionLogger.logged(meta, s"ingest_compact_ivfpq_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
-            cfg.compactTargetFileBytes)
-        }
-      }
-
-      // 5. VERIFY — re-check the dedup/identity guarantees on the LANDED
-      // corpus and persist the outcomes as DMF result rows
+      // 3. VERIFY — re-check the dedup/identity guarantees on the LANDED
+      // corpus and persist the outcomes as DMF result rows. This runs
+      // BEFORE the index appends: under failOnDq a FAILing night must
+      // leave the standing indexes untouched — appending first would
+      // pollute them with rows of a landing the repair re-run then
+      // REPLACES, and future batches would be probe-dropped as duplicates
+      // of phantom content (the corpus itself is safe either way: the
+      // repair's dynamic overwrite replaces the night's partition)
       val dqFailures = ExecutionLogger.logged(meta, s"ingest_dq_$night",
           cfg.carrier, (n: Long) => (0L, 0L, n)) {
         val corpus = spark.read.parquet(cfg.corpusPath)
@@ -272,25 +228,89 @@ object IngestPipeline {
         })
         checks.count(_._2 != 0).toLong
       }
-
-      // 6. LOG — the night's commit record, written LAST: its presence is
-      // what makes a later re-run of this night short-circuit. NOTE the
-      // default semantics: a night with FAIL DMF rows still commits (the
-      // FAIL rows and NightResult.dqFailures are the caller's signal);
-      // failOnDq withholds the mark instead, leaving the night re-runnable
-      // after the data is fixed — the FAILED audit row says why
       if (cfg.failOnDq && dqFailures > 0) {
+        // a FAILing night stops HERE: no index appends, no commit record.
+        // The bad landing sits in its own corpus partition until the
+        // repair re-run dynamic-overwrites it; the indexes hold nothing
+        // from this night, so the re-run's probe sees exactly the
+        // pre-night corpus. The FAILED audit row says why
         meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
           java.util.UUID.randomUUID().toString,
           new java.sql.Timestamp(System.currentTimeMillis()),
           new java.sql.Timestamp(System.currentTimeMillis()),
           "FAILED", s"ingest_commit_$night", 0L, 0L, dqFailures, cfg.carrier,
           s"$dqFailures DQ check(s) FAILED on the landed corpus — " +
-            "high-water mark withheld; night stays re-runnable")))
-      } else {
-        meta.recordLoad(s"ingest_$night", cfg.carrier,
-          new java.sql.Timestamp(System.currentTimeMillis()))
+            "high-water mark withheld, index appends skipped; " +
+            "night stays re-runnable")))
+        return NightResult(night, batchRows, accepted, batchRows - accepted,
+          CompactionResult(0, 0L, 0L, 0L), dqFailures)
       }
+
+      // 4. INDEX — appends touch only the partitions the survivors hit
+      ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
+        BandIndex.append(
+          banded.join(survivors.select(col(cfg.idCol)), Seq(cfg.idCol),
+            "left_semi"), cfg.bandIndexPath)
+        if (bootstrap)
+          BandIndex.recordParams(spark, cfg.bandIndexPath, params)
+        cfg.ivfIndexPath.foreach { ip =>
+          val ipath = new org.apache.hadoop.fs.Path(ip)
+          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(ipath))
+            IvfIndex.save(survivors, cfg.idCol, cfg.embCol, ip,
+              numCentroids = cfg.ivfCentroids)
+          else
+            IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
+        }
+        cfg.ivfPqIndexPath.foreach { ip =>
+          val ipath = new org.apache.hadoop.fs.Path(ip)
+          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(ipath))
+            graft.operators.IvfPqIndex.save(survivors, cfg.idCol, cfg.embCol,
+              ip, numCells = cfg.ivfPqCells, m = cfg.ivfPqM,
+              ksub = cfg.ivfPqKsub)
+          else
+            graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
+              cfg.embCol, ip)
+        }
+      }
+
+      // 5. MAINTAIN — partition-scoped sweep of per-night index litter,
+      // EVERY night: probe cost tracks file count, not data (SCALE.md
+      // round-14 — 2.6× probe slowdown from five nights of append litter,
+      // restored by a seconds-cheap sweep), so the sweep belongs in the
+      // cycle rather than deferred until probes degrade
+      val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
+          cfg.carrier, (r: CompactionResult) =>
+            (0L, r.filesBefore - r.filesAfter, 0L)) {
+        Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
+          cfg.compactTargetFileBytes)
+      }
+      val ivfComp = cfg.ivfIndexPath.map { ip =>
+        ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+            cfg.compactTargetFileBytes)
+        }
+      }
+      val ivfPqComp = cfg.ivfPqIndexPath.map { ip =>
+        ExecutionLogger.logged(meta, s"ingest_compact_ivfpq_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+            cfg.compactTargetFileBytes)
+        }
+      }
+
+      // 6. LOG — the night's commit record, written LAST: its presence is
+      // what makes a later re-run of this night short-circuit. NOTE the
+      // default semantics: a night with FAIL DMF rows still commits (the
+      // FAIL rows and NightResult.dqFailures are the caller's signal);
+      // failOnDq instead stopped at step 3 — mark withheld, indexes
+      // untouched, night re-runnable after the data is fixed
+      meta.recordLoad(s"ingest_$night", cfg.carrier,
+        new java.sql.Timestamp(System.currentTimeMillis()))
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures, ivfCompaction = ivfComp,

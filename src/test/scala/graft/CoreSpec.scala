@@ -286,20 +286,53 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
 
   test("Bench regression guard: truncated baselines parse, the trigger fires right") {
     // r13's filed artifact was truncated mid-record (parsed:null) — the
-    // guard must still read whatever query pairs survive
+    // guard must still read whatever query pairs survive, keyed by the
+    // compact qNN prefix it looks them up under
     val truncated = """5,"q23_dq_suite":2.672,"q24_json_props":1.153,""" +
       """"q25_dedup_exact":1.07},"sf":"/root/testdata/sf0.1"}"""
     val base = Bench.parseBaseline(truncated)
-    assert(base == Map("q23_dq_suite" -> 2.672, "q24_json_props" -> 1.153,
-      "q25_dedup_exact" -> 1.07), base.toString)
+    assert(base == Map("q23" -> 2.672, "q24" -> 1.153, "q25" -> 1.07),
+      base.toString)
     // fires only on >1.5x AND a >0.3s material gap — a sub-second query
-    // doubling is jitter, not contamination; an unknown query never fires
+    // doubling is jitter, not contamination; an unknown query never fires.
+    // Lookups arrive with FULL names (the runner's keys) and must hit
     assert(Bench.regressedAgainst(base, "q23_dq_suite", 4.5))
     assert(!Bench.regressedAgainst(base, "q23_dq_suite", 2.9)) // < 1.5x
     assert(!Bench.regressedAgainst(base, "q24_json_props", 1.4)) // gap <= 0.3
     assert(Bench.regressedAgainst(base, "q24_json_props", 1.8))
     assert(!Bench.regressedAgainst(base, "q99_unknown", 100.0))
-    assert(!Bench.regressedAgainst(Map("q1" -> 0.0), "q1", 9.0)) // b > 0 guard
+    assert(!Bench.regressedAgainst(Map("q1" -> 0.0), "q1_x", 9.0)) // b > 0 guard
+  }
+
+  test("Bench regression guard arms on the LITERAL filed artifacts") {
+    // r14's guard never fired because the filed files' per-query entries
+    // live inside a JSON-escaped "tail" string (\"q79_bpe_pairs\":3.503 —
+    // the naive scan recovered ZERO entries from BENCH_r13.json) and the
+    // healthy parsed block keys by SHORT names the full-name lookups
+    // missed. This test feeds the exact bytes on disk — not a hand-written
+    // fixture, which is how the r14 spec passed over a broken parser.
+    def fileText(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(name)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val r13 = Bench.parseBaseline(fileText("BENCH_r13.json"))
+    val r14 = Bench.parseBaseline(fileText("BENCH_r14.json"))
+    // r13 is the TRUNCATED artifact (parsed:null): its 2000-char tail
+    // still carries 76 of the 86 queries; r14 is healthy — all 88
+    assert(r13.size >= 70, s"r13 recovered only ${r13.size} entries")
+    assert(r14.size >= 85, s"r14 recovered only ${r14.size} entries")
+    // spot-checks against the filed values, via full-name lookups
+    assert(r13("q79") == 0.444 && r13("q46") == 0.186, r13.toString)
+    assert(r14("q79") == 3.503 && r14("q88") == 8.497, r14.toString)
+    // the exact r14 failure mode this guard was built for must now fire:
+    // q79_bpe_pairs ran 3.503 s against r13's filed 0.444 s (7.9x)
+    assert(Bench.regressedAgainst(r13, "q79_bpe_pairs", 3.503))
+    assert(Bench.regressedAgainst(r13, "q46_rollup_two_level", 0.886))
+    // and a synthetic 2x-the-median regression flags against r14
+    assert(Bench.regressedAgainst(r14, "q74_ingest_pipeline",
+      r14("q74") * 2))
+    // an in-family time does not
+    assert(!Bench.regressedAgainst(r14, "q74_ingest_pipeline",
+      r14("q74") * 1.1))
   }
 
   test("ShuffleSizing raises the initial partition count only when needed") {

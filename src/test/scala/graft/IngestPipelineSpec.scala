@@ -275,6 +275,8 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
           2L -> "pack my box with five dozen liquor jugs today")
         .toDF("doc_id", "text"), "n1", cfg)
     assert(n1.dqFailures == 0 && !n1.skipped, n1.toString)
+    val bandIdsAfterN1 = spark.read.parquet(cfg.bandIndexPath)
+      .select("doc_id").as[Long].collect().toSet
     // night 2 re-ingests id 1 with DIFFERENT text — dedup can't catch it,
     // the landed-corpus identity check does, and under failOnDq the night
     // must NOT commit: a FAILED audit row instead of the high-water mark
@@ -289,13 +291,23 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       .filter(col("target_table") === "ingest_commit_n2").collect()
     assert(failRow.length == 1 &&
       failRow.head.getAs[String]("execution_status") == "FAILED")
+    // the FAILing night stopped BEFORE the index appends: the band index
+    // holds exactly night 1's rows — no phantom content for later probes
+    // to drop against, and no stale index rows referencing a landing the
+    // repair replaces
+    assert(spark.read.parquet(cfg.bandIndexPath)
+      .select("doc_id").as[Long].collect().toSet == bandIdsAfterN1,
+      "a FAILing night must not append to the standing indexes")
+    val n2Steps = meta.executionLog.collect()
+      .map(_.getAs[String]("target_table")).filter(_.endsWith("_n2")).toSet
+    assert(!n2Steps.contains("ingest_index_n2")
+      && !n2Steps.contains("ingest_compact_n2"), n2Steps.toString)
     // the night stays re-runnable: the FIXED batch replaces the bad
     // landing (dynamic partition overwrite), the DQ re-check passes, and
     // the commit record lands — the repaired corpus holds no dup ids.
-    // (New text too: the failed night already appended the bad doc's
-    // banded rows to the index, so a re-run of the SAME text would be
-    // probe-dropped as a near-dup of that litter — correct behavior, but
-    // not the repair this test drives)
+    // Because the failed night never reached the index, re-running the
+    // SAME text with a fresh id would also be accepted (nothing phantom
+    // to collide with); this test drives the new-text repair
     val fixed = Seq(9L -> "how vexingly quick daft zebras jump around there")
       .toDF("doc_id", "text")
     val n2b = IngestPipeline.runNight(spark, fixed, "n2", cfg)

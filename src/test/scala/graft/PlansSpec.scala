@@ -75,6 +75,39 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       "SELECT array(array(1.0D)) AS lut, array(5) AS codes")
       .select(Vectors.adcScoreQ(col("lut"), col("codes"))).head()
     assert(oob.isNullAt(0))
+    // NEGATIVE code — the documented INTENTIONAL divergence from the HOF
+    // form (element_at throws at index 0 for c = -1 and indexes from the
+    // END of the table for c <= -2, a wrong non-null score): the native
+    // scorer returns null for every negative code
+    Seq(-1, -2).foreach { bad =>
+      val neg = spark.sql(
+        s"SELECT array(array(1.0D, 2.0D)) AS lut, array($bad) AS codes")
+        .select(Vectors.adcScoreQ(col("lut"), col("codes"))).head()
+      assert(neg.isNullAt(0), s"code $bad must score null, got $neg")
+    }
+  }
+
+  test("two adcScoreQ instances in one codegen scope compile and agree") {
+    // fixed Java local names would collide when nullSafeCodeGen splices
+    // both blocks unbraced into one scope (non-nullable children), failing
+    // janino and silently de-optimizing to interpreted evaluation — the
+    // locals go through ctx.freshName; this pins compiled-path agreement
+    val df = spark.sql(
+      """SELECT array(array(1.5D, 2.5D), array(10.0D, 20.0D)) AS lut,
+        |       array(1, 0) AS codes, array(0, 1) AS codes2""".stripMargin)
+    val r = df.select(
+      Vectors.adcScoreQ(col("lut"), col("codes")).as("a"),
+      Vectors.adcScoreQ(col("lut"), col("codes2")).as("b"),
+      (Vectors.adcScoreQ(col("lut"), col("codes"))
+        + Vectors.adcScoreQ(col("lut"), col("codes2"))).as("ab"),
+      Vectors.dotQ(Vectors.quantize(array(lit(0.5f))),
+        Vectors.quantize(array(lit(0.5f)))).as("d1"),
+      Vectors.dotQ(Vectors.quantize(array(lit(0.25f))),
+        Vectors.quantize(array(lit(0.25f)))).as("d2")).head()
+    assert(r.getDouble(0) == 12.5 && r.getDouble(1) == 21.5
+      && r.getDouble(2) == 34.0, r.toString)
+    assert(r.getLong(3) == 5000000L * 5000000L
+      && r.getLong(4) == 2500000L * 2500000L, r.toString)
   }
 
   test("installFunctions exposes the native expressions to SQL") {

@@ -286,6 +286,45 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       "the failed retrains must leave the index intact")
   }
 
+  test("retrainSubspace: an interrupted codes swap repairs on re-run") {
+    val path = newPath()
+    val c = corpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4)
+    // simulate the worst crash point of a rename-aside swap — after the
+    // live codes directory moved aside, before the staged directory
+    // renamed in: the index has NO codes directory, only a fully-staged
+    // `codes__retrain` (staging always completes before any swap starts)
+    // and the aside copy. The old delete-then-rename discipline left this
+    // state unrepairable by the documented "re-run the retrain" (it died
+    // reading the absent codes path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p("codes"), fs,
+      p("codes__retrain"), false, conf)
+    assert(fs.rename(p("codes"), p("codes__old")))
+    assert(!fs.exists(p("codes")), "simulated crash: live codes gone")
+    // the documented repair — re-run the retrain — must now work: entry
+    // rolls the staged directory forward, then the retrain completes
+    PqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 0,
+      iterations = 1)
+    assert(fs.exists(p("codes")), "repair must restore the codes directory")
+    assert(!fs.exists(p("codes__old")) && !fs.exists(p("codes__retrain")),
+      "a completed retrain leaves no stranded swap directories")
+    // and the repaired + retrained index is exact under the all-covering
+    // probe, the maintenance-invisibility contract
+    val q = c.filter(col("vec_id") < 2)
+    val got = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 64, rerank = Some((c, "vec_id", "embedding")), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val want = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("probe scans codes only — the full-vector table stays untouched") {
     val path = newPath()
     val c = corpus(64)
