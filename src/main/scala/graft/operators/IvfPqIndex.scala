@@ -186,6 +186,78 @@ object IvfPqIndex {
   }
 
   /**
+   * The composed layout's codebook-repair twin of
+   * [[PqIndex.retrainSubspace]] — the remedy [[PqIndex.codeStats]]-style
+   * saturation audits prescribe, without the full `save` (all-subspace
+   * retrain + centroid re-train) a drifted subspace previously cost here:
+   * re-run Lloyd's for ONE subspace (hash-ordered seeds escape the
+   * collapsed initialization), splice the new codewords into the
+   * codebooks file, and refresh the cell-partitioned codes. Coarse
+   * centroids, scheme, m, ksub and every OTHER subspace's codewords stay
+   * exactly as recorded — the drift markers never bump and appended
+   * batches keep composing.
+   *
+   * `corpus` must cover EVERY indexed row (save + all appends): codes are
+   * recomputed from vectors, guarded by [[PqIndex.requireFullCoverage]]
+   * before anything on disk changes.
+   *
+   * The refresh re-encodes all m positions AND re-derives each row's cell
+   * with the same broadcast-argmax projection `append` uses (one
+   * shuffle-free corpus pass — a position-splice join would shuffle the
+   * corpus-sized codes by id to save m−1 codegen'd argmins). Cells are a
+   * pure function of (centroids, vector), so rows reproduce their stored
+   * cell bit-identically — with one documented exception: rows that
+   * [[resplitCell]] routed by their PQ RECONSTRUCTION may sit within
+   * quantization error of a sibling sub-cell boundary and re-route to the
+   * true vector's nearest sub-cell. That is the canonical assignment (the
+   * probe's own rule), never wrong — an all-cells probe is exactly
+   * unchanged (spec-pinned) and narrow probes carry the usual `nprobe`
+   * boundary slack.
+   *
+   * Crash discipline ([[DirSwap]]): new cells stage to `cells__retrain`
+   * (complete before anything live moves), the codebooks overwrite and
+   * the rename-aside swap then commit back to back; entry repairs an
+   * interrupted swap forward, so "re-run the retrain" always works. A
+   * crash between the codebooks overwrite and the swap leaves codes from
+   * the old train under the new books (ADC mis-ranks until the re-run) —
+   * the staging directory's presence marks the interruption.
+   */
+  def retrainSubspace(corpus: DataFrame, id: String, vec: String,
+      path: String, s: Int, iterations: Int = 3,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    PqIndex.requireNumericId(corpus, id)
+    val staged = cellsPath(path) + "__retrain"
+    DirSwap.repair(spark, cellsPath(path), staged)
+    val meta = checkCompat(spark, path, corpus, vec, "retrain")
+    val m = meta("m").toInt
+    val ksub = meta("ksub").toInt
+    val dims = meta("dims").toInt
+    val spliced = PqIndex.splicedBooks(corpus, id, vec,
+      loadCodebooks(spark, path), m, ksub, iterations, s, trainFraction)
+    encodeWithCells(corpus, id, vec,
+        Similarity.centroidArray(loadCentroids(spark, path)),
+        PqIndex.bookArray(spliced), m, dims / m)
+      .write.mode("overwrite").partitionBy(CellCol).parquet(staged)
+    PqIndex.requireFullCoverage(spark,
+      loadCells(spark, path).select(col("vec_id")),
+      spark.read.parquet(staged).select(col("vec_id")), staged,
+      "retrainSubspace")
+    spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
+    DirSwap.swap(spark, cellsPath(path), staged)
+  }
+
+  /** Per-subspace code-usage histogram over the composed layout —
+    * [[PqIndex.codeStats]]' twin: a code soaking up most of a subspace
+    * means ADC has lost resolution there; the remedy is
+    * [[retrainSubspace]] (one corpus pass, only that subspace trains). */
+  def codeStats(spark: SparkSession, path: String): DataFrame =
+    loadCells(spark, path)
+      .select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy(col("s"), col("code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s").asc, col("n").desc, col("code").asc)
+
+  /**
    * Cell-pruned ADC top-k: each query reads only its `nprobe` nearest
    * cells' code rows (static `cell IN` → directory pruning), scores them
    * in m lookups + adds, keeps `candidates` in the bounded heap, and —

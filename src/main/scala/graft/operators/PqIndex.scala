@@ -379,49 +379,72 @@ object PqIndex {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     val dims = meta("dims").toInt
+    val spliced = splicedBooks(corpus, id, vec, loadCodebooks(spark, path),
+      m, ksub, iterations, s, trainFraction)
+    val tmp = codesPath(path) + "__retrain"
+    encode(corpus, id, vec, "vec_id", bookArray(spliced), m, dims / m)
+      .write.mode("overwrite").parquet(tmp)
+    requireFullCoverage(spark, loadCodes(spark, path).select(col("vec_id")),
+      spark.read.parquet(tmp).select(col("vec_id")), tmp, "retrainSubspace")
+    spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
+    DirSwap.swap(spark, codesPath(path), tmp)
+  }
+
+  /** The codebooks after re-training ONE subspace: Lloyd's over subspace
+    * `s` only (hash-ordered seeds — see [[trainCodebooksFor]]) on the
+    * deterministic `trainFraction` hash sample, spliced DRIVER-SIDE into
+    * the loaded books (m×ksub rows — bounded by construction, the
+    * IvfIndex.resplitCell centroid-file discipline: the codebooks write
+    * that follows replaces the very file the kept rows were read from,
+    * and a plan-side filtered-scan ∪ aggregate union trips a Catalyst
+    * constraint-rewrite NoSuchElementException besides). Shared by the PQ
+    * and IVF+PQ retrain paths; density re-checked on the spliced result. */
+  private[operators] def splicedBooks(corpus: DataFrame, id: String,
+      vec: String, books: DataFrame, m: Int, ksub: Int, iterations: Int,
+      s: Int, trainFraction: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    require(s >= 0 && s < m, s"subspace $s outside [0, $m)")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val trainSet =
       if (trainFraction >= 1.0) corpus
       else corpus.filter(Sampling.hashBucket(col(id)) <
         math.max(1, math.rint(trainFraction * 100).toInt))
     val retrained = trainCodebooksFor(trainSet, id, vec, m, ksub,
       iterations, Seq(s), hashSeeds = true)
-    // splice DRIVER-SIDE (m×ksub rows — bounded by construction, the
-    // IvfIndex.resplitCell centroid-file discipline): the codebooks write
-    // below replaces the very file the kept rows were read from, and a
-    // plan-side filtered-scan ∪ aggregate union trips a Catalyst
-    // constraint-rewrite NoSuchElementException besides
-    val bookSchema = loadCodebooks(spark, path).schema
-    val keptRows = loadCodebooks(spark, path).filter(col("s") =!= s).collect()
+    val bookSchema = books.schema
+    val keptRows = books.filter(col("s") =!= s).collect()
     val newRows = retrained
       .select(bookSchema.fieldNames.map(col).toIndexedSeq: _*).collect()
     val spliced = spark.createDataFrame(
       java.util.Arrays.asList(keptRows ++ newRows: _*), bookSchema)
     requireDenseCodes(spliced)
-    val tmp = codesPath(path) + "__retrain"
-    encode(corpus, id, vec, "vec_id", bookArray(spliced), m, dims / m)
-      .write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val have = spark.read.parquet(tmp).count()
-    val expect = loadCodes(spark, path).count()
-    // equal counts + zero missing ids ⇒ identical id sets: a same-sized
-    // corpus SNAPSHOT with swapped rows must fail too, not just a short one
-    // (one anti-join of two id columns — maintenance-op budget)
+    spliced
+  }
+
+  /** The retrain coverage guard, shared by both retrain paths: equal
+    * counts + zero missing ids ⇒ identical id sets (a same-sized corpus
+    * SNAPSHOT with swapped rows must fail too, not just a short one — one
+    * anti-join of two id columns, maintenance-op budget). On violation the
+    * staged directory is deleted and the index left untouched. */
+  private[operators] def requireFullCoverage(spark: SparkSession,
+      liveIds: DataFrame, stagedIds: DataFrame, stagedDir: String,
+      op: String): Unit = {
+    val have = stagedIds.count()
+    val expect = liveIds.count()
     val missing =
       if (have != expect) -1L
-      else loadCodes(spark, path).select(col("vec_id"))
-        .join(spark.read.parquet(tmp).select(col("vec_id")),
-          Seq("vec_id"), "left_anti").count()
+      else liveIds.join(stagedIds, Seq("vec_id"), "left_anti").count()
     if (have != expect || missing != 0) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new org.apache.hadoop.fs.Path(stagedDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(stagedDir), true)
       throw new IllegalStateException(
-        s"retrainSubspace corpus encodes $have rows ($missing indexed ids " +
+        s"$op corpus encodes $have rows ($missing indexed ids " +
           s"uncovered) but the index holds $expect — pass the FULL indexed " +
           "corpus (save + every append); missing rows would silently " +
           "vanish from the index")
     }
-    spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
-    DirSwap.swap(spark, codesPath(path), tmp)
   }
 
   /**
@@ -542,6 +565,114 @@ object PqIndex {
         Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     Similarity.rankTopKPublic(exact, k)
+  }
+
+  /**
+   * ADC-threshold calibration — turns the documented footgun into an
+   * operator. ADC scores are NOT calibrated cosines: they approximate
+   * `<q, reconstruction(x)>`, and at coarse geometries the gap is large
+   * (SCALE.md round-14: identical-vector twins scored 0.54–0.80 ADC at
+   * m=8/32-dim against 1.0 exact, so a 0.95 drop threshold silently never
+   * fired). A caller picking a threshold needs the ADC-score distribution
+   * AT a known exact cosine for THEIR index geometry — which is exactly
+   * what this returns.
+   *
+   * `sample` is a bounded subset of the INDEXED rows (ids + float
+   * vectors; rows absent from the index drop out of the pairing). Every
+   * ordered sample pair is scored BOTH ways — exact quantized cosine from
+   * the floats ([[Similarity.bruteForceTopK]]'s arithmetic) and ADC from
+   * the saved index's codes — and the pairs bucket into `bins` equal
+   * cosine bins over [-1, 1]. Output, one row per non-empty bin:
+   * `(cos_lo, cos_hi, n_pairs, adc_p05, adc_p50, adc_p95)` (exact
+   * percentiles — the sample is bounded by contract). Cost: |sample|²
+   * scored pairs, distributed; a few thousand rows calibrate a geometry
+   * in seconds.
+   *
+   * Reading the curve: to drop docs whose best standing match has exact
+   * cosine ≥ c, set the ADC threshold near the `adc_p05` of c's bin —
+   * ~95% of true matches at that cosine then clear the threshold
+   * ([[adcThresholdFor]] computes this directly). The alternative that
+   * needs no calibration at all is the exact `rerankFrom` path, which the
+   * ingest streams recommend as the default.
+   */
+  def calibrate(spark: SparkSession, path: String, sample: DataFrame,
+      id: String, vec: String, bins: Int = 10): DataFrame = {
+    val scored = calibrationPairs(spark, path, sample, id, vec)
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val width = 2.0 / bins
+    scored
+      .withColumn("__bin", least(floor((col("cosine") + 1.0) / width),
+        lit(bins - 1)).cast("int"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(pq_score, array(0.05, 0.5, 0.95))").as("__p"))
+      .select(
+        (lit(-1.0) + col("__bin") * width).as("cos_lo"),
+        (lit(-1.0) + (col("__bin") + 1) * width).as("cos_hi"),
+        col("n_pairs"),
+        element_at(col("__p"), 1).as("adc_p05"),
+        element_at(col("__p"), 2).as("adc_p50"),
+        element_at(col("__p"), 3).as("adc_p95"))
+      .orderBy(col("cos_lo"))
+  }
+
+  /** The single number threshold-semantics callers need: the
+    * `recallQuantile` percentile of ADC score among sample pairs whose
+    * exact cosine is ≥ `targetCosine`. Dropping at `pq_score >= t` then
+    * catches ≈ (1 − recallQuantile) of true matches at/above the target
+    * cosine on this index's geometry. Throws when the sample holds no
+    * such pair — a threshold from zero evidence would be the 0.95-no-op
+    * footgun all over again; widen the sample or lower the target. */
+  def adcThresholdFor(spark: SparkSession, path: String, sample: DataFrame,
+      id: String, vec: String, targetCosine: Double,
+      recallQuantile: Double = 0.05): Double = {
+    require(recallQuantile > 0.0 && recallQuantile < 1.0,
+      s"recallQuantile must be in (0, 1), got $recallQuantile")
+    val matches = calibrationPairs(spark, path, sample, id, vec)
+      .filter(col("cosine") >= targetCosine)
+    val row = matches
+      .agg(expr(s"percentile(pq_score, $recallQuantile)").as("t"),
+        count(lit(1)).as("n")).head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L)
+      throw new IllegalArgumentException(
+        s"no sample pair has exact cosine >= $targetCosine — cannot " +
+          "calibrate an ADC threshold from zero evidence; widen the " +
+          "sample (include known near-duplicates) or lower the target")
+    row.getDouble(0)
+  }
+
+  /** Every ordered sample pair scored both ways: `(query_id, vec_id,
+    * cosine, pq_score)` — exact from the sample's floats, ADC from the
+    * saved codes. Shared by [[calibrate]] and [[adcThresholdFor]]. */
+  private def calibrationPairs(spark: SparkSession, path: String,
+      sample: DataFrame, id: String, vec: String): DataFrame = {
+    requireNumericId(sample, id)
+    val meta = checkCompat(spark, path, sample, vec, "calibrate")
+    val m = meta("m").toInt
+    val dsub = meta("dims").toInt / m
+    val books = bookArray(loadCodebooks(spark, path))
+    val q = withUnit(sample.select(col(id).cast("long").as("query_id"),
+        col(vec).as("__pv")), "__pv")
+      .filter(col("__xn").isNotNull)
+      .withColumn("__subs", subsColumn(m, dsub))
+      .crossJoin(broadcast(books))
+      .select(col("query_id"),
+        lutColumn(col("__books"), col("__subs")).as("__lut"))
+    // stored side: the sample ids' codes from the index (absent ids drop)
+    val codes = loadCodes(spark, path).join(
+      broadcast(sample.select(col(id).cast("long").as("vec_id"))),
+      Seq("vec_id"), "left_semi")
+    val qq = Similarity.queriesQuantized(sample, id, vec)
+    val cc = qq.select(col("query_id").as("vec_id"), col("__qv").as("__cv"),
+      col("__qn").as("__cn"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("pq_score", adcScore(col("__lut"), col("codes")))
+      .join(broadcast(qq), Seq("query_id"))
+      .join(broadcast(cc), Seq("vec_id"))
+      .withColumn("cosine",
+        Vectors.cosineQ(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("pq_score"))
   }
 
   /** Per-subspace code-usage histogram `(s, code, n)` — the imbalance

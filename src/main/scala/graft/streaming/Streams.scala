@@ -340,13 +340,22 @@ object Streams {
    *   3. appends survivors' codes to the index (only touched cell
    *      directories gain files) and hands the survivors to `accept`.
    *
-   * THRESHOLD SEMANTICS: without `rerankFrom` the standing-side score is
-   * the ADC approximation of cosine (exact cosine ± the PQ quantization
-   * error — the index stores no float vectors to re-rank against), so set
-   * the threshold with slack or pass `rerankFrom` (a maintained
-   * full-vector table, e.g. the accepted corpus itself) to refine
-   * candidates into exact cosines before thresholding. Intra-batch pairs
-   * always score exactly (the batch's floats are in hand).
+   * THRESHOLD SEMANTICS — pass `rerankFrom`; it is the RECOMMENDED
+   * default for every threshold-semantics caller. With it, ADC only
+   * shortlists `rerankCandidates` and the drop decision is made on EXACT
+   * cosines from the given full-vector table (e.g. the accepted corpus
+   * itself), so the threshold means what it says. Without it the
+   * standing-side score is the RAW ADC approximation (`<q,
+   * reconstruction(x)>`, NOT a calibrated cosine — the index stores no
+   * floats to re-rank against), and the aging measurement proved how
+   * badly naive thresholds misfire there: identical-vector twins scored
+   * 0.54–0.80 ADC at m=8/32-dim, so a 0.95 threshold silently NEVER
+   * dropped anything (SCALE.md round-14). Take the raw-ADC path only
+   * with a threshold calibrated for this index's geometry —
+   * [[graft.operators.PqIndex.adcThresholdFor]] /
+   * [[graft.operators.PqIndex.calibrate]] compute it from a sample of
+   * indexed rows. Intra-batch pairs always score exactly (the batch's
+   * floats are in hand).
    *
    * Replay-idempotent like its siblings: the batch's own ids are excluded
    * from the corpus side, so an at-least-once replay after a crash

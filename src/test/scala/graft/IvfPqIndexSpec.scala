@@ -125,6 +125,122 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("8-dim"))
   }
 
+  test("retrainSubspace: one subspace heals in place; cells, centroids and other books untouched") {
+    import spark.implicits._
+    val path = newPath()
+    // PqIndexSpec's seed sabotage on the composed layout: ids 0..3 (the
+    // deterministic Lloyd seeds) all share one direction, so with
+    // iterations = 0 every subspace's codebook is four near-identical
+    // codewords and the code histogram collapses
+    val skewSeeds = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 1.0f + 0.001f * (i + d)).toSeq))
+    val rest = (4 until 64).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8) { d =>
+        (if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f) +
+          0.05f * (((i * 31 + d * 7) % 11) - 5)
+      }.toSeq)
+    }
+    val c = (skewSeeds ++ rest).toDF("vec_id", "embedding")
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 4, iterations = 0)
+    def imbalance(sub: Int): Double = {
+      val ns = IvfPqIndex.codeStats(spark, path)
+        .filter(col("s") === sub).collect().map(_.getLong(2))
+      ns.max.toDouble / ns.sum
+    }
+    def state() = {
+      val rows = IvfPqIndex.loadCells(spark, path).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1),
+          r.getAs[Int]("cell")))
+      (rows.map(r => r._1 -> r._3).toMap, // cell assignment
+        (0 until 4).map(sub =>
+          sub -> rows.map(r => r._1 -> r._2(sub)).toMap).toMap) // codes
+    }
+    def booksOf() = IvfPqIndex.loadCodebooks(spark, path).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val skewBefore = imbalance(1)
+    assert(skewBefore > 0.8, s"sabotaged codebook must be collapsed: $skewBefore")
+    val (cellsBefore, codesBefore) = state()
+    val booksBefore = booksOf()
+    val centsBefore = IvfPqIndex.loadCentroids(spark, path).collect()
+      .map(_.toSeq).toSet
+
+    IvfPqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 1)
+
+    // the retrained subspace spreads out; everything else reproduces
+    // exactly — untouched subspaces' codewords AND codes, the coarse
+    // centroid file, and every row's cell assignment (cells are a pure
+    // function of centroids + vector; no resplit happened here)
+    assert(imbalance(1) < skewBefore && imbalance(1) <= 0.5,
+      s"retrained subspace still collapsed: ${imbalance(1)}")
+    val (cellsAfter, codesAfter) = state()
+    assert(cellsAfter == cellsBefore, "cell assignment must reproduce")
+    assert(codesAfter(0) == codesBefore(0) && codesAfter(2) == codesBefore(2)
+      && codesAfter(3) == codesBefore(3))
+    assert(codesAfter(1) != codesBefore(1), "the skewed subspace must re-encode")
+    val booksAfter = booksOf()
+    assert(booksAfter.filter(_._1._1 != 1) == booksBefore.filter(_._1._1 != 1),
+      "other subspaces' codewords must be identical")
+    assert(IvfPqIndex.loadCentroids(spark, path).collect()
+      .map(_.toSeq).toSet == centsBefore, "coarse centroids never move")
+    // geometry markers never bump — appends still compose
+    assert(IvfPqIndex.readParams(spark, path).get("numCentroids").contains("4"))
+    // maintenance invisibility: all-cells probe + all-covering re-rank
+    // still equals brute force (q87's oracle contract)
+    val q = c.filter(col("vec_id") < 2)
+    val got = IvfPqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 64, nprobe = 4,
+        rerank = Some((c, "vec_id", "embedding")), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val want = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // a corpus missing indexed rows must fail BEFORE touching the index
+    val e = intercept[IllegalStateException] {
+      IvfPqIndex.retrainSubspace(c.filter(col("vec_id") < 10), "vec_id",
+        "embedding", path, s = 0)
+    }
+    assert(e.getMessage.contains("FULL indexed corpus"))
+    assert(IvfPqIndex.loadCells(spark, path).count() == 64,
+      "the failed retrain must leave the index intact")
+  }
+
+  test("retrainSubspace: an interrupted cells swap repairs on re-run") {
+    val path = newPath()
+    val c = corpus(64)
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 4, iterations = 1)
+    // the worst crash point of the rename-aside swap: live cells moved
+    // aside, fully-staged cells__retrain not yet renamed in
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p("cells"), fs,
+      p("cells__retrain"), false, conf)
+    assert(fs.rename(p("cells"), p("cells__old")))
+    assert(!fs.exists(p("cells")), "simulated crash: live cells gone")
+    IvfPqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 0,
+      iterations = 1)
+    assert(fs.exists(p("cells")) && !fs.exists(p("cells__old"))
+      && !fs.exists(p("cells__retrain")),
+      "repair + retrain must leave one consistent cells directory")
+    val q = c.filter(col("vec_id") < 2)
+    val got = IvfPqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 64, nprobe = 4,
+        rerank = Some((c, "vec_id", "embedding")), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val want = Similarity.bruteForceTopKAgg(q, c, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("resplitCell: codes byte-untouched, cold cells byte-untouched, probes identical") {
     import spark.implicits._
     import graft.functions.Vectors

@@ -286,6 +286,83 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       "the failed retrains must leave the index intact")
   }
 
+  test("calibrate: exactly-reconstructable geometry collapses ADC onto exact cosine") {
+    import spark.implicits._
+    val path = newPath()
+    // 64 rows = exact copies of 4 distinct prototypes, seeds (ids 0..3)
+    // one per prototype: every subspace codebook learns the exact
+    // subvector values, reconstruction is exact, and ADC ≡ exact cosine —
+    // so the calibration curve must sit ON the cosine diagonal
+    val protos = (0 until 4).map { c =>
+      Array.tabulate(8) { d =>
+        if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f
+      }
+    }
+    val c = (0 until 64).map(i => (i.toLong, protos(i % 4).toSeq))
+      .toDF("vec_id", "embedding")
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 1)
+    val sample = c.filter(col("vec_id") < 16)
+    val curve = PqIndex.calibrate(spark, path, sample, "vec_id", "embedding",
+      bins = 10).collect()
+    assert(curve.nonEmpty)
+    curve.foreach { r =>
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      Seq(3, 4, 5).foreach { i => // p05, p50, p95 all inside the cosine bin
+        assert(r.getDouble(i) >= lo - 1e-4 && r.getDouble(i) <= hi + 1e-4,
+          s"exact geometry: ADC quantile ${r.getDouble(i)} outside " +
+            s"cosine bin [$lo, $hi)")
+      }
+    }
+    // identical-prototype pairs live at cosine 1.0: the calibrated
+    // threshold for target 0.9 is ~1.0, and filtering by it is the same
+    // drop set as filtering by the exact cosine — calibrated ≡ exact
+    val t = PqIndex.adcThresholdFor(spark, path, sample, "vec_id",
+      "embedding", targetCosine = 0.9)
+    assert(math.abs(t - 1.0) < 1e-3, s"exact geometry: threshold $t != 1.0")
+
+    // a target no sample pair reaches must throw, not hand back a
+    // zero-evidence threshold
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.adcThresholdFor(spark, path, sample, "vec_id", "embedding",
+        targetCosine = 1.5)
+    }
+    assert(e.getMessage.contains("zero evidence"), e.getMessage)
+  }
+
+  test("calibrate: coarse geometry yields a materially lower threshold than the naive one") {
+    val path = newPath()
+    // the noisy clustered corpus under a COARSE codebook (ksub = 2):
+    // reconstructions sit far from the vectors, so near-dup pairs score
+    // well below their exact cosine — the SCALE.md round-14 footgun. The
+    // calibrated threshold for "exact cosine >= 0.95" must come out
+    // materially below 0.95 (the naive threshold that never fired)
+    val c = corpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 2,
+      iterations = 2)
+    val sample = c.filter(col("vec_id") < 32)
+    val t = PqIndex.adcThresholdFor(spark, path, sample, "vec_id",
+      "embedding", targetCosine = 0.95)
+    assert(t < 0.95, s"coarse geometry must calibrate below naive 0.95: $t")
+    assert(t > 0.0, s"threshold must still be a positive score: $t")
+    // and the calibrated threshold actually fires on true matches where
+    // the naive one does not: count sample pairs with exact cosine >=
+    // 0.95 whose ADC clears each threshold
+    val pairs = {
+      import org.apache.spark.sql.functions.broadcast
+      val l = sample.select(col("vec_id").as("__ia"), col("embedding").as("__va"))
+      val r = sample.select(col("vec_id").as("__ib"), col("embedding").as("__vb"))
+      l.join(broadcast(r), col("__ia") =!= col("__ib"))
+        .filter(graft.functions.Vectors.cosineExact(col("__va"), col("__vb")) >= 0.95)
+    }
+    val truePairs = pairs.count()
+    assert(truePairs > 0, "the clustered corpus must contain near-dup pairs")
+    val adc = PqIndex.calibrate(spark, path, sample, "vec_id", "embedding",
+      bins = 40).filter(col("cos_lo") >= 0.9)
+    assert(adc.collect().map(_.getDouble(4)).forall(_ < 0.95),
+      "median ADC of true near-dups sits below the naive threshold")
+  }
+
   test("retrainSubspace: an interrupted codes swap repairs on re-run") {
     val path = newPath()
     val c = corpus(64)
