@@ -569,6 +569,231 @@ object ScaleBench {
           s""""retrain_sec":$retrainSec}""")
       }
 
+      // ---- ivfpq retrain tier: the composed layout's codebook repair,
+      // measured against the full save it replaces (pqretrain's question
+      // on the production layout). The focused path pays one subspace's
+      // Lloyd rounds + the shuffle-free re-encode+re-assign pass; save
+      // pays all m subspace trains + centroid derivation + the same
+      // encode — the delta widens toward m× at production m.
+      if (wanted("ivfpqretrain")) {
+        import graft.operators.IvfPqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val idxPath = s"$scratch/ivfpq_retrain_idx_$n"
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val tb = System.nanoTime()
+        IvfPqIndex.save(emb, "doc_id", "embedding", idxPath,
+          numCells = 64, m = 8, ksub = 16, iterations = 3,
+          trainFraction = 0.1)
+        val buildSec = math.rint((System.nanoTime() - tb) / 1e7) / 100
+        val tr = System.nanoTime()
+        IvfPqIndex.retrainSubspace(emb, "doc_id", "embedding", idxPath,
+          s = 3, iterations = 3, trainFraction = 0.1)
+        val retrainSec = math.rint((System.nanoTime() - tr) / 1e7) / 100
+        println(s"""{"op":"ivfpq_retrain","docs":$n,"build_sec":$buildSec,""" +
+          s""""retrain_sec":$retrainSec}""")
+      }
+
+      // ---- filecost tier: the controlled discriminator for the aging
+      // tiers' per-file probe-cost hypothesis. The SAME code rows probed
+      // from a compacted (~66-file) and a littered (~380-file) layout with
+      // spark.sql.files.openCostInBytes pinned to 0 and maxPartitionBytes
+      // sized so BOTH scans plan the same partition count (the tasks field
+      // in the emitted lines proves it) — equal tasks + equal rows means
+      // any wall-time delta is per-FILE work (open/footer/stream setup)
+      // inside the tasks, not task-scheduling overhead or lost
+      // parallelism. (openCostInBytes=0 globally collapsed probe
+      // parallelism in r14's attempt; scoping it to this tier with an
+      // explicit maxPartitionBytes keeps the partition count pinned.)
+      if (wanted("filecost")) {
+        import graft.operators.PqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val queries = emb.filter(pmod(col("doc_id"), lit(n / 10)) === 7)
+          .localCheckpoint(true)
+        val fewFiles = 66
+        val manyFiles = 380
+        def clonedIndex(tag: String, files: Int): String = {
+          val src = s"$scratch/filecost_base_$n"
+          val p = new org.apache.hadoop.fs.Path(src)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p))
+            PqIndex.save(emb, "doc_id", "embedding", src,
+              m = 8, ksub = 16, iterations = 1, trainFraction = 0.1)
+          val dst = s"$scratch/filecost_${tag}_$n"
+          val dp = new org.apache.hadoop.fs.Path(dst)
+          if (fs.exists(dp)) fs.delete(dp, true)
+          fs.mkdirs(dp)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$src/codebooks"), fs,
+            new org.apache.hadoop.fs.Path(s"$dst/codebooks"), false,
+            spark.sparkContext.hadoopConfiguration)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$src/_graft_index_meta.json"),
+            fs, new org.apache.hadoop.fs.Path(s"$dst/_graft_index_meta.json"),
+            false, spark.sparkContext.hadoopConfiguration)
+          spark.read.parquet(s"$src/codes").repartition(files)
+            .write.mode("overwrite").parquet(s"$dst/codes")
+          dst
+        }
+        val few = clonedIndex("few", fewFiles)
+        val many = clonedIndex("many", manyFiles)
+        val codesBytes = {
+          val p = new org.apache.hadoop.fs.Path(s"$few/codes")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        }
+        // a heavier query batch than the pq tier's 10 (~200 queries →
+        // ~n/5 × 200 ADC evaluations): per-task probe work has to be
+        // material for a task-layout effect to be visible at all
+        val qBatch = emb.filter(pmod(col("doc_id"), lit(math.max(1L, n / 200))) === 7)
+          .localCheckpoint(true)
+        println(s"""{"op":"filecost_queries","docs":$n,""" +
+          s""""n_queries":${qBatch.count()}}""")
+        val open0 = spark.conf.get("spark.sql.files.openCostInBytes")
+        val mpb0 = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        def parts(path: String) =
+          spark.read.parquet(s"$path/codes").rdd.getNumPartitions
+        def probeRuns(tag: String, path: String, files: Int): Unit =
+          timedRuns(n, s"filecost_${tag}_${files}f")(() =>
+            PqIndex.probe(spark, path, qBatch, "doc_id", "embedding",
+              candidates = 100).count())
+        try {
+          // phase 1 — PINNED: zero open cost + maxPartitionBytes sized so
+          // BOTH layouts plan the same partition count (partitions ≈
+          // ceil(bytes / maxPartitionBytes) regardless of the file cut).
+          // Any remaining delta is per-FILE work INSIDE equal tasks.
+          spark.conf.set("spark.sql.files.openCostInBytes", "0")
+          spark.conf.set("spark.sql.files.maxPartitionBytes",
+            math.max(codesBytes / (2L * cpus.toInt), 1L << 20).toString)
+          println(s"""{"op":"filecost_layout","docs":$n,"mode":"pinned",""" +
+            s""""few_files":$fewFiles,"many_files":$manyFiles,""" +
+            s""""few_partitions":${parts(few)},""" +
+            s""""many_partitions":${parts(many)}}""")
+          probeRuns("pinned", few, fewFiles)
+          probeRuns("pinned", many, manyFiles)
+        } finally {
+          spark.conf.set("spark.sql.files.openCostInBytes", open0)
+          spark.conf.set("spark.sql.files.maxPartitionBytes", mpb0)
+        }
+        // phase 2 — DEFAULT packing (what the aging tiers ran under):
+        // openCostInBytes=4MB charges each file into the bin, so the
+        // littered layout plans a different partition count; the delta vs
+        // phase 1 is the task-layout term, not in-task file cost
+        println(s"""{"op":"filecost_layout","docs":$n,"mode":"default",""" +
+          s""""few_files":$fewFiles,"many_files":$manyFiles,""" +
+          s""""few_partitions":${parts(few)},""" +
+          s""""many_partitions":${parts(many)}}""")
+        probeRuns("default", few, fewFiles)
+        probeRuns("default", many, manyFiles)
+      }
+
+      // ---- filecostcell tier: the filecost discriminator ON THE AGING
+      // WORKLOAD'S OWN SHAPE — cell-partitioned IVFPQ layout, 55k-query
+      // night-sized batch, nprobe=2, candidates=1 (exactly what regressed
+      // 3.2× over five nights). Two clones of one index: compact (~1 file
+      // per cell) and littered (6 sequential range-clustered appends per
+      // cell ≈ the 5-night litter), probed under default confs. If the
+      // per-file term lives here and not in the flat-layout experiment,
+      // the mechanism is the partitioned tree × heavy broadcast-join
+      // workload, not file opening per se.
+      if (wanted("filecostcell")) {
+        import graft.operators.IvfPqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val src = s"$scratch/filecostcell_base_$n"
+        val p = new org.apache.hadoop.fs.Path(src)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          IvfPqIndex.save(emb, "doc_id", "embedding", src,
+            numCells = 64, m = 8, ksub = 16, iterations = 1,
+            trainFraction = 0.1)
+        def fileCount(path: String): Long = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+          var c = 0L
+          while (it.hasNext)
+            if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+          c
+        }
+        def clone(tag: String, slices: Int): String = {
+          val dst = s"$scratch/filecostcell_${tag}_$n"
+          val dp = new org.apache.hadoop.fs.Path(dst)
+          if (fs.exists(dp)) fs.delete(dp, true)
+          fs.mkdirs(dp)
+          Seq("codebooks", "centroids").foreach(d =>
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(s"$src/$d"), fs,
+              new org.apache.hadoop.fs.Path(s"$dst/$d"), false,
+              spark.sparkContext.hadoopConfiguration))
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s"$src/_graft_index_meta.json"),
+            fs, new org.apache.hadoop.fs.Path(s"$dst/_graft_index_meta.json"),
+            false, spark.sparkContext.hadoopConfiguration)
+          val cells = spark.read.parquet(s"$src/cells")
+          // `slices` sequential range-clustered appends ≈ one file per
+          // cell per append — byte-for-byte the nightly litter shape
+          (0 until slices).foreach { i =>
+            cells.filter(pmod(col("vec_id"), lit(slices)) === i)
+              .repartitionByRange(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(s"$dst/cells")
+          }
+          println(s"""{"op":"filecostcell_clone","docs":$n,"tag":"$tag",""" +
+            s""""slices":$slices,"files":${fileCount(s"$dst/cells")}}""")
+          dst
+        }
+        val compactIdx = clone("compact", 1)
+        val litterIdx = clone("litter", 6)
+        // the night batch: ~n/18 standing docs as queries (≈55k at 1M)
+        val night = emb.filter(pmod(col("doc_id"), lit(18)) === 7)
+          .localCheckpoint(true)
+        println(s"""{"op":"filecostcell_batch","docs":$n,""" +
+          s""""n_queries":${night.count()}}""")
+        timedRuns(n, "filecostcell_probe_compact")(() =>
+          IvfPqIndex.probe(spark, compactIdx, night, "doc_id", "embedding",
+            candidates = 1, nprobe = 2).count())
+        timedRuns(n, "filecostcell_probe_litter")(() =>
+          IvfPqIndex.probe(spark, litterIdx, night, "doc_id", "embedding",
+            candidates = 1, nprobe = 2).count())
+      }
+
+      // ---- calibrate tier: the ADC-score-vs-exact-cosine curve per
+      // geometry — the table that turns threshold picking from folklore
+      // into a lookup. Sample = a hash slice of the corpus including its
+      // identical-vector dup pairs (every 33rd doc), so the cosine≈1 bin
+      // is populated; thresholds reported for target cosine 0.95 at 5%
+      // miss quantile, for m=8 vs m=16 on the same 32-dim vectors.
+      if (wanted("calibrate")) {
+        import graft.operators.PqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val sample = emb.filter(col("doc_id") < 2000).localCheckpoint(true)
+        Seq(8, 16).foreach { m =>
+          val idxPath = s"$scratch/calib_${m}_$n"
+          val p = new org.apache.hadoop.fs.Path(idxPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          PqIndex.save(emb, "doc_id", "embedding", idxPath,
+            m = m, ksub = 16, iterations = 2, trainFraction = 0.1)
+          val t0 = System.nanoTime()
+          val thr = PqIndex.adcThresholdFor(spark, idxPath, sample,
+            "doc_id", "embedding", targetCosine = 0.95)
+          val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+          val topBins = PqIndex.calibrate(spark, idxPath, sample,
+              "doc_id", "embedding", bins = 20)
+            .filter(col("cos_lo") >= 0.79).collect()
+            .map(r => s"""{"cos_lo":${r.getDouble(0)},"n":${r.getLong(2)},""" +
+              s""""adc_p05":${math.rint(r.getDouble(3) * 1000) / 1000},""" +
+              s""""adc_p50":${math.rint(r.getDouble(4) * 1000) / 1000},""" +
+              s""""adc_p95":${math.rint(r.getDouble(5) * 1000) / 1000}}""")
+            .mkString("[", ",", "]")
+          println(s"""{"op":"calibrate","docs":$n,"m":$m,"ksub":16,""" +
+            s""""threshold_c095_q05":${math.rint(thr * 1000) / 1000},""" +
+            s""""sec":$sec,"top_bins":$topBins}""")
+        }
+      }
+
       // ---- ivfpq aging tier: the aging evidence extended to the PRODUCTION
       // ANN layout — N nights of probe→append against ONE standing composed
       // (IVF+PQ) index. Each night probes a fresh embedding batch (10%

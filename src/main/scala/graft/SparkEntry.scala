@@ -1248,6 +1248,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the production ANN layout driven end to end by the audited nightly
+    // pipeline, failOnDq armed: two nights of probe→accept→verify→index
+    // build a standing IVFPQ index from the survivors' embeddings
+    // (bootstrap night 1, append night 2, nightly compaction), then an
+    // all-cells probe + all-covering exact re-rank against the landed
+    // corpus must equal brute force over the survivors — bootstrap,
+    // append, compaction and the commit discipline all invisible in the
+    // exact path. BENCH NOTE: self-contained like q74 (two audited nights
+    // + index build + probe timed); steady-state probe costs are
+    // ScaleBench's pq/ivfpqaging tiers.
+    "q89_ingest_ivfpq" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = t(s, dir, "embeddings")
+      val withEmb = d.join(
+        e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      val b1 = withEmb.filter(col("doc_id") % 3 === 0)
+      val b2 = withEmb.filter(col("doc_id") % 3 === 1)
+      val root = Scratch.dir("graft_q89_")
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        ivfPqIndexPath = Some(root.resolve("ivfpq").toString),
+        ivfPqCells = 4, ivfPqM = 8, ivfPqKsub = 8,
+        maxBucket = LshMaxBucket, strict = true, failOnDq = true)
+      val n1 = graft.reports.IngestPipeline.runNight(s, b1, "n1", cfg)
+      val n2 = graft.reports.IngestPipeline.runNight(s, b2, "n2", cfg)
+      require(n1.dqFailures == 0 && n2.dqFailures == 0,
+        s"ingest DQ must pass: $n1 / $n2")
+      val landed = s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"), col("embedding"))
+      graft.operators.IvfPqIndex.probe(s, cfg.ivfPqIndexPath.get,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          candidates = 5000, nprobe = 4,
+          rerank = Some((landed, "doc_id", "embedding")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q85_training_set" -> ((s, dir) => {
       graft.reports.TrainingSetBuild.plan(
           t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -2344,6 +2382,10 @@ object SparkEntry {
     // force under all-covering probes
     "q87_ivfpq_resplit" -> BruteTopKSql,
     "q88_pq_retrain" -> BruteTopKSql,
+    // q89: the nightly-built composed index probed all-covering equals
+    // brute force over the two nights' SURVIVORS (the full pipeline
+    // algebra + exact top-k in one oracle)
+    "q89_ingest_ivfpq" -> IngestIvfPqSql,
 
     // the Quality sheet: q64's verdict battery grouped by reason with an
     // instance share; (n_docs desc, reason asc) is a total order
@@ -2550,24 +2592,21 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Two-night ingest parity (q74): night 1 drops the greater id of every
-    * capped intra-batch pair; night 2 drops batch docs pairing with the
-    * standing index (= night-1 survivors' banded rows, combined-count cap)
-    * or with a batch-mate — exactly IngestPipeline.runNight's algebra. The
-    * landed corpus is each night's survivor set under its `load_date`. */
-  private lazy val IngestTwoNightsSql: String = {
+  /** The two-night ingest survivor algebra as a WITH-clause prefix (CTEs
+    * `b1`/`b2` from the given subqueries through `s1`/`s2`): night 1 drops
+    * the greater id of every capped intra-batch pair; night 2 drops batch
+    * docs pairing with the standing index (= night-1 survivors' banded
+    * rows, combined-count cap) or with a batch-mate — exactly
+    * IngestPipeline.runNight's algebra. Shared by q74 and q89. */
+  private def ingestSurvivorsCte(b1Sql: String, b2Sql: String): String = {
     val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
       .mkString("\n UNION ALL ")
     s"""WITH b1 AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 10000, text || ' zzz extra tail' FROM documents WHERE doc_id % 9 = 0),
+       |  $b1Sql),
        |b2 AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
-       |  UNION ALL
-       |  SELECT doc_id + 20000, text || ' zzz extra tail' FROM documents WHERE doc_id % 6 = 0),
+       |  $b2Sql),
        |corpus AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
        |$ShinglesSql,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
@@ -2591,11 +2630,43 @@ object SparkEntry {
        |  FROM bn2 a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  JOIN ok2i ON ok2i.band = a.band AND ok2i.bucket = a.bucket),
        |s2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2x)
-       |  AND doc_id NOT IN (SELECT doc_id FROM drop2i))
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop2i))""".stripMargin
+  }
+
+  /** Two-night ingest parity (q74): the landed corpus is each night's
+    * survivor set under its `load_date`. */
+  private lazy val IngestTwoNightsSql: String =
+    ingestSurvivorsCte(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' zzz extra tail' FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+      """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' zzz extra tail' FROM documents WHERE doc_id % 6 = 0""".stripMargin) +
+    s"""
        |SELECT doc_id, 'n1' AS load_date FROM s1
        |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** Composed-index nightly composition (q89): the survivor algebra over
+    * embedded docs, then exact brute-force top-10 over the SURVIVORS'
+    * embeddings — what an all-cells IVFPQ probe with all-covering exact
+    * re-rank against the landed corpus must collapse to. */
+  private lazy val IngestIvfPqSql: String =
+    ingestSurvivorsCte(
+      "SELECT d.doc_id, d.text FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.doc_id % 3 = 0",
+      "SELECT d.doc_id, d.text FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.doc_id % 3 = 1") +
+    s""",
+       |surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+       |v AS (SELECT e.vec_id, $QuantizeSql AS qv FROM embeddings e JOIN surv ON surv.doc_id = e.vec_id),
+       |q AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSql AS cosine
+       |  FROM q a, v b WHERE a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
   private val QuantizeSql =
