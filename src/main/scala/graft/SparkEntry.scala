@@ -1263,9 +1263,21 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val withEmb = d.join(
         e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
-      val b1 = withEmb.filter(col("doc_id") % 3 === 0)
-      val b2 = withEmb.filter(col("doc_id") % 3 === 1)
       val root = Scratch.dir("graft_q89_")
+      // batches LAND as parquet and are read back — the real ingest shape
+      // (a night's batch arrives as a table), and load-bearing here: the
+      // live join's size estimate is left×right (~141 GB for 667 rows) and
+      // localCheckpoint INHERITS it, so banding the joined frame directly
+      // made ShuffleSizing raise the session to its 4096-partition max and
+      // every step of both nights ran on thousands of empty tasks (2–3×
+      // the whole composition). Parquet scans carry honest stats
+      def land(df: DataFrame, name: String): DataFrame = {
+        val p = root.resolve(name).toString
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+      val b1 = land(withEmb.filter(col("doc_id") % 3 === 0), "batch_n1")
+      val b2 = land(withEmb.filter(col("doc_id") % 3 === 1), "batch_n2")
       val cfg = graft.reports.IngestPipeline.IngestConfig(
         corpusPath = root.resolve("corpus").toString,
         bandIndexPath = root.resolve("band_index").toString,
