@@ -596,6 +596,47 @@ object ScaleBench {
           s""""retrain_sec":$retrainSec}""")
       }
 
+      // ---- retract tier: the takedown cost story on the composed layout —
+      // removeIds must be O(|ids|) regardless of corpus size, the pending
+      // tombstone set must cost a probe only its broadcast anti-join, and
+      // vacuum must pay for TOUCHED cells, not the index. The four probe/
+      // phase timings separate those claims.
+      if (wanted("retract")) {
+        import graft.operators.IvfPqIndex
+        val emb = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("embedding"))
+        val idxPath = s"$scratch/retract_idx_$n"
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        IvfPqIndex.save(emb, "doc_id", "embedding", idxPath,
+          numCells = 64, m = 8, ksub = 16, iterations = 3,
+          trainFraction = 0.1)
+        val queries = emb.filter(col("doc_id") % (n / 1000) === 0)
+        def probeSec(): Double = {
+          val t0 = System.nanoTime()
+          IvfPqIndex.probe(spark, idxPath, queries, "doc_id", "embedding",
+            candidates = 1, nprobe = 2).count()
+          math.rint((System.nanoTime() - t0) / 1e7) / 100
+        }
+        val probeBefore = probeSec()
+        // ~0.1% of the corpus taken down, spread across cells
+        val ids = emb.filter(col("doc_id") % 1000 === 7).select(col("doc_id"))
+        val t1 = System.nanoTime()
+        IvfPqIndex.removeIds(spark, idxPath, ids)
+        val removeSec = math.rint((System.nanoTime() - t1) / 1e7) / 100
+        val probePending = probeSec() // tombstones pending: anti-join surcharge
+        val t2 = System.nanoTime()
+        val removed = IvfPqIndex.vacuum(spark, idxPath)
+        val vacuumSec = math.rint((System.nanoTime() - t2) / 1e7) / 100
+        val probeAfter = probeSec()
+        println(s"""{"op":"retract","docs":$n,"removed":$removed,""" +
+          s""""remove_sec":$removeSec,"vacuum_sec":$vacuumSec,""" +
+          s""""probe_before_sec":$probeBefore,""" +
+          s""""probe_pending_sec":$probePending,""" +
+          s""""probe_after_sec":$probeAfter}""")
+      }
+
       // ---- filecost tier: the controlled discriminator for the aging
       // tiers' per-file probe-cost hypothesis. The SAME code rows probed
       // from a compacted (~66-file) and a littered (~380-file) layout with

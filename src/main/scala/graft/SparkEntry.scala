@@ -1298,6 +1298,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // retraction semantics end to end (q90): two band-index nights with a
+    // TAKEDOWN between them (IngestPipeline.retract → tombstones → probe
+    // subtraction → partition-scoped vacuum). The pinned behavior: the
+    // retracted docs leave the landed corpus AND their phantom banded rows
+    // stop pairing, so night 2's re-submission of the SAME content
+    // (id + 30000) is accepted exactly where a standing copy would have
+    // dropped it. Oracle = the shared survivor CTE with the standing index
+    // minus the retracted ids.
+    "q90_retract_readmit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      val root = Scratch.dir("graft_q90_")
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        maxBucket = LshMaxBucket, strict = true)
+      val n1 = graft.reports.IngestPipeline.runNight(s, b1, "n1", cfg)
+      require(n1.dqFailures == 0, s"ingest DQ must pass: $n1")
+      val retrIds = s.read.parquet(cfg.corpusPath)
+        .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      graft.reports.IngestPipeline.retract(s, retrIds, "q90", cfg)
+      val n2 = graft.reports.IngestPipeline.runNight(s, b2, "n2", cfg)
+      require(n2.dqFailures == 0, s"ingest DQ must pass: $n2")
+      s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"), col("load_date"))
+        .orderBy("doc_id")
+    }),
+
     "q85_training_set" -> ((s, dir) => {
       graft.reports.TrainingSetBuild.plan(
           t(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -2398,6 +2430,7 @@ object SparkEntry {
     // brute force over the two nights' SURVIVORS (the full pipeline
     // algebra + exact top-k in one oracle)
     "q89_ingest_ivfpq" -> IngestIvfPqSql,
+    "q90_retract_readmit" -> IngestRetractSql,
 
     // the Quality sheet: q64's verdict battery grouped by reason with an
     // instance share; (n_docs desc, reason asc) is a total order
@@ -2609,12 +2642,21 @@ object SparkEntry {
     * the greater id of every capped intra-batch pair; night 2 drops batch
     * docs pairing with the standing index (= night-1 survivors' banded
     * rows, combined-count cap) or with a batch-mate — exactly
-    * IngestPipeline.runNight's algebra. Shared by q74 and q89. */
-  private def ingestSurvivorsCte(b1Sql: String, b2Sql: String): String = {
+    * IngestPipeline.runNight's algebra. `retractSql` (ids to take down
+    * BETWEEN the nights) removes those docs from the standing index night
+    * 2 probes against — IngestPipeline.retract's semantics. Shared by
+    * q74, q89 and q90. */
+  private def ingestSurvivorsCte(b1Sql: String, b2Sql: String,
+      retractSql: Option[String] = None): String = {
     val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
       .mkString("\n UNION ALL ")
+    val retrCte = retractSql
+      .map(r => s"retr AS (\n  $r),\n").getOrElse("")
+    val idxFilter = retractSql
+      .map(_ => "\n  WHERE bd.doc_id NOT IN (SELECT doc_id FROM retr)")
+      .getOrElse("")
     s"""WITH b1 AS (
        |  $b1Sql),
        |b2 AS (
@@ -2630,7 +2672,7 @@ object SparkEntry {
        |  FROM bn1 a JOIN bn1 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  JOIN ok1 ON ok1.band = a.band AND ok1.bucket = a.bucket),
        |s1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
-       |idx AS (SELECT bd.* FROM banded bd JOIN s1 ON bd.doc_id = s1.doc_id),
+       |${retrCte}idx AS (SELECT bd.* FROM banded bd JOIN s1 ON bd.doc_id = s1.doc_id$idxFilter),
        |bn2 AS (SELECT bd.* FROM banded bd JOIN b2 ON bd.doc_id = b2.doc_id),
        |ok2 AS (SELECT band, bucket FROM (SELECT * FROM idx UNION ALL SELECT * FROM bn2)
        |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
@@ -2679,6 +2721,23 @@ object SparkEntry {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Retraction parity (q90): the takedown between the nights removes the
+    * retracted docs from the landed corpus (final SELECT) AND from the
+    * standing index night 2 probes against (the CTE's `retr` exclusion) —
+    * so identical re-submitted content re-admits. */
+  private lazy val IngestRetractSql: String =
+    ingestSurvivorsCte(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+      """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+      retractSql = Some("SELECT doc_id FROM s1 WHERE doc_id % 9 = 0")) +
+    s"""
+       |SELECT doc_id, 'n1' AS load_date FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM retr)
+       |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
+       |ORDER BY doc_id""".stripMargin
 
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
   private val QuantizeSql =

@@ -107,6 +107,28 @@ object BandIndex {
     clusteredForWrite(batchBanded).write.mode("append")
       .partitionBy(BandCol).parquet(path)
 
+  /** Retract documents from the standing index — the takedown/repair
+    * operator (a deleted or DQ-rejected doc whose banded rows already
+    * landed would otherwise probe-drop future docs as duplicates of
+    * phantom content forever). O(|ids|): the ids (numeric — the engine's
+    * id contract) land in a hidden tombstone set and every [[probe]]
+    * subtracts them from the corpus side before pairing; nothing is
+    * rewritten until [[vacuum]]. Until then, an [[append]] of a
+    * RETRACTED id is also suppressed at probe — vacuum first when
+    * re-admitting retracted content. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop retracted rows and clear the tombstone set. A doc's
+    * banded rows live in EVERY band, so all band directories are touched
+    * in the general case — still only a rewrite of the (id, band, bucket)
+    * index, never the corpus, and [[PartitionVacuum]]'s rename-aside swap
+    * keeps a crash at any point recoverable by re-running. Returns rows
+    * removed. Run on the nightly-compaction cadence (the set must stay
+    * broadcast-sized). */
+  def vacuum(spark: SparkSession, path: String, id: String): Long =
+    PartitionVacuum.vacuum(spark, path, path, BandCol, id)
+
   /** Candidate cross pairs between `batchBanded` and the index saved at
     * `path` — [[Dedup.probeBandedPairs]] over the loaded index. `bandSubset`
     * restricts the probe to specific bands as a STATIC filter, so the
@@ -125,7 +147,7 @@ object BandIndex {
       id: String, maxBucket: Int = Int.MaxValue, strict: Boolean = false,
       bandSubset: Option[Seq[Int]] = None,
       excludeIds: Option[DataFrame] = None): DataFrame = {
-    val idx = load(spark, path)
+    val idx = Tombstones.subtract(spark, path, load(spark, path), id)
     val afterExclude = excludeIds match {
       case Some(ex) => idx.join(broadcast(ex.select(col(id))), Seq(id), "left_anti")
       case None => idx

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /**
  * Shared parameter-marker persistence for the on-disk index families
@@ -95,5 +96,177 @@ private[operators] object DirSwap {
       if (fs.exists(p(live))) fs.delete(p(oldPath(live)), true)
       false
     }
+  }
+}
+
+/**
+ * Soft-delete bookkeeping shared by the persisted index families — the
+ * retraction half of the lifecycle ([[BandIndex]] / [[IvfIndex]] /
+ * [[PqIndex]] / [[IvfPqIndex]] `removeIds` + `vacuum`).
+ *
+ * Deleting rows from an immutable columnar index by rewriting it is
+ * O(index) — the wrong cost for a takedown of a handful of documents from
+ * a 100 TB corpus's index. Instead a retraction appends the ids to an
+ * underscore-hidden `_tombstones` parquet directory next to the data
+ * (invisible to readers of the index root — Hadoop's listing filter skips
+ * `_`-prefixed paths), and every probe subtracts the tombstone set from
+ * the corpus side as a broadcast anti-join BEFORE scoring. Removal is
+ * O(|ids|); the probe surcharge is one bounded broadcast.
+ *
+ * The set is BOUNDED BY CONTRACT: tombstones hold only ids retracted
+ * since the last `vacuum`, and each index's `vacuum` physically rewrites
+ * exactly the partitions that still hold tombstoned rows (touched-cell
+ * detection via a pruned semi-join scan), then clears the set. Run it on
+ * the nightly-compaction cadence; a tombstone set allowed to grow
+ * corpus-sized is a misuse this module documents rather than defends.
+ */
+private[graft] object Tombstones {
+
+  /** Single column name tombstone files store ids under — fixed, so every
+    * index family reads every other's sets. */
+  val IdCol = "__tomb_id"
+
+  private val Dir = "_tombstones"
+
+  private def p(root: String) = new org.apache.hadoop.fs.Path(root, Dir)
+
+  private def fs(spark: SparkSession, root: String) =
+    p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Append `ids` (first column taken, cast long) to the set at `root`.
+    * A retraction batch is small by contract — coalesce(1) keeps each
+    * retraction to one file so the set stays listable. Duplicate ids
+    * across retractions are fine (the anti-join and vacuum are
+    * set-semantics). */
+  def append(spark: SparkSession, root: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as(IdCol))
+      .where(col(IdCol).isNotNull).distinct()
+      .coalesce(1).write.mode("append").parquet(p(root).toString)
+
+  /** The current tombstone set (None when nothing is retracted) — one
+    * distinct `__tomb_id` long column. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    if (!fs(spark, root).exists(p(root))) None
+    else Some(spark.read.parquet(p(root).toString).distinct())
+
+  /** Corpus side minus the tombstone set — the probe-path subtraction.
+    * No-op (and no filesystem read beyond one exists()) when the set is
+    * empty; otherwise a broadcast anti-join on `idCol`. */
+  def subtract(spark: SparkSession, root: String, df: DataFrame,
+      idCol: String): DataFrame =
+    read(spark, root) match {
+      case None => df
+      case Some(ts) =>
+        df.join(broadcast(ts), df(idCol) === ts(IdCol), "left_anti")
+    }
+
+  /** Drop the set — the vacuum commit point. Clearing LAST makes vacuum
+    * crash-safe: until the clear, probes keep subtracting, so a partially
+    * rewritten index is still answered correctly and a vacuum re-run
+    * completes the remainder. */
+  def clear(spark: SparkSession, root: String): Unit = {
+    fs(spark, root).delete(p(root), true)
+    ()
+  }
+}
+
+/**
+ * The physical half of retraction for PARTITIONED index layouts
+ * ([[BandIndex]] bands, [[IvfIndex]]/[[IvfPqIndex]] cells): rewrite
+ * exactly the partition directories that still hold tombstoned rows,
+ * leave every other directory byte-untouched, then clear the set.
+ *
+ * Touched-partition detection is a pruned semi-join scan (id + partition
+ * columns only); survivors stage under `<dataRoot>__vacuum` and swap in
+ * per partition with a rename-aside discipline. Asides live under a
+ * hidden `_vac_aside/` subdirectory so a crash mid-swap never exposes a
+ * duplicate partition to readers — and the aside keeps its `cell=3` name
+ * UNDER that hidden parent, because Spark's listing filter deliberately
+ * KEEPS underscore-prefixed names that contain `=` (they parse as
+ * partition directories — a flat `_vac_old_cell=3` sibling would join
+ * partition discovery and fail every read with
+ * CONFLICTING_PARTITION_COLUMN_NAMES). [[vacuum]]'s entry repair ROLLS
+ * BACK any stranded aside whose live directory is missing (the tombstone
+ * set is still in force until the final clear, so restoring the
+ * un-vacuumed bytes is always correct; the re-run then vacuums them
+ * again).
+ * Crash-state walk: before any swap — nothing changed; between aside and
+ * rename-in — live dir missing, survivors safe in BOTH the aside and the
+ * staged dir, entry repair restores; after rename-in — aside is litter,
+ * entry repair deletes it; after all swaps but before the clear — re-run
+ * finds no touched partitions and just clears.
+ */
+private[graft] object PartitionVacuum {
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private val AsideDir = "_vac_aside"
+
+  /** Remove rows whose `idCol` is in `tombRoot`'s tombstone set from the
+    * partitioned parquet layout at `dataRoot`, touched partitions only,
+    * then clear the set. Returns the number of rows physically removed.
+    * No-op (0) when the set is empty. */
+  def vacuum(spark: SparkSession, tombRoot: String, dataRoot: String,
+      partCol: String, idCol: String): Long = {
+    val fs = hp(dataRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repair(fs, dataRoot)
+    val staged = dataRoot + "__vacuum"
+    fs.delete(hp(staged), true) // stale partial stage from a crashed run
+    Tombstones.read(spark, tombRoot) match {
+      case None => 0L
+      case Some(ts) =>
+        val df = spark.read.parquet(dataRoot)
+        val bts = broadcast(ts)
+        val hit = df.join(bts, df(idCol) === bts(Tombstones.IdCol), "left_semi")
+        // ≤ #partitions by construction; the scan reads two columns and
+        // prunes nothing else
+        val touched = hit.groupBy(col(partCol)).count().collect()
+          .map(r => (r.get(0), r.getLong(1)))
+        if (touched.isEmpty) { Tombstones.clear(spark, tombRoot); return 0L }
+        val removed = touched.map(_._2).sum
+        val touchedVals = touched.map(_._1)
+        val survivors = df
+          .filter(col(partCol).isin(touchedVals.map(_.asInstanceOf[AnyRef]): _*))
+          .join(bts, df(idCol) === bts(Tombstones.IdCol), "left_anti")
+        survivors.write.partitionBy(partCol).mode("overwrite").parquet(staged)
+        fs.mkdirs(hp(s"$dataRoot/$AsideDir"))
+        touchedVals.foreach { v =>
+          val dirName = s"$partCol=$v"
+          val live = hp(s"$dataRoot/$dirName")
+          val aside = hp(s"$dataRoot/$AsideDir/$dirName")
+          val stagedDir = hp(s"$staged/$dirName")
+          fs.delete(aside, true)
+          if (fs.exists(live)) fs.rename(live, aside)
+          // a fully-tombstoned partition has no staged survivors: the
+          // delete IS the rewrite
+          if (fs.exists(stagedDir)) fs.rename(stagedDir, live)
+          fs.delete(aside, true)
+        }
+        fs.delete(hp(s"$dataRoot/$AsideDir"), true)
+        fs.delete(hp(staged), true)
+        // the rewrite replaced files under an unchanged path: invalidate
+        // cached plans and file listings over it, or a probe whose plan
+        // matches a pre-vacuum cached frame silently resurrects the
+        // retracted rows (spec-pinned — the CacheManager matches plans by
+        // path, not by file list)
+        spark.catalog.refreshByPath(dataRoot)
+        Tombstones.clear(spark, tombRoot) // commit point — see scaladoc
+        removed
+    }
+  }
+
+  /** Roll back any partition stranded mid-swap by a crash (aside present,
+    * live missing). Runs at [[vacuum]] entry; safe when nothing is
+    * stranded. */
+  private def repair(fs: org.apache.hadoop.fs.FileSystem,
+      dataRoot: String): Unit = {
+    val asideRoot = hp(s"$dataRoot/$AsideDir")
+    if (!fs.exists(asideRoot)) return
+    fs.listStatus(asideRoot).filter(_.isDirectory).foreach { st =>
+      val live = hp(s"$dataRoot/${st.getPath.getName}")
+      if (!fs.exists(live)) fs.rename(st.getPath, live)
+      else fs.delete(st.getPath, true)
+    }
+    fs.delete(asideRoot, true)
   }
 }

@@ -176,6 +176,23 @@ object IvfIndex {
       .write.mode("append").partitionBy(CellCol).parquet(cellsPath(path))
   }
 
+  /** Retract vectors from the index — [[BandIndex.removeIds]]' contract
+    * over the IVF layout: O(|ids|) tombstone append, every [[probe]]
+    * subtracts the set from the corpus side, physical rewrite deferred to
+    * [[vacuum]]. An [[append]] of a retracted id stays suppressed until
+    * the vacuum — vacuum first when re-admitting retracted content. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop retracted rows: only the CELL DIRECTORIES still
+    * holding tombstoned rows are rewritten (touched-cell detection is a
+    * pruned two-column scan); every other cell is byte-untouched, crash
+    * recovery is [[PartitionVacuum]]'s rename-aside repair. Returns rows
+    * removed. Run on the nightly-compaction cadence. */
+  def vacuum(spark: SparkSession, path: String): Long =
+    PartitionVacuum.vacuum(spark, path, cellsPath(path), CellCol,
+      "neighbor_id")
+
   /**
    * Top-k neighbors (cosine, exact within the probed cells) for each query
    * against the persisted index. The query batch is assigned with the saved
@@ -212,8 +229,10 @@ object IvfIndex {
     // numCentroids values by construction, so the driver-side collect is
     // bounded no matter how large the batch
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
-    val pruned = loadCells(spark, path)
-      .filter(col(CellCol).isin(touched.map(Int.box): _*))
+    val pruned = Tombstones.subtract(spark, path,
+      loadCells(spark, path)
+        .filter(col(CellCol).isin(touched.map(Int.box): _*)),
+      "neighbor_id")
     val cells = excludeIds match {
       case Some(ex) =>
         val exIds = broadcast(ex.toDF("__xid").distinct())
@@ -325,11 +344,17 @@ object IvfIndex {
       .write.mode("overwrite").parquet(centroidsPath(path))
     if (IndexMeta.read(spark, path).nonEmpty) {
       val dims = subCents.select(size(col("__cent")).cast("int")).head.getInt(0)
-      recordMeta(spark, path, dims, centRows.length - 1 + subCells)
+      // labels.length, not subCells: degenerate k-means (duplicate seeds)
+      // writes fewer sub-centroids and the marker must record what IS
+      recordMeta(spark, path, dims, centRows.length - 1 + labels.length)
     }
     val hotDir = new org.apache.hadoop.fs.Path(s"${cellsPath(path)}/$CellCol=$cell")
     val fs = hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hotDir, true)
+    // files under unchanged paths were replaced: drop cached plans and
+    // listings over them (PartitionVacuum's staleness reasoning)
+    spark.catalog.refreshByPath(cellsPath(path))
+    spark.catalog.refreshByPath(centroidsPath(path))
     ()
   }
 }

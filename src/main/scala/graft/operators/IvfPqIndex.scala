@@ -185,6 +185,26 @@ object IvfPqIndex {
       .write.mode("append").partitionBy(CellCol).parquet(cellsPath(path))
   }
 
+  /** Retract vectors from the composed index — [[BandIndex.removeIds]]'
+    * contract: O(|ids|) tombstone append, every [[probe]] subtracts the
+    * set before scoring, physical rewrite deferred to [[vacuum]]. An
+    * [[append]] of a retracted id stays suppressed until the vacuum —
+    * vacuum first when re-admitting retracted content. NOTE for
+    * [[retrainSubspace]]: pending tombstones don't shrink the stored id
+    * set, so its full-coverage guard still expects the retracted rows in
+    * `corpus` — vacuum before retraining against a corpus that already
+    * dropped them. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop retracted code rows: only the cell directories still
+    * holding tombstoned rows are rewritten; every other cell is
+    * byte-untouched, crash recovery is [[PartitionVacuum]]'s rename-aside
+    * repair. Returns rows removed. Run on the nightly-compaction
+    * cadence. */
+  def vacuum(spark: SparkSession, path: String): Long =
+    PartitionVacuum.vacuum(spark, path, cellsPath(path), CellCol, "vec_id")
+
   /**
    * The composed layout's codebook-repair twin of
    * [[PqIndex.retrainSubspace]] — the remedy [[PqIndex.codeStats]]-style
@@ -245,6 +265,10 @@ object IvfPqIndex {
       "retrainSubspace")
     spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     DirSwap.swap(spark, cellsPath(path), staged)
+    // files under unchanged paths were replaced: drop cached plans and
+    // listings over them (PartitionVacuum's staleness reasoning)
+    spark.catalog.refreshByPath(cellsPath(path))
+    spark.catalog.refreshByPath(codebooksPath(path))
   }
 
   /** Per-subspace code-usage histogram over the composed layout —
@@ -256,6 +280,39 @@ object IvfPqIndex {
       .select(posexplode(col("codes")).as(Seq("s", "code")))
       .groupBy(col("s"), col("code")).agg(count(lit(1)).as("n"))
       .orderBy(col("s").asc, col("n").desc, col("code").asc)
+
+  /** [[PqIndex.calibrate]] over the composed layout — the calibration the
+    * `ivfPqIngestStream` threshold path actually needs: its ADC scores come
+    * from THIS index's codebooks, so the curve must be measured against
+    * this index's codes (a PQ-layout calibration of the same corpus trains
+    * different books and answers a different question). Same output shape
+    * and reading; codes are read from the cell directories with the
+    * sample-id IN filter pruning row groups inside each one. */
+  def calibrate(spark: SparkSession, path: String, sample: DataFrame,
+      id: String, vec: String, bins: Int = 10): DataFrame =
+    PqIndex.calibrationCurve(
+      calibrationPairs(spark, path, sample, id, vec), bins)
+
+  /** [[PqIndex.adcThresholdFor]] over the composed layout — turns a target
+    * exact cosine into the raw-ADC drop threshold for [[probe]] /
+    * `ivfPqIngestStream` callers on this index's geometry. Throws on zero
+    * evidence (no sample pair at/above the target cosine). */
+  def adcThresholdFor(spark: SparkSession, path: String, sample: DataFrame,
+      id: String, vec: String, targetCosine: Double,
+      recallQuantile: Double = 0.05): Double =
+    PqIndex.calibrationThreshold(
+      calibrationPairs(spark, path, sample, id, vec), targetCosine,
+      recallQuantile)
+
+  private def calibrationPairs(spark: SparkSession, path: String,
+      sample: DataFrame, id: String, vec: String): DataFrame = {
+    val meta = checkCompat(spark, path, sample, vec, "calibrate")
+    val m = meta("m").toInt
+    PqIndex.calibrationPairsOn(
+      Tombstones.subtract(spark, path, loadCells(spark, path), "vec_id"),
+      PqIndex.bookArray(loadCodebooks(spark, path)), m,
+      meta("dims").toInt / m, sample, id, vec)
+  }
 
   /**
    * Cell-pruned ADC top-k: each query reads only its `nprobe` nearest
@@ -308,8 +365,10 @@ object IvfPqIndex {
       .localCheckpoint(true)
     // touched cells: ≤ numCentroids values by construction
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
-    val pruned = loadCells(spark, path)
-      .filter(col(CellCol).isin(touched.map(Int.box): _*))
+    val pruned = Tombstones.subtract(spark, path,
+      loadCells(spark, path)
+        .filter(col(CellCol).isin(touched.map(Int.box): _*)),
+      "vec_id")
     val cells = excludeIds match {
       case Some(ex) =>
         val exIds = broadcast(ex.toDF("__xid").distinct())
@@ -433,6 +492,10 @@ object IvfPqIndex {
       s"${cellsPath(path)}/$CellCol=$cell")
     hotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(hotDir, true)
+    // files under unchanged paths were replaced: drop cached plans and
+    // listings over them (PartitionVacuum's staleness reasoning)
+    spark.catalog.refreshByPath(cellsPath(path))
+    spark.catalog.refreshByPath(centroidsPath(path))
     ()
   }
 }

@@ -329,6 +329,49 @@ object PqIndex {
       .write.mode("append").parquet(codesPath(path))
   }
 
+  /** Retract vectors from the index — [[BandIndex.removeIds]]' contract
+    * over the flat PQ layout: O(|ids|) tombstone append, every [[probe]]
+    * subtracts the set before scoring, physical rewrite deferred to
+    * [[vacuum]]. An [[append]] of a retracted id stays suppressed until
+    * the vacuum; [[retrainSubspace]]'s full-coverage guard still expects
+    * retracted rows in `corpus` until then — vacuum before retraining
+    * against a corpus that already dropped them. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop retracted code rows and clear the tombstone set. The
+    * flat layout has no partitions to scope to, so this is one rewrite of
+    * the codes table (still only m bytes-ish per row — never the corpus),
+    * staged and swapped with the [[DirSwap]] crash discipline
+    * [[retrainSubspace]] uses. Returns rows removed; no-op (0) when
+    * nothing is retracted. */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val live = codesPath(path)
+    val staged = live + "__vacuum"
+    DirSwap.repair(spark, live, staged)
+    val fs = new org.apache.hadoop.fs.Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    Tombstones.read(spark, path) match {
+      case None => 0L
+      case Some(ts) =>
+        val codes = loadCodes(spark, path)
+        val bts = broadcast(ts)
+        val removed = codes
+          .join(bts, codes("vec_id") === bts(Tombstones.IdCol), "left_semi")
+          .count()
+        if (removed == 0L) { Tombstones.clear(spark, path); return 0L }
+        codes.join(bts, codes("vec_id") === bts(Tombstones.IdCol), "left_anti")
+          .write.parquet(staged)
+        DirSwap.swap(spark, live, staged)
+        // invalidate cached plans/listings over the rewritten path
+        // ([[PartitionVacuum]]'s reasoning)
+        spark.catalog.refreshByPath(live)
+        Tombstones.clear(spark, path) // commit point — probes subtract
+        removed                       // until here, so a crash re-runs
+    }
+  }
+
   /**
    * The remedy [[codeStats]] prescribes for a saturated subspace: re-run
    * Lloyd's for ONE subspace (training cost = one slice of one corpus
@@ -388,6 +431,10 @@ object PqIndex {
       spark.read.parquet(tmp).select(col("vec_id")), tmp, "retrainSubspace")
     spliced.coalesce(1).write.mode("overwrite").parquet(codebooksPath(path))
     DirSwap.swap(spark, codesPath(path), tmp)
+    // files under unchanged paths were replaced: drop cached plans and
+    // listings over them ([[PartitionVacuum]]'s staleness reasoning)
+    spark.catalog.refreshByPath(codesPath(path))
+    spark.catalog.refreshByPath(codebooksPath(path))
   }
 
   /** The codebooks after re-training ONE subspace: Lloyd's over subspace
@@ -488,7 +535,9 @@ object PqIndex {
       .crossJoin(broadcast(books))
       .select(col("query_id"),
         lutColumn(col("__books"), col("__subs")).as("__lut"))
-    val scored = loadCodes(spark, path).crossJoin(broadcast(q))
+    val scored = Tombstones.subtract(spark, path, loadCodes(spark, path),
+        "vec_id")
+      .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("pq_score", adcScore(col("__lut"), col("codes")))
     val cands = adcTopCandidates(scored, candidates)
@@ -596,8 +645,14 @@ object PqIndex {
    * ingest streams recommend as the default.
    */
   def calibrate(spark: SparkSession, path: String, sample: DataFrame,
-      id: String, vec: String, bins: Int = 10): DataFrame = {
-    val scored = calibrationPairs(spark, path, sample, id, vec)
+      id: String, vec: String, bins: Int = 10): DataFrame =
+    calibrationCurve(calibrationPairs(spark, path, sample, id, vec), bins)
+
+  /** The binning half of [[calibrate]], over an already-scored pair frame
+    * — shared with [[IvfPqIndex.calibrate]] (same curve, composed-layout
+    * codes). */
+  private[operators] def calibrationCurve(scored: DataFrame,
+      bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val width = 2.0 / bins
     scored
@@ -625,11 +680,17 @@ object PqIndex {
     * footgun all over again; widen the sample or lower the target. */
   def adcThresholdFor(spark: SparkSession, path: String, sample: DataFrame,
       id: String, vec: String, targetCosine: Double,
-      recallQuantile: Double = 0.05): Double = {
+      recallQuantile: Double = 0.05): Double =
+    calibrationThreshold(calibrationPairs(spark, path, sample, id, vec),
+      targetCosine, recallQuantile)
+
+  /** The quantile half of [[adcThresholdFor]], over an already-scored pair
+    * frame — shared with [[IvfPqIndex.adcThresholdFor]]. */
+  private[operators] def calibrationThreshold(scored: DataFrame,
+      targetCosine: Double, recallQuantile: Double): Double = {
     require(recallQuantile > 0.0 && recallQuantile < 1.0,
       s"recallQuantile must be in (0, 1), got $recallQuantile")
-    val matches = calibrationPairs(spark, path, sample, id, vec)
-      .filter(col("cosine") >= targetCosine)
+    val matches = scored.filter(col("cosine") >= targetCosine)
     val row = matches
       .agg(expr(s"percentile(pq_score, $recallQuantile)").as("t"),
         count(lit(1)).as("n")).head()
@@ -646,11 +707,26 @@ object PqIndex {
     * saved codes. Shared by [[calibrate]] and [[adcThresholdFor]]. */
   private def calibrationPairs(spark: SparkSession, path: String,
       sample: DataFrame, id: String, vec: String): DataFrame = {
-    requireNumericId(sample, id)
     val meta = checkCompat(spark, path, sample, vec, "calibrate")
-    val m = meta("m").toInt
-    val dsub = meta("dims").toInt / m
-    val books = bookArray(loadCodebooks(spark, path))
+    calibrationPairsOn(
+      Tombstones.subtract(spark, path, loadCodes(spark, path), "vec_id"),
+      bookArray(loadCodebooks(spark, path)), meta("m").toInt,
+      meta("dims").toInt / meta("m").toInt, sample, id, vec)
+  }
+
+  /** The layout-agnostic core of [[calibrationPairs]]: `codes` is any
+    * `(vec_id, codes)` frame — the flat codes table here, the union of
+    * cell directories for [[IvfPqIndex.calibrate]] (ADC arithmetic is
+    * identical; only where the codes live differs). The sample-id
+    * restriction is applied HERE, with the [[exactRerank]] fetch idiom:
+    * the sample is bounded by contract, so its ids collect and push into
+    * the codes scan as a static IN filter (row-group pruning — on the
+    * composed layout this prunes inside every cell directory) when small,
+    * else a broadcast semi-join. */
+  private[operators] def calibrationPairsOn(allCodes: DataFrame,
+      books: DataFrame, m: Int, dsub: Int,
+      sample: DataFrame, id: String, vec: String): DataFrame = {
+    requireNumericId(sample, id)
     val q = withUnit(sample.select(col(id).cast("long").as("query_id"),
         col(vec).as("__pv")), "__pv")
       .filter(col("__xn").isNotNull)
@@ -659,9 +735,13 @@ object PqIndex {
       .select(col("query_id"),
         lutColumn(col("__books"), col("__subs")).as("__lut"))
     // stored side: the sample ids' codes from the index (absent ids drop)
-    val codes = loadCodes(spark, path).join(
-      broadcast(sample.select(col(id).cast("long").as("vec_id"))),
-      Seq("vec_id"), "left_semi")
+    val sampleIds = sample.select(col(id).cast("long").as("vec_id"))
+    val idList = sampleIds.distinct().collect().map(_.getLong(0))
+    val base = allCodes.select(col("vec_id"), col("codes"))
+    val codes =
+      if (idList.length <= IsinPushdownCap)
+        base.filter(col("vec_id").isin(idList.map(Long.box): _*))
+      else base.join(broadcast(sampleIds), Seq("vec_id"), "left_semi")
     val qq = Similarity.queriesQuantized(sample, id, vec)
     val cc = qq.select(col("query_id").as("vec_id"), col("__qv").as("__cv"),
       col("__qn").as("__cn"))

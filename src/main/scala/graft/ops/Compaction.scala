@@ -298,6 +298,10 @@ object Compaction {
       case Some(v) => spark.conf.set(modeKey, v)
       case None => spark.conf.unset(modeKey)
     }
+    // the rewrite replaced files under an unchanged path: a cached plan
+    // (or cached listing) over it would keep serving the pre-compaction
+    // files — some already deleted — so invalidate both
+    spark.catalog.refreshByPath(path)
 
     val after = fileStats(spark, path, partCols, targetFileBytes)
     val filesAfter =

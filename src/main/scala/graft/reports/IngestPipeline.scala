@@ -283,6 +283,10 @@ object IngestPipeline {
       val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
           cfg.carrier, (r: CompactionResult) =>
             (0L, r.filesBefore - r.filesAfter, 0L)) {
+        // pending tombstones (out-of-band removeIds between nights) sweep
+        // on the same cadence as the file litter — the vacuum contract
+        // (bounded tombstone sets) is enforced BY the cycle, not by hope
+        BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
         Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
           cfg.compactTargetFileBytes)
       }
@@ -290,6 +294,7 @@ object IngestPipeline {
         ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
             cfg.carrier, (r: CompactionResult) =>
               (0L, r.filesBefore - r.filesAfter, 0L)) {
+          IvfIndex.vacuum(spark, ip)
           Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
             cfg.compactTargetFileBytes)
         }
@@ -298,6 +303,7 @@ object IngestPipeline {
         ExecutionLogger.logged(meta, s"ingest_compact_ivfpq_$night",
             cfg.carrier, (r: CompactionResult) =>
               (0L, r.filesBefore - r.filesAfter, 0L)) {
+          graft.operators.IvfPqIndex.vacuum(spark, ip)
           Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
             cfg.compactTargetFileBytes)
         }
@@ -319,5 +325,90 @@ object IngestPipeline {
       banded.unpersist()
       graft.core.Caches.releaseAll()
     }
+  }
+
+  final case class RetractResult(
+      requested: Long,
+      corpusRemoved: Long,
+      bandRemoved: Long,
+      ivfRemoved: Option[Long] = None,
+      ivfPqRemoved: Option[Long] = None)
+
+  /**
+   * Retract documents from the landed corpus AND every configured standing
+   * index — the takedown/forget operator the audit trail can point at
+   * (licensing removal, user deletion, post-hoc discovery of content that
+   * must not train). `failOnDq` already keeps a BAD NIGHT out of the
+   * indexes; this is the remedy for everything failOnDq can't catch —
+   * content that was legitimately accepted and must now be unlearned.
+   *
+   * Semantics, in commit order:
+   *   1. TOMBSTONE — the ids land in each index family's hidden tombstone
+   *      set (`removeIds`, O(|ids|)) and in the corpus root's own set.
+   *      From this instant every index PROBE subtracts the ids: phantom
+   *      content stops pairing (a re-submission of a retracted doc is
+   *      ACCEPTED by the next night, spec- and oracle-pinned), and the
+   *      tombstone files double as the durable intent record a crashed
+   *      retract resumes from.
+   *   2. VACUUM — physical removal, partition-scoped: the corpus rewrite
+   *      touches only the `load_date` partitions that held retracted rows
+   *      ([[graft.operators.PartitionVacuum]]'s staged rename-aside swap;
+   *      other nights' files byte-untouched, spec-asserted), each index
+   *      vacuums its own touched partitions. The corpus vacuum is
+   *      synchronous because plain corpus readers don't subtract
+   *      tombstones — after `retract` returns, the text is GONE, not
+   *      hidden. A crash mid-step re-runs: sets clear only as each vacuum
+   *      completes.
+   *   3. LOG — one audit row per target with the physically-removed row
+   *      count, `label` naming the takedown.
+   *
+   * Cost at scale: tombstone append is O(|ids|); the corpus rewrite is
+   * O(touched night partitions); index vacuums are O(touched cells /
+   * bands). Nothing rescans the full corpus.
+   */
+  def retract(spark: SparkSession, ids: DataFrame, label: String,
+      cfg: IngestConfig): RetractResult = {
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val pinned = ids.select(col(ids.columns.head).cast("long").as(cfg.idCol))
+      .distinct().localCheckpoint(true) // small by contract; pin once
+    val requested = pinned.count()
+    // a target that never bootstrapped holds nothing to retract — appending
+    // a tombstone set under a data-less root would break its first read
+    val corpusRemoved =
+      if (!exists(cfg.corpusPath)) 0L
+      else ExecutionLogger.logged(meta,
+          s"retract_corpus_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+        graft.operators.Tombstones.append(spark, cfg.corpusPath, pinned)
+        graft.operators.PartitionVacuum.vacuum(spark, cfg.corpusPath,
+          cfg.corpusPath, cfg.loadDateCol, cfg.idCol)
+      }
+    val bandRemoved =
+      if (!exists(cfg.bandIndexPath)) 0L
+      else ExecutionLogger.logged(meta,
+          s"retract_band_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+        BandIndex.removeIds(spark, cfg.bandIndexPath, pinned)
+        BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
+      }
+    val ivfRemoved = cfg.ivfIndexPath.filter(exists).map { ip =>
+      ExecutionLogger.logged(meta, s"retract_ivf_$label", cfg.carrier,
+          (n: Long) => (0L, n, 0L)) {
+        IvfIndex.removeIds(spark, ip, pinned)
+        IvfIndex.vacuum(spark, ip)
+      }
+    }
+    val ivfPqRemoved = cfg.ivfPqIndexPath.filter(exists).map { ip =>
+      ExecutionLogger.logged(meta, s"retract_ivfpq_$label", cfg.carrier,
+          (n: Long) => (0L, n, 0L)) {
+        graft.operators.IvfPqIndex.removeIds(spark, ip, pinned)
+        graft.operators.IvfPqIndex.vacuum(spark, ip)
+      }
+    }
+    RetractResult(requested, corpusRemoved, bandRemoved, ivfRemoved,
+      ivfPqRemoved)
   }
 }

@@ -351,10 +351,11 @@ object Streams {
    * badly naive thresholds misfire there: identical-vector twins scored
    * 0.54–0.80 ADC at m=8/32-dim, so a 0.95 threshold silently NEVER
    * dropped anything (SCALE.md round-14). Take the raw-ADC path only
-   * with a threshold calibrated for this index's geometry —
-   * [[graft.operators.PqIndex.adcThresholdFor]] /
-   * [[graft.operators.PqIndex.calibrate]] compute it from a sample of
-   * indexed rows. Intra-batch pairs always score exactly (the batch's
+   * with a threshold calibrated for THIS index's geometry —
+   * [[graft.operators.IvfPqIndex.adcThresholdFor]] /
+   * [[graft.operators.IvfPqIndex.calibrate]] compute it from a sample of
+   * this index's own rows (the PQ-layout twins answer for a different
+   * index's books). Intra-batch pairs always score exactly (the batch's
    * floats are in hand).
    *
    * Replay-idempotent like its siblings: the batch's own ids are excluded

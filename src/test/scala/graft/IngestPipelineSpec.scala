@@ -320,4 +320,71 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     // and a third run of the now-committed night short-circuits
     assert(IngestPipeline.runNight(spark, fixed, "n2", cfg).skipped)
   }
+
+  test("retract: takedown removes a doc everywhere; identical content re-admits") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-retract")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      ivfIndexPath = Some(root.resolve("ivf").toString),
+      ivfCentroids = 2)
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today",
+      3L -> "sphinx of black quartz judge my vow tonight",
+      4L -> "how vexingly quick daft zebras jump around",
+      5L -> "grumpy wizards make toxic brew for the evil queen")
+    def emb(i: Long) = Array(1f / i, 1f - 1f / i, 0f, 0f)
+    val b1 = Seq(1L, 2L, 3L).map(i => (i, texts(i), emb(i)))
+      .toDF("doc_id", "text", "embedding")
+    val b2 = Seq(4L, 5L).map(i => (i, texts(i), emb(i)))
+      .toDF("doc_id", "text", "embedding")
+    assert(IngestPipeline.runNight(spark, b1, "n1", cfg).accepted == 3)
+    assert(IngestPipeline.runNight(spark, b2, "n2", cfg).accepted == 2)
+    // sanity: an exact copy of doc 2's text is DROPPED while doc 2 stands
+    val copy = Seq((202L, texts(2L), emb(2L)))
+      .toDF("doc_id", "text", "embedding")
+    assert(IngestPipeline.runNight(spark, copy, "n3", cfg).accepted == 0)
+
+    val n2Dir = new File(root.resolve("corpus/load_date=n2").toFile.getPath)
+    val n2Files = files(n2Dir)
+    assert(n2Files.nonEmpty)
+
+    val r = IngestPipeline.retract(spark, Seq(2L).toDF("doc_id"),
+      "takedown1", cfg)
+    assert(r.requested == 1 && r.corpusRemoved == 1, r.toString)
+    assert(r.bandRemoved == 4, s"one banded row per band: $r") // bands = 4
+    assert(r.ivfRemoved.contains(1L), r.toString)
+    // the text is GONE from the landed corpus — physically, not hidden —
+    // and only the touched night partition was rewritten
+    val corpus = spark.read.parquet(cfg.corpusPath)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L))
+    assert(files(n2Dir) == n2Files, "untouched night partition byte-identical")
+    assert(spark.read.parquet(cfg.bandIndexPath)
+      .filter(col("doc_id") === 2L).count() == 0)
+    assert(graft.operators.IvfIndex.loadCells(spark,
+      cfg.ivfIndexPath.get).filter(col("neighbor_id") === 2L).count() == 0)
+    // the audit trail names the takedown per target
+    val log = new MetaStore(spark, cfg.metaDir).executionLog.collect()
+      .map(r0 => r0.getAs[String]("target_table") ->
+        r0.getAs[String]("execution_status"))
+    Seq("retract_corpus_takedown1", "retract_band_takedown1",
+      "retract_ivf_takedown1").foreach { step =>
+      assert(log.contains(step -> "SUCCESS"), s"missing audit row $step")
+    }
+    // the phantom is gone: the SAME content that was probe-dropped in n3
+    // is accepted now — the retraction semantics the oracle (q90) pins
+    val copy2 = Seq((203L, texts(2L), emb(2L)))
+      .toDF("doc_id", "text", "embedding")
+    assert(IngestPipeline.runNight(spark, copy2, "n4", cfg).accepted == 1,
+      "identical content must re-admit after the retraction")
+    // idempotence: retracting an id with no rows anywhere is a clean no-op
+    val r2 = IngestPipeline.retract(spark, Seq(2L).toDF("doc_id"),
+      "takedown2", cfg)
+    assert(r2.corpusRemoved == 0 && r2.bandRemoved == 0
+      && r2.ivfRemoved.contains(0L), r2.toString)
+  }
 }

@@ -307,4 +307,57 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(n1.nonEmpty && n1.forall(id => id >= 100L && id % 2 == 0),
       s"query 100 must probe the Y sub-cell: $n1")
   }
+
+  test("calibrate: exact geometry collapses onto the cosine diagonal; composed codes read") {
+    import spark.implicits._
+    val path = newPath()
+    // exact copies of 4 prototypes (PqIndexSpec's construction): every PQ
+    // codebook learns the exact subvectors, reconstruction is exact, so
+    // the composed-layout curve must also sit ON the cosine diagonal
+    val protos = (0 until 4).map { c =>
+      Array.tabulate(8) { d =>
+        if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f
+      }
+    }
+    val c = (0 until 64).map(i => (i.toLong, protos(i % 4).toSeq))
+      .toDF("vec_id", "embedding")
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 4, iterations = 1)
+    val sample = c.filter(col("vec_id") < 16)
+    val curve = IvfPqIndex.calibrate(spark, path, sample, "vec_id",
+      "embedding", bins = 10).collect()
+    assert(curve.nonEmpty)
+    curve.foreach { r =>
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      Seq(3, 4, 5).foreach { i =>
+        assert(r.getDouble(i) >= lo - 1e-4 && r.getDouble(i) <= hi + 1e-4,
+          s"exact geometry: ADC quantile ${r.getDouble(i)} outside " +
+            s"cosine bin [$lo, $hi)")
+      }
+    }
+    val t = IvfPqIndex.adcThresholdFor(spark, path, sample, "vec_id",
+      "embedding", targetCosine = 0.9)
+    assert(math.abs(t - 1.0) < 1e-3, s"exact geometry: threshold $t != 1.0")
+    // zero evidence must throw, not hand back a threshold
+    val e = intercept[IllegalArgumentException] {
+      IvfPqIndex.adcThresholdFor(spark, path, sample, "vec_id", "embedding",
+        targetCosine = 1.5)
+    }
+    assert(e.getMessage.contains("zero evidence"), e.getMessage)
+  }
+
+  test("calibrate: coarse composed geometry calibrates below the naive 0.95") {
+    val path = newPath()
+    // noisy clustered corpus under a COARSE codebook (ksub = 2): near-dup
+    // pairs ADC-score well below their exact cosine — the calibration must
+    // surface a threshold materially below the naive one that never fires
+    val c = corpus(64)
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 2, iterations = 2)
+    val sample = c.filter(col("vec_id") < 32)
+    val t = IvfPqIndex.adcThresholdFor(spark, path, sample, "vec_id",
+      "embedding", targetCosine = 0.95)
+    assert(t < 0.95, s"coarse geometry must calibrate below naive 0.95: $t")
+    assert(t > 0.0, s"threshold must still be a positive score: $t")
+  }
 }

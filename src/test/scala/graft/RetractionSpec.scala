@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BandIndex, Dedup, IvfIndex, IvfPqIndex, PqIndex}
+
+/**
+ * Retraction lifecycle across the four persisted index families: removeIds
+ * must hide rows from every probe IMMEDIATELY (O(|ids|) tombstone, no
+ * rewrite), and vacuum must make the removal physical while touching only
+ * the partitions that held retracted rows — with the probe answer
+ * unchanged across the vacuum, equal to an index that never contained the
+ * retracted ids at all.
+ */
+class RetractionSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  private def banded(df: org.apache.spark.sql.DataFrame) =
+    Dedup.lshBanded(df, "id", "text", shingleK = 3, numHashes = 8, bands = 4)
+
+  private def idsDf(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** Clustered float corpus (IvfPqIndexSpec's family). */
+  private def vecCorpus(n: Int, dims: Int = 8) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(dims) { d =>
+        val centre = if ((c >> (d % 2)) % 2 == 0) 1.0f else -1.0f
+        centre + 0.05f * (((i * 31 + d * 7) % 11) - 5)
+      }
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def newPath(tag: String): String =
+    TempDirs.create(s"graft-retract-$tag").resolve("idx").toString
+
+  test("BandIndex: removeIds hides pairs immediately; vacuum makes it physical") {
+    val path = newPath("band")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today",
+      3L -> "totally unrelated content nothing shared at all here")
+    val batch = docs(
+      101L -> "the quick brown fox jumps over the lazy dog", // dup of 1
+      102L -> "pack my box with five dozen liquor jugs today") // dup of 2
+    BandIndex.save(banded(corpus), path, Map("k" -> "3"))
+    def probePairs(): Set[(Long, Long)] =
+      BandIndex.probe(spark, path, banded(batch), "id", maxBucket = 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probePairs() == Set((1L, 101L), (2L, 102L)))
+
+    // retraction: doc 1 is taken down — its phantom rows must stop pairing
+    // NOW, before any rewrite
+    BandIndex.removeIds(spark, path, idsDf(1L))
+    assert(probePairs() == Set((2L, 102L)),
+      "retracted id must vanish from probes before any vacuum")
+    // the data is still physically there (soft delete)
+    assert(BandIndex.load(spark, path).filter(col("id") === 1L).count() > 0)
+
+    val removed = BandIndex.vacuum(spark, path, "id")
+    assert(removed == 4L, s"doc 1 had one row per band (4): $removed") // 4 bands
+    assert(BandIndex.load(spark, path).filter(col("id") === 1L).count() == 0,
+      "vacuum must drop the rows physically")
+    assert(probePairs() == Set((2L, 102L)), "probe unchanged across vacuum")
+    // marker survives the rewrite; tombstones are gone; second vacuum no-ops
+    assert(BandIndex.readParams(spark, path) == Map("k" -> "3"))
+    assert(BandIndex.vacuum(spark, path, "id") == 0L)
+  }
+
+  test("IvfIndex: vacuum rewrites ONLY touched cells; probe ≡ rebuilt-without-ids") {
+    val path = newPath("ivf")
+    val c = vecCorpus(64)
+    IvfIndex.save(c, "vec_id", "embedding", path, numCentroids = 4)
+    val q = c.filter(col("vec_id") === 0L)
+    // retract two docs from the query's own cluster (cluster c = id % 4 = 0)
+    val retractIds = Seq(4L, 8L)
+    val kept = c.filter(!col("vec_id").isin(retractIds.map(Long.box): _*))
+    def topIds(): Seq[Long] =
+      IvfIndex.probe(spark, path, q, "vec_id", "embedding", k = 10,
+        nprobe = 4).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val cleanPath = newPath("ivf-clean")
+    // same centroids so the cell geometry matches; only the rows differ
+    IvfIndex.save(kept, "vec_id", "embedding", cleanPath, numCentroids = 4,
+      centroids = Some(IvfIndex.loadCentroids(spark, path)))
+    val want = IvfIndex.probe(spark, cleanPath, q, "vec_id", "embedding",
+      k = 10, nprobe = 4).orderBy("rank").collect().map(_.getLong(1)).toSeq
+
+    IvfIndex.removeIds(spark, path, idsDf(retractIds: _*))
+    assert(topIds() == want, "tombstoned probe ≡ index built without the ids")
+
+    // file inventory of every cell dir before vacuum
+    def cellFiles(cell: Int): Set[(String, Long)] = {
+      val d = new java.io.File(
+        new java.net.URI("file://" + path + s"/cells/cell=$cell"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val cellsOf = IvfIndex.loadCells(spark, path)
+      .select(col("cell"), col("neighbor_id")).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val touchedCells = retractIds.map(cellsOf).toSet
+    val untouched = cellsOf.values.toSet -- touchedCells
+    assert(untouched.nonEmpty, "test needs at least one untouched cell")
+    val before = untouched.map(cl => cl -> cellFiles(cl)).toMap
+
+    val removed = IvfIndex.vacuum(spark, path)
+    assert(removed == 2L)
+    untouched.foreach { cl =>
+      assert(cellFiles(cl) == before(cl), s"cell $cl must be byte-untouched")
+    }
+    assert(IvfIndex.loadCells(spark, path)
+      .filter(col("neighbor_id").isin(retractIds.map(Long.box): _*))
+      .count() == 0)
+    assert(topIds() == want, "probe unchanged across vacuum")
+    assert(IvfIndex.vacuum(spark, path) == 0L)
+  }
+
+  test("IvfPqIndex: retraction end to end, incl. re-admission after vacuum") {
+    val path = newPath("ivfpq")
+    val c = vecCorpus(60)
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 4, iterations = 1)
+    val q = c.filter(col("vec_id") === 1L)
+    def topIds(): Seq[Long] =
+      IvfPqIndex.probe(spark, path, q, "vec_id", "embedding",
+        candidates = 60, nprobe = 4, rerank = Some((c, "vec_id", "embedding")),
+        k = 5).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val beforeIds = topIds()
+    val victim = beforeIds.head
+
+    IvfPqIndex.removeIds(spark, path, idsDf(victim))
+    val afterIds = topIds()
+    assert(!afterIds.contains(victim) && afterIds.nonEmpty,
+      s"retracted $victim must vanish: $afterIds")
+
+    // an append of a RETRACTED id stays suppressed until vacuum (documented)
+    IvfPqIndex.append(c.filter(col("vec_id") === victim), "vec_id",
+      "embedding", path)
+    assert(!topIds().contains(victim),
+      "re-appended retracted id must stay suppressed until vacuum")
+
+    val removed = IvfPqIndex.vacuum(spark, path)
+    assert(removed == 2L, s"original + re-appended row: $removed")
+    assert(!topIds().contains(victim), "probe unchanged across vacuum")
+    // re-admission AFTER the vacuum is visible again
+    IvfPqIndex.append(c.filter(col("vec_id") === victim), "vec_id",
+      "embedding", path)
+    assert(topIds() == beforeIds, "re-admitted id must rank exactly as before")
+  }
+
+  test("PqIndex: flat-layout retraction; vacuum swaps the codes table") {
+    val path = newPath("pq")
+    val c = vecCorpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 2)
+    val q = c.filter(col("vec_id") === 2L)
+    def topIds(): Seq[Long] =
+      PqIndex.probe(spark, path, q, "vec_id", "embedding", candidates = 64,
+        rerank = Some((c, "vec_id", "embedding")), k = 5)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val victim = topIds().head
+    PqIndex.removeIds(spark, path, idsDf(victim))
+    assert(!topIds().contains(victim))
+    val removed = PqIndex.vacuum(spark, path)
+    assert(removed == 1L)
+    assert(PqIndex.loadCodes(spark, path)
+      .filter(col("vec_id") === victim).count() == 0)
+    assert(!topIds().contains(victim))
+    assert(PqIndex.loadCodes(spark, path).count() == 63)
+    assert(PqIndex.vacuum(spark, path) == 0L)
+  }
+
+  test("vacuum crash repair: a stranded rename-aside rolls back, then re-runs clean") {
+    val path = newPath("crash")
+    val c = vecCorpus(64)
+    IvfIndex.save(c, "vec_id", "embedding", path, numCentroids = 4)
+    val total = IvfIndex.loadCells(spark, path).count()
+    // simulate the worst crash point: a cell renamed ASIDE, live dir gone
+    // (between the aside and the rename-in — survivors exist only in the
+    // hidden aside and the staged dir). The aside name is hidden, so a
+    // reader right now sees the index MISSING that cell — which is why
+    // the tombstone subtraction staying active matters.
+    val cellsDir = new java.io.File(new java.net.URI("file://" + path + "/cells"))
+    val someCell = cellsDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted.head
+    val live = new java.io.File(cellsDir, someCell)
+    val asideRoot = new java.io.File(cellsDir, "_vac_aside")
+    assert(asideRoot.mkdirs(), "test setup: aside root")
+    val aside = new java.io.File(asideRoot, someCell)
+    assert(live.renameTo(aside), "test setup: stranding the cell")
+    assert(IvfIndex.loadCells(spark, path).count() < total,
+      "sanity: the stranded cell is invisible")
+    // tombstone an id from a DIFFERENT cell and vacuum: entry repair must
+    // roll the stranded cell back before the pass
+    IvfIndex.removeIds(spark, path, idsDf(0L))
+    val removed = IvfIndex.vacuum(spark, path)
+    assert(removed == 1L)
+    assert(IvfIndex.loadCells(spark, path).count() == total - 1,
+      "repair must restore the stranded cell; vacuum drops only the tombstoned row")
+    assert(!aside.exists(), "the aside litter is gone")
+  }
+}
