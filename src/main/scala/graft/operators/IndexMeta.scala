@@ -149,14 +149,26 @@ private[graft] object Tombstones {
     if (!fs(spark, root).exists(p(root))) None
     else Some(spark.read.parquet(p(root).toString).distinct())
 
+  /** A pending set larger than this (on-disk bytes — one listStatus, no
+    * job) means vacuum is overdue: the probe-side broadcast stops being
+    * free around here. ~16 MB of long ids ≈ 2M pending retractions. */
+  val WarnBytes: Long = 16L * 1024 * 1024
+
   /** Corpus side minus the tombstone set — the probe-path subtraction.
     * No-op (and no filesystem read beyond one exists()) when the set is
-    * empty; otherwise a broadcast anti-join on `idCol`. */
+    * empty; otherwise a broadcast anti-join on `idCol`, with a Warn once
+    * the set's on-disk size says vacuum is overdue (the bounded-set
+    * contract is the caller's to keep; the guard makes breaking it loud
+    * instead of silently-slower probes). */
   def subtract(spark: SparkSession, root: String, df: DataFrame,
       idCol: String): DataFrame =
     read(spark, root) match {
       case None => df
       case Some(ts) =>
+        val bytes = fs(spark, root).getContentSummary(p(root)).getLength
+        if (bytes > WarnBytes)
+          graft.core.Warn(s"tombstone set at $root is ${bytes >> 20} MB — " +
+            "vacuum is overdue; every probe broadcasts this set")
         df.join(broadcast(ts), df(idCol) === ts(IdCol), "left_anti")
     }
 

@@ -241,6 +241,50 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
   }
 
+  test("nearDupIngestStream: a retraction between batches re-admits identical content") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, Dedup}
+    val dir = TempDirs.create("graftingestretract").toString
+    val idx = dir + "/idx"
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today").toDF("doc_id", "text")
+    BandIndex.save(Dedup.lshBanded(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4, portable = true), idx)
+    val schema = corpus.schema
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def drain(): Unit = {
+      val q = Streams.nearDupIngestStream(
+          Streams.parquetStream(spark, dir + "/in", schema),
+          "doc_id", "text", idx, maxBucket = 200) { (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+        }
+        .option("checkpointLocation", dir + "/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: an exact copy of standing doc 1 — dropped against the index
+    Seq(301L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    drain()
+    assert(accepted.toList == List(Set.empty[Long]), s"got $accepted")
+    // TAKEDOWN between batches: doc 1 leaves the standing index (tombstone
+    // now; probes subtract immediately — no vacuum needed for correctness)
+    BandIndex.removeIds(spark, idx, Seq(1L).toDF("doc_id"))
+    // batch 2: the SAME content again — the phantom is gone, so the
+    // stream's probe must accept it and append it as the new standing copy
+    Seq(302L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+    drain()
+    assert(accepted.toList == List(Set.empty[Long], Set(302L)),
+      s"retracted content must re-admit: $accepted")
+    // and a THIRD copy now drops against the re-admitted standing copy
+    Seq(303L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+    drain()
+    assert(accepted.last == Set.empty[Long], s"got $accepted")
+  }
+
   test("nearDupIngestStream replay redelivers the same survivors (at-least-once)") {
     import spark.implicits._
     import graft.operators.{BandIndex, Dedup}
