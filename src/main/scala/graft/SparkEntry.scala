@@ -1305,7 +1305,10 @@ object SparkEntry {
     // stop pairing, so night 2's re-submission of the SAME content
     // (id + 30000) is accepted exactly where a standing copy would have
     // dropped it. Oracle = the shared survivor CTE with the standing index
-    // minus the retracted ids.
+    // minus the retracted ids. BENCH NOTE: self-contained like q74 (two
+    // audited nights + the takedown timed together, by oracle necessity);
+    // steady-state retraction cost is the ScaleBench retract tier
+    // (SCALE.md round-15: 0.43 s removeIds + 1.71 s vacuum at 1M docs).
     "q90_retract_readmit" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val b1 = d.filter(col("doc_id") % 3 === 0)

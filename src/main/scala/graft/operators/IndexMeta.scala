@@ -137,11 +137,20 @@ private[graft] object Tombstones {
     * A retraction batch is small by contract — coalesce(1) keeps each
     * retraction to one file so the set stays listable. Duplicate ids
     * across retractions are fine (the anti-join and vacuum are
-    * set-semantics). */
-  def append(spark: SparkSession, root: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).cast("long").as(IdCol))
+    * set-semantics). The column must be numeric (the engine's id
+    * contract) — a string id would null-cast and the retraction would
+    * silently retract NOTHING, so fail up front instead. */
+  def append(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val c = ids.columns.head
+    require(ids.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tombstones store numeric ids; column '$c' has type " +
+        s"${ids.schema(c).dataType} — map string ids to a stable numeric " +
+        "key first (a null-cast here would silently retract nothing)")
+    ids.select(col(c).cast("long").as(IdCol))
       .where(col(IdCol).isNotNull).distinct()
       .coalesce(1).write.mode("append").parquet(p(root).toString)
+  }
 
   /** The current tombstone set (None when nothing is retracted) — one
     * distinct `__tomb_id` long column. */
@@ -207,6 +216,12 @@ private[graft] object Tombstones {
  * staged dir, entry repair restores; after rename-in — aside is litter,
  * entry repair deletes it; after all swaps but before the clear — re-run
  * finds no touched partitions and just clears.
+ *
+ * Like `resplitCell`/`retrainSubspace`, vacuum is a maintenance-window
+ * operation with respect to CONCURRENT probes: a probe whose plan listed
+ * files before the swap can hit a transient missing-file read mid-swap —
+ * retry it. (Correctness is never at stake: until the clear, a fresh
+ * probe subtracts the tombstones regardless of which files it sees.)
  */
 private[graft] object PartitionVacuum {
 
