@@ -179,6 +179,43 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
     assert(PqIndex.vacuum(spark, path) == 0L)
   }
 
+  test("pending tombstones do not break band-subset partition pruning") {
+    val path = newPath("prune")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today")
+    val batch = docs(101L -> "the quick brown fox jumps over the lazy dog")
+    BandIndex.save(banded(corpus), path)
+    BandIndex.removeIds(spark, path, idsDf(2L))
+    // probe a band subset WITH tombstones pending: the subtraction is an
+    // anti-join above the scan, and the static band filter must still
+    // reach the scan as a PartitionFilter (the isin pushes through the
+    // anti-join's index side)
+    val probe = BandIndex.probe(spark, path, banded(batch), "id",
+      maxBucket = 200, bandSubset = Some(Seq(1)))
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(s.plan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scansIn(m.relation.cachedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scans = scansIn(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx")))
+      .filterNot(_.relation.location.rootPaths.exists(_.toString.contains("_tombstones")))
+    assert(scans.nonEmpty, "probe plan must scan the persisted index")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("band"))),
+      s"band subset must still prune with tombstones pending:\n" +
+        scans.map(_.partitionFilters).mkString)
+    // and the retraction itself still holds on the subset probe
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 101L)))
+  }
+
   test("vacuum crash repair: a stranded rename-aside rolls back, then re-runs clean") {
     val path = newPath("crash")
     val c = vecCorpus(64)
