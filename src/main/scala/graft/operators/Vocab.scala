@@ -131,6 +131,112 @@ object Vocab {
   }
 
   /**
+   * Full BPE tokenizer training (Sennrich et al. 2016, §3 — the word-level
+   * algorithm verbatim), shaped for scale the way real trainers are: the
+   * corpus is touched in ONE distributed pass ([[wordCounts]] — the token
+   * stream aggregates map-side into the distinct-word space), the
+   * frequency table truncates to the top `maxWords` words (bounded driver
+   * state; the tail words BPE could learn from are exactly the ones whose
+   * counts can't influence early merges), and the merge loop itself runs
+   * driver-side over that bounded table — numMerges × O(total symbols of
+   * maxWords words), no further cluster work. This is not a shortcut: BPE
+   * trains on the word-frequency DICTIONARY, not the token stream, so
+   * driver-looping the dictionary is the canonical cost, and q79's
+   * distributed [[pairCounts]] is the same statistic when the dictionary
+   * itself would not fit one machine.
+   *
+   * Returns `(rank, left, right, merged, n)` — one row per learned merge
+   * in training order, `n` the weighted pair count that won the rank.
+   * Deterministic: ties break (count desc, left asc, right asc); merging
+   * stops early (fewer rows) when no pair remains. Words are split to
+   * characters with a terminal `endOfWord` symbol (the paper's `·`
+   * convention) so learned units never cross word boundaries.
+   */
+  def trainBpe(df: DataFrame, text: String, numMerges: Int,
+      maxWords: Int = 50000, lowercase: Boolean = true,
+      endOfWord: String = "</w>"): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val spark = df.sparkSession
+    val wc = wordCounts(df, text, lowercase = lowercase)
+      .orderBy(col("n").desc, col("token").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = wc.map { case (w, n) =>
+      (w.map(_.toString).toArray :+ endOfWord, n)
+    }
+    val merges = Array.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c =>
+          Some(c.getOrElse(0L) + n))
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        words = words.map { case (syms, n) => (mergePair(syms, l, r), n) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toSeq.toDF("rank", "left", "right", "merged", "n")
+  }
+
+  /** One merge applied to one symbol sequence, greedy left-to-right (the
+    * paper's replacement rule: `aaa` under (a,a) becomes `aa a`, not
+    * `a aa`). Shared by training and encoding so they can never drift. */
+  private[operators] def mergePair(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /**
+   * Encode text with a learned merge table: each word splits to
+   * characters + `endOfWord`, then the merges apply IN RANK ORDER —
+   * equivalent to the lowest-rank-first priority scheme, because a merge
+   * can only create symbols later merges reference (`l + r` exists only
+   * after its own rank). Adds `out` as an `array<string>` subword column.
+   *
+   * Scale shape: the merge table is rows = numMerges (bounded by
+   * construction) and broadcasts; encoding is per-row imperative symbol
+   * work with no cross-row state — the documented last-resort case where
+   * a Scala UDF is the honest tool (no Column-algebra form exists for an
+   * ordered fold over per-word symbol arrays; the per-row cost is exactly
+   * the algorithm's).
+   */
+  def encodeBpe(df: DataFrame, text: String, merges: DataFrame,
+      out: String = "bpe_tokens", lowercase: Boolean = true,
+      endOfWord: String = "</w>"): DataFrame = {
+    val table: Array[(String, String)] = merges
+      .orderBy(col("rank").asc)
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val enc = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val base = if (lowercase) t.trim.toLowerCase else t.trim
+        val ws = if (base.isEmpty) Array.empty[String] else base.split("\\s+")
+        ws.flatMap { w =>
+          var syms = w.map(_.toString).toArray :+ endOfWord
+          table.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+          syms
+        }
+      }
+    }
+    df.withColumn(out, enc(col(text)))
+  }
+
+  /**
    * Corpus coverage of a candidate vocabulary: what fraction of all token
    * INSTANCES the top-k vocabulary covers — the number a tokenizer sizing
    * decision reads (k is chosen where marginal coverage flattens). One

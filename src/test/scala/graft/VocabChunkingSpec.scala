@@ -158,4 +158,41 @@ class VocabChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(0) == 2L && r.getLong(1) == 4L) // 3 + 1 chunks
     assert(r.getDouble(2) == 2.0 && r.getLong(3) == 40L)
   }
+
+  test("trainBpe: hand-computed merges, deterministic ties, early exhaustion") {
+    // corpus: aa ×2, ab ×1. Symbols: [a,a,</w>] ×2, [a,b,</w>] ×1.
+    // pair counts: (a,a)=2, (a,</w>)=2, (a,b)=1, (b,</w>)=1.
+    // merge 1: tie at 2 → lexicographic right asc picks (a,</w>) ('<'<'a').
+    // merge 2: (a,a</w>)=2. merge 3: (a,b)=1 ('a'<'b' beats (b,</w>)).
+    // merge 4: (ab,</w>)=1 — then NO pairs remain: numMerges=10 stops at 4.
+    val d = docs((1L, "aa aa ab"))
+    val got = Vocab.trainBpe(d, "text", numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "</w>", "a</w>", 2L),
+      (2, "a", "a</w>", "aa</w>", 2L),
+      (3, "a", "b", "ab", 1L)))
+    val all = Vocab.trainBpe(d, "text", numMerges = 10).collect()
+    assert(all.length == 4, s"exhaustion must stop the loop: ${all.length}")
+    assert(all.map(_.getString(3)).toSet ==
+      Set("a</w>", "aa</w>", "ab", "ab</w>"))
+  }
+
+  test("encodeBpe applies learned merges in rank order, greedy left-to-right") {
+    val d = docs((1L, "aa aa ab"))
+    val merges = Vocab.trainBpe(d, "text", numMerges = 3)
+    // "aa" → [aa</w>]; "ab" → [ab, </w>] (merge 3 fires); "aab" →
+    // [a, ab, </w>] (greedy: (a,a) is not a merge; (a,b) at index 1 is)
+    val got = Vocab.encodeBpe(docs((9L, "aa ab aab")), "text", merges)
+      .select("bpe_tokens").head().getSeq[String](0)
+    assert(got == Seq("aa</w>", "ab", "</w>", "a", "ab", "</w>"), got.toString)
+    // nulls pass through; empty text → empty array
+    val edge = Vocab.encodeBpe(
+      docs((1L, null.asInstanceOf[String]), (2L, "  ")), "text", merges)
+      .orderBy("doc_id").select("bpe_tokens").collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getSeq[String](0).isEmpty)
+  }
 }
