@@ -1345,7 +1345,29 @@ object SparkEntry {
         .select(col("doc_id"), col("epoch"), col("pack_key"),
           col("n_chars"), col("token_offset"), col("shard"))
         .orderBy("doc_id", "epoch")
-    }))
+    }),
+
+    // exact-substring dedup, audit face (Lee et al. 2021): every 8-token
+    // span occurring twice-plus anywhere in the corpus, with occurrence
+    // and document counts — ONE shuffle keyed by the gram string so the
+    // oracle reproduces it bit-for-bit
+    "q91_dup_grams" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateGrams(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 8)
+        .orderBy("gram")),
+
+    // exact-substring dedup, cutter face: duplicated 8-token spans removed
+    // from every occurrence but the smallest (doc_id, pos) winner; the
+    // oracle rebuilds the same texts relationally (anti-join on covered
+    // token positions + ordered string_agg), pinning window positions,
+    // winner choice, overlap merging, and untouched-doc passthrough
+    "q92_dedup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.removeDuplicateSpans(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("clean_text"), col("removed_tokens"))
+        .orderBy("doc_id")))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
     * dedup operators' outputs non-trivial on a dup-free synthetic corpus. */
@@ -2546,7 +2568,56 @@ object SparkEntry {
          |    AND CAST(n_common AS DOUBLE) / CAST(n_probe_sh AS DOUBLE) >= 0.6)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // duplicated 8-token spans: windows via list slicing (t[i:i+7] is
+    // 8 tokens, DuckDB slices inclusively), grouped on the gram string
+    "q91_dup_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks),
+        |grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM pos)
+        |SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM grams GROUP BY gram HAVING count(*) >= 2
+        |ORDER BY gram""".stripMargin,
+
+    // exact-substring removal, relationally: rn = 1 over (doc_id, i) is
+    // the keeper; covered token positions anti-join the token rows; the
+    // ordered string_agg rebuilds exactly the HOF filter's concat_ws
+    "q92_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks),
+        |grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram FROM pos),
+        |marked AS (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY gram) AS n,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+        |  FROM grams),
+        |cuts AS (SELECT doc_id, i FROM marked WHERE n >= 2 AND rn > 1),
+        |covered AS (SELECT DISTINCT c.doc_id, c.i + d.j AS j
+        |            FROM cuts c, range(0, 8) AS d(j)),
+        |tok_rows AS (SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) AS j FROM toks),
+        |kept AS (SELECT tr.doc_id, tr.j, tr.tok FROM tok_rows tr
+        |  ANTI JOIN covered c ON tr.doc_id = c.doc_id AND tr.j = c.j),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS s,
+        |    count(*) AS kept_n FROM kept GROUP BY doc_id),
+        |cut_docs AS (SELECT DISTINCT doc_id FROM cuts)
+        |SELECT t.doc_id,
+        |  CASE WHEN cd.doc_id IS NULL THEN t.text
+        |       ELSE coalesce(r.s, '') END AS clean_text,
+        |  CAST(CASE WHEN cd.doc_id IS NULL THEN 0
+        |       ELSE len(t.t) - coalesce(r.kept_n, 0) END AS BIGINT) AS removed_tokens
+        |FROM toks t
+        |LEFT JOIN cut_docs cd USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)
 
   // -------------------------------------------- shared oracle SQL fragments
 

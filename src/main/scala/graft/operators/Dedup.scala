@@ -632,6 +632,129 @@ object Dedup {
       lshBanded(batch, id, text, shingleK, numHashes, bands, portable),
       id, maxBucket, strict)
 
+  // ------------------------------------------------------------------
+  // Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+  // Makes Language Models Better", arXiv:2107.06499 §4.1): find every
+  // k-token span that occurs more than once ANYWHERE in the corpus and cut
+  // the repeats out of the documents, keeping one occurrence. The paper
+  // builds a corpus-wide suffix array; the Spark-first equivalent is a
+  // sliding-window hash table — one row per token position, one hash
+  // shuffle — which trades the suffix array's global sort for a groupBy
+  // and finds the same ≥k-token repeats (a repeat of length L ≥ k is
+  // exactly a run of L−k+1 duplicated k-windows, so cutting all duplicated
+  // windows removes the whole repeated region).
+
+  /** k-token sliding windows of every document — one row per position
+    * `(__id, __pos, __gram)`, `__pos` 0-based over [[Vocab.tokensOf]]
+    * whitespace tokens. Narrow (projection + posexplode, no shuffle); the
+    * token array sits behind a projection boundary so the per-window
+    * `slice` re-reads an attribute, not the `split` expression
+    * (pairCounts' measured O(tokens²)-splits pitfall). */
+  private[operators] def tokenWindows(df: DataFrame, id: String,
+      text: String, k: Int, lowercase: Boolean): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    val toks = df.select(col(id).as("__id"),
+      Vocab.tokensOf(col(text), lowercase).as("__toks"))
+    val wins = when(size(col("__toks")) >= k,
+      transform(sequence(lit(0), size(col("__toks")) - k),
+        i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    toks.select(col("__id"), posexplode(wins).as(Seq("__pos", "__gram")))
+  }
+
+  /**
+   * Corpus-duplicated k-token grams `(gram, n, n_docs)` — every k-token
+   * span occurring `minCount`+ times, with its occurrence and document
+   * counts. The audit/report face of exact-substring dedup (and the
+   * oracle-mirrored one: gram strings, not hashes, key the aggregation, so
+   * any ANSI engine reproduces it bit-for-bit).
+   *
+   * Scale shape: ONE shuffle keyed by the gram string. Unlike
+   * [[Vocab.wordCounts]], partial aggregation buys little here — at useful
+   * k (the paper uses 50 tokens) almost every window is distinct, so the
+   * map side emits ≈ one row per token position and the wire carries the
+   * token stream re-keyed. That is the operator's inherent cost (the
+   * paper's suffix array pays a global sort of the same stream); the
+   * production removal path ([[removeDuplicateSpans]]) shrinks the wire
+   * row to 20 bytes by hashing grams to 64 bits first. `HAVING n >=
+   * minCount` prunes AFTER the shuffle by necessity — a count is only
+   * known globally.
+   */
+  def duplicateGrams(df: DataFrame, id: String, text: String, k: Int = 8,
+      minCount: Long = 2L, lowercase: Boolean = true): DataFrame = {
+    require(minCount >= 2,
+      s"minCount < 2 would report every window as duplicated, got $minCount")
+    tokenWindows(df, id, text, k, lowercase)
+      .groupBy(col("__gram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__id")).as("n_docs"))
+      .filter(col("n") >= minCount)
+      .select(col("__gram").as("gram"), col("n"), col("n_docs"))
+  }
+
+  /**
+   * Exact-substring dedup: cut every duplicated k-token span out of the
+   * corpus, keeping (`keepOne`, the default) exactly one occurrence — the
+   * deterministic winner is the smallest `(id, pos)`. Adds `out` (the
+   * rebuilt text, whitespace normalized to single spaces — only documents
+   * that actually lost a span are rewritten; untouched documents keep
+   * their text verbatim) and `removed_tokens`.
+   *
+   * Matching is case-sensitive by default (the paper operates on raw
+   * bytes); `lowercase = true` matches case-insensitively while the
+   * rebuild always keeps the original tokens. Like the paper's cutter,
+   * adjacent/overlapping duplicated windows merge into one removed region,
+   * and a repeat longer than k tokens is removed whole (its every window
+   * duplicates). Also like the paper: when the winners of a long repeat's
+   * windows land in different documents, the copies can shred — each doc
+   * keeps only the fragments it won (documented there as rare and benign
+   * for training data).
+   *
+   * Scale shape: grams hash to 64 bits BEFORE the shuffle, so the count
+   * aggregation moves 20-byte rows, not strings (a 64-bit collision
+   * falsely marks a window duplicated; at 10^12 windows that is ~10^4
+   * windows corpus-wide — noise against what dedup removes, and the
+   * string-keyed [[duplicateGrams]] is the exact audit when it matters).
+   * The keeper rides the SAME aggregation as the count (`min(struct(id,
+   * pos))` — ObjectHashAggregate, measured ~6% over a primitive agg at
+   * 2.1B rows in SCALE.md round 14, cheaper than the window-sort or
+   * second shuffle that would avoid it). The window frame is recomputed
+   * for the count and the join rather than cached — at 100 TB the token
+   * stream does not fit any cache tier, and two scan passes beat spilling
+   * one. Per-doc cut lists are bounded by the doc's own window count
+   * (collect_set after the dup semi-join), and the rebuild is a per-row
+   * higher-order filter costing O(tokens × cut windows) — no driver state
+   * anywhere. A boilerplate gram duplicated across the whole corpus skews
+   * the dup-hash join; AQE's skew split handles it (the dup side carries
+   * only counts, never pair expansion).
+   */
+  def removeDuplicateSpans(df: DataFrame, id: String, text: String,
+      k: Int = 8, minCount: Long = 2L, keepOne: Boolean = true,
+      lowercase: Boolean = false, out: String = "clean_text"): DataFrame = {
+    val w = tokenWindows(df, id, text, k, lowercase)
+      .select(col("__id"), col("__pos"), xxhash64(col("__gram")).as("__wh"))
+    val dup = w.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .filter(col("__n") >= minCount)
+    val cutRows = w.join(dup, Seq("__wh"))
+    val cutKept =
+      if (keepOne) cutRows.filter(!(col("__id") === col("__keep.__id") &&
+        col("__pos") === col("__keep.__pos")))
+      else cutRows
+    val cuts = cutKept.groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__cuts"))
+    val t = Vocab.tokensOf(col(text), lowercase = false)
+    val kept = filter(t, (_, i) =>
+      !exists(col("__cuts"), p => p <= i && i < p + lit(k)))
+    df.join(cuts, df(id) === cuts("__id"), "left")
+      .withColumn(out,
+        when(col("__cuts").isNull, col(text)).otherwise(concat_ws(" ", kept)))
+      .withColumn("removed_tokens",
+        when(col("__cuts").isNull, lit(0L))
+          .otherwise((size(t) - size(kept)).cast("long")))
+      .drop("__id", "__cuts")
+  }
+
   /**
    * Embedding near-dup pairs + audit histogram from ONE banded frame
    * (Caches-tracked persist, as `minhashLshWithStats`): the audit costs one

@@ -520,4 +520,75 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // the batch's bucket set arrives broadcast, as a LeftSemi build side
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
+
+  // ---- exact-substring dedup (duplicated k-token spans) ----
+
+  private def spanDocs = {
+    import spark.implicits._
+    // "a b c" occurs in all three; doc1 additionally continues "d e"
+    Seq((1L, "a b c d e"), (2L, "x a b c y"), (3L, "a b c"))
+      .toDF("id", "text")
+  }
+
+  test("duplicateGrams: one shared 3-token span across three docs") {
+    val g = Dedup.duplicateGrams(spanDocs, "id", "text", k = 3).collect()
+    assert(g.length == 1)
+    assert(g(0).getString(0) == "a b c")
+    assert(g(0).getLong(1) == 3L && g(0).getLong(2) == 3L)
+  }
+
+  test("removeDuplicateSpans keeps the smallest (id, pos) occurrence") {
+    val out = Dedup.removeDuplicateSpans(spanDocs, "id", "text", k = 3)
+      .select("id", "clean_text", "removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // winner window is (1, 0): doc 1 untouched VERBATIM; doc 2 loses
+    // tokens 1..3; doc 3 loses everything (its only window duplicates)
+    assert(out.toSeq == Seq(
+      (1L, "a b c d e", 0L), (2L, "x y", 3L), (3L, "", 3L)))
+  }
+
+  test("removeDuplicateSpans keepOne=false shreds every occurrence") {
+    val out = Dedup.removeDuplicateSpans(spanDocs, "id", "text",
+        k = 3, keepOne = false)
+      .select("id", "clean_text", "removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "d e", 3L), (2L, "x y", 3L), (3L, "", 3L)))
+  }
+
+  test("removeDuplicateSpans merges overlapping in-document repeats") {
+    import spark.implicits._
+    // "p q r s" repeats within ONE doc: windows (p q r)@0,4 and (q r s)@1,5
+    // duplicate; winners are positions 0 and 1, cuts {4, 5} cover tokens
+    // 4..7 as one merged region
+    val d = Seq((4L, "p q r s p q r s")).toDF("id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "id", "text", k = 3)
+      .select("clean_text", "removed_tokens").head()
+    assert(r.getString(0) == "p q r s" && r.getLong(1) == 4L)
+  }
+
+  test("removeDuplicateSpans: lowercase matching, original-case rebuild") {
+    import spark.implicits._
+    val d = Seq((1L, "A B C"), (2L, "a b c")).toDF("id", "text")
+    // case-sensitive default: nothing duplicates
+    val strict = Dedup.removeDuplicateSpans(d, "id", "text", k = 3)
+      .agg(sum("removed_tokens")).head().getLong(0)
+    assert(strict == 0L)
+    // lowercase matching: doc 1 wins, doc 2 is cut; doc 1 keeps its CASE
+    val loose = Dedup.removeDuplicateSpans(d, "id", "text", k = 3,
+        lowercase = true)
+      .select("id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(loose.toSeq == Seq((1L, "A B C"), (2L, "")))
+  }
+
+  test("removeDuplicateSpans passes short and empty docs through verbatim") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, ""), (3L, "a b c d e"), (4L, "a b c d e"))
+      .toDF("id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "id", "text", k = 3)
+      .select("id", "clean_text", "removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a b", 0L), (2L, "", 0L),
+      (3L, "a b c d e", 0L), (4L, "", 5L)))
+  }
 }
