@@ -420,6 +420,53 @@ object ScaleBench {
             vocabLimit = 1000).count())
       }
 
+      // ---- bpe tier: full tokenizer training + corpus encoding. Training
+      // wall time must scale with the corpus ONLY through the one
+      // distributed dictionary pass — the 200-merge loop runs driver-side
+      // over the bounded word table and is corpus-size-independent.
+      // Encoding measures the per-task word→subwords memo: the merge loop
+      // runs once per DISTINCT word a task sees, so throughput follows the
+      // token stream, not tokens × merges.
+      if (wanted("bpe")) {
+        import graft.operators.Vocab
+        val docs = spark.read.parquet(s"$scratch/docs_$n").select(col("text"))
+        timedRuns(n, "bpe_train_m200")(() =>
+          Vocab.trainBpe(docs, "text", numMerges = 200).count())
+        // learned table materialized OUTSIDE the encode clock (encodeBpe
+        // collects it at plan-build; an un-checkpointed frame would re-run
+        // training inside every timed run)
+        val merges = Vocab.trainBpe(docs, "text", numMerges = 200)
+          .localCheckpoint()
+        timedRuns(n, "bpe_encode_m200")(() =>
+          Vocab.encodeBpe(docs, "text", merges)
+            .selectExpr("count(1) AS n", "sum(size(bpe_tokens))")
+            .head().getLong(0))
+        // the memo's control: merge loop per token INSTANCE (what a naive
+        // encoder pays) — the adversarial all-unique-words bound
+        timedRuns(n, "bpe_encode_m200_nomemo")(() =>
+          Vocab.encodeBpe(docs, "text", merges, memoize = false)
+            .selectExpr("count(1) AS n", "sum(size(bpe_tokens))")
+            .head().getLong(0))
+      }
+
+      // ---- spans tier: exact-substring dedup. Unlike the vocab tier,
+      // partial aggregation cannot collapse this stream — at k=8 nearly
+      // every window is distinct, so the shuffle IS the token stream
+      // re-keyed (the operator's inherent cost; the paper's suffix array
+      // pays a global sort of the same stream). Measured so the wire-bytes
+      // story is on record: dup_grams shuffles gram STRINGS (audit face),
+      // dedup_spans shuffles 20-byte hashed rows (production face).
+      if (wanted("spans")) {
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("text"))
+        timedRuns(n, "dup_grams_k8")(() =>
+          Dedup.duplicateGrams(docs, "doc_id", "text", k = 8).count())
+        timedRuns(n, "dedup_spans_k8")(() =>
+          Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+            .selectExpr("count(1) AS n", "sum(removed_tokens)")
+            .head().getLong(0))
+      }
+
       // ---- trainset tier: the composed last mile (quality filter → mix →
       // shuffle-key → pack → jsonl shards + manifest) as ONE wall number —
       // the components are measured in their own tiers; this is the

@@ -669,15 +669,20 @@ object Dedup {
    * oracle-mirrored one: gram strings, not hashes, key the aggregation, so
    * any ANSI engine reproduces it bit-for-bit).
    *
-   * Scale shape: ONE shuffle keyed by the gram string. Unlike
-   * [[Vocab.wordCounts]], partial aggregation buys little here — at useful
-   * k (the paper uses 50 tokens) almost every window is distinct, so the
-   * map side emits ≈ one row per token position and the wire carries the
-   * token stream re-keyed. That is the operator's inherent cost (the
-   * paper's suffix array pays a global sort of the same stream); the
-   * production removal path ([[removeDuplicateSpans]]) shrinks the wire
-   * row to 20 bytes by hashing grams to 64 bits first. `HAVING n >=
-   * minCount` prunes AFTER the shuffle by necessity — a count is only
+   * Scale shape: unlike [[Vocab.wordCounts]], partial aggregation cannot
+   * collapse this stream — at useful k (the paper uses 50 tokens) almost
+   * every window is distinct, so the aggregation's hash maps hold nearly
+   * every gram and their sort-based overflow path effectively SORTS the
+   * window stream. That is the operator's inherent cost restated — the
+   * paper's suffix array is a global sort of the same stream — and the
+   * DECLARATIVE form below is the measured-best plan for paying it:
+   * three structural rewrites all lost at 1M docs (SCALE.md round 15 —
+   * a hash-prefilter two-pass added a string shuffle that cost more than
+   * it saved, 1.5×; a manual (gram, doc) → gram two-level agg doubled
+   * the string shuffles, 1.9×; exchange-first `repartition(gram)` built
+   * four post-shuffle agg maps in one stage, 1.2×). Catalyst's
+   * single-distinct rewrite is the right physical shape; `HAVING n >=
+   * minCount` prunes after the shuffle by necessity — a count is only
    * known globally.
    */
   def duplicateGrams(df: DataFrame, id: String, text: String, k: Int = 8,
@@ -714,18 +719,24 @@ object Dedup {
    * falsely marks a window duplicated; at 10^12 windows that is ~10^4
    * windows corpus-wide — noise against what dedup removes, and the
    * string-keyed [[duplicateGrams]] is the exact audit when it matters).
-   * The keeper rides the SAME aggregation as the count (`min(struct(id,
-   * pos))` — ObjectHashAggregate, measured ~6% over a primitive agg at
-   * 2.1B rows in SCALE.md round 14, cheaper than the window-sort or
-   * second shuffle that would avoid it). The window frame is recomputed
-   * for the count and the join rather than cached — at 100 TB the token
-   * stream does not fit any cache tier, and two scan passes beat spilling
-   * one. Per-doc cut lists are bounded by the doc's own window count
-   * (collect_set after the dup semi-join), and the rebuild is a per-row
-   * higher-order filter costing O(tokens × cut windows) — no driver state
-   * anywhere. A boilerplate gram duplicated across the whole corpus skews
-   * the dup-hash join; AQE's skew split handles it (the dup side carries
-   * only counts, never pair expansion).
+   * The count aggregation stays PRIMITIVE (count + min id): the obvious
+   * one-pass keeper, `min(struct(id, pos))`, plans as
+   * ObjectHashAggregate, whose tiny sort-fallback threshold (128 keys)
+   * turns the whole near-unique-key aggregation row-at-a-time sort-based
+   * — measured 81.8 s at 1M docs versus 55–63 s for this shape (the
+   * remaining spill is the inherent near-unique-key sort, see
+   * [[duplicateGrams]]). The keeper's position is resolved by a second,
+   * duplicate-windows-sized aggregation instead (winner = min pos among
+   * the min-id's windows ≡ the struct's lexicographic min). The corpus-sized window frame is
+   * recomputed rather than cached — at 100 TB the token stream fits no
+   * cache tier — while the small dup-windows frame IS cached
+   * ([[graft.core.Caches]]) across its two uses. Per-doc cut lists are
+   * bounded by the doc's own window count (collect_set after the dup
+   * join), and the rebuild is a per-row higher-order filter costing
+   * O(tokens × cut windows) — no driver state anywhere. A boilerplate
+   * gram duplicated across the whole corpus skews the dup-hash join;
+   * AQE's skew split handles it (the dup side carries only counts, never
+   * pair expansion).
    */
   def removeDuplicateSpans(df: DataFrame, id: String, text: String,
       k: Int = 8, minCount: Long = 2L, keepOne: Boolean = true,
@@ -733,14 +744,18 @@ object Dedup {
     val w = tokenWindows(df, id, text, k, lowercase)
       .select(col("__id"), col("__pos"), xxhash64(col("__gram")).as("__wh"))
     val dup = w.groupBy(col("__wh"))
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col("__id"), col("__pos"))).as("__keep"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__minId"))
       .filter(col("__n") >= minCount)
-    val cutRows = w.join(dup, Seq("__wh"))
+      .select(col("__wh"), col("__minId"))
+    val dupW = graft.core.Caches.track(w.join(dup, Seq("__wh")))
     val cutKept =
-      if (keepOne) cutRows.filter(!(col("__id") === col("__keep.__id") &&
-        col("__pos") === col("__keep.__pos")))
-      else cutRows
+      if (keepOne) {
+        val winners = dupW.filter(col("__id") === col("__minId"))
+          .groupBy(col("__wh")).agg(min(col("__pos")).as("__winPos"))
+        dupW.join(winners, Seq("__wh"))
+          .filter(!(col("__id") === col("__minId") &&
+            col("__pos") === col("__winPos")))
+      } else dupW
     val cuts = cutKept.groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__pos"))).as("__cuts"))
     val t = Vocab.tokensOf(col(text), lowercase = false)

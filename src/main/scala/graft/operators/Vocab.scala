@@ -211,27 +211,43 @@ object Vocab {
    * construction) and broadcasts; encoding is per-row imperative symbol
    * work with no cross-row state — the documented last-resort case where
    * a Scala UDF is the honest tool (no Column-algebra form exists for an
-   * ordered fold over per-word symbol arrays; the per-row cost is exactly
-   * the algorithm's).
+   * ordered fold over per-word symbol arrays). The merge loop itself runs
+   * once per DISTINCT word a task sees, not once per instance: tokens
+   * repeat Zipf-style, so a per-task word → subwords memo turns the
+   * per-instance cost into one array copy (the trainer's
+   * dictionary-not-stream insight applied to encoding; 20× against
+   * `memoize = false` at 1M docs — ScaleBench bpe tier, SCALE.md round
+   * 15). The
+   * memo is bounded, so an adversarial all-unique token stream degrades
+   * to the unmemoized cost instead of growing task memory; `memoize =
+   * false` exists for that measurement, not for production use.
    */
   def encodeBpe(df: DataFrame, text: String, merges: DataFrame,
       out: String = "bpe_tokens", lowercase: Boolean = true,
-      endOfWord: String = "</w>"): DataFrame = {
+      endOfWord: String = "</w>", memoize: Boolean = true): DataFrame = {
     val table: Array[(String, String)] = merges
       .orderBy(col("rank").asc)
       .select(col("left"), col("right")).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val enc = udf { (t: String) =>
-      if (t == null) null
-      else {
-        val base = if (lowercase) t.trim.toLowerCase else t.trim
-        val ws = if (base.isEmpty) Array.empty[String] else base.split("\\s+")
-        ws.flatMap { w =>
-          var syms = w.map(_.toString).toArray :+ endOfWord
-          table.foreach { case (l, r) => syms = mergePair(syms, l, r) }
-          syms
+    val enc = udf {
+      // empty at plan time; each task deserializes its own private copy,
+      // so no cross-thread sharing and no driver-side growth
+      val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+      (t: String) =>
+        if (t == null) null
+        else {
+          val base = if (lowercase) t.trim.toLowerCase else t.trim
+          val ws = if (base.isEmpty) Array.empty[String] else base.split("\\s+")
+          ws.flatMap { w =>
+            var syms = if (memoize) memo.get(w) else null
+            if (syms == null) {
+              syms = w.map(_.toString).toArray :+ endOfWord
+              table.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+              if (memoize && memo.size < 1000000) memo.put(w, syms)
+            }
+            syms
+          }
         }
-      }
     }
     df.withColumn(out, enc(col(text)))
   }

@@ -195,4 +195,14 @@ class VocabChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(edge(0).isNullAt(0))
     assert(edge(1).getSeq[String](0).isEmpty)
   }
+
+  test("encodeBpe: memoized and unmemoized paths produce identical output") {
+    val d = docs((1L, "aa ab aa aab"), (2L, "ab aa aa"))
+    val merges = Vocab.trainBpe(d, "text", numMerges = 3)
+    def run(memoize: Boolean): Seq[(Long, Seq[String])] =
+      Vocab.encodeBpe(d, "text", merges, memoize = memoize)
+        .orderBy("doc_id").select("doc_id", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(run(memoize = true) == run(memoize = false))
+  }
 }
