@@ -40,6 +40,9 @@ object CurationReport {
       nearDup: Boolean = false,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
       maxBucket: Int = 200,
+      // exact-substring audit (Dedup.duplicateGrams) — opt-in like
+      // nearDup: both rescan the corpus with their own topology
+      dupSpans: Boolean = false, spanK: Int = 8, spanTopN: Int = 50,
       // quality battery thresholds, Text.qualityVerdict's defaults —
       // curation thresholds are corpus policy, so they belong in config
       minTokens: Int = 50, maxTokens: Int = 100000,
@@ -137,10 +140,15 @@ object CurationReport {
       "Token Histogram" -> lengths,
       "Exact Dup Groups" -> dupGroups,
       "Top Vocabulary" -> vocab)
-    if (!cfg.nearDup) base
-    else base :+ ("Near-Dup Pairs" -> Dedup.minhashLshPairs(
-      corpus, cfg.idCol, cfg.textCol, cfg.shingleK, cfg.numHashes,
-      cfg.bands, cfg.maxBucket).orderBy(col("id_a").asc, col("id_b").asc))
+    val withNearDup =
+      if (!cfg.nearDup) base
+      else base :+ ("Near-Dup Pairs" -> Dedup.minhashLshPairs(
+        corpus, cfg.idCol, cfg.textCol, cfg.shingleK, cfg.numHashes,
+        cfg.bands, cfg.maxBucket).orderBy(col("id_a").asc, col("id_b").asc))
+    if (!cfg.dupSpans) withNearDup
+    else withNearDup :+ ("Duplicated Spans" -> Dedup.duplicateGrams(
+      corpus, cfg.idCol, cfg.textCol, cfg.spanK)
+      .orderBy(col("n").desc, col("gram").asc).limit(cfg.spanTopN))
   }
 
   /** Render the workbook (one sheet per section) and log each phase to the

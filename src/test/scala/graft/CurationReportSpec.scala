@@ -116,4 +116,14 @@ class CurationReportSpec extends AnyFunSuite with SparkSpec {
     assert(summary.sheets.last == "Near-Dup Pairs")
     assert(summary.nearDupPairs >= 1L) // 10/11 exact, 30 near of both
   }
+
+  test("dupSpans sheet appears when enabled and surfaces the shared body") {
+    val frames = CurationReport.sections(spark, fixture,
+      CurationConfig(dupSpans = true, spanK = 8, spanTopN = 5))
+    assert(frames.last._1 == "Duplicated Spans")
+    val rows = frames.last._2.collect()
+    assert(rows.length == 5) // enBody repeats across 6 docs: top-5 is full
+    // every reported span occurs in all six enBody-carrying docs
+    assert(rows.forall(_.getAs[Long]("n_docs") == 6L), rows.mkString("; "))
+  }
 }
