@@ -689,6 +689,12 @@ object Dedup {
       minCount: Long = 2L, lowercase: Boolean = true): DataFrame = {
     require(minCount >= 2,
       s"minCount < 2 would report every window as duplicated, got $minCount")
+    // the near-unique key space makes REDUCE-side state the binding
+    // constraint: at 32 partitions the 5M-doc tier re-merged spill runs
+    // into 235 GB written; input-derived initial partitions bound
+    // per-partition agg state instead (measured factor: gram strings
+    // shuffle ≈ 8× the corpus parquet bytes)
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 8.0)
     tokenWindows(df, id, text, k, lowercase)
       .groupBy(col("__gram"))
       .agg(count(lit(1)).as("n"), countDistinct(col("__id")).as("n_docs"))
@@ -719,18 +725,24 @@ object Dedup {
    * falsely marks a window duplicated; at 10^12 windows that is ~10^4
    * windows corpus-wide — noise against what dedup removes, and the
    * string-keyed [[duplicateGrams]] is the exact audit when it matters).
-   * The count aggregation stays PRIMITIVE (count + min id): the obvious
-   * one-pass keeper, `min(struct(id, pos))`, plans as
-   * ObjectHashAggregate, whose tiny sort-fallback threshold (128 keys)
-   * turns the whole near-unique-key aggregation row-at-a-time sort-based
-   * — measured 81.8 s at 1M docs versus 55–63 s for this shape (the
-   * remaining spill is the inherent near-unique-key sort, see
-   * [[duplicateGrams]]). The keeper's position is resolved by a second,
-   * duplicate-windows-sized aggregation instead (winner = min pos among
-   * the min-id's windows ≡ the struct's lexicographic min). The corpus-sized window frame is
-   * recomputed rather than cached — at 100 TB the token stream fits no
-   * cache tier — while the small dup-windows frame IS cached
-   * ([[graft.core.Caches]]) across its two uses. Per-doc cut lists are
+   * The count aggregation stays PRIMITIVE: the obvious one-pass keeper,
+   * `min(struct(id, pos))`, plans as ObjectHashAggregate, whose tiny
+   * sort-fallback threshold (128 keys) turns the whole near-unique-key
+   * aggregation row-at-a-time sort-based — measured 81.8 s at 1M docs
+   * versus 50–63 s for the primitive shapes (the remaining spill is the
+   * inherent near-unique-key sort, see [[duplicateGrams]]). By default
+   * the keeper PACKS `(id, pos)` into one long riding the count
+   * aggregation as a primitive min — two window passes total; ids
+   * outside the packable domain fail fast at the offending row, and
+   * `packedKeeper = false` is the escape hatch (keeper = min id, then
+   * min pos among its windows via a third, duplicate-windows-sized
+   * pass — both orderings ≡ the struct's lexicographic min). NOTHING
+   * here is cached: the corpus-sized window frame obviously fits no
+   * cache tier, and the dup-windows frame — "small" in the common case —
+   * is corpus-PROPORTIONAL whenever duplication is heavy: caching it
+   * OOM'd the 5M-doc tier (3% full-dup docs → 34M rows of columnar
+   * cache build buffers), while recomputing costs one window projection
+   * per consumer. Per-doc cut lists are
    * bounded by the doc's own window count (collect_set after the dup
    * join), and the rebuild is a per-row higher-order filter costing
    * O(tokens × cut windows) — no driver state anywhere. A boilerplate
@@ -740,22 +752,51 @@ object Dedup {
    */
   def removeDuplicateSpans(df: DataFrame, id: String, text: String,
       k: Int = 8, minCount: Long = 2L, keepOne: Boolean = true,
-      lowercase: Boolean = false, out: String = "clean_text"): DataFrame = {
-    val w = tokenWindows(df, id, text, k, lowercase)
-      .select(col("__id"), col("__pos"), xxhash64(col("__gram")).as("__wh"))
-    val dup = w.groupBy(col("__wh"))
-      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__minId"))
-      .filter(col("__n") >= minCount)
-      .select(col("__wh"), col("__minId"))
-    val dupW = graft.core.Caches.track(w.join(dup, Seq("__wh")))
+      lowercase: Boolean = false, out: String = "clean_text",
+      packedKeeper: Boolean = true): DataFrame = {
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 8.0) // as duplicateGrams
+    val base = tokenWindows(df, id, text, k, lowercase)
     val cutKept =
-      if (keepOne) {
-        val winners = dupW.filter(col("__id") === col("__minId"))
-          .groupBy(col("__wh")).agg(min(col("__pos")).as("__winPos"))
-        dupW.join(winners, Seq("__wh"))
-          .filter(!(col("__id") === col("__minId") &&
-            col("__pos") === col("__winPos")))
-      } else dupW
+      if (keepOne && packedKeeper) {
+        // packed keeper: (id, pos) folds into ONE long (id·2^24 + pos,
+        // numerically ≡ the lexicographic min while pos < 2^24 and
+        // 0 <= id < 2^39), so the keeper is a primitive min riding the
+        // count aggregation — the window stream is computed exactly
+        // twice (count, cut join) with no winner pass and no cache.
+        // Out-of-domain rows fail fast AT the offending row (raise_error
+        // costs nothing until it fires); content-hash-style ids should
+        // pass packedKeeper = false instead, taking the three-pass path.
+        val packable = col("__id") >= 0 && col("__id") < lit(1L << 39) &&
+          col("__pos") < lit(1 << 24)
+        val w = base.select(col("__id"), col("__pos"),
+          xxhash64(col("__gram")).as("__wh"),
+          when(packable, shiftleft(col("__id"), 24) + col("__pos"))
+            .otherwise(raise_error(format_string(
+              "removeDuplicateSpans: packed keeper needs 0 <= id < 2^39 " +
+                "and pos < 2^24, got id=%s pos=%s — pass packedKeeper = " +
+                "false for ids outside the domain",
+              col("__id"), col("__pos")))).as("__pk"))
+        val dup = w.groupBy(col("__wh"))
+          .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__minPk"))
+          .filter(col("__n") >= minCount)
+          .select(col("__wh"), col("__minPk"))
+        w.join(dup, Seq("__wh")).filter(col("__pk") =!= col("__minPk"))
+      } else {
+        val w = base.select(col("__id"), col("__pos"),
+          xxhash64(col("__gram")).as("__wh"))
+        val dup = w.groupBy(col("__wh"))
+          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__minId"))
+          .filter(col("__n") >= minCount)
+          .select(col("__wh"), col("__minId"))
+        val dupW = w.join(dup, Seq("__wh"))
+        if (keepOne) {
+          val winners = dupW.filter(col("__id") === col("__minId"))
+            .groupBy(col("__wh")).agg(min(col("__pos")).as("__winPos"))
+          dupW.join(winners, Seq("__wh"))
+            .filter(!(col("__id") === col("__minId") &&
+              col("__pos") === col("__winPos")))
+        } else dupW
+      }
     val cuts = cutKept.groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__pos"))).as("__cuts"))
     val t = Vocab.tokensOf(col(text), lowercase = false)

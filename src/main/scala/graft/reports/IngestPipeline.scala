@@ -93,6 +93,15 @@ object IngestPipeline {
       // require does) — under the default the indexes DO append before the
       // caller sees the failure count.
       failOnDq: Boolean = false,
+      // batch-LOCAL exact-substring dedup (Some(k) enables): duplicated
+      // k-token spans inside the night's batch are cut before hashing —
+      // the within-crawl boilerplate case (shared headers/footers a
+      // nightly scrape repeats), O(batch) windows. Deliberately NOT
+      // cross-night: corpus-wide span dedup is the batch operator
+      // (Dedup.removeDuplicateSpans, q92) — a STANDING window index would
+      // cost ~3× the corpus in bytes (one 20-byte hashed row per token),
+      // a storage trade no deployment wants by default (SCALE.md round 15)
+      spanDedupK: Option[Int] = None,
       carrier: String = "corpus")
 
   final case class NightResult(
@@ -147,9 +156,26 @@ object IngestPipeline {
     val bootstrap = !fs.exists(idxPath)
     val batchRows = batch.count()
 
+    // 0. (opt-in) SPAN DEDUP — batch-local duplicated-span removal runs
+    // BEFORE hashing so the probe fingerprints, and the corpus lands, the
+    // CLEANED text (deterministic, so a mid-night crash replay recuts the
+    // same spans). Column order is restored so the landed parquet schema
+    // never depends on whether the flag was set that night.
+    val prepped = cfg.spanDedupK match {
+      case Some(k) =>
+        ExecutionLogger.logged(meta, s"ingest_span_dedup_$night",
+            cfg.carrier, (df: DataFrame) => (batchRows, 0L, 0L)) {
+          Dedup.removeDuplicateSpans(batch, cfg.idCol, cfg.textCol, k)
+            .drop(cfg.textCol).drop("removed_tokens")
+            .withColumnRenamed("clean_text", cfg.textCol)
+            .select(batch.columns.map(col).toSeq: _*)
+        }
+      case None => batch
+    }
+
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in
-    val banded = Dedup.lshBanded(batch, cfg.idCol, cfg.textCol,
+    val banded = Dedup.lshBanded(prepped, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
       val survivors = ExecutionLogger.logged(meta, s"ingest_probe_$night",
@@ -166,7 +192,7 @@ object IngestPipeline {
             cfg.maxBucket, caller = "IngestPipeline", strict = cfg.strict)
           .select(col("id_b").as(cfg.idCol))
         // pin survivors BEFORE any append mutates what the plan reads
-        batch.join(corpusDups.union(intraDups).distinct(),
+        prepped.join(corpusDups.union(intraDups).distinct(),
           Seq(cfg.idCol), "left_anti").localCheckpoint(true)
       }
       val accepted = survivors.count()

@@ -581,6 +581,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(loose.toSeq == Seq((1L, "A B C"), (2L, "")))
   }
 
+  test("removeDuplicateSpans: packed and unpacked keepers agree; out-of-domain ids fail fast") {
+    import spark.implicits._
+    val packed = Dedup.removeDuplicateSpans(spanDocs, "id", "text", k = 3)
+      .select("id", "clean_text", "removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val unpacked = Dedup.removeDuplicateSpans(spanDocs, "id", "text", k = 3,
+        packedKeeper = false)
+      .select("id", "clean_text", "removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(packed.toSeq == unpacked.toSeq)
+    // a content-hash-style id (negative long) must fail fast with the
+    // actionable message, and packedKeeper = false must accept it
+    val hashy = Seq((-8702723549136498523L, "a b c"), (7L, "a b c"))
+      .toDF("id", "text")
+    // collect, not count: a count-only plan can prune the packed column
+    // out of the keeper before the guard row is ever evaluated
+    val e = intercept[Exception] {
+      Dedup.removeDuplicateSpans(hashy, "id", "text", k = 3).collect()
+    }
+    assert(e.getMessage.contains("packedKeeper"), e.getMessage)
+    val ok = Dedup.removeDuplicateSpans(hashy, "id", "text", k = 3,
+        packedKeeper = false)
+      .select("id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the negative id is the smaller (id, pos): it wins, doc 7 is cut
+    assert(ok.toSeq == Seq((-8702723549136498523L, "a b c"), (7L, "")))
+  }
+
   test("removeDuplicateSpans passes short and empty docs through verbatim") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, ""), (3L, "a b c d e"), (4L, "a b c d e"))

@@ -169,6 +169,37 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       got("exact_content_duplicates") == 0, got.toString)
   }
 
+  test("spanDedupK cuts batch-local boilerplate before hashing and landing") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-spans")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      spanDedupK = Some(6))
+    // docs 10 and 11 share a 7-token scraped-boilerplate prefix; with
+    // k = 6 its two windows duplicate, the (10, 0) occurrence wins, and
+    // doc 11 must LAND cleaned — the probe fingerprints cleaned text, so
+    // the pair is not near-dup-dropped either
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        (10L, "subscribe to our channel like and share alpha beta gamma delta"),
+        (11L, "subscribe to our channel like and share epsilon zeta eta theta"),
+        (12L, "completely unrelated content about spark aggregation plans"))
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 3, n1.toString)
+    val landed = spark.read.parquet(cfg.corpusPath)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed(10L) ==
+      "subscribe to our channel like and share alpha beta gamma delta")
+    assert(landed(11L) == "epsilon zeta eta theta", landed(11L))
+    assert(landed(12L) ==
+      "completely unrelated content about spark aggregation plans")
+    val meta = new MetaStore(spark, cfg.metaDir)
+    assert(meta.executionLog
+      .filter(col("target_table") === "ingest_span_dedup_n1").count() == 1)
+  }
+
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-replay")
