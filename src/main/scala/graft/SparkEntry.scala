@@ -1367,7 +1367,27 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", k = 8)
         .select(col("doc_id"), col("clean_text"), col("removed_tokens"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the pair space,
+    // the exact quantized cosine verifies candidates. The q70 dyadic-grid
+    // trick makes the LEARNED cells engine-portable, so the oracle
+    // reproduces cells AND pairs bit-for-bit; q30's planted
+    // identical-embedding copies guarantee true semantic dups (cos = 1.0)
+    "q93_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val dyadic = corpus.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(128.0)) / lit(128.0)).as("kvec"))
+      val cents = Similarity.kmeansCentroids(dyadic, "vec_id", "kvec",
+        k = 8, iterations = 3)
+      graft.operators.Dedup.semanticDupPairs(corpus, "vec_id", "embedding",
+          threshold = 0.9, centroids = Some(cents), maxBucket = 5000)
+        .orderBy("id_a", "id_b")
+    }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
     * dedup operators' outputs non-trivial on a dup-free synthetic corpus. */
@@ -2332,44 +2352,34 @@ object SparkEntry {
     // MATERIALIZED: DuckDB otherwise inlines the chained iteration CTEs
     // multiplicatively and the planner's expression tree blows past the
     // allocator (measured bad_alloc at sf0.001 on repeat runs).
-    "q70_ann_ivf_kmeans" -> {
-      val D = 64
-      def udot(x: String, y: String) =
-        (1 to D).map(i => s"$x[$i]*$y[$i]").mkString(" + ")
-      def iteration(i: Int): String = {
-        val cos = s"(${udot("vn.kv", "c.cv")}) / sqrt(vn.n2 * (${udot("c.cv", "c.cv")}))"
-        val means = (1 to D).map(j => s"avg(kv[$j])").mkString(", ")
-        s"""a$i AS MATERIALIZED (SELECT vec_id, kv, cell FROM (
-           |   SELECT vn.vec_id, vn.kv, c.cent_id AS cell,
-           |     ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY $cos DESC NULLS LAST, c.cent_id) AS rn
-           |   FROM vn, c${i - 1} c) WHERE rn = 1),
-           |m$i AS MATERIALIZED (SELECT cell, [$means] AS cv FROM a$i GROUP BY cell),
-           |c$i AS MATERIALIZED (SELECT c.cent_id, COALESCE(m.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cent_id)""".stripMargin
-      }
-      def icos(x: String, y: String) =
-        s"list_dot_product($x, $y)/sqrt(list_dot_product($x,$x)*list_dot_product($y,$y))"
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*128)/128) AS kv FROM embeddings),
-         |vn AS MATERIALIZED (SELECT vec_id, kv, (${udot("kv", "kv")}) AS n2 FROM v),
-         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, kv AS cv FROM v ORDER BY vec_id LIMIT 8),
-         |${iteration(1)},
-         |${iteration(2)},
-         |${iteration(3)},
-         |cents AS MATERIALIZED (SELECT cent_id, list_transform(cv, x -> CAST(floor(x*1e7) AS BIGINT)) AS cent FROM c3),
-         |q AS MATERIALIZED (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
-         |assigned AS MATERIALIZED (SELECT vec_id, cell, qv FROM (
-         |   SELECT q.vec_id, c.cent_id AS cell, q.qv,
-         |     ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |       ORDER BY ${icos("q.qv", "c.cent")} DESC NULLS LAST, c.cent_id) AS rn
-         |   FROM q, cents c) WHERE rn = 1),
+    "q70_ann_ivf_kmeans" ->
+      s"""WITH corpus AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |$KmeansAssignedSql,
          |scored AS MATERIALIZED (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${icos("a.qv", "b.qv")} AS cosine
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${IcosSql("a.qv", "b.qv")} AS cosine
          |  FROM (SELECT * FROM assigned WHERE vec_id < 5) a
          |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |SELECT query_id, neighbor_id, rank, cosine FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // SemDeDup pairs: the q70 dyadic k-means cells bound the pair space;
+    // every within-cell pair is scored with the exact quantized cosine
+    // (q30's CosineSql) and thresholded. Planted identical-embedding
+    // copies (q30's corpus) guarantee real semantic dups in every cell mix
+    "q93_semantic_dedup" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |$KmeansAssignedSql,
+         |ok AS (SELECT cell FROM assigned GROUP BY cell HAVING count(*) BETWEEN 2 AND 5000)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosineSql AS cosine
+         |  FROM assigned a
+         |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.cell = a.cell)
+         |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
@@ -2816,6 +2826,52 @@ object SparkEntry {
   /** floor(x*1e7) long quantization (mirrors Vectors.quantize). */
   private val QuantizeSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+
+  /** Integer-grid cosine (exact under any summation order). */
+  private def IcosSql(x: String, y: String): String =
+    s"list_dot_product($x, $y)/sqrt(list_dot_product($x,$x)*list_dot_product($y,$y))"
+
+  /** Dyadic-grid k-means (8 cells, 3 unrolled Lloyd iterations) + exact
+    * quantized nearest-cell assignment, as WITH-fragments over a
+    * `corpus(vec_id, embedding)` CTE — shared by q70 and q93. The input
+    * snaps to a 1/128 grid so every distributed mean is an exact double
+    * (sums of dyadic rationals are exact and order-independent) —
+    * bit-identical across partition orders and engines; dot products
+    * against non-integer means (iterations 2-3) are spelled as explicit
+    * left-associated 64-term sums to replicate Spark's sequential
+    * `aggregate` fold bit-for-bit, while integer-grid dots use
+    * list_dot_product. Every CTE is MATERIALIZED: DuckDB otherwise
+    * inlines the chained iteration CTEs multiplicatively and the
+    * planner's expression tree blows past the allocator (measured
+    * bad_alloc at sf0.001 on repeat runs). */
+  private lazy val KmeansAssignedSql: String = {
+    val D = 64
+    def udot(x: String, y: String) =
+      (1 to D).map(i => s"$x[$i]*$y[$i]").mkString(" + ")
+    def iteration(i: Int): String = {
+      val cos = s"(${udot("vn.kv", "c.cv")}) / sqrt(vn.n2 * (${udot("c.cv", "c.cv")}))"
+      val means = (1 to D).map(j => s"avg(kv[$j])").mkString(", ")
+      s"""a$i AS MATERIALIZED (SELECT vec_id, kv, cell FROM (
+         |   SELECT vn.vec_id, vn.kv, c.cent_id AS cell,
+         |     ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY $cos DESC NULLS LAST, c.cent_id) AS rn
+         |   FROM vn, c${i - 1} c) WHERE rn = 1),
+         |m$i AS MATERIALIZED (SELECT cell, [$means] AS cv FROM a$i GROUP BY cell),
+         |c$i AS MATERIALIZED (SELECT c.cent_id, COALESCE(m.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN m$i m ON m.cell = c.cent_id)""".stripMargin
+    }
+    s"""v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*128)/128) AS kv FROM corpus),
+       |vn AS MATERIALIZED (SELECT vec_id, kv, (${udot("kv", "kv")}) AS n2 FROM v),
+       |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, kv AS cv FROM v ORDER BY vec_id LIMIT 8),
+       |${iteration(1)},
+       |${iteration(2)},
+       |${iteration(3)},
+       |cents AS MATERIALIZED (SELECT cent_id, list_transform(cv, x -> CAST(floor(x*1e7) AS BIGINT)) AS cent FROM c3),
+       |q AS MATERIALIZED (SELECT vec_id, $QuantizeSql AS qv FROM corpus),
+       |assigned AS MATERIALIZED (SELECT vec_id, cell, qv FROM (
+       |   SELECT q.vec_id, c.cent_id AS cell, q.qv,
+       |     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |       ORDER BY ${IcosSql("q.qv", "c.cent")} DESC NULLS LAST, c.cent_id) AS rn
+       |   FROM q, cents c) WHERE rn = 1)""".stripMargin
+  }
 
   /** IVF top-k with id-subset centroids (q44, and q72's persisted path —
     * the on-disk index must be invisible in the results). */

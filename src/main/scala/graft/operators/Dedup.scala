@@ -811,6 +811,68 @@ object Dedup {
       .drop("__id", "__cuts")
   }
 
+  // ------------------------------------------------------------------
+  // Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+  // at web-scale through semantic deduplication", arXiv:2303.09540):
+  // cluster the embedding space with k-means, then call two documents
+  // semantic duplicates when their embedding cosine clears a threshold
+  // WITHIN a cluster. The cluster pass bounds candidate generation
+  // exactly like an LSH band bucket, but with DATA-ADAPTIVE regions
+  // instead of random hyperplanes ([[embeddingNearDupPairs]]' sign-LSH):
+  // the paper's observation is that near-identical embeddings
+  // concentrate inside k-means cells, so Σ|cell|² pairs replace n².
+
+  /**
+   * Within-cluster semantic-duplicate pairs `(id_a, id_b, cosine)`.
+   *
+   * Scale shape, all existing machinery: centroids come from
+   * [[Similarity.kmeansCentroids]] (or pass `centroids` precomputed —
+   * the paper clusters once and reuses); cell assignment is the
+   * broadcast argmax (zero shuffle, one projection); pair generation is
+   * [[pairsFromBanded]] with cells as buckets (groupBy + in-group
+   * expansion, `maxBucket`-capped, warns uncapped — a mega-cell is this
+   * operator's degenerate bucket, and `numCells` is the first lever
+   * against it); every candidate is verified with the exact quantized
+   * cosine before the threshold applies, so a loose clustering can only
+   * lose pairs across cell boundaries (the paper accepts exactly this
+   * approximation), never fabricate one.
+   */
+  def semanticDupPairs(
+      df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, numCells: Int = 8, iterations: Int = 3,
+      centroids: Option[DataFrame] = None,
+      maxBucket: Int = Int.MaxValue, strict: Boolean = false): DataFrame = {
+    graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 8.0)
+    val cents = centroids.getOrElse(
+      Similarity.kmeansCentroids(df, id, vec, numCells, iterations))
+    val centArr = Similarity.centroidArray(cents)
+    val banded = Similarity.assignCells(df, id, vec, id, centArr)
+      .select(col(id), lit(0).as("band"), col("cell").cast("string").as("bucket"))
+    verifyPairs(df, id, vec,
+      pairsFromBanded(banded, id, maxBucket,
+        caller = "semanticDupPairs", strict = strict),
+      threshold)
+  }
+
+  /**
+   * SemDeDup applied: the corpus minus non-canonical semantic duplicates.
+   * Pairs resolve to connected components ([[dupClusters]] — transitive:
+   * a ≈ b ≈ c collapses to one survivor even when cos(a, c) dips under
+   * the threshold) and every component keeps its min id; the drop is a
+   * broadcast-friendly anti-join on the (pairs-sized, ≪ corpus) drop set.
+   */
+  def semanticDedup(
+      df: DataFrame, id: String, vec: String,
+      threshold: Double = 0.95, numCells: Int = 8, iterations: Int = 3,
+      centroids: Option[DataFrame] = None,
+      maxBucket: Int = Int.MaxValue, strict: Boolean = false): DataFrame = {
+    val pairs = semanticDupPairs(df, id, vec, threshold, numCells,
+      iterations, centroids, maxBucket, strict)
+    val drop = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster")).select(col("id").as("__drop"))
+    df.join(drop, df(id) === col("__drop"), "left_anti")
+  }
+
   /**
    * Embedding near-dup pairs + audit histogram from ONE banded frame
    * (Caches-tracked persist, as `minhashLshWithStats`): the audit costs one

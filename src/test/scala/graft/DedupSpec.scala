@@ -521,6 +521,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  // ---- SemDeDup (within-k-means-cell semantic duplicates) ----
+
+  test("semanticDupPairs: within-cell high-cosine pairs; semanticDedup keeps min ids") {
+    import spark.implicits._
+    // seeds are the two smallest ids: 1 points along x, 2 along y; 3 is a
+    // near-copy of 1, 4 a near-copy of 2, 5 sits between (cos ≈ 0.71 to
+    // both axes — same cells, below threshold)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)),
+      (3L, Array(0.99f, 0.012f, 0f, 0f)),
+      (4L, Array(0.01f, 0.99f, 0f, 0f)),
+      (5L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.semanticDupPairs(vecs, "id", "vec",
+        threshold = 0.95, numCells = 2, iterations = 2, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 4L)), pairs.toString)
+    val kept = Dedup.semanticDedup(vecs, "id", "vec",
+        threshold = 0.95, numCells = 2, iterations = 2, maxBucket = 100)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L), kept.toString)
+  }
+
   // ---- exact-substring dedup (duplicated k-token spans) ----
 
   private def spanDocs = {
