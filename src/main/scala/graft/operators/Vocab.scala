@@ -281,4 +281,42 @@ object Vocab {
         (col("covered").cast("double") / col("total").cast("double"))
           .as("coverage"))
   }
+
+  /**
+   * Persist a learned BPE tokenizer as an artifact: the merge table as
+   * parquet (one file — numMerges rows is human-sized by construction)
+   * plus an [[IndexMeta]] marker recording the ENCODING parameters
+   * (lowercase, endOfWord, numMerges). A tokenizer is params + merges
+   * together: an encoder run with different case-folding or a different
+   * end-of-word symbol than the trainer produces silently different
+   * subwords — the band-index parameter-drift lesson applied to
+   * tokenizers, which is why [[encodeBpeFrom]] takes its parameters from
+   * the artifact, never the caller. Overwrite semantics
+   * (retrain-and-replace); training corpora evolve by re-running
+   * [[trainBpe]], not by editing merges.
+   */
+  def saveBpe(merges: DataFrame, path: String,
+      lowercase: Boolean = true, endOfWord: String = "</w>"): Unit = {
+    val n = merges.count()
+    merges.orderBy(col("rank").asc).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    IndexMeta.write(merges.sparkSession, path,
+      Map("kind" -> "bpe", "lowercase" -> lowercase.toString,
+        "endOfWord" -> endOfWord, "numMerges" -> n.toString))
+  }
+
+  /** Encode with a SAVED tokenizer — parameters come from the artifact's
+    * marker (caller drift is impossible by construction); fails fast on a
+    * path that is not a [[saveBpe]] artifact. */
+  def encodeBpeFrom(df: DataFrame, text: String, path: String,
+      out: String = "bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val params = IndexMeta.read(spark, path)
+    require(params.get("kind").contains("bpe"),
+      s"no BPE tokenizer marker at $path (kind=${params.get("kind")}) — " +
+        "was this path written by Vocab.saveBpe?")
+    encodeBpe(df, text, spark.read.parquet(path), out,
+      lowercase = params("lowercase").toBoolean,
+      endOfWord = params("endOfWord"))
+  }
 }

@@ -196,6 +196,27 @@ class VocabChunkingSpec extends AnyFunSuite with SparkSpec {
     assert(edge(1).getSeq[String](0).isEmpty)
   }
 
+  test("saveBpe round-trip: artifact params drive the encoder; non-artifacts fail fast") {
+    val d = docs((1L, "AA ab aa"))
+    val merges = Vocab.trainBpe(d, "text", numMerges = 3) // lowercased corpus
+    val path = TempDirs.create("graft-bpe").resolve("tok").toString
+    Vocab.saveBpe(merges, path, lowercase = true)
+    // the saved artifact must encode exactly like the in-memory table,
+    // including the lowercase param it recorded
+    val fromDisk = Vocab.encodeBpeFrom(docs((9L, "AA ab")), "text", path)
+      .select("bpe_tokens").head().getSeq[String](0)
+    val inMem = Vocab.encodeBpe(docs((9L, "AA ab")), "text", merges)
+      .select("bpe_tokens").head().getSeq[String](0)
+    assert(fromDisk == inMem, s"$fromDisk vs $inMem")
+    // a bare parquet dir (no marker) is not a tokenizer
+    val bare = TempDirs.create("graft-bpe-bare").resolve("x").toString
+    merges.write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Vocab.encodeBpeFrom(docs((1L, "aa")), "text", bare)
+    }
+    assert(e.getMessage.contains("saveBpe"), e.getMessage)
+  }
+
   test("encodeBpe: memoized and unmemoized paths produce identical output") {
     val d = docs((1L, "aa ab aa aab"), (2L, "ab aa aa"))
     val merges = Vocab.trainBpe(d, "text", numMerges = 3)
