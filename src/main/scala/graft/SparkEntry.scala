@@ -1387,6 +1387,17 @@ object SparkEntry {
       graft.operators.Dedup.semanticDupPairs(corpus, "vec_id", "embedding",
           threshold = 0.9, centroids = Some(cents), maxBucket = 5000)
         .orderBy("id_a", "id_b")
+    }),
+
+    // temperature-derived mixture weights (t = 0.5 sharpens: p_d ∝ n_d²,
+    // exact in doubles, so the whole chain — sum, ratios, banker's
+    // rounding to mixCorpus's 1% grid — is IEEE-deterministic across
+    // engines; rint ≡ DuckDB round_even)
+    "q94_temperature_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Mixing.temperatureWeights(
+          t(s, dir, "documents"), col("lang"), t = 0.5, targetRows = 1000)
+        .toSeq.sortBy(_._1).toDF("domain", "weight")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2380,6 +2391,15 @@ object SparkEntry {
          |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  JOIN ok ON ok.cell = a.cell)
          |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // w_d = (n_d^(1/t) / Z) · target / n_d at the 1% grid; associativity
+    // mirrors the Scala driver expression exactly
+    "q94_temperature_weights" ->
+      """WITH c AS (SELECT lang AS domain, CAST(count(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(n, 2)) AS z FROM c)
+        |SELECT domain, round_even(pow(n, 2) / z.z * 1000 / n * 100, 0) / 100 AS weight
+        |FROM c, z ORDER BY domain""".stripMargin,
 
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from

@@ -14,6 +14,10 @@ import graft.ops.{Compaction, CompactionResult}
  * sql/new_rfb_and_total_claimants_active/new_rfb_and_total_claimants_active.py:38-74)
  * over the engine's own standing-index operators:
  *
+ *   0. SPAN DEDUP (opt-in, `spanDedupK`) — duplicated k-token spans inside
+ *      the night's batch are cut BEFORE hashing, so the probe fingerprints
+ *      and the corpus lands the cleaned text (within-crawl boilerplate;
+ *      O(batch) windows, deterministic for replay).
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
