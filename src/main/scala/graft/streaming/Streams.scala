@@ -166,6 +166,15 @@ object Streams {
    * the previously-accepted survivor in the drop set and silently skip its
    * delivery.
    *
+   * `spanDedupK` (opt-in, as [[graft.reports.IngestPipeline]]'s step 0):
+   * duplicated k-token spans INSIDE each micro-batch are cut before
+   * hashing, so the probe fingerprints — and `accept` receives — the
+   * cleaned text (within-crawl boilerplate; O(batch) windows,
+   * deterministic, so a replayed batch recuts the same spans). Batch-local
+   * only: cross-batch span state would be a standing window index ~3× the
+   * corpus in bytes (SCALE.md round 15) — run the batch operator over
+   * landed data when corpus-wide span dedup matters.
+   *
    * Returns the configured writer — caller sets checkpoint/trigger and
    * calls `start()`.
    */
@@ -173,10 +182,19 @@ object Streams {
       docs: DataFrame, idCol: String, textCol: String, indexPath: String,
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
       maxBucket: Int = Int.MaxValue, portable: Boolean = true,
-      dedupWithinBatch: Boolean = true)
+      dedupWithinBatch: Boolean = true,
+      spanDedupK: Option[Int] = None)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val spark = batch.sparkSession
+    docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
+      val spark = raw.sparkSession
+      val batch = spanDedupK match {
+        case Some(k) =>
+          Dedup.removeDuplicateSpans(raw.toDF(), idCol, textCol, k)
+            .drop(textCol).drop("removed_tokens")
+            .withColumnRenamed("clean_text", textCol)
+            .select(raw.columns.map(col).toSeq: _*)
+        case None => raw.toDF()
+      }
       val banded = Dedup.lshBanded(batch, idCol, textCol,
         shingleK, numHashes, bands, portable).persist()
       try {

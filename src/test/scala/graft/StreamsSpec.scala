@@ -241,6 +241,38 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
   }
 
+  test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
+    import spark.implicits._
+    val dir = TempDirs.create("graftingest-spans").toString
+    // 11 and 12 share a 7-token boilerplate prefix (k = 6 → two duplicated
+    // windows); 11 wins, 12 must be ACCEPTED with cleaned text — the probe
+    // hashes the cleaned batch, so the pair never near-dup-drops
+    Seq(11L -> "subscribe to our channel like and share alpha beta gamma delta",
+        12L -> "subscribe to our channel like and share epsilon zeta eta theta")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", dir + "/idx", maxBucket = 200,
+        spanDedupK = Some(6)) { (survivors, _) =>
+        accepted += survivors.select("doc_id", "text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.size == 1 && accepted.head.keySet == Set(11L, 12L),
+      accepted.toString)
+    assert(accepted.head(11L) ==
+      "subscribe to our channel like and share alpha beta gamma delta")
+    assert(accepted.head(12L) == "epsilon zeta eta theta", accepted.head(12L))
+  }
+
   test("nearDupIngestStream: a retraction between batches re-admits identical content") {
     import spark.implicits._
     import graft.operators.{BandIndex, Dedup}
