@@ -420,6 +420,36 @@ object ScaleBench {
             vocabLimit = 1000).count())
       }
 
+      // ---- ingestspan tier: what the opt-in batch-local span dedup
+      // (IngestConfig.spanDedupK) actually costs INSIDE a night, same
+      // batch with the flag off vs on — the number a deployment weighs
+      // against its boilerplate rate. Fresh corpus/index dirs per run so
+      // every night is a bootstrap night (the flag's cost is the delta;
+      // the bootstrap baseline is identical in both arms).
+      if (wanted("ingestspan")) {
+        import graft.reports.IngestPipeline
+        import graft.reports.IngestPipeline.IngestConfig
+        val batch = corpus(spark, math.min(n / 10, 100000L), seed = 77L)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        def night(tag: String, k: Option[Int]): Unit = {
+          val root = s"$scratch/ingestspan_${n}_$tag"
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          timedRuns(n, s"ingest_night_$tag",
+              setup = () => { fs.delete(new org.apache.hadoop.fs.Path(root), true); () }) {
+            () =>
+              IngestPipeline.runNight(spark, batch, "n1", IngestConfig(
+                corpusPath = s"$root/corpus",
+                bandIndexPath = s"$root/band_index",
+                metaDir = s"$root/meta",
+                maxBucket = 200, spanDedupK = k)).accepted
+          }
+        }
+        night("plain", None)
+        night("spank8", Some(8))
+      }
+
       // ---- bpe tier: full tokenizer training + corpus encoding. Training
       // wall time must scale with the corpus ONLY through the one
       // distributed dictionary pass — the 200-merge loop runs driver-side

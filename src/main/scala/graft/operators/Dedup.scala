@@ -103,11 +103,18 @@ object Dedup {
           .select(col("shingle") +: hashCols: _*)
       }
     val aggs = (0 until numHashes).map(s => min(col(s"h_$s")).as(s"mh_$s"))
-    // no broadcast hint: the distinct-shingle table grows with corpus
-    // diversity, and a forced broadcast would hit the 8 GB broadcast limit
-    // at large scale — AQE broadcasts it automatically while it is small
-    // and falls back to a shuffle join when it is not
-    cached.join(shingleHashes, Seq("shingle"))
+    // MERGE hint, never broadcast and never a hash build: the
+    // distinct-shingle table grows with corpus diversity, and "AQE falls
+    // back to a shuffle join when it is big" proved FALSE in practice — on
+    // a checkpoint-backed 100k-doc batch the optimizer's estimate for
+    // (distinct → 8-hash projection) undershot reality by ~300× and the
+    // auto-broadcast build collected 1 GB+ of task results into the
+    // driver; the SHUFFLE_HASH retry then OOM'd building ~100 MB per-task
+    // maps at 32 partitions (ScaleBench ingestspan tier, SCALE.md round
+    // 15). Sort-merge is the one strategy that degrades by SPILLING
+    // instead of dying, and the sort rides the exchanges this join pays
+    // anyway.
+    cached.join(shingleHashes.hint("MERGE"), Seq("shingle"))
       .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -100,7 +100,11 @@ object IngestPipeline {
       // batch-LOCAL exact-substring dedup (Some(k) enables): duplicated
       // k-token spans inside the night's batch are cut before hashing —
       // the within-crawl boilerplate case (shared headers/footers a
-      // nightly scrape repeats), O(batch) windows. Deliberately NOT
+      // nightly scrape repeats), O(batch) windows, measured at ~62% of a
+      // plain night's wall (ScaleBench ingestspan tier). NOTE this is a
+      // POLICY choice, not a free filter: docs whose only overlap was the
+      // cut boilerplate stop being near-duplicates and land as their
+      // unique remainders instead of dropping whole. Deliberately NOT
       // cross-night: corpus-wide span dedup is the batch operator
       // (Dedup.removeDuplicateSpans, q92) — a STANDING window index would
       // cost ~3× the corpus in bytes (one 20-byte hashed row per token),
