@@ -752,7 +752,11 @@ object Dedup {
    * per consumer. Per-doc cut lists are
    * bounded by the doc's own window count (collect_set after the dup
    * join), and the rebuild is a per-row higher-order filter costing
-   * O(tokens × cut windows) — no driver state anywhere. A boilerplate
+   * O(tokens × cut windows) — a measured tradeoff: the interval-merge
+   * form that bounds the pathological fully-duplicated-long-doc case ran
+   * ~2× slower END-TO-END at realistic cut densities and was reverted
+   * (see the inline note; chunk pathological documents upstream); no
+   * driver state anywhere. A boilerplate
    * gram duplicated across the whole corpus skews the dup-hash join;
    * AQE's skew split handles it (the dup side carries only counts, never
    * pair expansion).
@@ -807,6 +811,16 @@ object Dedup {
     val cuts = cutKept.groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__pos"))).as("__cuts"))
     val t = Vocab.tokensOf(col(text), lowercase = false)
+    // plain per-window exists, deliberately: an interval-merge rewrite
+    // (aggregate the sorted cuts into disjoint [s, e) spans, then scan
+    // intervals instead of windows) would make the rebuild linear for a
+    // fully-duplicated long doc — but MEASURED ~2× slower end-to-end at
+    // 1M docs (140-144 s vs this form's 50-79 s across repeat runs; the
+    // interpreted array-building aggregate lambda costs more than the
+    // scans it saves at realistic cut densities), so it was reverted. The residual hazard is real and
+    // documented: a single ~10^5-token doc that is ENTIRELY duplicated
+    // pays O(tokens × windows) in one task — chunk pathological documents
+    // upstream ([[Chunking]]) rather than carrying the 2.9× everywhere.
     val kept = filter(t, (_, i) =>
       !exists(col("__cuts"), p => p <= i && i < p + lit(k)))
     df.join(cuts, df(id) === cuts("__id"), "left")
