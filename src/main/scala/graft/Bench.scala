@@ -41,11 +41,21 @@ object Bench {
       .filter(_._2 > 0)
   }
 
-  /** The cross-round regression trigger: >1.5× the filed median AND a
-    * material gap (>0.3 s — sub-second queries jitter multiplicatively).
-    * Catches what the spread detector and the loadavg bound both miss: a
-    * SUSTAINED background-load plateau slows every run uniformly (r13's
-    * q20–q27 block). Extracted for the spec. */
+  /** The cross-round regression tiers, against the last FILED median with
+    * a material-gap floor (>0.3 s — sub-second queries jitter
+    * multiplicatively). Catches what the spread detector and the loadavg
+    * bound both miss: a SUSTAINED background-load plateau slows every run
+    * uniformly (r13's q20–q27 block). TWO tiers because one wasn't
+    * enough: r16's q89 drifted to 1.49× under load and slid in just under
+    * a single 1.5× trigger, filing a contaminated number unchallenged —
+    * so the RETRY tier fires earlier (>1.3×, cheap: one extra clean
+    * sample set) while the SUSPECT flag that taints the filed artifact
+    * keeps the stricter 1.5× bar. Extracted for the spec. */
+  private[graft] def driftedAgainst(baseline: Map[String, Double],
+      name: String, median: Double): Boolean =
+    baseline.get(shortKeyOf(name)).exists(b => b > 0 && median > 1.3 * b
+      && median - b > 0.3)
+
   private[graft] def regressedAgainst(baseline: Map[String, Double],
       name: String, median: Double): Boolean =
     baseline.get(shortKeyOf(name)).exists(b => b > 0 && median > 1.5 * b
@@ -123,6 +133,8 @@ object Bench {
     }.getOrElse(Map.empty)
     def regressed(name: String, median: Double): Boolean =
       regressedAgainst(baseline, name, median)
+    def drifted(name: String, median: Double): Boolean =
+      driftedAgainst(baseline, name, median)
     def medianOf(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -158,7 +170,7 @@ object Bench {
       def isBad(s: Seq[(Double, Double)]): Boolean = {
         val loads = s.map(_._2).filter(_ >= 0)
         spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound) ||
-          regressed(name, medianOf(s.map(_._1)))
+          drifted(name, medianOf(s.map(_._1))) // retry tier: >1.3× filed
       }
       def spreadRatio(s: Seq[(Double, Double)]): Double = {
         val st = steadyOf(s.map(_._1))

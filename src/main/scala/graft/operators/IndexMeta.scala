@@ -58,13 +58,21 @@ private[operators] object IndexMeta {
  *   3. rename `<staged>` → `<live>`
  *   4. delete `<live>__old`
  *
- * [[repair]] runs at retrain entry: a missing live directory WITH the
- * staged one present means the crash hit between steps 2 and 3 — and the
- * staged directory is complete by construction (it is only ever swapped
- * after its content is written and verified), so rolling FORWARD (rename
- * staged in, drop `__old`) restores exactly the state the interrupted
- * swap was committing. A leftover `__old` beside a live directory (crash
- * after 3) is simply dropped.
+ * [[repair]] is SUFFIX-AGNOSTIC and runs at every reader entry point
+ * (not just the operation that crashed): a missing live directory with a
+ * swap-READY staged sibling present — any `<live>__<op>` directory, not
+ * a hard-coded one — means the crash hit between steps 2 and 3, and the
+ * staged directory is complete by construction, so rolling FORWARD
+ * (rename staged in, drop `__old`) restores exactly the state the
+ * interrupted swap was committing. Readiness is explicit: [[swap]] drops
+ * a `_graft_swap_ready` marker into the staged directory before the
+ * first rename, so a PARTIAL stage (crash mid-write, before swap was
+ * ever called) can never be mistaken for the committed content and
+ * rolled forward — it has no marker. Without the suffix-agnostic form, a
+ * crash mid-vacuum followed by a retrain (or probe) found `codes/`
+ * missing and died unhelpfully because each operation only repaired its
+ * OWN suffix. A leftover `__old` beside a live directory (crash after 3)
+ * is simply dropped.
  */
 private[operators] object DirSwap {
 
@@ -72,29 +80,60 @@ private[operators] object DirSwap {
 
   def oldPath(live: String): String = live + "__old"
 
+  /** Marker file [[swap]] writes into a staged directory at commit start;
+    * its presence is the staged dir's "complete and verified" attestation
+    * [[repair]] keys roll-forward on. Underscore-prefixed: parquet
+    * readers skip it if it ever rides along. */
+  private val ReadyMarker = "_graft_swap_ready"
+
   /** Swap the verified `staged` directory in over `live` (steps 1–4). */
   def swap(spark: SparkSession, live: String, staged: String): Unit = {
     val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p(oldPath(live)), true)
+    fs.create(new org.apache.hadoop.fs.Path(p(staged), ReadyMarker), true)
+      .close() // staged is committed-content from this instant
     fs.rename(p(live), p(oldPath(live)))
     fs.rename(p(staged), p(live))
+    fs.delete(new org.apache.hadoop.fs.Path(p(live), ReadyMarker), false)
     fs.delete(p(oldPath(live)), true)
     ()
   }
 
-  /** Complete an interrupted [[swap]]; returns true if a roll-forward
-    * happened (the caller may want to log it). Safe to call when no swap
-    * was ever interrupted — it only acts on the stranded states above. */
-  def repair(spark: SparkSession, live: String, staged: String): Boolean = {
-    val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p(live)) && fs.exists(p(staged))) {
-      fs.rename(p(staged), p(live))
-      fs.delete(p(oldPath(live)), true)
-      true
-    } else {
+  /** Complete an interrupted [[swap]] over `live`, whatever operation
+    * staged it; returns true if a roll-forward happened (the caller may
+    * want to log it). Scans `live`'s parent for `<name>__*` siblings
+    * (excluding `__old`) carrying the ready marker; when live is missing
+    * and one exists, renames it in. Partial stages (no marker) are left
+    * for their owning operation's stale-stage cleanup. Safe — and cheap,
+    * one exists() in the common path — when nothing is stranded. */
+  def repair(spark: SparkSession, live: String): Boolean = {
+    val livePath = p(live)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(livePath)) {
       // crash after step 3: live is current, __old is litter
-      if (fs.exists(p(live))) fs.delete(p(oldPath(live)), true)
+      fs.delete(p(oldPath(live)), true)
       false
+    } else {
+      val parent = livePath.getParent
+      val prefix = livePath.getName + "__"
+      val ready =
+        if (parent == null || !fs.exists(parent)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(parent).filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+            st.getPath.getName != livePath.getName + "__old" &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ReadyMarker))
+        }
+      if (ready.isEmpty) false
+      else {
+        // at most one swap can be mid-flight; if a stale marked stage
+        // also lingers (crash after marker write, before rename-aside),
+        // the newer one is the interrupted commit
+        val chosen = ready.maxBy(_.getModificationTime).getPath
+        fs.rename(chosen, livePath)
+        fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker), false)
+        fs.delete(p(oldPath(live)), true)
+        true
+      }
     }
   }
 }
@@ -252,18 +291,43 @@ private[graft] object PartitionVacuum {
         if (touched.isEmpty) { Tombstones.clear(spark, tombRoot); return 0L }
         val removed = touched.map(_._2).sum
         val touchedVals = touched.map(_._1)
-        val survivors = df
-          .filter(col(partCol).isin(touchedVals.map(_.asInstanceOf[AnyRef]): _*))
+        // isin never matches null — a null partition value needs its own
+        // isNull arm or its rows silently vanish from the survivor set
+        val (nullTouched, nonNullVals) = touchedVals.partition(_ == null)
+        val survivorPred = Seq(
+          if (nonNullVals.nonEmpty)
+            Some(col(partCol).isin(nonNullVals.map(_.asInstanceOf[AnyRef]): _*))
+          else None,
+          if (nullTouched.nonEmpty) Some(col(partCol).isNull) else None
+        ).flatten.reduce(_ || _)
+        val survivors = df.filter(survivorPred)
           .join(bts, df(idCol) === bts(Tombstones.IdCol), "left_anti")
         survivors.write.partitionBy(partCol).mode("overwrite").parquet(staged)
+        // Directory names must be built with the SAME escaping rule
+        // Spark's writer used for both the live layout and the stage
+        // (special characters percent-escape, null and empty string map
+        // to __HIVE_DEFAULT_PARTITION__) — a hand-built s"$partCol=$v"
+        // misses escaped values, the swap no-ops, and retracted rows
+        // silently survive with the tombstone protection cleared.
+        val dirNames = touchedVals.map(dirNameFor(partCol, _))
+        // Validate EVERY computed live dir before the first destructive
+        // rename: a touched partition by definition has live bytes, so a
+        // missing live dir means name reconstruction broke — abort loudly
+        // with nothing renamed rather than half-swap.
+        dirNames.foreach { d =>
+          val live = hp(s"$dataRoot/$d")
+          require(fs.exists(live),
+            s"vacuum computed live partition directory '$live' which does " +
+              "not exist — partition-name reconstruction mismatch; " +
+              "aborting before any swap (tombstones remain in force)")
+        }
         fs.mkdirs(hp(s"$dataRoot/$AsideDir"))
-        touchedVals.foreach { v =>
-          val dirName = s"$partCol=$v"
+        dirNames.foreach { dirName =>
           val live = hp(s"$dataRoot/$dirName")
           val aside = hp(s"$dataRoot/$AsideDir/$dirName")
           val stagedDir = hp(s"$staged/$dirName")
           fs.delete(aside, true)
-          if (fs.exists(live)) fs.rename(live, aside)
+          fs.rename(live, aside)
           // a fully-tombstoned partition has no staged survivors: the
           // delete IS the rewrite
           if (fs.exists(stagedDir)) fs.rename(stagedDir, live)
@@ -280,6 +344,24 @@ private[graft] object PartitionVacuum {
         Tombstones.clear(spark, tombRoot) // commit point — see scaladoc
         removed
     }
+  }
+
+  /** The physical directory name Spark's writer gave this partition
+    * value: delegate to Spark's own rule
+    * ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils]])
+    * so escaping (`%`, `:`, space, `=`, …) and the null /
+    * empty-string → `__HIVE_DEFAULT_PARTITION__` mapping match the
+    * layout byte-for-byte. Value→string uses the external form
+    * (`Date.toString` = yyyy-MM-dd, numbers verbatim); an exotic type
+    * whose toString drifts from the writer's form is caught by the
+    * pre-swap exists() validation in [[vacuum]], never silently. */
+  private def dirNameFor(partCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s = v match {
+      case null => ""  // getPartitionPathString maps "" to the null dir
+      case other => other.toString
+    }
+    ExternalCatalogUtils.getPartitionPathString(partCol, s)
   }
 
   /** Roll back any partition stranded mid-swap by a crash (aside present,

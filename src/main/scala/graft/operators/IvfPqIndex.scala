@@ -168,14 +168,21 @@ object IvfPqIndex {
     spark.read.parquet(codebooksPath(path))
 
   /** The stored assignment `(vec_id, codes, cell)`. */
-  def loadCells(spark: SparkSession, path: String): DataFrame =
+  def loadCells(spark: SparkSession, path: String): DataFrame = {
+    // roll forward a swap any crashed operation left mid-flight (see
+    // PqIndex.loadCodes — same reader-funnel discipline)
+    DirSwap.repair(spark, cellsPath(path))
     spark.read.parquet(cellsPath(path))
+  }
 
   /** Encode + cell-assign an ingest batch with the SAVED artifacts and
     * append — only the touched cell directories gain files. */
   def append(batch: DataFrame, id: String, vec: String, path: String): Unit = {
     val spark = batch.sparkSession
     PqIndex.requireNumericId(batch, id)
+    // an append into a cells dir a crashed swap left missing would CREATE
+    // a fresh directory beside the stranded stage — repair first
+    DirSwap.repair(spark, cellsPath(path))
     val meta = checkCompat(spark, path, batch, vec, "append")
     val m = meta("m").toInt
     encodeWithCells(batch, id, vec,
@@ -202,8 +209,12 @@ object IvfPqIndex {
     * byte-untouched, crash recovery is [[PartitionVacuum]]'s rename-aside
     * repair. Returns rows removed. Run on the nightly-compaction
     * cadence. */
-  def vacuum(spark: SparkSession, path: String): Long =
+  def vacuum(spark: SparkSession, path: String): Long = {
+    // PartitionVacuum reads cellsPath directly (no loadCells funnel) —
+    // roll forward a crashed retrain's swap first
+    DirSwap.repair(spark, cellsPath(path))
     PartitionVacuum.vacuum(spark, path, cellsPath(path), CellCol, "vec_id")
+  }
 
   /**
    * The composed layout's codebook-repair twin of
@@ -248,7 +259,7 @@ object IvfPqIndex {
     val spark = corpus.sparkSession
     PqIndex.requireNumericId(corpus, id)
     val staged = cellsPath(path) + "__retrain"
-    DirSwap.repair(spark, cellsPath(path), staged)
+    DirSwap.repair(spark, cellsPath(path))
     val meta = checkCompat(spark, path, corpus, vec, "retrain")
     val m = meta("m").toInt
     val ksub = meta("ksub").toInt

@@ -292,8 +292,13 @@ object PqIndex {
   def loadCodebooks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(codebooksPath(path))
 
-  def loadCodes(spark: SparkSession, path: String): DataFrame =
+  def loadCodes(spark: SparkSession, path: String): DataFrame = {
+    // EVERY reader funnels through here, so a swap interrupted by a crash
+    // in ANY operation (vacuum, retrain) rolls forward before the read —
+    // not only when the same operation happens to run next
+    DirSwap.repair(spark, codesPath(path))
     spark.read.parquet(codesPath(path))
+  }
 
   /** Geometry/scheme drift guard — [[IvfIndex]]'s checkCompat for PQ. */
   private def checkCompat(spark: SparkSession, path: String,
@@ -322,6 +327,9 @@ object PqIndex {
   def append(batch: DataFrame, id: String, vec: String, path: String): Unit = {
     val spark = batch.sparkSession
     requireNumericId(batch, id)
+    // appending into a codes dir a crashed swap left missing would CREATE
+    // a fresh directory beside the stranded stage — repair first
+    DirSwap.repair(spark, codesPath(path))
     val meta = checkCompat(spark, path, batch, vec, "append")
     val dsub = meta("dims").toInt / meta("m").toInt
     encode(batch, id, vec, "vec_id", bookArray(loadCodebooks(spark, path)),
@@ -348,7 +356,7 @@ object PqIndex {
   def vacuum(spark: SparkSession, path: String): Long = {
     val live = codesPath(path)
     val staged = live + "__vacuum"
-    DirSwap.repair(spark, live, staged)
+    DirSwap.repair(spark, live)
     val fs = new org.apache.hadoop.fs.Path(staged)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
@@ -411,10 +419,10 @@ object PqIndex {
       trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     requireNumericId(corpus, id)
-    // a prior retrain may have crashed mid-swap: restore a consistent
-    // codes directory BEFORE anything reads it (checkCompat's dims probe
-    // does not, but the coverage counts below do)
-    DirSwap.repair(spark, codesPath(path), codesPath(path) + "__retrain")
+    // a prior retrain OR vacuum may have crashed mid-swap: restore a
+    // consistent codes directory BEFORE anything reads it (checkCompat's
+    // dims probe does not, but the coverage counts below do)
+    DirSwap.repair(spark, codesPath(path))
     val meta = checkCompat(spark, path, corpus, vec, "retrain")
     val m = meta("m").toInt
     val ksub = meta("ksub").toInt

@@ -110,6 +110,13 @@ object IngestPipeline {
       // cost ~3× the corpus in bytes (one 20-byte hashed row per token),
       // a storage trade no deployment wants by default (SCALE.md round 15)
       spanDedupK: Option[Int] = None,
+      // escape hatch for the packed (id,pos) keeper: ids outside
+      // [0, 2^39) or positions ≥ 2^24 (content-hash-style ids) fail the
+      // packed path fast — set false to take the three-pass keeper
+      // instead of dying mid-night (Dedup.removeDuplicateSpans scaladoc)
+      spanDedupPacked: Boolean = true,
+      // case-insensitive span MATCHING (rebuild keeps original tokens)
+      spanDedupLowercase: Boolean = false,
       carrier: String = "corpus")
 
   final case class NightResult(
@@ -173,10 +180,18 @@ object IngestPipeline {
       case Some(k) =>
         ExecutionLogger.logged(meta, s"ingest_span_dedup_$night",
             cfg.carrier, (df: DataFrame) => (batchRows, 0L, 0L)) {
-          Dedup.removeDuplicateSpans(batch, cfg.idCol, cfg.textCol, k)
+          // eager localCheckpoint INSIDE the logged block: (a) the step's
+          // logged duration covers the cut work, not just lazy plan
+          // construction (it used to fold into ingest_probe); (b) prepped
+          // feeds BOTH the banded hashing and the survivor anti-join —
+          // without the pin the span cut would compute twice
+          Dedup.removeDuplicateSpans(batch, cfg.idCol, cfg.textCol, k,
+              lowercase = cfg.spanDedupLowercase,
+              packedKeeper = cfg.spanDedupPacked)
             .drop(cfg.textCol).drop("removed_tokens")
             .withColumnRenamed("clean_text", cfg.textCol)
             .select(batch.columns.map(col).toSeq: _*)
+            .localCheckpoint(true)
         }
       case None => batch
     }
@@ -408,7 +423,19 @@ object IngestPipeline {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
     }
-    val pinned = ids.select(col(ids.columns.head).cast("long").as(cfg.idCol))
+    // Validate BEFORE the long cast: casting a string-id takedown list
+    // first would null out every id, the nulls drop, and the retraction
+    // removes nothing while `requested` still counts the rows — the exact
+    // silent failure Tombstones.append's NumericType fail-fast exists to
+    // prevent. Apply the same contract to the caller's column here.
+    val rawIdCol = ids.columns.head
+    require(ids.schema(rawIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"retract takes numeric ids; column '$rawIdCol' has type " +
+        s"${ids.schema(rawIdCol).dataType} — map string ids to a stable " +
+        "numeric key first (a null-cast here would silently retract " +
+        "nothing while still reporting requested > 0)")
+    val pinned = ids.select(col(rawIdCol).cast("long").as(cfg.idCol))
       .distinct().localCheckpoint(true) // small by contract; pin once
     val requested = pinned.count()
     // a target that never bootstrapped holds nothing to retract — appending

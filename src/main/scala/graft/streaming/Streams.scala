@@ -183,13 +183,18 @@ object Streams {
       shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
       maxBucket: Int = Int.MaxValue, portable: Boolean = true,
       dedupWithinBatch: Boolean = true,
-      spanDedupK: Option[Int] = None)
+      spanDedupK: Option[Int] = None,
+      // packed-keeper escape hatch + case-insensitive matching, as
+      // IngestConfig.spanDedupPacked / spanDedupLowercase
+      spanDedupPacked: Boolean = true,
+      spanDedupLowercase: Boolean = false)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
       val spark = raw.sparkSession
       val batch = spanDedupK match {
         case Some(k) =>
-          Dedup.removeDuplicateSpans(raw.toDF(), idCol, textCol, k)
+          Dedup.removeDuplicateSpans(raw.toDF(), idCol, textCol, k,
+              lowercase = spanDedupLowercase, packedKeeper = spanDedupPacked)
             .drop(textCol).drop("removed_tokens")
             .withColumnRenamed("clean_text", textCol)
             .select(raw.columns.map(col).toSeq: _*)

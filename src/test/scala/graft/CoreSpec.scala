@@ -302,6 +302,17 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.regressedAgainst(base, "q24_json_props", 1.8))
     assert(!Bench.regressedAgainst(base, "q99_unknown", 100.0))
     assert(!Bench.regressedAgainst(Map("q1" -> 0.0), "q1_x", 9.0)) // b > 0 guard
+    // the RETRY tier fires earlier (>1.3×): r16's q89 drifted to 1.49×
+    // (18.057 → 26.9) and slid under the single 1.5× trigger unchallenged —
+    // under the two-tier rule that value gets a clean re-sample...
+    val r15q89 = Map("q89" -> 18.057)
+    assert(Bench.driftedAgainst(r15q89, "q89_ingest_ivfpq", 26.9))
+    // ...while the suspect flag (the artifact taint) keeps the 1.5× bar
+    assert(!Bench.regressedAgainst(r15q89, "q89_ingest_ivfpq", 26.9))
+    assert(!Bench.driftedAgainst(base, "q23_dq_suite", 2.672 * 1.25)) // < 1.3×
+    assert(Bench.driftedAgainst(base, "q23_dq_suite", 2.672 * 1.4))
+    assert(!Bench.driftedAgainst(base, "q24_json_props", 1.45)) // gap <= 0.3
+    assert(!Bench.driftedAgainst(base, "q99_unknown", 100.0))
   }
 
   test("Bench regression guard arms on the LITERAL filed artifacts") {

@@ -418,4 +418,77 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r2.corpusRemoved == 0 && r2.bandRemoved == 0
       && r2.ivfRemoved.contains(0L), r2.toString)
   }
+
+  test("retract: a string-id takedown list fails LOUDLY, never requested>0/removed==0") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-retract-strid")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString)
+    assert(IngestPipeline.runNight(spark, Seq(
+        1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text"), "n1", cfg).accepted == 1)
+    // the old behavior was the worst kind of compliance bug: cast-to-long
+    // BEFORE validation null'd every string id, the nulls dropped, and the
+    // takedown reported requested > 0 with removed == 0 — silently
+    // retaining the content. The contract is now a fail-fast.
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.retract(spark, Seq("doc-1").toDF("doc_id"),
+        "bad-takedown", cfg)
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+    // and nothing was touched: the corpus still holds the doc
+    assert(spark.read.parquet(cfg.corpusPath).count() == 1)
+  }
+
+  test("spanDedupPacked=false: a night over ids >= 2^39 completes via the three-pass keeper") {
+    import spark.implicits._
+    val bigBase = 1L << 39 // outside the packed keeper's id domain
+    def batch(base: Long) = Seq(
+      (base + 10, "subscribe to our channel like and share alpha beta gamma delta"),
+      (base + 11, "subscribe to our channel like and share epsilon zeta eta theta"),
+      (base + 12, "completely unrelated content about spark aggregation plans"))
+      .toDF("doc_id", "text")
+    def cfgAt(root: java.nio.file.Path, packed: Boolean) = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      spanDedupK = Some(6), spanDedupPacked = packed)
+    // the packed default dies mid-night on out-of-domain ids (fail-fast,
+    // not silence)…
+    val packedRoot = TempDirs.create("graft-ingest-span-packed")
+    val e = intercept[Exception] {
+      IngestPipeline.runNight(spark, batch(bigBase), "n1",
+        cfgAt(packedRoot, packed = true))
+    }
+    // the raise_error fires inside the night's job — the actionable
+    // message may sit anywhere in the wrapped cause chain
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString("\n")
+    assert(chain.contains("packedKeeper"), chain)
+    // …and the plumbed escape hatch completes the same night
+    val fbRoot = TempDirs.create("graft-ingest-span-fallback")
+    val n1 = IngestPipeline.runNight(spark, batch(bigBase), "n1",
+      cfgAt(fbRoot, packed = false))
+    assert(n1.accepted == 3, n1.toString)
+    def landed(cfg: IngestConfig, base: Long): Map[Long, String] =
+      spark.read.parquet(cfg.corpusPath).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0) - base) -> r.getString(1)).toMap
+    val fb = landed(cfgAt(fbRoot, packed = false), bigBase)
+    assert(fb(11L) == "epsilon zeta eta theta", fb.toString)
+    // identical survivors to the packed path on a small-id corpus: both
+    // keepers pick the same lexicographic-min winner by construction
+    val smallP = TempDirs.create("graft-ingest-span-small-p")
+    val smallU = TempDirs.create("graft-ingest-span-small-u")
+    assert(IngestPipeline.runNight(spark, batch(0L), "n1",
+      cfgAt(smallP, packed = true)).accepted == 3)
+    assert(IngestPipeline.runNight(spark, batch(0L), "n1",
+      cfgAt(smallU, packed = false)).accepted == 3)
+    assert(landed(cfgAt(smallP, packed = true), 0L) ==
+      landed(cfgAt(smallU, packed = false), 0L))
+    assert(landed(cfgAt(smallP, packed = true), 0L) == fb,
+      "the big-id fallback night must land the same cleaned texts")
+  }
 }

@@ -245,4 +245,119 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
       "repair must restore the stranded cell; vacuum drops only the tombstoned row")
     assert(!aside.exists(), "the aside litter is gone")
   }
+
+  test("PartitionVacuum: escaped string values (:/%/space) and the null partition vacuum physically") {
+    import spark.implicits._
+    import graft.operators.{PartitionVacuum, Tombstones}
+    val root = TempDirs.create("graft-vac-escape").resolve("data").toString
+    // partition values Spark's writer ESCAPES on disk (: and % →
+    // percent-encoding) plus a null (→ __HIVE_DEFAULT_PARTITION__): the
+    // old hand-built s"$partCol=$v" directory name missed all of them,
+    // the swap silently no-op'd, and retracted rows SURVIVED with the
+    // tombstone protection cleared — the exact compliance failure this
+    // spec pins shut
+    val df = Seq(
+      (1L, Option("a b"), "r1"), (2L, Option("a b"), "r2"),
+      (3L, Option("c:d%e"), "r3"), (4L, Option("c:d%e"), "r4"),
+      (5L, Option.empty[String], "r5"), (6L, Option.empty[String], "r6"),
+      (7L, Option("plain"), "r7"), (8L, Option("plain"), "r8"))
+      .toDF("id", "part", "payload")
+    df.write.partitionBy("part").parquet(root)
+    // the escaped names really are on disk (guards against the test
+    // silently weakening if Spark's escaping rules ever move)
+    val dirs = new java.io.File(new java.net.URI("file://" + root))
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("part=c%3Ad%25e") &&
+      dirs.contains("part=__HIVE_DEFAULT_PARTITION__"), dirs.toString)
+    def plainFiles() = new java.io.File(
+        new java.net.URI("file://" + root + "/part=plain"))
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).toSet
+    val before = plainFiles()
+    Tombstones.append(spark, root, idsDf(1L, 3L, 5L))
+    val removed = PartitionVacuum.vacuum(spark, root, root, "part", "id")
+    assert(removed == 3L, s"removed must be honest: $removed")
+    val left = spark.read.parquet(root)
+    assert(left.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 4L, 6L, 7L, 8L),
+      "retracted rows must be PHYSICALLY gone from escaped + null partitions")
+    assert(left.filter(col("part") === "a b").count() == 1)
+    assert(left.filter(col("part") === "c:d%e").count() == 1)
+    assert(left.filter(col("part").isNull).count() == 1)
+    assert(plainFiles() == before, "untouched partition byte-identical")
+    // the set cleared (commit point reached); a re-run no-ops
+    assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 0L)
+  }
+
+  test("DirSwap: a swap stranded by ONE operation repairs from ANY entry point") {
+    import graft.operators.PqIndex
+    val path = newPath("dirswap")
+    val c = vecCorpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 1)
+    val codesUri = new java.net.URI("file://" + path + "/codes")
+    def strandVacuumSwap(): java.io.File = {
+      // crash point between rename-aside and rename-in of a VACUUM swap:
+      // live codes gone, committed content sits in codes__vacuum behind
+      // the ready marker (exactly what swap() stages before renaming)
+      val codes = new java.io.File(codesUri)
+      val staged = new java.io.File(new java.net.URI(
+        "file://" + path + "/codes__vacuum"))
+      assert(codes.renameTo(staged), "test setup: stranding the swap")
+      assert(new java.io.File(staged, "_graft_swap_ready").createNewFile())
+      staged
+    }
+    // (a) a RETRAIN — a different operation from the one that crashed —
+    // must roll the vacuum's swap forward instead of dying on a missing
+    // codes directory (the r15 defect: each op repaired only ITS suffix)
+    val s1 = strandVacuumSwap()
+    PqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 0,
+      iterations = 1)
+    assert(new java.io.File(codesUri).exists() && !s1.exists())
+    // (b) a PROBE after a fresh strand repairs through the reader funnel
+    val s2 = strandVacuumSwap()
+    val q = c.filter(col("vec_id") === 2L)
+    val top = PqIndex.probe(spark, path, q, "vec_id", "embedding",
+      candidates = 16, rerank = Some((c, "vec_id", "embedding")), k = 3)
+    assert(top.count() == 3, "probe must succeed after roll-forward")
+    assert(new java.io.File(codesUri).exists() && !s2.exists())
+    // (c) an UNMARKED partial stage must NEVER roll forward — a stage
+    // without the ready marker is a crash mid-write, i.e. garbage
+    val s3 = strandVacuumSwap()
+    assert(new java.io.File(s3, "_graft_swap_ready").delete())
+    intercept[Exception] { PqIndex.loadCodes(spark, path).count() }
+    assert(s3.exists(), "partial stage left for its owner's cleanup")
+    // restore for the filesystem's sake
+    assert(new java.io.File(s3, "_graft_swap_ready").createNewFile())
+    assert(PqIndex.loadCodes(spark, path).count() == 64)
+  }
+
+  test("IvfPqIndex: cells stranded mid-swap repair from append and vacuum entry") {
+    val path = newPath("dirswap-ivfpq")
+    val c = vecCorpus(60)
+    IvfPqIndex.save(c, "vec_id", "embedding", path,
+      numCells = 4, m = 4, ksub = 4, iterations = 1)
+    val cellsUri = new java.net.URI("file://" + path + "/cells")
+    def strand(): java.io.File = {
+      val cells = new java.io.File(cellsUri)
+      val staged = new java.io.File(new java.net.URI(
+        "file://" + path + "/cells__retrain"))
+      assert(cells.renameTo(staged), "test setup")
+      assert(new java.io.File(staged, "_graft_swap_ready").createNewFile())
+      staged
+    }
+    // vacuum entry (delegates to PartitionVacuum, which reads the path
+    // directly) must repair a crashed RETRAIN's swap first
+    val s1 = strand()
+    IvfPqIndex.removeIds(spark, path, idsDf(0L))
+    assert(IvfPqIndex.vacuum(spark, path) == 1L)
+    assert(new java.io.File(cellsUri).exists() && !s1.exists())
+    // append into a stranded layout must repair, not create a fresh dir
+    // beside the stage
+    val s2 = strand()
+    IvfPqIndex.append(vecCorpus(61).filter(col("vec_id") === 60L),
+      "vec_id", "embedding", path)
+    assert(new java.io.File(cellsUri).exists() && !s2.exists())
+    assert(IvfPqIndex.loadCells(spark, path).count() == 60L) // 59 + appended
+  }
 }
