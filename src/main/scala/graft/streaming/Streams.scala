@@ -198,6 +198,10 @@ object Streams {
             .drop(textCol).drop("removed_tokens")
             .withColumnRenamed("clean_text", textCol)
             .select(raw.columns.map(col).toSeq: _*)
+            // pin the cut once: batch feeds the banded hashing, the probe's
+            // excludeIds, AND the survivor anti-join — without this the
+            // span-dedup window shuffle recomputes per consumer
+            .localCheckpoint(true)
         case None => raw.toDF()
       }
       val banded = Dedup.lshBanded(batch, idCol, textCol,

@@ -196,8 +196,17 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(landed(12L) ==
       "completely unrelated content about spark aggregation plans")
     val meta = new MetaStore(spark, cfg.metaDir)
-    assert(meta.executionLog
-      .filter(col("target_table") === "ingest_span_dedup_n1").count() == 1)
+    val step = meta.executionLog
+      .filter(col("target_table") === "ingest_span_dedup_n1").collect()
+    assert(step.length == 1)
+    // the step materializes the cut INSIDE the logged block (eager
+    // localCheckpoint), so its logged duration covers the span-dedup work
+    // — it used to time lazy plan construction (sub-ms) while the cut's
+    // cost folded into ingest_probe. Any real Spark shuffle job takes
+    // well over 10 ms; plan construction alone does not reach it reliably.
+    val durMs = step.head.getAs[java.sql.Timestamp]("execution_end_ts").getTime -
+      step.head.getAs[java.sql.Timestamp]("execution_start_ts").getTime
+    assert(durMs >= 10, s"span-dedup step must time the cut work: ${durMs}ms")
   }
 
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {

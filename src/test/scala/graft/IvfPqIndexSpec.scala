@@ -221,6 +221,9 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkSpec {
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     org.apache.hadoop.fs.FileUtil.copy(fs, p("cells"), fs,
       p("cells__retrain"), false, conf)
+    // the new swap() marks the stage ready before any rename — simulate
+    // the reachable crash state, marker included (see PqIndexSpec's twin)
+    fs.create(p("cells__retrain/_graft_swap_ready"), true).close()
     assert(fs.rename(p("cells"), p("cells__old")))
     assert(!fs.exists(p("cells")), "simulated crash: live cells gone")
     IvfPqIndex.retrainSubspace(c, "vec_id", "embedding", path, s = 0,

@@ -379,6 +379,11 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     org.apache.hadoop.fs.FileUtil.copy(fs, p("codes"), fs,
       p("codes__retrain"), false, conf)
+    // swap() attests the staged dir with the ready marker BEFORE the first
+    // rename, so every reachable mid-swap crash state carries it — the
+    // simulation must too (an unmarked stage is a partial write and is
+    // deliberately never rolled forward)
+    fs.create(p("codes__retrain/_graft_swap_ready"), true).close()
     assert(fs.rename(p("codes"), p("codes__old")))
     assert(!fs.exists(p("codes")), "simulated crash: live codes gone")
     // the documented repair — re-run the retrain — must now work: entry
