@@ -41,6 +41,27 @@ object Bench {
       .filter(_._2 > 0)
   }
 
+  /** Per-query MEDIAN across the last few filed rounds. A single-last-
+    * round baseline is poisoned by exactly the artifact the guard exists
+    * to prevent: r16 filed contaminated numbers (same code, loaded
+    * machine), and an r17 guard reading only r16 compared against
+    * inflated values and barely armed. The median of three rounds
+    * tolerates ONE bad round in either direction while still tracking a
+    * legitimate two-round shift (two rounds at a new level outvote the
+    * old). Queries missing from some rounds (newly added) use the rounds
+    * that have them. */
+  private[graft] def combineBaselines(
+      rounds: Seq[Map[String, Double]]): Map[String, Double] = {
+    val keys = rounds.flatMap(_.keys).toSet
+    keys.iterator.map { k =>
+      val vs = rounds.flatMap(_.get(k)).sorted
+      val med =
+        if (vs.length % 2 == 1) vs(vs.length / 2)
+        else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0
+      k -> med
+    }.filter(_._2 > 0).toMap
+  }
+
   /** The cross-round regression tiers, against the last FILED median with
     * a material-gap floor (>0.3 s — sub-second queries jitter
     * multiplicatively). Catches what the spread detector and the loadavg
@@ -119,18 +140,22 @@ object Bench {
     // SPARK_GRAFT_BENCH_BASELINE or the highest BENCH_r*.json in cwd;
     // parsing is a tolerant regex scan, so a truncated record still yields
     // its surviving queries.
-    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
-      val rx = """BENCH_r(\d+)\.json""".r
-      Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f.getPath)); case _ => None
-        }).sortBy(_._1).lastOption.map(_._2)
-    }
-    val baseline: Map[String, Double] = baselinePath.map { p =>
+    // SPARK_GRAFT_BENCH_BASELINE pins ONE file; otherwise the per-query
+    // MEDIAN of the last three filed rounds (see combineBaselines — one
+    // contaminated filed round must not disarm the next round's guard)
+    val baselinePaths: Seq[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(Seq(_)).getOrElse {
+        val rx = """BENCH_r(\d+)\.json""".r
+        Option(new java.io.File(".").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(f => f.getName match {
+            case rx(n) => Some((n.toInt, f.getPath)); case _ => None
+          }).sortBy(_._1).takeRight(3).map(_._2)
+      }
+    val baseline: Map[String, Double] = combineBaselines(baselinePaths.map { p =>
       try parseBaseline(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    })
     def regressed(name: String, median: Double): Boolean =
       regressedAgainst(baseline, name, median)
     def drifted(name: String, median: Double): Boolean =
@@ -285,8 +310,9 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspect.map { case (k, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val baselineNote = baselinePath.map("\"" + jsonEscape(_) + "\"")
-      .getOrElse("null")
+    val baselineNote =
+      if (baselinePaths.isEmpty) "null"
+      else "\"" + jsonEscape(baselinePaths.mkString(",")) + "\""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
     try {

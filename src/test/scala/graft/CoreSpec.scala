@@ -313,6 +313,19 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(Bench.driftedAgainst(base, "q23_dq_suite", 2.672 * 1.4))
     assert(!Bench.driftedAgainst(base, "q24_json_props", 1.45)) // gap <= 0.3
     assert(!Bench.driftedAgainst(base, "q99_unknown", 100.0))
+    // one contaminated filed round must not poison the combined baseline:
+    // the per-query median of three rounds outvotes it in either direction
+    // (r17's guard read only r16's inflated values and barely armed)
+    val combined = Bench.combineBaselines(Seq(
+      Map("q46" -> 0.219, "q47" -> 0.309),
+      Map("q46" -> 0.186, "q47" -> 0.302),
+      Map("q46" -> 0.706, "q47" -> 1.095))) // the r16-shaped bad round
+    assert(combined("q46") == 0.219 && combined("q47") == 0.309, combined)
+    // a query filed in only some rounds still baselines from those; an
+    // even count takes the midpoint
+    val partial = Bench.combineBaselines(Seq(
+      Map("q1" -> 1.0), Map("q1" -> 3.0, "q2" -> 2.0)))
+    assert(partial("q1") == 2.0 && partial("q2") == 2.0, partial)
   }
 
   test("Bench regression guard arms on the LITERAL filed artifacts") {
