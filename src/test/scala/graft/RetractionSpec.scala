@@ -289,6 +289,47 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
     assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 0L)
   }
 
+  test("PartitionVacuum: adversarial partition-value battery round-trips the writer's naming") {
+    import spark.implicits._
+    import graft.operators.{PartitionVacuum, Tombstones}
+    // every value class Spark's writer treats specially: path separators,
+    // the partition '=' delimiter, percent (the escape char itself),
+    // quotes, hash/question (URI-significant), backslash, glob and
+    // bracket characters, a tab,
+    // and the literal default-partition token — which writes verbatim and
+    // READS BACK AS NULL, so it exercises the vacuum's null arm through
+    // the round-trip. (Empty string and true null are NOT alongside it:
+    // all three are distinct writer-internal values mapping to the SAME
+    // directory and per-task filename, and Spark's own write task
+    // collides on itself — a writer quirk upstream of vacuum; true null
+    // is covered by the escaping spec above.)
+    val values: Seq[Option[String]] = Seq(
+      Some("a b"), Some("a=b"), Some("a/b"), Some("a:b"), Some("a%b"),
+      Some("a'b"), Some("a\"b"), Some("a#b"), Some("a?b"), Some("a\\b"),
+      Some("a\tb"), Some("a*b"), Some("a[b]"), Some("a^b"), Some("a{b}"),
+      Some("__HIVE_DEFAULT_PARTITION__"))
+    // non-ASCII values (ümlaut, CJK) are deliberately absent: Spark does
+    // not escape them (legal path bytes under a UTF-8 locale) and this
+    // container's JVM locale cannot create such filenames at all —
+    // another writer-side constraint upstream of vacuum
+    val root = TempDirs.create("graft-vac-adversarial").resolve("d").toString
+    // two rows per value; tombstone the even id of each pair
+    val rows = values.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v, s"keep$i"), (i * 2L + 1, v, s"drop$i"))
+    }
+    rows.toDF("id", "part", "payload").repartition(4)
+      .write.partitionBy("part").parquet(root)
+    val dropIds = values.indices.map(i => i * 2L + 1)
+    Tombstones.append(spark, root, dropIds.toDF("id"))
+    val removed = PartitionVacuum.vacuum(spark, root, root, "part", "id")
+    assert(removed == values.size.toLong, s"$removed of ${values.size}")
+    val left = spark.read.parquet(root).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(left == values.indices.map(i => i * 2L).toSet,
+      s"every odd id must be physically gone: $left")
+    assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 0L)
+  }
+
   test("DirSwap: a swap stranded by ONE operation repairs from ANY entry point") {
     import graft.operators.PqIndex
     val path = newPath("dirswap")
