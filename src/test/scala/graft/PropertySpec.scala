@@ -188,4 +188,38 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(got == expect, s"epoch days [$s,$e]: got $got want $expect")
     }
   }
+
+  test("removeDuplicateSpans: packed ≡ three-pass keeper on random corpora; token accounting") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // tiny vocab so k-gram repeats are common; both keepers must pick the
+    // identical lexicographic-min winner and cut the identical spans —
+    // the documented equivalence the packed fold rides on, checked here
+    // on corpora no one hand-picked
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(doc).map(_.take(6))
+    samples(Gen.zip(corpusGen, Gen.choose(2, 3)), 6).foreach {
+      case (docs, k) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        def run(packed: Boolean): Seq[(Long, String, Long)] =
+          Dedup.removeDuplicateSpans(df, "id", "text", k = k,
+              packedKeeper = packed)
+            .select("id", "clean_text", "removed_tokens").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+            .sortBy(_._1).toSeq
+        val p = run(packed = true)
+        assert(p == run(packed = false), s"k=$k docs=$docs")
+        // token accounting: removed_tokens is exactly the per-doc token
+        // count delta, and cleaned docs never gain tokens
+        p.foreach { case (id, clean, removed) =>
+          val orig = docs(id.toInt).split("\\s+").count(_.nonEmpty)
+          val kept = clean.split("\\s+").count(_.nonEmpty)
+          assert(removed == orig - kept,
+            s"doc $id: $orig -> $kept but removed=$removed (k=$k)")
+        }
+    }
+  }
 }
