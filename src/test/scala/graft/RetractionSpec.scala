@@ -330,6 +330,36 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
     assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 0L)
   }
 
+  test("vacuum crash walk: stale stage litter and crash-before-clear re-run clean") {
+    import spark.implicits._
+    import graft.operators.{PartitionVacuum, Tombstones}
+    val root = TempDirs.create("graft-vac-walk").resolve("d").toString
+    Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"), (4L, "p2", "d"))
+      .toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(root)
+    Tombstones.append(spark, root, idsDf(1L))
+    // crash state: the staged-survivors write died mid-flight on a PRIOR
+    // run — a partial stage litters <root>__vacuum. Entry must discard it
+    // and stage fresh, never swap in the partial bytes.
+    val staged = new java.io.File(new java.net.URI(s"file://${root}__vacuum"))
+    assert(new java.io.File(staged, "part=p1").mkdirs())
+    val junk = new java.io.File(staged, "part=p1/part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 1L)
+    assert(!staged.exists(), "stale stage must be discarded, then cleaned up")
+    def ids(): Set[Long] = spark.read.parquet(root).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(2L, 3L, 4L))
+    // crash state: every swap completed but the crash hit BEFORE the
+    // tombstone clear (the commit point) — the replay re-runs with the
+    // already-removed id still tombstoned and must land on the same
+    // result with removed = 0, then clear
+    Tombstones.append(spark, root, idsDf(1L))
+    assert(PartitionVacuum.vacuum(spark, root, root, "part", "id") == 0L)
+    assert(ids() == Set(2L, 3L, 4L))
+    assert(Tombstones.read(spark, root).isEmpty, "replay must reach the clear")
+  }
+
   test("DirSwap: a swap stranded by ONE operation repairs from ANY entry point") {
     import graft.operators.PqIndex
     val path = newPath("dirswap")
