@@ -128,6 +128,9 @@ object Similarity {
   def bruteForceTopKAgg(
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
+    // same contract as PqIndex.requireNumericId: a string id would
+    // null-cast every neighbor_id silently instead of failing here
+    PqIndex.requireNumericId(corpus, cId)
     val q = queries.select(col(qId).as("query_id"),
         Vectors.quantize(col(qVec)).as("__qv"))
       .withColumn("__qn", Vectors.dotQ(col("__qv"), col("__qv")))
@@ -254,6 +257,10 @@ object Similarity {
     // aggregate inside the per-centroid lambda would re-reduce the array k
     // times per row per iteration (same fix as ivfTopK.assign's __vn)
     def norm2(a: Column): Column = aggregate(a, lit(0.0), (s, x) => s + x * x)
+    // string ids would null-cast vid, scrambling the deterministic seed
+    // order (and nulling cent_id) silently — fail fast like every other
+    // numeric-id surface
+    PqIndex.requireNumericId(corpus, cId)
     val v = corpus.select(col(cId).cast("long").as("vid"),
         col(cVec).cast("array<double>").as("vec"))
       .withColumn("__vn2", norm2(col("vec")))
