@@ -273,6 +273,35 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(accepted.head(12L) == "epsilon zeta eta theta", accepted.head(12L))
   }
 
+  test("nearDupIngestStream spanDedupPacked=false: ids >= 2^39 complete via the three-pass keeper") {
+    import spark.implicits._
+    val dir = TempDirs.create("graftingest-spans-bigid").toString
+    val big = 1L << 39 // outside the packed keeper's id domain
+    Seq(big + 11 -> "subscribe to our channel like and share alpha beta gamma delta",
+        big + 12 -> "subscribe to our channel like and share epsilon zeta eta theta")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", dir + "/idx", maxBucket = 200,
+        spanDedupK = Some(6), spanDedupPacked = false) { (survivors, _) =>
+        accepted += survivors.select("doc_id", "text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.size == 1 &&
+      accepted.head.keySet == Set(big + 11, big + 12), accepted.toString)
+    assert(accepted.head(big + 12) == "epsilon zeta eta theta",
+      "the fallback keeper must land the identical cleaned text")
+  }
+
   test("nearDupIngestStream: a retraction between batches re-admits identical content") {
     import spark.implicits._
     import graft.operators.{BandIndex, Dedup}
