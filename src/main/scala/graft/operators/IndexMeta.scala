@@ -89,6 +89,11 @@ private[operators] object DirSwap {
   /** Swap the verified `staged` directory in over `live` (steps 1–4). */
   def swap(spark: SparkSession, live: String, staged: String): Unit = {
     val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the marker create would silently mkdir a MISSING staged dir — and a
+    // crash after it could roll an empty directory forward as live
+    require(fs.exists(p(staged)),
+      s"swap: staged directory '$staged' does not exist — stage content " +
+        "before swapping")
     fs.delete(p(oldPath(live)), true)
     fs.create(new org.apache.hadoop.fs.Path(p(staged), ReadyMarker), true)
       .close() // staged is committed-content from this instant
