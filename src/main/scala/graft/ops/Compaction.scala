@@ -99,7 +99,16 @@ object Compaction {
         val kv = segs.dropRight(1).flatMap { d =>
           val i = d.indexOf('=')
           if (i < 0) None
-          else Some(unescapePathName(d.take(i)) -> unescapePathName(d.drop(i + 1)))
+          else {
+            // the null-partition directory token must parse to NULL — a
+            // reader of the table sees null, and leaving the literal
+            // string meant tuplePred/the planner's null-safe join matched
+            // nothing for string partition columns, so a fragmented null
+            // partition silently never compacted
+            val v = unescapePathName(d.drop(i + 1))
+            val value = if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+            Some(unescapePathName(d.take(i)) -> value)
+          }
         }.toMap
         val a = acc.getOrElseUpdate(partCols.map(kv.getOrElse(_, null)),
           Array(0L, 0L))

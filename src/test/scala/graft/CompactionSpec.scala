@@ -48,6 +48,30 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
       "untouched partition files must not be rewritten")
   }
 
+  test("compactPath compacts a fragmented NULL string partition and escaped values") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-compact-null").resolve("t").toString
+    // string partition column with a null partition and an escaped value:
+    // fileStats must parse __HIVE_DEFAULT_PARTITION__ back to null (what a
+    // reader sees) and percent-unescape 'a:b', or the rewrite's predicates
+    // match nothing and the partitions silently never compact
+    val df = (1L to 200L).map(i =>
+        (i, if (i % 2 == 0) null else "a:b", s"row $i"))
+      .toDF("id", "part", "payload")
+    df.repartition(8).write.partitionBy("part").parquet(root)
+    assert(partFiles(new File(root, "part=__HIVE_DEFAULT_PARTITION__")).size == 8)
+    assert(partFiles(new File(root, "part=a%3Ab")).size == 8)
+    val before = spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val res = Compaction.compactPath(spark, root, Seq("part"))
+    assert(res.partitionsSelected == 2, res.toString)
+    assert(res.filesAfter == 2, res.toString) // one packed file each
+    assert(partFiles(new File(root, "part=__HIVE_DEFAULT_PARTITION__")).size == 1)
+    assert(partFiles(new File(root, "part=a%3Ab")).size == 1)
+    assert(spark.read.parquet(root).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before, "contents byte-equal")
+  }
+
   test("compactPath is a no-op when every partition meets its target") {
     import spark.implicits._
     val root = TempDirs.create("graft-compact-noop").resolve("t").toString
