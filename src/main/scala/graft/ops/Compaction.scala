@@ -48,10 +48,12 @@ final case class CompactionResult(
  */
 object Compaction {
 
-  /** Hive partition-path unescape: %XX sequences back to chars;
-    * `__HIVE_DEFAULT_PARTITION__` is the null sentinel. */
+  /** Hive partition-path unescape: %XX sequences back to chars. Pure
+    * decoding — the `__HIVE_DEFAULT_PARTITION__` null sentinel is matched
+    * on the RAW directory token by the caller, as Spark's
+    * PartitioningUtils does, so a percent-escaped variant stays a literal
+    * string exactly like a reader of the table sees it. */
   private def unescapePathName(v: String): String = {
-    if (v == "__HIVE_DEFAULT_PARTITION__") return null
     if (!v.contains('%')) return v
     val sb = new StringBuilder(v.length)
     var i = 0
@@ -100,13 +102,15 @@ object Compaction {
           val i = d.indexOf('=')
           if (i < 0) None
           else {
-            // the null-partition directory token must parse to NULL — a
-            // reader of the table sees null, and leaving the literal
-            // string meant tuplePred/the planner's null-safe join matched
-            // nothing for string partition columns, so a fragmented null
-            // partition silently never compacted
-            val v = unescapePathName(d.drop(i + 1))
-            val value = if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+            // the null-partition token parses to NULL — that is what a
+            // reader of the table sees. Matched on the RAW token, before
+            // unescaping, to mirror Spark's PartitioningUtils exactly: a
+            // percent-escaped variant (%5F%5FHIVE...) is a literal string
+            // to Spark's reader and must stay one here too
+            val raw = d.drop(i + 1)
+            val value =
+              if (raw == "__HIVE_DEFAULT_PARTITION__") null
+              else unescapePathName(raw)
             Some(unescapePathName(d.take(i)) -> value)
           }
         }.toMap

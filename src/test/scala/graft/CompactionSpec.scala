@@ -72,6 +72,25 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSeq == before, "contents byte-equal")
   }
 
+  test("fileStats keeps a percent-escaped null-sentinel token a literal string") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-compact-rawtoken").resolve("t")
+    // Spark's writer never emits this directory name (it does not escape
+    // '_'), but Spark's READER unescapes it to the literal string
+    // '__HIVE_DEFAULT_PARTITION__', NOT to null — PartitioningUtils
+    // matches the null sentinel on the RAW token, before unescaping.
+    // fileStats must agree with the reader, or its stats row would carry
+    // null for a partition the rewrite's predicates address as a string.
+    val dir = root.resolve("part=%5F%5FHIVE_DEFAULT_PARTITION%5F%5F")
+    Seq((1L, "x")).toDF("id", "payload").coalesce(1)
+      .write.parquet(dir.toString)
+    val stats = Compaction.fileStats(spark, root.toString, Seq("part"))
+      .collect()
+    assert(stats.length == 1, stats.mkString(";"))
+    assert(stats.head.getAs[String]("part") == "__HIVE_DEFAULT_PARTITION__",
+      stats.head.toString)
+  }
+
   test("compactPath is a no-op when every partition meets its target") {
     import spark.implicits._
     val root = TempDirs.create("graft-compact-noop").resolve("t").toString
