@@ -73,6 +73,19 @@ private[operators] object IndexMeta {
  * missing and died unhelpfully because each operation only repaired its
  * OWN suffix. A leftover `__old` beside a live directory (crash after 3)
  * is simply dropped.
+ *
+ * CONCURRENCY: [[repair]] runs destructive renames and deletes, and
+ * because it funnels through every READER entry point
+ * (loadCodes/loadCells/probe), a reader racing a legitimately in-flight
+ * [[swap]] — between its rename-aside (step 2) and rename-in (step 3) —
+ * can roll the marked stage forward while the swapper is mid-commit. On
+ * a filesystem with atomic directory rename the interleaving converges
+ * (the loser's rename returns false, which both actors ignore, and every
+ * delete is idempotent), but on stores WITHOUT atomic directory rename
+ * the window is real. The maintenance-window caveat the vacuum/retrain
+ * operations document therefore extends to reader-side repair: while a
+ * swap is in flight, probes share the maintainer's window — serialize
+ * maintenance against readers externally on non-atomic-rename stores.
  */
 private[operators] object DirSwap {
 
@@ -115,7 +128,11 @@ private[operators] object DirSwap {
     val livePath = p(live)
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(livePath)) {
-      // crash after step 3: live is current, __old is litter
+      // crash after step 3: live is current, __old is litter — and a
+      // crash between rename(staged→live) and the marker delete strands
+      // the ready marker INSIDE live. Sweep both, so the marker keeps
+      // meaning "committed stage", never litter inside a live directory.
+      fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker), false)
       fs.delete(p(oldPath(live)), true)
       false
     } else {

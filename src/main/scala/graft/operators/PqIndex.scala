@@ -295,7 +295,10 @@ object PqIndex {
   def loadCodes(spark: SparkSession, path: String): DataFrame = {
     // EVERY reader funnels through here, so a swap interrupted by a crash
     // in ANY operation (vacuum, retrain) rolls forward before the read —
-    // not only when the same operation happens to run next
+    // not only when the same operation happens to run next. This makes
+    // reader-side repair subject to DirSwap's concurrency caveat: a probe
+    // racing an IN-FLIGHT swap shares the maintainer's window (see the
+    // DirSwap scaladoc, non-atomic-rename stores especially).
     DirSwap.repair(spark, codesPath(path))
     spark.read.parquet(codesPath(path))
   }

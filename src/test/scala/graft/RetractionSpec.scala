@@ -403,6 +403,27 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
     assert(PqIndex.loadCodes(spark, path).count() == 64)
   }
 
+  test("DirSwap: repair sweeps a ready marker stranded INSIDE live") {
+    import graft.operators.PqIndex
+    val path = newPath("dirswap-marker")
+    val c = vecCorpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 1)
+    // crash state between swap's rename(staged→live) and the marker
+    // delete: live is current but still CARRIES the ready marker, and
+    // __old is litter. The next reader must sweep both — a marker left
+    // inside a live directory stops meaning "committed stage".
+    val codes = new java.io.File(new java.net.URI("file://" + path + "/codes"))
+    val marker = new java.io.File(codes, "_graft_swap_ready")
+    assert(marker.createNewFile(), "test setup: stranding the marker")
+    val old = new java.io.File(new java.net.URI(
+      "file://" + path + "/codes__old"))
+    assert(old.mkdir(), "test setup: __old litter")
+    assert(PqIndex.loadCodes(spark, path).count() == 64)
+    assert(!marker.exists(), "stranded ready marker swept from live")
+    assert(!old.exists(), "__old litter swept")
+  }
+
   test("IvfPqIndex: cells stranded mid-swap repair from append and vacuum entry") {
     val path = newPath("dirswap-ivfpq")
     val c = vecCorpus(60)
