@@ -82,6 +82,16 @@ object Bench {
     baseline.get(shortKeyOf(name)).exists(b => b > 0 && median > 1.5 * b
       && median - b > 0.3)
 
+  /** The filed artifact's "baseline" field: a JSON ARRAY of the paths the
+    * baseline medians came from (or null when none) — not a comma-joined
+    * string, so consumers can tell the multi-round median baseline from a
+    * single pinned file without string-splitting. Extracted for the
+    * spec. */
+  private[graft] def baselineJson(paths: Seq[String],
+      esc: String => String): String =
+    if (paths.isEmpty) "null"
+    else paths.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -310,9 +320,7 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspect.map { case (k, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val baselineNote =
-      if (baselinePaths.isEmpty) "null"
-      else "\"" + jsonEscape(baselinePaths.mkString(",")) + "\""
+    val baselineNote = baselineJson(baselinePaths, jsonEscape)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
     try {

@@ -326,6 +326,17 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     val partial = Bench.combineBaselines(Seq(
       Map("q1" -> 1.0), Map("q1" -> 3.0, "q2" -> 2.0)))
     assert(partial("q1") == 2.0 && partial("q2") == 2.0, partial)
+    // the filed "baseline" field is a JSON ARRAY of paths (r17 filed a
+    // comma-joined string a single-path consumer would mis-parse), null
+    // when no baseline was found, and escapes path characters
+    assert(Bench.baselineJson(Nil, identity) == "null")
+    assert(Bench.baselineJson(Seq("BENCH_r17.json"), identity)
+      == "[\"BENCH_r17.json\"]")
+    assert(Bench.baselineJson(
+        Seq("BENCH_r15.json", "BENCH_r16.json", "BENCH_r17.json"), identity)
+      == "[\"BENCH_r15.json\",\"BENCH_r16.json\",\"BENCH_r17.json\"]")
+    assert(Bench.baselineJson(Seq("a\"b"), s => s.replace("\"", "\\\""))
+      == "[\"a\\\"b\"]")
   }
 
   test("Bench regression guard arms on the LITERAL filed artifacts") {
