@@ -201,6 +201,50 @@ object ScaleBench {
           shingleK = 3, numHashes = 8, bands = 4, maxBucket = 200)))
       if (wanted("merge")) mergeBench(spark, metrics, n, runs)
 
+      // ---- mergeable corpus-statistics sketches: sketch_batch = the
+      // per-night cost at batch size n (one map-side-combined aggregation
+      // over the batch — the only part that scales with data);
+      // sketch_merge = the lifetime-stats question, which reads ONLY the
+      // persisted nights×groups state and must stay constant in corpus
+      // size (the whole point — profiling without a corpus rescan)
+      if (wanted("sketch")) {
+        val spec = graft.operators.Sketches.SketchSpec(Seq("grp"),
+          distinctCols = Seq("source"), sumCols = Seq("n_chars"))
+        // 20 groups; 50k distinct sources (HLL estimation mode at every
+        // tier, not coupon-exact — the honest regime for the estimate)
+        def profiled(d: DataFrame): DataFrame = d.select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(20)).as("grp"),
+          concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(50000)))
+            .as("source"),
+          length(col("text")).as("n_chars"))
+        // collect(), NOT count(): counting an aggregate frame lets the
+        // optimizer PRUNE the aggregate expressions (it computes distinct
+        // group keys only — doc_id, never the text), timing a plan the
+        // operator never runs. collect() of the 20-row result forces every
+        // sum/HLL to materialize; the driver transfer is 20 rows
+        timedRuns(n, "sketch_batch") { () =>
+          graft.operators.Sketches.batchSketch(
+              profiled(spark.read.parquet(s"$scratch/docs_$n")), spec)
+            .collect().length.toLong
+        }
+        val statePath = s"$scratch/sketch_state_$n"
+        val stateP = new org.apache.hadoop.fs.Path(statePath)
+        timedRuns(n, "sketch_merge", setup = () => {
+          // 10 nights of persisted state, written ONCE (not part of the
+          // merge cost under measurement)
+          if (!fs.exists(stateP)) {
+            val docs = profiled(spark.read.parquet(s"$scratch/docs_$n"))
+            (0 until 10).foreach(k => graft.operators.Sketches.appendNight(
+              docs.filter(pmod(col("doc_id"), lit(10)) === k),
+              spec, statePath, s"n$k"))
+          }
+        }) { () =>
+          graft.operators.Sketches.mergedStats(spark, statePath, spec)
+            .collect().length.toLong
+        }
+      }
+
       // ---- incremental probe tier: full recompute vs persisted-index probe
       // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
       if (wanted("probe") || wanted("probe_inc") || wanted("probe_full")) {

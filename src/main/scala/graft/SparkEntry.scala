@@ -1398,6 +1398,28 @@ object SparkEntry {
       graft.operators.Mixing.temperatureWeights(
           t(s, dir, "documents"), col("lang"), t = 0.5, targetRows = 1000)
         .toSeq.sortBy(_._1).toDF("domain", "weight")
+    }),
+
+    // mergeable corpus-statistics sketches (Sketches): three deterministic
+    // "nights" of the documents table each land O(batch) per-night state
+    // (exact counts/sums + a Datasketches HLL per distinct column); the
+    // merged LIFETIME stats must equal the exact one-shot aggregation the
+    // oracle computes over the whole table. HLL is exact at these
+    // cardinalities (coupon mode; ≤20 sources) — SketchesSpec pins the
+    // estimation-mode error bound at 50k distinct. The 100 TB point:
+    // lifetime profiling reads nights×groups KB of state, never the corpus.
+    "q95_corpus_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spec = graft.operators.Sketches.SketchSpec(Seq("lang"),
+        distinctCols = Seq("source"), sumCols = Seq("n_chars"))
+      val tmp = Scratch.dir("graft_q95_").resolve("sketches").toString
+      (0 to 2).foreach(n => graft.operators.Sketches.appendNight(
+        docs.filter(pmod(col("doc_id"), lit(3)) === n), spec, tmp, s"n$n"))
+      graft.operators.Sketches.mergedStats(s, tmp, spec)
+        .select(col("lang"), col("n_rows").as("n_docs"),
+          col("sum_n_chars").as("total_chars"),
+          col("distinct_source").as("n_sources"))
+        .orderBy("lang")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2400,6 +2422,15 @@ object SparkEntry {
         |z AS (SELECT sum(pow(n, 2)) AS z FROM c)
         |SELECT domain, round_even(pow(n, 2) / z.z * 1000 / n * 100, 0) / 100 AS weight
         |FROM c, z ORDER BY domain""".stripMargin,
+
+    // sketch-state parity: per-night mergeable sketches (counts/sums added,
+    // HLL sketches unioned) must reproduce the exact one-shot aggregation —
+    // HLL is exact in coupon mode at this table's ≤20 distinct sources
+    "q95_corpus_sketch" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from

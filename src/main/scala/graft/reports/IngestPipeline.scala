@@ -117,7 +117,22 @@ object IngestPipeline {
       spanDedupPacked: Boolean = true,
       // case-insensitive span MATCHING (rebuild keeps original tokens)
       spanDedupLowercase: Boolean = false,
+      // (opt-in) mergeable corpus-statistics sketch state: each night's
+      // ACCEPTED batch lands one compact row per group under
+      // <metaDir>/corpus_sketches/night=<night>
+      // ([[graft.operators.Sketches.appendNight]] — exact counts/sums +
+      // an HLL per distinct column), so corpus-LIFETIME profiling
+      // ([[graft.operators.Sketches.mergedStats]]) reads nights×groups KB
+      // of state instead of rescanning the corpus — the scan-once
+      // discipline the DQ re-check's GROUPING SETS pass already follows.
+      // These are LANDING-time statistics: a later retraction does not
+      // rewrite them (they describe what each night contributed, not the
+      // current corpus)
+      statsSketch: Option[graft.operators.Sketches.SketchSpec] = None,
       carrier: String = "corpus")
+
+  /** Where [[IngestConfig.statsSketch]] state lives. */
+  def sketchPath(cfg: IngestConfig): String = s"${cfg.metaDir}/corpus_sketches"
 
   final case class NightResult(
       night: String,
@@ -293,6 +308,20 @@ object IngestPipeline {
             "night stays re-runnable")))
         return NightResult(night, batchRows, accepted, batchRows - accepted,
           CompactionResult(0, 0L, 0L, 0L), dqFailures)
+      }
+
+      // 3b. (opt-in) SKETCH — the night's landed contribution as mergeable
+      // statistics state, O(batch) compute and O(groups) output. After the
+      // failOnDq gate: a withheld night's landing will be REPLACED by the
+      // repair re-run, so its stats must not enter the lifetime state.
+      // Replay-idempotent like the landing itself (per-night dynamic
+      // partition overwrite); deterministic survivors → identical rows
+      cfg.statsSketch.foreach { spec =>
+        ExecutionLogger.logged(meta, s"ingest_sketch_$night", cfg.carrier,
+            (_: Unit) => (accepted, 0L, 0L)) {
+          graft.operators.Sketches.appendNight(survivors, spec,
+            sketchPath(cfg), night)
+        }
       }
 
       // 4. INDEX — appends touch only the partitions the survivors hit

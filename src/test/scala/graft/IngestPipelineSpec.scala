@@ -232,6 +232,47 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
         s"window [$startMs, $endMs]; observed job starts: $jobStarts")
   }
 
+  test("statsSketch lands per-night mergeable state matching the landed corpus") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-sketch")
+    val spec = graft.operators.Sketches.SketchSpec(Seq("lang"),
+      distinctCols = Seq("doc_id"))
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      statsSketch = Some(spec))
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "pack my box with five dozen liquor jugs today", "en"),
+      (3L, "pack my box with five dozen liquor jugs today", "en"), // dup of 2
+      (4L, "ein ganz anderes deutsches dokument ueber andere sachen", "de"))
+      .toDF("doc_id", "text", "lang")
+    val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    assert(n1.accepted == 3 && n1.dropped == 1, n1.toString)
+    val n2 = IngestPipeline.runNight(spark,
+      Seq((5L, "some fresh english content with entirely new words", "en"))
+        .toDF("doc_id", "text", "lang"), "n2", cfg)
+    assert(n2.accepted == 1, n2.toString)
+    // the merged lifetime stats must equal the exact aggregation over the
+    // LANDED corpus: only survivors sketch (the dropped dup never counts),
+    // and per-night states add up across nights
+    def stats() = graft.operators.Sketches
+      .mergedStats(spark, IngestPipeline.sketchPath(cfg), spec)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = spark.read.parquet(cfg.corpusPath)
+      .groupBy("lang").agg(count(lit(1)), count_distinct(col("doc_id")))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stats() == want, s"${stats()} vs $want")
+    // the step is audited per night
+    val meta = new MetaStore(spark, cfg.metaDir)
+    assert(meta.executionLog
+      .filter(col("target_table").isin("ingest_sketch_n1", "ingest_sketch_n2"))
+      .count() == 2)
+  }
+
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-replay")

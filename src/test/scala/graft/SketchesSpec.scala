@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+import graft.operators.Sketches.SketchSpec
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  test("merged sketch stats equal the exact one-shot aggregation at small cardinality") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches").resolve("state").toString
+    val spec = SketchSpec(Seq("grp"), distinctCols = Seq("src"),
+      sumCols = Seq("v"))
+    // 3 "nights", 2 groups, ≤30 distinct sources per group (HLL coupon
+    // mode — estimates are exact), plus a null src and a null group
+    val rows = (1 to 900).map { i =>
+      (s"n${i % 3}", if (i % 7 == 0) null else s"g${i % 2}",
+        if (i % 11 == 0) null else s"s${i % 30}", i.toLong)
+    }.toDF("night", "grp", "src", "v")
+    (0 to 2).foreach(n => Sketches.appendNight(
+      rows.filter(col("night") === s"n$n").drop("night"), spec, path, s"n$n"))
+
+    val got = Sketches.mergedStats(spark, path, spec)
+      .orderBy(asc_nulls_first("grp"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        count_distinct(col("src")).as("distinct_src"))
+      .orderBy(asc_nulls_first("grp"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("HLL estimate within the lgK=12 error bound at 50k distinct; night-union == one-shot") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-big").resolve("state").toString
+    val spec = SketchSpec(Seq("grp"), distinctCols = Seq("src"))
+    val n = 50000
+    val rows = (1 to n).map(i => (s"n${i % 4}", "g", s"src_$i"))
+      .toDF("night", "grp", "src")
+    (0 to 3).foreach(k => Sketches.appendNight(
+      rows.filter(col("night") === s"n$k").drop("night"), spec, path, s"n$k"))
+    val est = Sketches.mergedStats(spark, path, spec)
+      .select("distinct_src").head().getLong(0)
+    // RSE at lgK=12 is ~1.04/sqrt(4096) ≈ 1.6%; 3σ ≈ 4.9% — assert 5%
+    assert(math.abs(est - n.toDouble) / n < 0.05, s"estimate $est vs $n")
+    // sketch union is register-wise max / coupon-set union: merging the
+    // four per-night sketches must estimate EXACTLY like one sketch built
+    // over the whole frame in a single pass
+    val oneShot = Sketches.batchSketch(rows.drop("night"), spec)
+      .select(hll_sketch_estimate(col("hll_src"))).head().getLong(0)
+    assert(est == oneShot, s"union $est != one-shot $oneShot")
+  }
+
+  test("appendNight replay is idempotent and replaces only its night") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-replay").resolve("st").toString
+    val spec = SketchSpec(Seq("grp"), sumCols = Seq("v"))
+    val n1 = Seq(("g", 1L), ("g", 2L)).toDF("grp", "v")
+    val n2 = Seq(("g", 10L)).toDF("grp", "v")
+    Sketches.appendNight(n1, spec, path, "n1")
+    Sketches.appendNight(n2, spec, path, "n2")
+    def stats() = Sketches.mergedStats(spark, path, spec)
+      .select("n_rows", "sum_v").head()
+    val before = stats()
+    // a crash replay re-lands the SAME night: state must not double
+    Sketches.appendNight(n1, spec, path, "n1")
+    assert(stats() == before, "replay must not double-count")
+    assert(before.getLong(0) == 3L && before.getLong(1) == 13L)
+    // a night id that would escape its directory fails fast
+    intercept[IllegalArgumentException] {
+      Sketches.appendNight(n1, spec, path, "a/b")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.appendNight(n1, spec, path, "")
+    }
+  }
+
+  test("nightlyStats resolves per-night contributions") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-nightly").resolve("st").toString
+    val spec = SketchSpec(Seq("grp"), distinctCols = Seq("src"))
+    Sketches.appendNight(Seq(("g", "a"), ("g", "b")).toDF("grp", "src"),
+      spec, path, "n1")
+    Sketches.appendNight(Seq(("g", "b")).toDF("grp", "src"),
+      spec, path, "n2")
+    val got = Sketches.nightlyStats(spark, path, spec)
+      .orderBy("night")
+      .collect().map(r => (r.getAs[String]("night"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("distinct_src")))
+    assert(got.toSeq == Seq(("n1", 2L, 2L), ("n2", 1L, 1L)))
+  }
+}
