@@ -84,6 +84,22 @@ object Streams {
   def parquetStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
 
+  /** Micro-batch twin of [[graft.reports.IngestPipeline]]'s `statsSketch`
+    * step: sketch a batch's ACCEPTED survivors into the mergeable
+    * corpus-statistics state ([[graft.operators.Sketches]]) from an ingest
+    * sink's `accept` callback. The state partition is keyed by the batch
+    * id (`night = "b<batchId>"`), so an at-least-once REPLAY of a
+    * micro-batch overwrites its own contribution instead of
+    * double-counting — the same idempotence contract foreachBatch's
+    * batchId gives the landing itself. Lifetime stats:
+    * [[graft.operators.Sketches.mergedStats]] over the state path reads
+    * O(batches × groups) sketch rows, never the corpus. */
+  def sketchAccepted(survivors: DataFrame,
+      spec: graft.operators.Sketches.SketchSpec, statePath: String,
+      batchId: Long): Unit =
+    graft.operators.Sketches.appendNight(survivors, spec, statePath,
+      s"b$batchId")
+
   /**
    * Streaming gap-based sessionization — the streaming counterpart of
    * `Cdc.sessionize` (q52), composed from Spark's native `session_window`

@@ -241,6 +241,43 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(1L, 2L, 102L, 103L, 202L))
   }
 
+  test("sketchAccepted: streaming twin of the nightly statsSketch step") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val dir = TempDirs.create("graftingest-sketch").toString
+    val idx = dir + "/idx"
+    val st = dir + "/sketches"
+    // batch 0: 104 dups 103 within the batch (dropped); batch 1: 202 new
+    Seq((101L, "the quick brown fox jumps over the lazy dog", "a"),
+        (103L, "jinxed wizards pluck ivy from the big quilt now", "b"),
+        (104L, "jinxed wizards pluck ivy from the big quilt now", "b"))
+      .toDF("doc_id", "text", "src").coalesce(1).write.parquet(dir + "/in")
+    Seq((202L, "how vexingly quick daft zebras jump around", "a"))
+      .toDF("doc_id", "text", "src").coalesce(1).write.mode("append")
+      .parquet(dir + "/in")
+    val schema = Seq((0L, "", "")).toDF("doc_id", "text", "src").schema
+    val spec = Sketches.SketchSpec(Seq("src"), distinctCols = Seq("doc_id"))
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200) { (survivors, batchId) =>
+        Streams.sketchAccepted(survivors, spec, st, batchId); ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def stats() = Sketches.mergedStats(spark, st, spec).orderBy("src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // only SURVIVORS sketch: the dropped intra-batch dup never counts
+    assert(stats() == Seq(("a", 2L, 2L), ("b", 1L, 1L)), stats().toString)
+    // an at-least-once REPLAY of batch 0 overwrites its own partition —
+    // lifetime stats must not double-count
+    Streams.sketchAccepted(
+      Seq((101L, "the quick brown fox jumps over the lazy dog", "a"),
+          (103L, "jinxed wizards pluck ivy from the big quilt now", "b"))
+        .toDF("doc_id", "text", "src"), spec, st, 0L)
+    assert(stats() == Seq(("a", 2L, 2L), ("b", 1L, 1L)), stats().toString)
+  }
+
   test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-spans").toString
