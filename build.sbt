@@ -1,5 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// keep deprecations visible — the build stays warning-clean
+ThisBuild / scalacOptions ++= Seq("-deprecation")
 name := "etlreportingspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

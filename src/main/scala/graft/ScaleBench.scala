@@ -410,7 +410,7 @@ object ScaleBench {
         // pushdown skips most of them before touching text bytes
         def yScan(path: String) = spark.read.parquet(path)
           .filter(col("y").between(n / 2, n / 2 + n / 100))
-          .agg(sum(length(col("text")))).head.getLong(0)
+          .agg(sum(length(col("text")))).head().getLong(0)
         timedRuns(n, "zorder_scan_sorted")(() => { yScan(byX); 1L })
         timedRuns(n, "zorder_scan_zordered")(() => { yScan(byZ); 1L })
       }
@@ -577,13 +577,13 @@ object ScaleBench {
         timedRuns(n, "pack_two_phase")(() =>
           Packing.packShards(toks, "doc_id", "n_tokens",
               budget = 1L << 20, buckets = 1024)
-            .agg(countDistinct(col("shard"))).head.getLong(0))
+            .agg(countDistinct(col("shard"))).head().getLong(0))
         val w = Window.orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         timedRuns(n, "pack_naive_window")(() =>
           toks.withColumn("shard",
               floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / (1L << 20)))
-            .agg(countDistinct(col("shard"))).head.getLong(0))
+            .agg(countDistinct(col("shard"))).head().getLong(0))
       }
 
       // ---- aging tier: N nights of probe→append against ONE standing band
@@ -1027,7 +1027,7 @@ object ScaleBench {
         (1 to nights).foreach(probeNight(_, append = true))
         // maintenance: split the hottest cell (codes byte-untouched), then
         // sweep the nightly append litter partition-scoped
-        val hot = IvfPqIndex.cellStats(spark, idxPath).head.getInt(0)
+        val hot = IvfPqIndex.cellStats(spark, idxPath).head().getInt(0)
         val tr = System.nanoTime()
         IvfPqIndex.resplitCell(spark, idxPath, hot, subCells = 4)
         println(s"""{"op":"ivfpq_aging_resplit","docs":$n,"cell":$hot,""" +

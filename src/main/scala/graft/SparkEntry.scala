@@ -1221,7 +1221,7 @@ object SparkEntry {
       val idx = Scratch.dir("graft_q87_").resolve("ivfpq_index").toString
       graft.operators.IvfPqIndex.save(e, "vec_id", "embedding", idx,
         numCells = 8, m = 8, ksub = 8, iterations = 1)
-      val hot = graft.operators.IvfPqIndex.cellStats(s, idx).head.getInt(0)
+      val hot = graft.operators.IvfPqIndex.cellStats(s, idx).head().getInt(0)
       graft.operators.IvfPqIndex.resplitCell(s, idx, hot, subCells = 3)
       // 8 - 1 + 3 = 10 cells now; nprobe = all of them
       graft.operators.IvfPqIndex.probe(s, idx, e.filter(col("vec_id") < 5),

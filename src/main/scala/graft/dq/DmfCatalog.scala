@@ -48,13 +48,16 @@ final case class DmfEntry(
     expectation_expr: String,
     comment: String)
 
+// top-level (not nested in the catalog class): a nested case class's
+// pattern matches carry an outer-instance test scalac cannot check at
+// run time and warns about under -deprecation
+private[dq] final case class Reg(
+    entry: DmfEntry,
+    metric: Either[DataFrame => Long, Column], // Left opaque, Right fusable
+    expect: Long => Boolean)
+
 final class DmfCatalog(spark: SparkSession, meta: Option[MetaStore] = None) {
   import spark.implicits._
-
-  private final case class Reg(
-      entry: DmfEntry,
-      metric: Either[DataFrame => Long, Column], // Left opaque, Right fusable
-      expect: Long => Boolean)
 
   private val schedules = mutable.LinkedHashMap.empty[String, String]
   private val regs = mutable.ArrayBuffer.empty[Reg]

@@ -318,7 +318,7 @@ private[graft] object PartitionVacuum {
         val (nullTouched, nonNullVals) = touchedVals.partition(_ == null)
         val survivorPred = Seq(
           if (nonNullVals.nonEmpty)
-            Some(col(partCol).isin(nonNullVals.map(_.asInstanceOf[AnyRef]): _*))
+            Some(col(partCol).isin(nonNullVals.map(_.asInstanceOf[AnyRef]).toIndexedSeq: _*))
           else None,
           if (nullTouched.nonEmpty) Some(col(partCol).isNull) else None
         ).flatten.reduce(_ || _)

@@ -153,7 +153,7 @@ object IvfIndex {
     // centroid file — the authority every probe will load
     val spark = corpus.sparkSession
     recordMeta(spark, path,
-      dims = saved.select(size(col("__cent")).cast("int")).head.getInt(0),
+      dims = saved.select(size(col("__cent")).cast("int")).head().getInt(0),
       numCentroids = saved.count())
   }
 
@@ -231,7 +231,7 @@ object IvfIndex {
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
     val pruned = Tombstones.subtract(spark, path,
       loadCells(spark, path)
-        .filter(col(CellCol).isin(touched.map(Int.box): _*)),
+        .filter(col(CellCol).isin(touched.map(Int.box).toIndexedSeq: _*)),
       "neighbor_id")
     val cells = excludeIds match {
       case Some(ex) =>
@@ -343,7 +343,7 @@ object IvfIndex {
     keep.unionByName(subCents).coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(path))
     if (IndexMeta.read(spark, path).nonEmpty) {
-      val dims = subCents.select(size(col("__cent")).cast("int")).head.getInt(0)
+      val dims = subCents.select(size(col("__cent")).cast("int")).head().getInt(0)
       // labels.length, not subCells: degenerate k-means (duplicate seeds)
       // writes fewer sub-centroids and the marker must record what IS
       recordMeta(spark, path, dims, centRows.length - 1 + labels.length)

@@ -158,7 +158,7 @@ object IvfPqIndex {
         PqIndex.bookArray(savedBooks), m, dims / m)
       .write.mode("overwrite").partitionBy(CellCol).parquet(cellsPath(path))
     recordMeta(spark, path, dims, savedCents.count(), m,
-      savedBooks.select(max(col("cent_id"))).head.getInt(0) + 1)
+      savedBooks.select(max(col("cent_id"))).head().getInt(0) + 1)
   }
 
   def loadCentroids(spark: SparkSession, path: String): DataFrame =
@@ -378,7 +378,7 @@ object IvfPqIndex {
     val touched = q.select(col(CellCol)).distinct().collect().map(_.getInt(0))
     val pruned = Tombstones.subtract(spark, path,
       loadCells(spark, path)
-        .filter(col(CellCol).isin(touched.map(Int.box): _*)),
+        .filter(col(CellCol).isin(touched.map(Int.box).toIndexedSeq: _*)),
       "vec_id")
     val cells = excludeIds match {
       case Some(ex) =>

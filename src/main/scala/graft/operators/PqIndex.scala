@@ -280,7 +280,7 @@ object PqIndex {
       .write.mode("overwrite").parquet(codesPath(path))
     IndexMeta.write(spark, path, Map("kind" -> "pq",
       "dims" -> dims.toString, "m" -> m.toString,
-      "ksub" -> saved.select(max(col("cent_id"))).head.getInt(0).+(1).toString,
+      "ksub" -> saved.select(max(col("cent_id"))).head().getInt(0).+(1).toString,
       "scheme" -> SchemeVersion))
   }
 
@@ -612,7 +612,7 @@ object PqIndex {
     val fetched =
       if (ids.length <= IsinPushdownCap)
         // static IN filter reaches the parquet scan (row-group pruning)
-        fetchedBase.filter(col("neighbor_id").isin(ids.map(Long.box): _*))
+        fetchedBase.filter(col("neighbor_id").isin(ids.map(Long.box).toIndexedSeq: _*))
       else
         fetchedBase.join(
           broadcast(pairs.select(col("neighbor_id")).distinct()),
@@ -751,7 +751,7 @@ object PqIndex {
     val base = allCodes.select(col("vec_id"), col("codes"))
     val codes =
       if (idList.length <= IsinPushdownCap)
-        base.filter(col("vec_id").isin(idList.map(Long.box): _*))
+        base.filter(col("vec_id").isin(idList.map(Long.box).toIndexedSeq: _*))
       else base.join(broadcast(sampleIds), Seq("vec_id"), "left_semi")
     val qq = Similarity.queriesQuantized(sample, id, vec)
     val cc = qq.select(col("query_id").as("vec_id"), col("__qv").as("__cv"),

@@ -68,7 +68,7 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       ("k", ts("2024-01-01 10:00:00"), null, "agentB") // latest: status null
     ).toDF("key", "t", "status", "agent")
     val out = Cdc.asOfJoin(left, right, "key", "key", "t", "t",
-      Seq("status", "agent")).head
+      Seq("status", "agent")).head()
     // the matched (latest ≤ t) version is the 10:00 row — its null status
     // must survive, and agent must come from the SAME row
     assert(out.getAs[String]("status") == null)

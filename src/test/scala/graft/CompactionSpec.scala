@@ -206,7 +206,7 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     def avgSpan(root: String, c: String): Double =
       spark.read.parquet(root).withColumn("f", input_file_name())
         .groupBy("f").agg((max(col(c)) - min(col(c))).as("s"))
-        .agg(avg("s")).head.getDouble(0)
+        .agg(avg("s")).head().getDouble(0)
     val salted = base.resolve("salt").toString
     val zed = base.resolve("z").toString
     fragment(salted); fragment(zed)

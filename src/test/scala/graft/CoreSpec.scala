@@ -45,7 +45,7 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.sessionVars.set("N", "41")
     val out = conn.executeMultipleStatements(
       "SELECT 1 AS a; SELECT $N + 1 AS n")
-    assert(out.head.getInt(0) == 42)
+    assert(out.head().getInt(0) == 42)
   }
 
   test("statement splitting honors quoted semicolons, '' escapes, comments") {
@@ -56,7 +56,7 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     assert(GraftConnection.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2") ==
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
     val conn = new GraftConnection(spark)
-    assert(conn.executeMultipleStatements("SELECT 'x;y' AS v").head.getString(0) == "x;y")
+    assert(conn.executeMultipleStatements("SELECT 'x;y' AS v").head().getString(0) == "x;y")
   }
 
   test("obfuscation round-trips credentials incl. unicode") {
@@ -91,7 +91,7 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     // temporary: a materialized temp view honoring the mode axis
     conn.saveAsTable(Seq(1).toDF("x"), "core_tmp1", tableType = "temporary")
     assert(spark.catalog.listTables()
-      .filter("name = 'core_tmp1'").head.isTemporary)
+      .filter("name = 'core_tmp1'").head().isTemporary)
     intercept[Exception] {
       conn.saveAsTable(Seq(2).toDF("x"), "core_tmp1", tableType = "temporary")
     }
@@ -121,10 +121,10 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.saveAsTable(Seq(1).toDF("x"), "core_shadow")
     conn.saveAsTable(Seq(99).toDF("x"), "core_shadow", mode = "overwrite",
       tableType = "temporary")
-    assert(conn.table("core_shadow").head.getInt(0) == 99, "temp shadows permanent")
+    assert(conn.table("core_shadow").head().getInt(0) == 99, "temp shadows permanent")
     // first drop removes ONLY the temp; the permanent table survives
     conn.dropTable("core_shadow")
-    assert(conn.table("core_shadow").head.getInt(0) == 1)
+    assert(conn.table("core_shadow").head().getInt(0) == 1)
     conn.dropTable("core_shadow")
     assert(!conn.tableExists("core_shadow"))
 
@@ -147,7 +147,7 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
     conn.upsertFromQuery("SELECT * FROM VALUES (2, 'b') AS s(k, v)",
       "core_upsert_t2", joinKeys = Seq("k"), tempTableName = Some("core_stage_perm"))
     assert(conn.tableExists("core_stage_perm") &&
-      conn.table("core_stage_perm").head.getInt(0) == 7,
+      conn.table("core_stage_perm").head().getInt(0) == 7,
       "permanent table with the staging name must survive cleanup")
     conn.dropTable("core_stage_perm"); conn.dropTable("core_upsert_t2")
   }

@@ -28,7 +28,7 @@ class DatesSpec extends AnyFunSuite with SparkSpec {
     // reversed range → 0
     val rev = Seq(("2024-01-10", "2024-01-01")).toDF("s", "e")
       .select(Dates.workingDaysBetween(col("s").cast("date"), col("e").cast("date")))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(rev == 0L)
   }
 
@@ -47,7 +47,7 @@ class DatesSpec extends AnyFunSuite with SparkSpec {
     assert(diff.isEmpty, diff.collect().mkString("\n"))
     // null inputs → null (matches the composed form's null propagation)
     assert(spark.sql("SELECT fm_workingdaysbetween(CAST(NULL AS DATE), DATE '2024-01-01')")
-      .head.isNullAt(0))
+      .head().isNullAt(0))
   }
 
   test("isoDow maps Monday→1 … Sunday→7") {

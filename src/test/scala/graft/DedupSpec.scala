@@ -399,7 +399,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(1))
     assert(splitsPerText.forall(_ == 1L), "a dup group must land in ONE split")
     // canonical id is the min doc_id of the group
-    val canon = out.filter($"doc_id" === 137L).head.getAs[Long]("canonical_id")
+    val canon = out.filter($"doc_id" === 137L).head().getAs[Long]("canonical_id")
     assert(canon == 37L)
     // null-text rows form their own group and are still split, not dropped
     val withNull = docs.unionByName(

@@ -105,7 +105,7 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     val q = "SELECT CAST(GETDATE() AS DATE) >= DATEADD(DAY, -7, CAST(GETDATE() AS DATE)) AS ok"
     assert(SqlDialect.toSpark(q) ==
       "SELECT CAST(CURRENT_TIMESTAMP() AS DATE) >= DATEADD(DAY, -7, CAST(CURRENT_TIMESTAMP() AS DATE)) AS ok")
-    assert(spark.sql(SqlDialect.toSpark(q)).head.getBoolean(0))
+    assert(spark.sql(SqlDialect.toSpark(q)).head().getBoolean(0))
   }
 
   test("bare VARCHAR becomes STRING; VARCHAR(n) untouched") {
@@ -191,7 +191,7 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
       "SELECT to_json(named_struct('a', 1, 'b', f(x, y))) AS j FROM t")
     // runs end-to-end and produces JSON text
     val got = spark.sql(SqlDialect.toSpark(
-      "SELECT OBJECT_CONSTRUCT('a', 1, 'b', 'x') AS j")).head.getString(0)
+      "SELECT OBJECT_CONSTRUCT('a', 1, 'b', 'x') AS j")).head().getString(0)
     assert(got == """{"a":1,"b":"x"}""")
   }
 
@@ -411,7 +411,7 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
         | CAST(report_end_date AS TIMESTAMP) AS e, as_of_run_dt, carrier_name
         |FROM graft_periods.report_period_all_frequencies
         |ORDER BY frequency""".stripMargin).collect().map(_.toSeq).toSeq
-    def today() = spark.sql("SELECT CURRENT_DATE() AS d").head.getDate(0).toString
+    def today() = spark.sql("SELECT CURRENT_DATE() AS d").head().getDate(0).toString
     var d = today()
     var got = viewRows()
     if (today() != d) { d = today(); got = viewRows() }
@@ -467,7 +467,7 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(status.columns.toSeq == Seq("status"))
     assert(conn.sessionVars.get("REPORT_TABLE").contains("'dlt_set'"))
     val n = conn.sql("SELECT COUNT(*) AS n FROM IDENTIFIER($report_table)")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(n == 6)
     // Spark conf SETs (dotted keys) fall through untouched
     conn.sql("SET spark.sql.cbo.enabled=false")
@@ -479,7 +479,7 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(conn.sessionVars.get("DERIVED").contains("'dlt_set'"))
     conn.sql("SET answer = 2 + 3")
     assert(conn.sessionVars.get("ANSWER").contains("5"))
-    assert(conn.sql("SELECT $ANSWER * 2 AS x").head.getInt(0) == 10)
+    assert(conn.sql("SELECT $ANSWER * 2 AS x").head().getInt(0) == 10)
   }
 
   test("rendered reference-style file body runs through GraftConnection.sql") {

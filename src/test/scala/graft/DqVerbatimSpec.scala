@@ -201,7 +201,7 @@ class DqVerbatimSpec extends AnyFunSuite with SparkSpec {
         // (asserted), Snowflake has no FILTER clause — cite and skip
         val ex = intercept[org.apache.spark.sql.AnalysisException](
           conn.sql(stmt).collect())
-        assert(ex.getErrorClass.startsWith("INVALID_AGGREGATE_FILTER"))
+        assert(ex.getCondition.startsWith("INVALID_AGGREGATE_FILTER"))
       } else {
         val rows = conn.sql(stmt).collect()
         assert(rows.length == 1, s"each statement yields one row: $stmt")

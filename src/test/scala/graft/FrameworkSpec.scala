@@ -118,7 +118,7 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
       "gen_tab_sum_o_totalprice", "gen_tab_dist_o_status"))
     // every generated statement must actually run
     cases.foreach(c => spark.sql(c.sql).collect())
-    assert(spark.sql(cases.head.sql).head.getLong(0) == 2)
+    assert(spark.sql(cases.head.sql).head().getLong(0) == 2)
     assert(TestFramework.executeCase(spark, cases(1).sql) == 0) // no dup PKs
   }
 

@@ -33,12 +33,12 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     val withNullElem = spark.sql(
       "SELECT array(1L, NULL, 3L) AS a, array(1L, 2L, 3L) AS b")
       .select(Vectors.dotQ(col("a"), col("b")))
-    val row = withNullElem.head
+    val row = withNullElem.head()
     info(s"withNullElem row: $row")
     info("plan: " + withNullElem.queryExecution.optimizedPlan.toString)
     info("hof: " + spark.sql(
       "SELECT array(1L, NULL, 3L) AS a, array(1L, 2L, 3L) AS b")
-      .select(Vectors.dotQHof(col("a"), col("b"))).head.toString)
+      .select(Vectors.dotQHof(col("a"), col("b"))).head().toString)
     info("ansi: " + spark.conf.get("spark.sql.ansi.enabled"))
     assert(row.isNullAt(0))
   }
@@ -115,7 +115,7 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     val r = spark.sql(
       """SELECT dot_product_q(quantize_vector(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT))),
         |                     quantize_vector(array(CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT)))) AS d""".stripMargin)
-      .head.getLong(0)
+      .head().getLong(0)
     val expect = {
       def q(x: Float) = Math.floor(x.toDouble * 1e7).toLong
       q(0.1f) * q(0.3f) + q(0.2f) * q(0.4f)
@@ -145,7 +145,7 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       .toDF("a", "b", "c")
     val r = df.select(
       Vectors.cosineExact(col("a"), col("b")).as("same"),
-      Vectors.cosineExact(col("a"), col("c")).as("ortho")).head
+      Vectors.cosineExact(col("a"), col("c")).as("ortho")).head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 }

@@ -81,7 +81,7 @@ class ReportsSpec extends AnyFunSuite with SparkSpec {
     assert(Metrics.nullCount(df, "c") == 1)
     assert(Metrics.uniqueCount(df, "c") == 2)
     assert(Metrics.duplicateCount(df, "c") == 2) // the two 1s
-    val row = Metrics.metricsRow(df, Seq("c")).head
+    val row = Metrics.metricsRow(df, Seq("c")).head()
     assert(row.getAs[Long]("row_count") == 4 && row.getAs[Long]("null_count_c") == 1)
   }
 

@@ -8,7 +8,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
 
   private def one(c: org.apache.spark.sql.Column, text: String): Any = {
     import spark.implicits._
-    Seq(text).toDF("t").select(c).head.get(0)
+    Seq(text).toDF("t").select(c).head().get(0)
   }
 
   test("tokenCount handles empty, blank, and multi-space text") {
@@ -54,7 +54,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
   test("charShingles covers all positions") {
     import spark.implicits._
     val sh = Seq("abcd").toDF("t")
-      .select(Text.charShingles(col("t"), 3)).head.getSeq[String](0)
+      .select(Text.charShingles(col("t"), 3)).head().getSeq[String](0)
     assert(sh == Seq("abc", "bcd"))
   }
 
@@ -65,7 +65,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
         .select(Text.tokens(col("t")).as("toks"))
         .select(Text.dupTokenRatio(col("toks")).as("d"),
           Text.topFreqFrac(Text.ngramsFromTokens(col("toks"), 2)).as("f"))
-        .head
+        .head()
       (row.getDouble(0), row.getDouble(1))
     }
     // all distinct tokens, all distinct bigrams
@@ -86,7 +86,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
         Text.tokenCount(col("t")).cast("long").as("n"),
         Text.duplicateLineFraction(col("t")).as("dlf"),
         Text.qualityVerdict(col("t"), minTokens = 3, minStopwordFrac = 0.0,
-          maxDupLineFrac = 0.2, maxDupTokenRatio = 0.6).as("v")).head
+          maxDupLineFrac = 0.2, maxDupTokenRatio = 0.6).as("v")).head()
       (row.getLong(0), row.getDouble(1), row.getStruct(2).getString(1))
     }
     // clean multi-line prose keeps; blank lines don't count
@@ -115,7 +115,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       Text.piiCount(col("t"), pats("card")).as("c"),
       Text.piiCount(col("t"), pats("ip")).as("i"),
       Text.piiTotal(col("t")).as("tot"),
-      Text.redactPii(col("t")).as("r")).head
+      Text.redactPii(col("t")).as("r")).head()
     assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4))
       == ((1, 1, 1, 1, 1)))
     assert(row.getInt(5) == 5)
@@ -127,7 +127,7 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(r.contains("12345") && r.contains("no-pii text"))
     // clean text passes through untouched
     val clean = Seq("just words 99 bottles").toDF("t")
-      .select(Text.redactPii(col("t")), Text.piiTotal(col("t"))).head
+      .select(Text.redactPii(col("t")), Text.piiTotal(col("t"))).head()
     assert(clean.getString(0) == "just words 99 bottles" && clean.getInt(1) == 0)
   }
 }

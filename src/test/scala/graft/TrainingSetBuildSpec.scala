@@ -59,7 +59,7 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == summary.packedRows)
     val manifest = spark.read.parquet(s"$out/manifest")
     assert(manifest.count() == summary.shards)
-    assert(manifest.agg(sum("n_tokens")).head.getLong(0) == summary.totalTokens)
+    assert(manifest.agg(sum("n_tokens")).head().getLong(0) == summary.totalTokens)
     // audited
     val log = new graft.meta.MetaStore(spark, dir.resolve("meta").toString)
       .executionLog

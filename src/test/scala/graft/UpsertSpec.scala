@@ -24,7 +24,7 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val r = Upsert.merge(target, source, Seq("k"),
       matchedCondition = Some(Upsert.source("m") > 15.0))
     assert(r.updated == 1 && r.inserted == 0)
-    val v1 = r.result.filter(col("k") === 1).head.getString(1)
+    val v1 = r.result.filter(col("k") === 1).head().getString(1)
     assert(v1 == "a") // condition false → kept
   }
 
@@ -43,7 +43,7 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val target = Seq((1, "a", "keepme")).toDF("k", "v", "extra")
     val source = Seq((1, "a2")).toDF("k", "v")
     val r = Upsert.merge(target, source, Seq("k"))
-    val row = r.result.head
+    val row = r.result.head()
     assert(row.getAs[String]("extra") == "keepme" && row.getAs[String]("v") == "a2")
   }
 
@@ -73,7 +73,7 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val target = Seq((1, "a", 10.0)).toDF("k", "v", "m")
     val source = Seq((1, "a2", 99.0)).toDF("k", "v", "m")
     val r = Upsert.merge(target, source, Seq("k"), updateCols = Some(Seq("m")))
-    val row = r.result.head
+    val row = r.result.head()
     assert(row.getAs[String]("v") == "a" && row.getAs[Double]("m") == 99.0)
   }
 
@@ -85,7 +85,7 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
   private def partFiles(table: String, partDir: String): Set[(String, Long, Long)] = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location")
-      .head.getString(1).stripPrefix("file:")
+      .head().getString(1).stripPrefix("file:")
     val dir = new java.io.File(loc, partDir)
     if (!dir.isDirectory) return Set.empty
     dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))

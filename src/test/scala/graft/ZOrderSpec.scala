@@ -55,7 +55,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val span = spark.read.parquet(dir)
       .groupBy(input_file_name())
       .agg((datediff(max(col("d")), min(col("d")))).as("s"))
-      .agg(avg("s")).head.getDouble(0)
+      .agg(avg("s")).head().getDouble(0)
     assert(span < 80.0, s"date files must cluster: avg span $span")
   }
 
@@ -69,7 +69,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val filesPerKey = spark.read.parquet(dir + "/one")
       .withColumn("f", input_file_name())
       .groupBy("s").agg(countDistinct(col("f")).as("nf"))
-      .agg(avg("nf")).head.getDouble(0)
+      .agg(avg("nf")).head().getDouble(0)
     assert(filesPerKey < 2.0,
       s"equal strings must co-locate, avg files/key = $filesPerKey")
     // mixed string + numeric interleave: rows/columns preserved exactly
@@ -92,7 +92,7 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     def spans(path: String, c: String): Double = {
       val s = spark.read.parquet(path)
         .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
-        .agg(avg("s")).head.getDouble(0)
+        .agg(avg("s")).head().getDouble(0)
       s
     }
     val xSortYSpan = spans(dir + "/by_x", "y")
