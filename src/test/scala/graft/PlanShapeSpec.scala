@@ -263,4 +263,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("__pb"),
       s"cumsum window must partition on the range bucket\n$plan")
   }
+
+  test("sketches: HLL aggregates combine map-side, so the exchange moves sketch rows") {
+    // the 100 TB contract: a night's sketch costs one batch scan + a
+    // groups×sketch-bytes exchange. That holds only if the HLL aggregate
+    // partial-aggregates BEFORE the shuffle (map-side combine) — doc rows
+    // must never cross the wire
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val spec = graft.operators.Sketches.SketchSpec(Seq("lang"),
+      distinctCols = Seq("source"), sumCols = Seq("n_chars"))
+    val plan = graft.operators.Sketches.batchSketch(docs, spec)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"hll_sketch_agg must partial-aggregate before the exchange:\n$plan")
+    // merging persisted state partial-unions the same way
+    val st = TempDirs.create("graft-planshape-sketch").resolve("s").toString
+    graft.operators.Sketches.appendNight(docs, spec, st, "n1")
+    val merged = graft.operators.Sketches.mergedStats(spark, st, spec)
+      .queryExecution.executedPlan.toString
+    assert(merged.contains("partial_hll_union_agg"),
+      s"hll_union_agg must partial-aggregate before the exchange:\n$merged")
+  }
 }
