@@ -276,15 +276,18 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-replay")
+    val sketchSpec = graft.operators.Sketches.SketchSpec(Seq("src"),
+      distinctCols = Seq("doc_id"))
     val cfg = IngestConfig(
       corpusPath = root.resolve("corpus").toString,
       bandIndexPath = root.resolve("band_index").toString,
-      metaDir = root.resolve("meta").toString)
+      metaDir = root.resolve("meta").toString,
+      statsSketch = Some(sketchSpec))
     val b1 = Seq(
-      1L -> "the quick brown fox jumps over the lazy dog",
-      2L -> "pack my box with five dozen liquor jugs today",
-      3L -> "pack my box with five dozen liquor jugs today") // intra dup of 2
-      .toDF("doc_id", "text")
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "pack my box with five dozen liquor jugs today", "s1"),
+      (3L, "pack my box with five dozen liquor jugs today", "s1")) // 3 dups 2
+      .toDF("doc_id", "text", "src")
     val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
     assert(!n1.skipped && n1.accepted == 2 && n1.dropped == 1, n1.toString)
     val nightDir = new File(root.resolve("corpus/load_date=n1").toFile.getPath)
@@ -319,6 +322,13 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       "replay must land exactly once, not double-append")
     assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     assert(replay.dqFailures == 0, replay.toString)
+    // the sketch state replays exactly-once too: the crash replay
+    // overwrote night n1's partition instead of doubling its counts
+    val st = graft.operators.Sketches
+      .mergedStats(spark, IngestPipeline.sketchPath(cfg), sketchSpec)
+      .head()
+    assert(st.getAs[Long]("n_rows") == 2L &&
+      st.getAs[Long]("distinct_doc_id") == 2L, st.toString)
   }
 
   test("production-layout nights: IVFPQ bootstraps, appends, and gets the nightly sweep") {
