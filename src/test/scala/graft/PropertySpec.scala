@@ -222,4 +222,37 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         }
     }
   }
+
+  test("sketch merged stats equal exact aggregation on random small-cardinality corpora") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // q95's oracle hash-match rides on HLL being EXACT below the coupon
+    // threshold; this property checks the whole night-split → union path
+    // against the exact aggregation on corpora no one hand-picked, with
+    // per-group cardinalities up to ~100 (well inside coupon range but an
+    // order past what the oracle table exercises)
+    val row = Gen.zip(Gen.choose(0, 2), Gen.choose(0, 99), Gen.choose(1, 9))
+    val gen = Gen.zip(Gen.nonEmptyListOf(row).map(_.take(300)),
+      Gen.choose(1, 4))
+    samples(gen, 5).foreach { case (rows, nights) =>
+      val path = TempDirs.create("graft-prop-sketch").resolve("s").toString
+      val spec = Sketches.SketchSpec(Seq("grp"),
+        distinctCols = Seq("src"), sumCols = Seq("v"))
+      val df = rows.zipWithIndex.map { case ((g, s, v), i) =>
+        (i % nights, s"g$g", s"s$s", v.toLong)
+      }.toDF("night", "grp", "src", "v")
+      (0 until nights).foreach(k => Sketches.appendNight(
+        df.filter(col("night") === k).drop("night"), spec, path, s"n$k"))
+      val got = Sketches.mergedStats(spark, path, spec).orderBy("grp")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val want = df.groupBy("grp").agg(count(lit(1)), sum(col("v")),
+          count_distinct(col("src"))).orderBy("grp")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want, s"nights=$nights rows=${rows.size}")
+    }
+  }
 }
