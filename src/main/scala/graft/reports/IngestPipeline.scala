@@ -129,10 +129,41 @@ object IngestPipeline {
       // rewrite them (they describe what each night contributed, not the
       // current corpus)
       statsSketch: Option[graft.operators.Sketches.SketchSpec] = None,
+      // (opt-in) per-document DROP LEDGER: one row per probe-dropped batch
+      // doc — `(id, kept_id, reason, load_date)`, reason `corpus_dup`
+      // (duplicates standing content; kept_id is the standing doc) or
+      // `intra_dup` (duplicates a batch-mate; kept_id is the kept mate) —
+      // under <metaDir>/drop_ledger/load_date=<night>. THE answer to "why
+      // did my document disappear?" without re-running the probe; O(drops)
+      // rows and cost (the pair frames pin once), replay-idempotent like
+      // the landing (per-night dynamic overwrite, deterministic drops)
+      dropLedger: Boolean = false,
       carrier: String = "corpus")
 
   /** Where [[IngestConfig.statsSketch]] state lives. */
   def sketchPath(cfg: IngestConfig): String = s"${cfg.metaDir}/corpus_sketches"
+
+  /** Where [[IngestConfig.dropLedger]] rows land. */
+  def ledgerPath(cfg: IngestConfig): String = s"${cfg.metaDir}/drop_ledger"
+
+  /** The accumulated drop ledger (empty-but-typed when no night has
+    * dropped anything yet, so readers need no existence check). */
+  def ledger(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath(cfg))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(ledgerPath(cfg))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(cfg.idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kept_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("reason",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(cfg.loadDateCol,
+          org.apache.spark.sql.types.StringType))))
+  }
 
   final case class NightResult(
       night: String,
@@ -216,24 +247,73 @@ object IngestPipeline {
     val banded = Dedup.lshBanded(prepped, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
-      val survivors = ExecutionLogger.logged(meta, s"ingest_probe_$night",
-          cfg.carrier, (df: DataFrame) => (df.count(), 0L, 0L)) {
-        if (!bootstrap) BandIndex.checkParams(spark, cfg.bandIndexPath, params)
-        val none = batch.select(col(cfg.idCol)).limit(0)
-        val corpusDups =
-          if (bootstrap) none
-          else BandIndex.probe(spark, cfg.bandIndexPath, banded, cfg.idCol,
+      val (survivors, corpusPairs, intraPairs) =
+        ExecutionLogger.logged(meta, s"ingest_probe_$night", cfg.carrier,
+            (t: (DataFrame, DataFrame, DataFrame)) => (t._1.count(), 0L, 0L)) {
+          if (!bootstrap) BandIndex.checkParams(spark, cfg.bandIndexPath, params)
+          val nonePairs = batch.select(col(cfg.idCol).as("id_a"),
+            col(cfg.idCol).as("id_b")).limit(0)
+          val corpusPairs0 =
+            if (bootstrap) nonePairs
+            else BandIndex.probe(spark, cfg.bandIndexPath, banded, cfg.idCol,
               cfg.maxBucket, cfg.strict,
               excludeIds = Some(batch.select(col(cfg.idCol))))
-            .select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
-        val intraDups = Dedup.pairsFromBanded(banded, cfg.idCol,
+          val intraPairs0 = Dedup.pairsFromBanded(banded, cfg.idCol,
             cfg.maxBucket, caller = "IngestPipeline", strict = cfg.strict)
-          .select(col("id_b").as(cfg.idCol))
-        // pin survivors BEFORE any append mutates what the plan reads
-        prepped.join(corpusDups.union(intraDups).distinct(),
-          Seq(cfg.idCol), "left_anti").localCheckpoint(true)
-      }
+          // under the ledger, the pair frames feed BOTH the survivor
+          // anti-join and the ledger write — pin them so the probe's
+          // bucket-join runs once (the landing's pin-once discipline)
+          val (cp, ip) =
+            if (cfg.dropLedger)
+              (corpusPairs0.localCheckpoint(true),
+                intraPairs0.localCheckpoint(true))
+            else (corpusPairs0, intraPairs0)
+          val corpusDups =
+            cp.select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
+          val intraDups = ip.select(col("id_b").as(cfg.idCol))
+          // pin survivors BEFORE any append mutates what the plan reads
+          (prepped.join(corpusDups.union(intraDups).distinct(),
+            Seq(cfg.idCol), "left_anti").localCheckpoint(true), cp, ip)
+        }
       val accepted = survivors.count()
+
+      // 1b. (opt-in) DROP LEDGER — one audited row per probe-dropped doc:
+      // which doc, which kept doc it duplicated, and why. Probe pairs hold
+      // exactly one batch member (excludeIds keeps batch ids off the
+      // corpus side), so the batch side is recoverable by a semi-join; a
+      // doc dropped for several reasons keeps ONE row (corpus_dup outranks
+      // intra_dup, ties to the smallest kept id — deterministic replay)
+      if (cfg.dropLedger) {
+        ExecutionLogger.logged(meta, s"ingest_ledger_$night", cfg.carrier,
+            (n: Long) => (0L, 0L, n)) {
+          val batchIds = prepped.select(col(cfg.idCol))
+          val corpusLedger = corpusPairs
+            .select(explode(array(
+              struct(col("id_a").as("d"), col("id_b").as("k")),
+              struct(col("id_b").as("d"), col("id_a").as("k")))).as("p"))
+            .select(col("p.d").as(cfg.idCol), col("p.k").as("kept_id"))
+            .join(batchIds, Seq(cfg.idCol), "left_semi")
+            .withColumn("reason", lit("corpus_dup"))
+          val intraLedger = intraPairs
+            .select(col("id_b").as(cfg.idCol), col("id_a").as("kept_id"))
+            .withColumn("reason", lit("intra_dup"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(cfg.idCol))
+            .orderBy(when(col("reason") === "corpus_dup", 0).otherwise(1).asc,
+              col("kept_id").asc)
+          val rows = corpusLedger.union(intraLedger)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .withColumn(cfg.loadDateCol, lit(night))
+            .localCheckpoint(true)
+          rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(cfg.loadDateCol)
+            .parquet(ledgerPath(cfg))
+          rows.count()
+        }
+        ()
+      }
 
       // 2. ACCEPT — the night's partition directory is the only corpus
       // growth; prior nights' files are never rewritten (spec-asserted).

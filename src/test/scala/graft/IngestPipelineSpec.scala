@@ -273,6 +273,61 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       .count() == 2)
   }
 
+  test("dropLedger: per-doc drop reasons with kept partner, replay-idempotent") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-ledger")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      dropLedger = true)
+    // empty-but-typed before any night
+    assert(IngestPipeline.ledger(spark, cfg).count() == 0)
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 2, n1.toString)
+    // night 2: 3 and 6 duplicate CORPUS doc 1 (and each other); 5
+    // duplicates batch-mate 4. The ledger must say all of that, one row
+    // per dropped doc, corpus_dup outranking intra_dup
+    val n2 = IngestPipeline.runNight(spark, Seq(
+        3L -> "the quick brown fox jumps over the lazy dog",
+        6L -> "the quick brown fox jumps over the lazy dog",
+        4L -> "sphinx of black quartz judge my vow tonight",
+        5L -> "sphinx of black quartz judge my vow tonight")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(n2.accepted == 1 && n2.dropped == 3, n2.toString)
+    def rows() = IngestPipeline.ledger(spark, cfg)
+      .select("doc_id", "kept_id", "reason", "load_date").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = Set(
+      (3L, 1L, "corpus_dup", "n2"),
+      (6L, 1L, "corpus_dup", "n2"), // also an intra dup of 3 — corpus wins
+      (5L, 4L, "intra_dup", "n2"))
+    assert(rows() == want, rows().toString)
+    // the step is audited with the drop count
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val step = meta.executionLog
+      .filter(col("target_table") === "ingest_ledger_n2").collect()
+    assert(step.length == 1 && step.head.getAs[Long]("records_deleted") == 3L,
+      step.mkString(";"))
+    // mid-crash replay of n2 overwrites its ledger partition, not doubles
+    val hwm = root.resolve("meta/high_water_mark")
+    val walk = java.nio.file.Files.walk(hwm)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    IngestPipeline.runNight(spark, Seq(
+        3L -> "the quick brown fox jumps over the lazy dog",
+        6L -> "the quick brown fox jumps over the lazy dog",
+        4L -> "sphinx of black quartz judge my vow tonight",
+        5L -> "sphinx of black quartz judge my vow tonight")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(rows() == want, s"replay must not double the ledger: ${rows()}")
+  }
+
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-replay")
