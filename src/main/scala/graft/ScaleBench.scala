@@ -476,7 +476,7 @@ object ScaleBench {
         val batch = corpus(spark, math.min(n / 10, 100000L), seed = 77L)
           .select(col("doc_id"), col("text"))
           .localCheckpoint(true)
-        def night(tag: String, k: Option[Int]): Unit = {
+        def night(tag: String, k: Option[Int], ledger: Boolean = false): Unit = {
           val root = s"$scratch/ingestspan_${n}_$tag"
           val fs = new org.apache.hadoop.fs.Path(root)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -487,11 +487,15 @@ object ScaleBench {
                 corpusPath = s"$root/corpus",
                 bandIndexPath = s"$root/band_index",
                 metaDir = s"$root/meta",
-                maxBucket = 200, spanDedupK = k)).accepted
+                maxBucket = 200, spanDedupK = k,
+                dropLedger = ledger)).accepted
           }
         }
         night("plain", None)
         night("spank8", Some(8))
+        // the drop-ledger arm: same night, dropLedger=true — the delta is
+        // the two pair-frame pins + the O(drops) ledger write
+        night("ledger", None, ledger = true)
       }
 
       // ---- bpe tier: full tokenizer training + corpus encoding. Training

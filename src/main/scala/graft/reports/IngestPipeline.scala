@@ -260,14 +260,18 @@ object IngestPipeline {
               excludeIds = Some(batch.select(col(cfg.idCol))))
           val intraPairs0 = Dedup.pairsFromBanded(banded, cfg.idCol,
             cfg.maxBucket, caller = "IngestPipeline", strict = cfg.strict)
-          // under the ledger, the pair frames feed BOTH the survivor
-          // anti-join and the ledger write — pin them so the probe's
-          // bucket-join runs once (the landing's pin-once discipline)
+          // pin the pair frames UNCONDITIONALLY before the anti-join (and,
+          // under the ledger, before its second consumer): measured at the
+          // ingestspan tier (100k-doc night, 1M-corpus generator), the
+          // fused plan — pair generation inlined into the survivor
+          // anti-join — ran 2412 MB shuffle / 28.8 GB spill / 36.7 s
+          // median vs 1248 MB / 14.1 GB / 24.0 s with the pins, EVEN WITH
+          // the ledger's extra write on the pinned arm. Pair frames are
+          // bounded (maxBucket caps bucket fanout), so the checkpoint is
+          // O(pairs) like the survivors pin itself
           val (cp, ip) =
-            if (cfg.dropLedger)
-              (corpusPairs0.localCheckpoint(true),
-                intraPairs0.localCheckpoint(true))
-            else (corpusPairs0, intraPairs0)
+            (corpusPairs0.localCheckpoint(true),
+              intraPairs0.localCheckpoint(true))
           val corpusDups =
             cp.select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
           val intraDups = ip.select(col("id_b").as(cfg.idCol))
