@@ -235,6 +235,10 @@ object Streams {
           "bands" -> bands.toString, "portable" -> portable.toString)
         val bootstrap = !fs.exists(p)
         if (!bootstrap) BandIndex.checkParams(spark, indexPath, hashParams)
+        // the dup frames pin BEFORE the anti-join — the nightly pipeline's
+        // pin-once discipline (measured there: the fused plan re-ran and
+        // spilled the aggregate-expand subplan inside the anti-join, 2×
+        // the shuffle and spill; bounded frames, maxBucket caps them)
         val corpusDups =
           if (!bootstrap)
             // excludeIds makes the probe replay-idempotent (see class doc);
@@ -245,12 +249,14 @@ object Streams {
             BandIndex.probe(spark, indexPath, banded, idCol, maxBucket,
                 excludeIds = Some(batch.select(col(idCol))))
               .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+              .localCheckpoint(true)
           else none
         val intraDups =
           if (dedupWithinBatch)
             Dedup.pairsFromBanded(banded, idCol, maxBucket,
                 caller = "nearDupIngestStream")
               .select(col("id_b").as(idCol))
+              .localCheckpoint(true)
           else none
         // pin the survivor set BEFORE appending, with lineage TRUNCATED
         // (eager localCheckpoint): the append write refreshes the session's
