@@ -335,6 +335,9 @@ object Streams {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val bootstrap = !fs.exists(p)
         val none = batch.select(col(idCol)).limit(0)
+        // dup frames pinned before the anti-join (the nightly pipeline's
+        // measured pin-once discipline — a fused probe/pair subplan
+        // re-runs and spills inside the anti-join); both are bounded
         val corpusDups =
           if (!bootstrap)
             // k=1: ANY standing neighbor at/above the threshold drops the
@@ -344,6 +347,7 @@ object Streams {
                 excludeIds = Some(batch.select(col(idCol))))
               .filter(col("cosine") >= threshold)
               .select(col("query_id").as(idCol))
+              .localCheckpoint(true)
           else none
         val intraDups =
           if (dedupWithinBatch) {
@@ -352,6 +356,7 @@ object Streams {
             l.join(broadcast(r), col("__ia") < col("__ib"))
               .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
               .select(col("__ib").as(idCol))
+              .localCheckpoint(true)
           } else none
         // survivors pinned BEFORE the append for the same read-after-append
         // reason as the MinHash sink (append refreshes file-listing caches)
@@ -437,10 +442,12 @@ object Streams {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val bootstrap = !fs.exists(p)
         val none = batch.select(col(idCol)).limit(0)
+        // dup frames pinned before the anti-join — the pipeline's measured
+        // pin-once discipline (fused probe subplans re-run and spill)
         val corpusDups =
           if (!bootstrap) {
             val ex = Some(batch.select(col(idCol)))
-            rerankFrom match {
+            (rerankFrom match {
               case Some((full, fId, fVec)) =>
                 // exact path: ADC shortlists `rerankCandidates`, the
                 // full-vector fetch re-scores, k=1 (any match ≥ threshold
@@ -456,7 +463,7 @@ object Streams {
                     candidates = 1, nprobe = nprobe, excludeIds = ex)
                   .filter(col("pq_score") >= threshold)
                   .select(col("query_id").as(idCol))
-            }
+            }).localCheckpoint(true)
           } else none
         val intraDups =
           if (dedupWithinBatch) {
@@ -465,6 +472,7 @@ object Streams {
             l.join(broadcast(r), col("__ia") < col("__ib"))
               .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
               .select(col("__ib").as(idCol))
+              .localCheckpoint(true)
           } else none
         val survivors = batch.join(
             corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
