@@ -1400,6 +1400,34 @@ object SparkEntry {
         .toSeq.sortBy(_._1).toDF("domain", "weight")
     }),
 
+    // the drop ledger over q74's exact two-night composition: one row per
+    // probe-dropped doc with the kept partner and the reason, corpus_dup
+    // outranking intra_dup, smallest kept id on ties — the per-doc audit
+    // answer to "why did my document disappear?" (IngestPipeline.ledger)
+    "q96_drop_ledger" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz extra tail")).as("text")))
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .union(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zzz extra tail")).as("text")))
+      val root = Scratch.dir("graft_q96_")
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        maxBucket = LshMaxBucket, strict = true, dropLedger = true)
+      graft.reports.IngestPipeline.runNight(s, b1, "n1", cfg)
+      graft.reports.IngestPipeline.runNight(s, b2, "n2", cfg)
+      graft.reports.IngestPipeline.ledger(s, cfg)
+        .select(col("doc_id"), col("kept_id"), col("reason"),
+          col("load_date").cast("string").as("load_date"))
+        .orderBy("load_date", "doc_id")
+    }),
+
     // mergeable corpus-statistics sketches (Sketches): three deterministic
     // "nights" of the documents table each land O(batch) per-night state
     // (exact counts/sums + a Datasketches HLL per distinct column); the
@@ -2331,6 +2359,7 @@ object SparkEntry {
     // two-night ingest pipeline: the landed corpus equals both nights'
     // survivor sets under the pipeline's dedup algebra (see the SQL's doc)
     "q74_ingest_pipeline" -> IngestTwoNightsSql,
+    "q96_drop_ledger" -> IngestLedgerSql,
 
     // weighted mix: integer-percent weights (de 250, en 50, default 100) →
     // pct//100 full epochs + md5-bucket-selected fractional epoch; the
@@ -2821,6 +2850,41 @@ object SparkEntry {
        |s2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2x)
        |  AND doc_id NOT IN (SELECT doc_id FROM drop2i))""".stripMargin
   }
+
+  /** Drop-ledger parity (q96): from the same survivor-algebra CTEs, the
+    * per-dropped-doc audit rows — n1 intra pairs, n2 corpus pairs (idx ×
+    * bn2) and n2 intra pairs — ranked per dropped doc with corpus_dup
+    * outranking intra_dup and ties to the smallest kept id, exactly the
+    * engine ledger's window. */
+  private lazy val IngestLedgerSql: String =
+    ingestSurvivorsCte(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' zzz extra tail' FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+      """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' zzz extra tail' FROM documents WHERE doc_id % 6 = 0""".stripMargin) +
+    s""",
+       |raw AS (
+       |  SELECT b.doc_id AS doc_id, a.doc_id AS kept_id,
+       |         'intra_dup' AS reason, 'n1' AS load_date
+       |  FROM bn1 a JOIN bn1 b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok1 ON ok1.band = a.band AND ok1.bucket = a.bucket
+       |  UNION ALL
+       |  SELECT b.doc_id, a.doc_id, 'corpus_dup', 'n2'
+       |  FROM idx a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN ok2 ON ok2.band = a.band AND ok2.bucket = a.bucket
+       |  UNION ALL
+       |  SELECT b.doc_id, a.doc_id, 'intra_dup', 'n2'
+       |  FROM bn2 a JOIN bn2 b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok2i ON ok2i.band = a.band AND ok2i.bucket = a.bucket)
+       |SELECT doc_id, kept_id, reason, load_date FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY load_date, doc_id
+       |    ORDER BY CASE reason WHEN 'corpus_dup' THEN 0 ELSE 1 END, kept_id) AS rn
+       |  FROM raw)
+       |WHERE rn = 1 ORDER BY load_date, doc_id""".stripMargin
 
   /** Two-night ingest parity (q74): the landed corpus is each night's
     * survivor set under its `load_date`. */
