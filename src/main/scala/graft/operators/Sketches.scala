@@ -61,6 +61,36 @@ object Sketches {
   private[operators] def hllName(c: String) = s"hll_$c"
   private[operators] def distinctName(c: String) = s"distinct_$c"
 
+  private def params(spec: SketchSpec) = Map(
+    "kind" -> "sketches",
+    "groupCols" -> spec.groupCols.mkString(","),
+    "distinctCols" -> spec.distinctCols.mkString(","),
+    "sumCols" -> spec.sumCols.mkString(","))
+
+  /** Fail fast when `spec`'s COLUMNS drift from the ones the state at
+    * `path` was written with — the BandIndex/IvfIndex marker discipline.
+    * The failure mode being guarded is SILENT: parquet reads over a
+    * mixed-schema state resolve a missing sum/hll column to null for the
+    * drifted nights, and null-skipping aggregates then return totals that
+    * quietly exclude them. `lgK` is deliberately NOT checked — sketch
+    * union tolerates mixed lgK (`allowDifferentLgConfigK`; precision
+    * degrades to the smallest, correctness holds). */
+  private def checkParams(spark: SparkSession, path: String,
+      spec: SketchSpec): Unit = {
+    val saved = IndexMeta.read(spark, path)
+    if (saved.nonEmpty) {
+      val want = params(spec)
+      val drift = want.keys.filter(k => saved.get(k).exists(_ != want(k)))
+      require(drift.isEmpty,
+        s"sketch state at $path was written with " +
+          drift.map(k => s"$k='${saved(k)}'").mkString(", ") +
+          s" but this spec carries " +
+          drift.map(k => s"$k='${want(k)}'").mkString(", ") +
+          " — a drifted column set merges as silent nulls; use a new " +
+          "state path or the recorded spec")
+    }
+  }
+
   /** One compact sketch frame for a single batch: `groupCols...,
     * n_rows, sum_<c>..., hll_<c>...` (hll columns are Datasketches HLL
     * binaries). O(batch) compute, one map-side-combined aggregation;
@@ -85,11 +115,14 @@ object Sketches {
       night: String): Unit = {
     require(night.nonEmpty && !night.exists("/\\=".contains(_)),
       s"night id '$night' is not directory-safe (it names the partition)")
+    val spark = batch.sparkSession
+    checkParams(spark, path, spec)
     batchSketch(batch, spec).withColumn("night", lit(night))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("night")
       .parquet(path)
+    IndexMeta.write(spark, path, params(spec))
   }
 
   /** Corpus-lifetime statistics from the persisted sketch state:
@@ -97,10 +130,12 @@ object Sketches {
     * added and HLL sketches unioned (`hll_union_agg` — register-wise max,
     * associative and order-independent) then estimated. Reads KB of
     * state, never the corpus. `spec` must match the spec the state was
-    * written with (column names are the contract; a drifted spec fails
-    * analysis loudly on the missing columns). */
+    * written with — the recorded marker fails a drifted column set FAST
+    * (a mixed-schema read would resolve missing columns to null and the
+    * null-skipping aggregates would silently exclude those nights). */
   def mergedStats(spark: SparkSession, path: String,
       spec: SketchSpec): DataFrame = {
+    checkParams(spark, path, spec)
     val state = spark.read.parquet(path)
     val aggs: Seq[Column] =
       sum(col("n_rows")).as("n_rows") +:
@@ -117,6 +152,7 @@ object Sketches {
     * [[mergedStats]]. */
   def nightlyStats(spark: SparkSession, path: String,
       spec: SketchSpec): DataFrame = {
+    checkParams(spark, path, spec)
     val state = spark.read.parquet(path)
     val resolved = spec.distinctCols.foldLeft(state)((d, c) =>
       d.withColumn(distinctName(c), hll_sketch_estimate(col(hllName(c)))))

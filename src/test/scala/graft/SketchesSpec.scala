@@ -79,6 +79,36 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spec drift against recorded state fails fast, never merges as nulls") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-drift").resolve("st").toString
+    val spec = SketchSpec(Seq("grp"), distinctCols = Seq("src"),
+      sumCols = Seq("v"))
+    Sketches.appendNight(Seq(("g", "a", 1L)).toDF("grp", "src", "v"),
+      spec, path, "n1")
+    // a night appended WITHOUT the sum column would leave mixed parquet
+    // schemas: later merges resolve sum_v to null for that night and the
+    // null-skipping sum silently excludes it — the marker turns that
+    // silence into an error at the append
+    val drifted = SketchSpec(Seq("grp"), distinctCols = Seq("src"))
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.appendNight(Seq(("g", "b", 2L)).toDF("grp", "src", "v"),
+        drifted, path, "n2")
+    }
+    assert(e1.getMessage.contains("drifted column set"), e1.getMessage)
+    // ...and at analysis
+    intercept[IllegalArgumentException] {
+      Sketches.mergedStats(spark, path, drifted)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.nightlyStats(spark, path,
+        SketchSpec(Seq("grp", "src"), sumCols = Seq("v")))
+    }
+    // the recorded spec still works, and the state carries only n1
+    assert(Sketches.mergedStats(spark, path, spec)
+      .select("n_rows").head().getLong(0) == 1L)
+  }
+
   test("nightlyStats resolves per-night contributions") {
     import spark.implicits._
     val path = TempDirs.create("graft-sketches-nightly").resolve("st").toString
