@@ -108,21 +108,52 @@ object Sketches {
 
   /** Persist `batch`'s sketch under `path/night=<night>` — REPLACING that
     * night's prior state, so a crash replay of the same night lands the
-    * same rows exactly once (the same dynamic-overwrite idempotence the
-    * corpus landing itself uses). The night id must be directory-safe:
-    * it IS the partition directory name. */
+    * same rows exactly once, INCLUDING a replay whose sketch is empty —
+    * the night directory is overwritten directly, and an empty write
+    * commits a schema-only file rather than leaving old rows behind. The
+    * night id must be directory-safe: it IS the partition directory
+    * name. */
   def appendNight(batch: DataFrame, spec: SketchSpec, path: String,
       night: String): Unit = {
     require(night.nonEmpty && !night.exists("/\\=".contains(_)),
       s"night id '$night' is not directory-safe (it names the partition)")
     val spark = batch.sparkSession
     checkParams(spark, path, spec)
-    batchSketch(batch, spec).withColumn("night", lit(night))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("night")
-      .parquet(path)
+    // marker BEFORE data: a crash between the two leaves marker-only
+    // state, which later entry points either guard (checkParams) or fail
+    // LOUDLY on (readState) — data-before-marker instead left unmarked
+    // state a drifted spec would merge as silent nulls
     IndexMeta.write(spark, path, params(spec))
+    // written DIRECTLY into the night's directory, not via partitionBy
+    // dynamic overwrite: a ZERO-GROUP night then still commits one
+    // schema-only parquet file (an empty partitionBy write commits
+    // nothing), so (a) readers can always infer the state schema and
+    // (b) a replay whose sketch is empty truly REPLACES the night's old
+    // rows instead of leaving them behind
+    batchSketch(batch, spec)
+      .write.mode("overwrite").parquet(s"$path/night=$night")
+  }
+
+  /** Read the state, failing ACTIONABLY when the directory exists (the
+    * marker landed) but no night data does — the crash window between
+    * [[appendNight]]'s marker and data writes. */
+  private def readState(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        found = st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+    if (!hasData) throw new IllegalStateException(
+      s"sketch state at $path holds no night data" +
+        (if (fs.exists(p)) " (a crashed first append left marker-only " +
+          "state — re-run the night)" else ""))
+    spark.read.parquet(path)
   }
 
   /** Corpus-lifetime statistics from the persisted sketch state:
@@ -136,7 +167,7 @@ object Sketches {
   def mergedStats(spark: SparkSession, path: String,
       spec: SketchSpec): DataFrame = {
     checkParams(spark, path, spec)
-    val state = spark.read.parquet(path)
+    val state = readState(spark, path)
     val aggs: Seq[Column] =
       sum(col("n_rows")).as("n_rows") +:
         (spec.sumCols.map(c => sum(col(sumName(c))).as(sumName(c))) ++
@@ -153,7 +184,10 @@ object Sketches {
   def nightlyStats(spark: SparkSession, path: String,
       spec: SketchSpec): DataFrame = {
     checkParams(spark, path, spec)
-    val state = spark.read.parquet(path)
+    // partition discovery types the night directory token (a digit-only
+    // night id would infer int) — the contract is STRING night ids
+    val state = readState(spark, path)
+      .withColumn("night", col("night").cast("string"))
     val resolved = spec.distinctCols.foldLeft(state)((d, c) =>
       d.withColumn(distinctName(c), hll_sketch_estimate(col(hllName(c)))))
     resolved.select((Seq("night") ++ spec.groupCols ++ Seq("n_rows") ++

@@ -136,7 +136,11 @@ object IngestPipeline {
       // under <metaDir>/drop_ledger/load_date=<night>. THE answer to "why
       // did my document disappear?" without re-running the probe; O(drops)
       // rows and cost (the pair frames pin once), replay-idempotent like
-      // the landing (per-night dynamic overwrite, deterministic drops)
+      // the landing (the night's ledger directory is overwritten whole,
+      // so even a repair re-run that drops NOTHING clears the bad run's
+      // rows). kept_id is the PAIR EVIDENCE, not a transitive survivor —
+      // with chained duplicates the kept doc can itself carry a drop row
+      // (see [[ledger]])
       dropLedger: Boolean = false,
       carrier: String = "corpus")
 
@@ -146,12 +150,30 @@ object IngestPipeline {
   /** Where [[IngestConfig.dropLedger]] rows land. */
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.metaDir}/drop_ledger"
 
-  /** The accumulated drop ledger (empty-but-typed when no night has
-    * dropped anything yet, so readers need no existence check). */
+  /** The accumulated drop ledger (empty-but-typed when no ledger data
+    * exists yet, so readers need no existence check). The id/kept types
+    * follow the batches' id column on the non-empty path (the pipeline's
+    * id contract is NumericType; the empty frame types them long); the
+    * night column is normalized to STRING — partition discovery would
+    * otherwise type a date- or digit-shaped night id. NOTE kept_id is the
+    * PAIR EVIDENCE — the partner whose presence caused the drop — not a
+    * transitive survivor: with chained duplicates the kept doc can itself
+    * carry a ledger row for its own drop (follow the chain, or resolve
+    * clusters with [[graft.operators.Dedup.dupClusters]]). */
   def ledger(spark: SparkSession, cfg: IngestConfig): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerPath(cfg))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(ledgerPath(cfg))
+    val hasData = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        found = st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+    if (hasData) spark.read.parquet(ledgerPath(cfg))
+      .withColumn(cfg.loadDateCol, col(cfg.loadDateCol).cast("string"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -308,12 +330,15 @@ object IngestPipeline {
           val rows = corpusLedger.union(intraLedger)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-            .withColumn(cfg.loadDateCol, lit(night))
             .localCheckpoint(true)
+          // written DIRECTLY into the night's directory (not partitionBy
+          // dynamic overwrite): a ZERO-DROP night then still commits a
+          // schema-only file — so the reader can always infer the schema
+          // — and a replay that drops NOTHING (failOnDq repair re-run
+          // with the dups removed) truly clears the bad run's rows
+          // instead of leaving a stale partition behind
           rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(cfg.loadDateCol)
-            .parquet(ledgerPath(cfg))
+            .parquet(s"${ledgerPath(cfg)}/${cfg.loadDateCol}=$night")
           rows.count()
         }
         ()

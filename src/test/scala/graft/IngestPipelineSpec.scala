@@ -326,6 +326,39 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
         5L -> "sphinx of black quartz judge my vow tonight")
       .toDF("doc_id", "text"), "n2", cfg)
     assert(rows() == want, s"replay must not double the ledger: ${rows()}")
+    // a repair replay whose FIXED batch drops NOTHING must clear the bad
+    // run's rows for that night — not leave a stale partition behind
+    val walk2 = java.nio.file.Files.walk(hwm)
+    try walk2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk2.close()
+    IngestPipeline.runNight(spark, Seq(
+        4L -> "sphinx of black quartz judge my vow tonight",
+        7L -> "how vexingly quick daft zebras jump around")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(rows().isEmpty,
+      s"fixed-batch replay must clear n2's ledger rows: ${rows()}")
+  }
+
+  test("dropLedger: a zero-drop night leaves a READABLE empty ledger") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-ledger-empty")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      dropLedger = true)
+    // nothing duplicates anything: the night drops zero docs, and the
+    // ledger write must still leave schema on disk — an empty partitioned
+    // write would commit no files and the reader would fail to infer
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.dropped == 0, n1.toString)
+    val led = IngestPipeline.ledger(spark, cfg)
+    assert(led.count() == 0, "zero-drop night reads back empty")
+    assert(led.columns.contains("reason") && led.columns.contains("load_date"))
   }
 
   test("night re-run: completed night short-circuits; mid-crash replay lands exactly once") {

@@ -109,6 +109,47 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .select("n_rows").head().getLong(0) == 1L)
   }
 
+  test("an empty night is readable state and an empty replay clears old rows") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-empty").resolve("st").toString
+    val spec = SketchSpec(Seq("grp"), sumCols = Seq("v"))
+    val empty = Seq.empty[(String, Long)].toDF("grp", "v")
+    // first night empty: the write must still leave schema on disk (an
+    // empty partitionBy write commits nothing and the read would fail)
+    Sketches.appendNight(empty, spec, path, "n1")
+    assert(Sketches.mergedStats(spark, path, spec).count() == 0)
+    assert(Sketches.nightlyStats(spark, path, spec).count() == 0)
+    // a non-empty night replayed EMPTY must clear its rows, not keep them
+    Sketches.appendNight(Seq(("g", 5L)).toDF("grp", "v"), spec, path, "n2")
+    assert(Sketches.mergedStats(spark, path, spec).count() == 1)
+    Sketches.appendNight(empty, spec, path, "n2")
+    assert(Sketches.mergedStats(spark, path, spec).count() == 0,
+      "empty replay must replace the night's old rows")
+  }
+
+  test("marker-only state (crash before data) fails loudly, digit night ids stay strings") {
+    import spark.implicits._
+    val spec = SketchSpec(Seq("grp"), sumCols = Seq("v"))
+    // crash window: appendNight writes the marker FIRST; simulate a crash
+    // before the data write by hand-writing the marker it would leave
+    val crashed = TempDirs.create("graft-sketches-crash").resolve("st")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.write(crashed.resolve("_graft_index_meta.json"),
+      """{"distinctCols": "", "groupCols": "grp", "kind": "sketches", "sumCols": "v"}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Sketches.mergedStats(spark, crashed.toString, spec)
+    }
+    assert(e.getMessage.contains("no night data"), e.getMessage)
+    // a digit-shaped night id must read back as a STRING night, not the
+    // int partition discovery would infer
+    val path = TempDirs.create("graft-sketches-digit").resolve("st").toString
+    Sketches.appendNight(Seq(("g", 1L)).toDF("grp", "v"), spec, path,
+      "20260815")
+    val row = Sketches.nightlyStats(spark, path, spec).head()
+    assert(row.getAs[String]("night") == "20260815", row.toString)
+  }
+
   test("nightlyStats resolves per-night contributions") {
     import spark.implicits._
     val path = TempDirs.create("graft-sketches-nightly").resolve("st").toString
