@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Sharded, mergeable Bloom membership index — the EXACT-duplicate gate a
+ * re-crawl-heavy ingest needs at 100 TB.
+ *
+ * The standing near-dup machinery ([[BandIndex]] + MinHash) catches exact
+ * duplicates too, but it pays the full fingerprint cost to do it: shingling,
+ * `numHashes` permutations, and a banded bucket join — per batch document.
+ * A nightly crawl's most common duplicate is the BYTE-IDENTICAL
+ * re-submission (re-crawls, retries, mirrored pages), and those need only a
+ * membership test on a content hash. This index answers that test with:
+ *
+ *   - `blooms/`  — one Bloom filter per hash SHARD, stored as parquet rows
+ *     `(shard int, bloom binary)`. Appends add GENERATION rows per shard
+ *     (a bloom built from just the new keys); a probe ORs a key against
+ *     every generation of its shard, so append is O(batch) with no
+ *     read-modify-write, and re-appending the same batch is a semantic
+ *     no-op (bloom insertion is idempotent — the bits are already set).
+ *     [[compact]] folds generations back to one row per shard.
+ *   - `keys/shard=<n>/` — the exact key LEDGER `(key string, id long)`,
+ *     shard-partitioned. The bloom alone cannot be exact (false positives
+ *     are inherent), so a probe VERIFIES its candidates against the ledger
+ *     — and reads only the candidate shards' directories (partition
+ *     pruning). The bloom's guarantee is the other direction: a MISS is
+ *     definite, so the non-candidate majority of a mostly-new batch costs
+ *     zero ledger I/O.
+ *
+ * Probe result is therefore EXACT (`is_dup` true iff the key is present),
+ * while the expected cost per batch key is one xxhash64 + a few bit reads;
+ * only true dups and the fpp-sized false-positive tail touch storage.
+ *
+ * Scale shape (10B standing keys, 1024 shards, fpp ~1%): blooms total
+ * ~12 GB as DISTRIBUTED rows (never on the driver), keys ledger ~200 GB —
+ * both orders of magnitude under the corpus text, and a probe moves only
+ * the batch's `(key, hash)` pairs plus the touched shards' bloom rows
+ * through one exchange. Build shuffles raw 16-byte key rows INTO the
+ * shards rather than partially aggregating blooms on the map side — with
+ * bloom-sized buffers, map-side combine would ship
+ * `tasks × shards × bloomBytes` (terabytes at 1000 tasks), while the raw
+ * rows are `keys × 16 B`; "functions, not UDFs" loses to arithmetic here,
+ * which is why build/probe use the typed `groupByKey`/`cogroup` API — the
+ * bloom is opaque binary state deserialized once per shard, not per row.
+ *
+ * Reference behavior this extends: the reference dedupes each incremental
+ * load against the standing mart before landing it
+ * (ref: /root/reference/docs/KIMBALL_CDC_DATA_DESIGN.md:289-296); this is
+ * the membership-test form of that gate for content-identical rows.
+ *
+ * Retraction: [[removeIds]] tombstones by numeric id (the engine's id
+ * contract); the probe's verify step subtracts tombstoned ledger rows, so
+ * retracted content stops matching IMMEDIATELY. [[vacuum]] rewrites only
+ * the touched shard directories. Bloom BITS of removed keys persist until
+ * [[rebuildBlooms]] — harmless for correctness (the ledger decides), they
+ * only keep the false-positive tail a little wider than fresh.
+ */
+object BloomIndex {
+
+  val ShardCol = "shard"
+  val KeyCol = "key"
+  val IdCol = "id"
+
+  private val BloomsDir = "blooms"
+  private val KeysDir = "keys"
+
+  /** Build geometry, persisted in the index marker. `bitsPerShard` and
+    * `itemsPerShard` must be identical across every generation of a shard
+    * or the filters cannot merge (hash-function count derives from them),
+    * so [[append]]/[[probe]] read them back from the marker rather than
+    * trusting the caller. */
+  final case class Geometry(shards: Int, bitsPerShard: Long, itemsPerShard: Long) {
+    require(shards > 0, "shards must be positive")
+    require(bitsPerShard > 0, "bitsPerShard must be positive")
+    require(itemsPerShard > 0, "itemsPerShard must be positive")
+  }
+
+  private def bloomsPath(path: String) = s"$path/$BloomsDir"
+  private def keysPath(path: String) = s"$path/$KeysDir"
+
+  private def writeGeometry(spark: SparkSession, path: String, g: Geometry): Unit =
+    IndexMeta.write(spark, path, Map(
+      "layout" -> "bloom_v1",
+      "shards" -> g.shards.toString,
+      "bitsPerShard" -> g.bitsPerShard.toString,
+      "itemsPerShard" -> g.itemsPerShard.toString))
+
+  /** The recorded geometry; fails fast when the marker is absent or from a
+    * different layout (probing with guessed geometry would hash keys into
+    * the wrong shards and silently miss every standing duplicate). */
+  def readGeometry(spark: SparkSession, path: String): Geometry = {
+    val m = IndexMeta.read(spark, path)
+    require(m.get("layout").contains("bloom_v1"),
+      s"no bloom_v1 index marker at $path — build with BloomIndex.save " +
+        "first (probing with guessed geometry would miss every duplicate)")
+    Geometry(m("shards").toInt, m("bitsPerShard").toLong,
+      m("itemsPerShard").toLong)
+  }
+
+  /** `(key, hash, shard)` projection — ONE xxhash64 per key drives both the
+    * shard route and the bloom insert/lookup value. Inserting the 64-bit
+    * hash (not the string) keeps bloom updates allocation-free; a 64-bit
+    * collision between distinct keys at worst adds a false positive, which
+    * the ledger verify absorbs. */
+  private def keyed(df: DataFrame, keyCol: String, shards: Int): DataFrame =
+    df.select(col(keyCol).cast("string").as(KeyCol))
+      .withColumn("__h", xxhash64(col(KeyCol)))
+      .withColumn(ShardCol, pmod(col("__h"), lit(shards.toLong)).cast("int"))
+
+  /** [[keyed]] plus the ledger id column. */
+  private def keyedWithId(df: DataFrame, keyCol: String, idCol: String,
+      shards: Int): DataFrame =
+    df.select(col(keyCol).cast("string").as(KeyCol),
+        col(idCol).cast("long").as(IdCol))
+      .withColumn("__h", xxhash64(col(KeyCol)))
+      .withColumn(ShardCol, pmod(col("__h"), lit(shards.toLong)).cast("int"))
+
+  /** One bloom generation per shard from `(key, hash, shard)` rows — a
+    * single shuffle by shard, one filter alive per group at a time. */
+  private def buildGenerations(keyedDf: DataFrame, g: Geometry): DataFrame = {
+    val spark = keyedDf.sparkSession
+    import spark.implicits._
+    val (items, bits) = (g.itemsPerShard, g.bitsPerShard)
+    keyedDf.select(col(ShardCol), col("__h")).as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val bf = BloomFilter.create(items, bits)
+        rows.foreach(r => bf.putLong(r._2))
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        (shard, out.toByteArray)
+      }
+      .toDF(ShardCol, "bloom")
+  }
+
+  /** Cluster ledger rows by (shard, key) range before a partitioned write —
+    * the [[BandIndex]] write discipline: without it every task writes into
+    * every shard directory (tasks × shards small files). */
+  private def clusteredKeys(keyedDf: DataFrame): DataFrame =
+    keyedDf.select(col(ShardCol), col(KeyCol), col(IdCol))
+      .repartitionByRange(col(ShardCol), col(KeyCol))
+
+  /** Create (or rebuild) the index at `path` from `df`'s `(keyCol, idCol)`
+    * rows. Key rows should be distinct per (key, id); duplicates are
+    * harmless for membership but waste ledger bytes. */
+  def save(df: DataFrame, keyCol: String, idCol: String, path: String,
+      shards: Int = 64, bitsPerShard: Long = 1L << 23,
+      itemsPerShard: Long = (1L << 23) / 10): Unit = {
+    val spark = df.sparkSession
+    val g = Geometry(shards, bitsPerShard, itemsPerShard)
+    val kb = keyedWithId(df, keyCol, idCol, g.shards)
+    buildGenerations(kb, g).write.mode("overwrite").parquet(bloomsPath(path))
+    clusteredKeys(kb)
+      .write.mode("overwrite").partitionBy(ShardCol).parquet(keysPath(path))
+    writeGeometry(spark, path, g)
+  }
+
+  /** Append a batch's `(key, id)` rows: one new bloom generation row per
+    * touched shard, then the ledger rows. ORDER MATTERS for exactness:
+    * blooms land FIRST, so a crash between the writes leaves keys that are
+    * bloom-candidates with no ledger row — a false positive the verify
+    * absorbs — never a ledger row the bloom doesn't know (a false NEGATIVE
+    * that would wave a duplicate through). Re-running a crashed append is
+    * safe: bloom bits are idempotent and duplicate ledger rows don't
+    * change membership (same (key, id) pair — min(id) is unaffected). */
+  def append(df: DataFrame, keyCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val g = readGeometry(spark, path)
+    val kb = keyedWithId(df, keyCol, idCol, g.shards)
+    buildGenerations(kb, g).write.mode("append").parquet(bloomsPath(path))
+    clusteredKeys(kb)
+      .write.mode("append").partitionBy(ShardCol).parquet(keysPath(path))
+  }
+
+  /** Exact membership of `batch`'s `keyCol` values against the standing
+    * index: one row per DISTINCT batch key with `is_dup` (exact) and
+    * `kept_id` (the smallest standing id holding that key, null when new).
+    *
+    * Plan shape: batch keys hash+shard → cogroup with the shard blooms
+    * (each task deserializes its shards' generations once, streams its
+    * keys through them) → candidates verify against the key ledger with
+    * the read PRUNED to candidate shard directories, the candidate set
+    * broadcast (batch-bounded by the ingest contract), and the ledger
+    * never shuffled.
+    *
+    * `excludeIds` (one numeric column) removes those ids from the ledger
+    * side before the verify — the replay-idempotence hook: a crashed
+    * night's partial append must not drop the re-delivered batch's own
+    * rows as duplicates of themselves. Exclusion happens at VERIFY, so it
+    * also covers ids only present as bloom bits (they simply fail to
+    * verify). */
+  def probe(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, excludeIds: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val g = readGeometry(spark, path)
+    val keys = keyed(batch.select(col(keyCol)).distinct(), keyCol, g.shards)
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBlooms = fs.exists(new org.apache.hadoop.fs.Path(bloomsPath(path)))
+    val hasKeys = fs.exists(new org.apache.hadoop.fs.Path(keysPath(path)))
+    // keys without blooms would make every bloom miss a FALSE NEGATIVE —
+    // the one state this index must never serve reads from
+    require(hasBlooms || !hasKeys,
+      s"bloom index at $path has a key ledger but no bloom directory — " +
+        "the membership test would silently pass duplicates; rebuild with " +
+        "BloomIndex.save or rebuildBlooms")
+
+    val result =
+      if (!hasBlooms) keys.withColumn("kept_id", lit(null).cast("long"))
+      else {
+        val blooms = spark.read.parquet(bloomsPath(path))
+          .select(col(ShardCol), col("bloom")).as[(Int, Array[Byte])]
+        // candidates: keys whose shard's generations might contain them.
+        // A shard with no bloom rows yields no candidates (nothing was
+        // ever appended there).
+        val cands = keys.select(col(KeyCol), col("__h"), col(ShardCol))
+          .as[(String, Long, Int)]
+          .groupByKey(_._3)
+          .cogroup(blooms.groupByKey(_._1)) { (_, ks, bs) =>
+            val gens = bs.map(b => BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b._2))).toArray
+            if (gens.isEmpty) Iterator.empty
+            else ks.collect {
+              case (key, h, shard) if gens.exists(_.mightContainLong(h)) =>
+                (key, shard)
+            }
+          }
+          .toDF(KeyCol, ShardCol)
+          // bounded by the batch (distinct keys ≤ batch rows); pinned so
+          // the shard-list collect and the verify join share one run
+          .localCheckpoint(true)
+
+        val candShards = cands.select(ShardCol).distinct()
+          .collect().map(_.getInt(0))
+        val kept =
+          if (candShards.isEmpty)
+            keys.limit(0).select(col(KeyCol),
+              lit(null).cast("long").as("kept_id"))
+          else {
+            val ledger0 = spark.read.parquet(keysPath(path))
+              .filter(col(ShardCol)
+                .isin(candShards.map(Integer.valueOf).toIndexedSeq: _*))
+            val ledger1 = Tombstones.read(spark, path) match {
+              case Some(ts) => ledger0.join(broadcast(ts),
+                ledger0(IdCol) === ts(Tombstones.IdCol), "left_anti")
+              case None => ledger0
+            }
+            val ledger = excludeIds match {
+              case Some(ex) =>
+                val exIds = ex.select(ex.columns.head)
+                  .withColumnRenamed(ex.columns.head, "__ex_id")
+                ledger1.join(broadcast(exIds),
+                  ledger1(IdCol) === col("__ex_id").cast("long"), "left_anti")
+              case None => ledger1
+            }
+            ledger.join(broadcast(cands.select(col(KeyCol))), Seq(KeyCol))
+              .groupBy(col(KeyCol))
+              .agg(min(col(IdCol)).as("kept_id"))
+          }
+        keys.join(kept, Seq(KeyCol), "left")
+      }
+    result.select(col(KeyCol).as(keyCol), col("kept_id"),
+      col("kept_id").isNotNull.as("is_dup"))
+  }
+
+  /** Retract numeric ids from the index: O(|ids|), probe-visible
+    * immediately (the verify subtracts them), physical at [[vacuum]]. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop tombstoned ledger rows (touched shard directories
+    * only) and clear the set. Bloom bits of the removed keys persist until
+    * [[rebuildBlooms]] — a false-positive-width cost, never a correctness
+    * one. Returns rows removed. */
+  def vacuum(spark: SparkSession, path: String): Long =
+    PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
+
+  /** Fold each shard's bloom generations into one row (append litter →
+    * one row per shard, crash-safe via the shared [[DirSwap]] discipline)
+    * and dedup/compact the ledger's shard directories. Run on the nightly
+    * compaction cadence. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = graft.ops.Compaction.DefaultTargetFileBytes)
+      : graft.ops.CompactionResult = {
+    import spark.implicits._
+    val live = bloomsPath(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DirSwap.repair(spark, live)
+    if (fs.exists(new org.apache.hadoop.fs.Path(live))) {
+      val staged = live + "__compact"
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      spark.read.parquet(live)
+        .select(col(ShardCol), col("bloom")).as[(Int, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (shard, rows) =>
+          val it = rows.map(r => BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r._2)))
+          val merged = it.next()
+          it.foreach(merged.mergeInPlace)
+          val out = new java.io.ByteArrayOutputStream()
+          merged.writeTo(out)
+          (shard, out.toByteArray)
+        }
+        .toDF(ShardCol, "bloom")
+        .write.mode("overwrite").parquet(staged)
+      DirSwap.swap(spark, live, staged)
+      spark.catalog.refreshByPath(live)
+    }
+    graft.ops.Compaction.compactPath(spark, keysPath(path), Seq(ShardCol),
+      targetFileBytes)
+  }
+
+  /** Rebuild every shard's bloom from the (post-vacuum) ledger — restores
+    * the false-positive rate after retractions. O(ledger) read, staged and
+    * swapped crash-safe. */
+  def rebuildBlooms(spark: SparkSession, path: String): Unit = {
+    val g = readGeometry(spark, path)
+    val live = bloomsPath(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DirSwap.repair(spark, live)
+    val staged = live + "__rebuild"
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    val ledger = spark.read.parquet(keysPath(path))
+    buildGenerations(
+      ledger.select(col(KeyCol), xxhash64(col(KeyCol)).as("__h"),
+        col(ShardCol)), g)
+      .write.mode("overwrite").parquet(staged)
+    DirSwap.swap(spark, live, staged)
+    spark.catalog.refreshByPath(live)
+  }
+
+  /** Per-shard health: bloom generations, ledger rows, the filters'
+    * estimated item count and expected false-positive rate. A shard whose
+    * `est_fpp` approaches 1 has saturated its bit budget — every probe key
+    * becomes a verify candidate and the index degrades to a plain ledger
+    * join; [[save]] with more bits (or more shards) is the remedy. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val blooms = spark.read.parquet(bloomsPath(path))
+      .select(col(ShardCol), col("bloom")).as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        var gens = 0
+        val it = rows.map { r =>
+          gens += 1
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(r._2))
+        }
+        val merged = it.next()
+        it.foreach(merged.mergeInPlace)
+        (shard, gens, merged.cardinality(), merged.expectedFpp())
+      }
+      .toDF(ShardCol, "generations", "est_items", "est_fpp")
+    val ledger = spark.read.parquet(keysPath(path))
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("ledger_rows"))
+    blooms.join(ledger, Seq(ShardCol), "full")
+      .na.fill(0L, Seq("ledger_rows"))
+      .orderBy(ShardCol)
+  }
+}

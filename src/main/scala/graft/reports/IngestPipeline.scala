@@ -142,6 +142,22 @@ object IngestPipeline {
       // with chained duplicates the kept doc can itself carry a drop row
       // (see [[ledger]])
       dropLedger: Boolean = false,
+      // (opt-in) EXACT-duplicate gate: a standing
+      // [[graft.operators.BloomIndex]] over md5(text) content hashes at
+      // this path. Byte-identical re-submissions — the re-crawl/retry
+      // case, the most common duplicate in a nightly crawl — drop for one
+      // hash + a bloom membership test per doc BEFORE the minhash stage
+      // pays shingling + numHashes permutations on them. The gate is
+      // EXACT (bloom prefilter, ledger verify), so it can only drop true
+      // exact duplicates; note it is also slightly STRICTER than the
+      // near-dup probe alone, which can let an exact dup through when its
+      // LSH bucket overflows maxBucket — with the gate on, exact dups
+      // never depend on bucket caps. Survivor keys append nightly
+      // (bootstrap on first night) and the index sweeps on the same
+      // compaction/vacuum cadence as the others.
+      bloomIndexPath: Option[String] = None,
+      bloomShards: Int = 64,
+      bloomBitsPerShard: Long = 1L << 23,
       carrier: String = "corpus")
 
   /** Where [[IngestConfig.statsSketch]] state lives. */
@@ -196,7 +212,8 @@ object IngestPipeline {
       dqFailures: Long,
       skipped: Boolean = false,
       ivfCompaction: Option[CompactionResult] = None,
-      ivfPqCompaction: Option[CompactionResult] = None)
+      ivfPqCompaction: Option[CompactionResult] = None,
+      bloomCompaction: Option[CompactionResult] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -264,9 +281,78 @@ object IngestPipeline {
       case None => batch
     }
 
+    // 0b. (opt-in) EXACT GATE — byte-identical duplicates drop here, for
+    // one md5 + a bloom membership test per doc, before the minhash stage
+    // pays its fingerprint cost on them. Exactness: intra-batch keeps the
+    // smallest id per content hash (the same resolution the banded intra
+    // path applies), corpus-side verdicts come from BloomIndex.probe
+    // (bloom prefilter + ledger verify — never a bloom-only answer), and
+    // the batch's own ids are excluded from the verify so a mid-night
+    // crash replay cannot self-drop rows its first run already appended.
+    // Scope: rows with a non-null key AND a non-null id (a null text is
+    // never a duplicate of anything — SQL null semantics — and a null id
+    // can't be ledgered or tombstoned); out-of-scope rows pass through to
+    // the minhash stage untouched. Output is pinned: it feeds the banded
+    // hashing, the survivor anti-join, and the landing.
+    val exactKeyCol = "__exact_key"
+    val (gated, exactLedger): (DataFrame, Option[DataFrame]) =
+      cfg.bloomIndexPath match {
+        case None => (prepped, None)
+        case Some(bp) =>
+          ExecutionLogger.logged(meta, s"ingest_exact_$night", cfg.carrier,
+              (t: (DataFrame, Option[DataFrame])) =>
+                (batchRows, 0L, batchRows - t._1.count())) {
+            val cols = prepped.columns.toSeq
+            val withKey = prepped.withColumn(exactKeyCol,
+              md5(col(cfg.textCol).cast("binary")))
+            val inScope = withKey.filter(
+              col(exactKeyCol).isNotNull && col(cfg.idCol).isNotNull)
+            val outScope = withKey.filter(
+              col(exactKeyCol).isNull || col(cfg.idCol).isNull)
+            val keep = inScope.groupBy(col(exactKeyCol))
+              .agg(min(col(cfg.idCol)).as("__keep_id"))
+            val intraKept = inScope.join(keep, Seq(exactKeyCol))
+            val intraSurvivors =
+              intraKept.filter(col(cfg.idCol) === col("__keep_id"))
+            val intraDropped =
+              intraKept.filter(col(cfg.idCol) =!= col("__keep_id"))
+            val bloomPath = new org.apache.hadoop.fs.Path(bp)
+            val bloomExists = bloomPath
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(bloomPath)
+            val (corpusSurvivors, corpusDropped) =
+              if (!bloomExists)
+                (intraSurvivors,
+                  intraSurvivors.limit(0)
+                    .withColumn("kept_id", lit(null).cast("long"))
+                    .withColumn("is_dup", lit(false)))
+              else {
+                val verdict = graft.operators.BloomIndex.probe(spark, bp,
+                  intraSurvivors.select(col(exactKeyCol)), exactKeyCol,
+                  excludeIds = Some(batch.select(col(cfg.idCol))))
+                val joined = intraSurvivors.join(verdict, Seq(exactKeyCol))
+                (joined.filter(!col("is_dup")).drop("kept_id", "is_dup"),
+                  joined.filter(col("is_dup")))
+              }
+            val ledgerRows =
+              if (!cfg.dropLedger) None
+              else Some(corpusDropped
+                .select(col(cfg.idCol), col("kept_id"),
+                  lit("exact_corpus_dup").as("reason"))
+                .union(intraDropped
+                  .select(col(cfg.idCol), col("__keep_id").as("kept_id"),
+                    lit("exact_intra_dup").as("reason")))
+                .localCheckpoint(true))
+            val gatedOut = corpusSurvivors.select(cols.map(col): _*)
+              .unionByName(outScope.select(cols.map(col): _*))
+              .localCheckpoint(true)
+            (gatedOut, ledgerRows)
+          }
+      }
+
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in
-    val banded = Dedup.lshBanded(prepped, cfg.idCol, cfg.textCol,
+    val banded = Dedup.lshBanded(gated, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
       val (survivors, corpusPairs, intraPairs) =
@@ -298,7 +384,7 @@ object IngestPipeline {
             cp.select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
           val intraDups = ip.select(col("id_b").as(cfg.idCol))
           // pin survivors BEFORE any append mutates what the plan reads
-          (prepped.join(corpusDups.union(intraDups).distinct(),
+          (gated.join(corpusDups.union(intraDups).distinct(),
             Seq(cfg.idCol), "left_anti").localCheckpoint(true), cp, ip)
         }
       val accepted = survivors.count()
@@ -312,7 +398,7 @@ object IngestPipeline {
       if (cfg.dropLedger) {
         ExecutionLogger.logged(meta, s"ingest_ledger_$night", cfg.carrier,
             (n: Long) => (0L, 0L, n)) {
-          val batchIds = prepped.select(col(cfg.idCol))
+          val batchIds = gated.select(col(cfg.idCol))
           val corpusLedger = corpusPairs
             .select(explode(array(
               struct(col("id_a").as("d"), col("id_b").as("k")),
@@ -327,9 +413,14 @@ object IngestPipeline {
             .partitionBy(col(cfg.idCol))
             .orderBy(when(col("reason") === "corpus_dup", 0).otherwise(1).asc,
               col("kept_id").asc)
+          // exact-gate drops never reach the probe (they were cut before
+          // hashing), so their ids can't collide with the ranked pair
+          // rows — union them in verbatim after the ranking
           val rows = corpusLedger.union(intraLedger)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .unionByName(exactLedger.getOrElse(
+              corpusLedger.limit(0)))
             .localCheckpoint(true)
           // written DIRECTLY into the night's directory (not partitionBy
           // dynamic overwrite): a ZERO-DROP night then still commits a
@@ -460,6 +551,24 @@ object IngestPipeline {
             graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
               cfg.embCol, ip)
         }
+        cfg.bloomIndexPath.foreach { bp =>
+          // the gate's scope rule applied to the append side too: only
+          // rows a future probe could ledger-verify (non-null key + id)
+          val keys = survivors
+            .filter(col(cfg.idCol).isNotNull && col(cfg.textCol).isNotNull)
+            .select(md5(col(cfg.textCol).cast("binary")).as(exactKeyCol),
+              col(cfg.idCol))
+          val bpath = new org.apache.hadoop.fs.Path(bp)
+          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(bpath))
+            graft.operators.BloomIndex.save(keys, exactKeyCol, cfg.idCol,
+              bp, shards = cfg.bloomShards,
+              bitsPerShard = cfg.bloomBitsPerShard,
+              itemsPerShard = math.max(1L, cfg.bloomBitsPerShard / 10))
+          else
+            graft.operators.BloomIndex.append(keys, exactKeyCol, cfg.idCol,
+              bp)
+        }
       }
 
       // 5. MAINTAIN — partition-scoped sweep of per-night index litter,
@@ -495,6 +604,15 @@ object IngestPipeline {
             cfg.compactTargetFileBytes)
         }
       }
+      val bloomComp = cfg.bloomIndexPath.map { bp =>
+        ExecutionLogger.logged(meta, s"ingest_compact_bloom_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          graft.operators.BloomIndex.vacuum(spark, bp)
+          graft.operators.BloomIndex.compact(spark, bp,
+            cfg.compactTargetFileBytes)
+        }
+      }
 
       // 6. LOG — the night's commit record, written LAST: its presence is
       // what makes a later re-run of this night short-circuit. NOTE the
@@ -507,7 +625,7 @@ object IngestPipeline {
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures, ivfCompaction = ivfComp,
-        ivfPqCompaction = ivfPqComp)
+        ivfPqCompaction = ivfPqComp, bloomCompaction = bloomComp)
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()
@@ -519,7 +637,8 @@ object IngestPipeline {
       corpusRemoved: Long,
       bandRemoved: Long,
       ivfRemoved: Option[Long] = None,
-      ivfPqRemoved: Option[Long] = None)
+      ivfPqRemoved: Option[Long] = None,
+      bloomRemoved: Option[Long] = None)
 
   /**
    * Retract documents from the landed corpus AND every configured standing
@@ -607,7 +726,14 @@ object IngestPipeline {
         graft.operators.IvfPqIndex.vacuum(spark, ip)
       }
     }
+    val bloomRemoved = cfg.bloomIndexPath.filter(exists).map { bp =>
+      ExecutionLogger.logged(meta, s"retract_bloom_$label", cfg.carrier,
+          (n: Long) => (0L, n, 0L)) {
+        graft.operators.BloomIndex.removeIds(spark, bp, pinned)
+        graft.operators.BloomIndex.vacuum(spark, bp)
+      }
+    }
     RetractResult(requested, corpusRemoved, bandRemoved, ivfRemoved,
-      ivfPqRemoved)
+      ivfPqRemoved, bloomRemoved)
   }
 }

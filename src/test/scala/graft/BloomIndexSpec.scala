@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BloomIndex
+
+/**
+ * Exactness and lifecycle proof for the sharded Bloom membership index.
+ * The contract under test: `probe` is EXACT (is_dup true iff the key is in
+ * the standing ledger) REGARDLESS of bloom geometry — a saturated filter
+ * degrades cost, never answers — and the nightly cycle (save → probe →
+ * append → compact → retract → vacuum → rebuild) preserves that exactness
+ * at every point.
+ */
+class BloomIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def keysDf(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "id")
+  }
+
+  private def probeMap(path: String,
+      batch: org.apache.spark.sql.DataFrame,
+      exclude: Option[org.apache.spark.sql.DataFrame] = None)
+      : Map[String, (Boolean, Option[Long])] =
+    BloomIndex.probe(spark, path, batch, "k", exclude).collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getBoolean(2), if (r.isNullAt(1)) None else Some(r.getLong(1)))))
+      .toMap
+
+  private def newPath(): String =
+    TempDirs.create("graft-bloomindex").resolve("idx").toString
+
+  test("save → probe is exact: dups flagged with min standing id, new keys pass") {
+    val path = newPath()
+    BloomIndex.save(keysDf("alpha" -> 10L, "beta" -> 20L, "alpha" -> 7L),
+      "k", "id", path, shards = 8, bitsPerShard = 1L << 10,
+      itemsPerShard = 64L)
+    val r = probeMap(path, keysDf("alpha" -> 100L, "gamma" -> 101L))
+    assert(r("alpha") == ((true, Some(7L))),
+      "standing key must flag with the SMALLEST standing id")
+    assert(r("gamma") == ((false, None)), "a new key must pass")
+  }
+
+  test("probe is exact even with a fully saturated bloom (everything a candidate)") {
+    val path = newPath()
+    // 8 bits for 50 keys: the filter saturates, every probe key becomes a
+    // verify candidate — cost degrades, answers must not
+    val corpus = keysDf((1 to 50).map(i => (s"doc$i", i.toLong)): _*)
+    BloomIndex.save(corpus, "k", "id", path, shards = 4,
+      bitsPerShard = 8L, itemsPerShard = 4L)
+    val r = probeMap(path, keysDf("doc7" -> 900L, "doc50" -> 901L,
+      "brand-new" -> 902L, "also-new" -> 903L))
+    assert(r("doc7") == ((true, Some(7L))))
+    assert(r("doc50") == ((true, Some(50L))))
+    assert(r("brand-new") == ((false, None)),
+      "a bloom false positive must be absorbed by the ledger verify")
+    assert(r("also-new") == ((false, None)))
+    // the 8-bit budget word-aligns up to 64 bits inside the filter; the
+    // point is that stats reads clearly worse than a roomy filter's ~0
+    val fpp = BloomIndex.stats(spark, path).agg(max(col("est_fpp"))).head().getDouble(0)
+    assert(fpp > 0.1, s"an 8-bit filter over 50 keys should read saturated, got $fpp")
+  }
+
+  test("append extends membership; re-appending the same batch is a no-op; compact folds generations") {
+    val path = newPath()
+    BloomIndex.save(keysDf("a" -> 1L), "k", "id", path, shards = 4,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    BloomIndex.append(keysDf("b" -> 2L, "c" -> 3L), "k", "id", path)
+    BloomIndex.append(keysDf("b" -> 2L, "c" -> 3L), "k", "id", path) // replay
+    val before = probeMap(path, keysDf("a" -> 9L, "b" -> 9L, "c" -> 9L, "d" -> 9L))
+    assert(before == Map(
+      "a" -> ((true, Some(1L))), "b" -> ((true, Some(2L))),
+      "c" -> ((true, Some(3L))), "d" -> ((false, None))))
+
+    // one bloom row per touched shard per write: 1 (save) + ≥1 + ≥1
+    val gensBefore = BloomIndex.stats(spark, path)
+      .agg(sum(col("generations"))).head().getLong(0)
+    assert(gensBefore >= 3, s"three writes should stack generation rows, got $gensBefore")
+    BloomIndex.compact(spark, path)
+    val gensAfter = BloomIndex.stats(spark, path)
+      .agg(max(col("generations"))).head().getInt(0)
+    assert(gensAfter == 1, s"compact must fold to one row per shard, got $gensAfter")
+    assert(probeMap(path, keysDf("a" -> 9L, "b" -> 9L, "c" -> 9L, "d" -> 9L))
+      == before, "compaction must not change any answer")
+  }
+
+  test("excludeIds: the replay-idempotence hook suppresses a batch's own landed rows") {
+    import spark.implicits._
+    val path = newPath()
+    BloomIndex.save(keysDf("standing" -> 1L), "k", "id", path, shards = 4,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    // a crashed night already appended this batch's rows…
+    BloomIndex.append(keysDf("mine" -> 500L), "k", "id", path)
+    // …the re-delivered batch must not drop "mine" as a dup of itself
+    val r = probeMap(path, keysDf("mine" -> 500L, "standing" -> 501L),
+      exclude = Some(Seq(500L).toDF("doc_id")))
+    assert(r("mine") == ((false, None)),
+      "a batch's own partially-appended rows must not self-drop on replay")
+    assert(r("standing") == ((true, Some(1L))))
+  }
+
+  test("retraction: removeIds hides immediately, vacuum makes it physical, rebuildBlooms restores precision") {
+    import spark.implicits._
+    val path = newPath()
+    BloomIndex.save(keysDf("gone" -> 11L, "stays" -> 12L), "k", "id", path,
+      shards = 4, bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    BloomIndex.removeIds(spark, path, Seq(11L).toDF("id"))
+    assert(probeMap(path, keysDf("gone" -> 90L, "stays" -> 91L)) == Map(
+      "gone" -> ((false, None)), "stays" -> ((true, Some(12L)))),
+      "a tombstoned id must stop matching before any rewrite")
+    val removed = BloomIndex.vacuum(spark, path)
+    assert(removed == 1L, s"vacuum must remove exactly the tombstoned row, got $removed")
+    assert(probeMap(path, keysDf("gone" -> 90L))("gone") == ((false, None)))
+    // the retracted key's bits persist until a rebuild; after rebuild the
+    // index still answers identically (precision-only operation)
+    BloomIndex.rebuildBlooms(spark, path)
+    assert(probeMap(path, keysDf("gone" -> 90L, "stays" -> 91L)) == Map(
+      "gone" -> ((false, None)), "stays" -> ((true, Some(12L)))))
+    // re-admission after vacuum: the same content appends cleanly
+    BloomIndex.append(keysDf("gone" -> 300L), "k", "id", path)
+    assert(probeMap(path, keysDf("gone" -> 90L))("gone") == ((true, Some(300L))))
+  }
+
+  test("null keys are never duplicates (SQL null semantics), standing nulls never match") {
+    val path = newPath()
+    BloomIndex.save(keysDf(("present", 1L), (null, 2L)), "k", "id", path,
+      shards = 4, bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    val r = probeMap(path, keysDf(("present", 50L), (null, 51L)))
+    assert(r("present") == ((true, Some(1L))))
+    assert(r("<null>") == ((false, None)),
+      "null keys must never flag as duplicates")
+  }
+
+  test("fail fast: probing without a marker, and a ledger with no blooms") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-bloomguard")
+    val noMarker = root.resolve("nomarker").toString
+    val e1 = intercept[IllegalArgumentException] {
+      BloomIndex.probe(spark, noMarker, keysDf("x" -> 1L), "k")
+    }
+    assert(e1.getMessage.contains("marker"))
+
+    val broken = root.resolve("broken").toString
+    BloomIndex.save(keysDf("a" -> 1L), "k", "id", broken, shards = 2,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    // simulate the state that would produce FALSE NEGATIVES: keys present,
+    // blooms gone — the probe must refuse rather than wave dups through
+    val fs = new org.apache.hadoop.fs.Path(broken)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(broken + "/blooms"), true)
+    val e2 = intercept[IllegalArgumentException] {
+      BloomIndex.probe(spark, broken, keysDf("a" -> 1L), "k")
+    }
+    assert(e2.getMessage.contains("no bloom directory"))
+    val _ = spark // silence unused-import pattern if implicits unused
+  }
+
+  test("probe answers match a plain exact join on a randomized corpus/batch") {
+    import spark.implicits._
+    val path = newPath()
+    // deterministic pseudo-random corpus: 300 keys, ids not in key order
+    val corpus = (1 to 300)
+      .map(i => (s"key-${(i * 2654435761L) % 997}", (1000 - i).toLong))
+    val batch = (250 to 400).map(i => (s"key-${(i * 2654435761L) % 997}", 0L))
+    BloomIndex.save(corpus.toDF("k", "id"), "k", "id", path, shards = 8,
+      bitsPerShard = 1L << 12, itemsPerShard = 256L)
+    val got = probeMap(path, batch.toDF("k", "id"))
+    val standing = corpus.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(_._2).min
+    }
+    batch.map(_._1).distinct.foreach { k =>
+      standing.get(k) match {
+        case Some(minId) => assert(got(k) == ((true, Some(minId))),
+          s"$k should be a dup kept by $minId, got ${got(k)}")
+        case None => assert(got(k) == ((false, None)),
+          s"$k should be new, got ${got(k)}")
+      }
+    }
+  }
+}

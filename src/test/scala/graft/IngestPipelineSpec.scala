@@ -662,4 +662,117 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(landed(cfgAt(smallP, packed = true), 0L) == fb,
       "the big-id fallback night must land the same cleaned texts")
   }
+
+  test("bloom exact gate: byte-identical dups drop pre-hash, ledgered; survivors match the gate-off night") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-bloom")
+    val plain = TempDirs.create("graft-ingest-bloom-off")
+    def cfgAt(r: java.nio.file.Path, bloom: Boolean) = IngestConfig(
+      corpusPath = r.resolve("corpus").toString,
+      bandIndexPath = r.resolve("band_index").toString,
+      metaDir = r.resolve("meta").toString,
+      bloomIndexPath =
+        if (bloom) Some(r.resolve("bloom_index").toString) else None,
+      bloomShards = 4, bloomBitsPerShard = 1L << 12,
+      dropLedger = true)
+    val cfg = cfgAt(root, bloom = true)
+    val off = cfgAt(plain, bloom = false)
+
+    val n1Batch = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs today",
+      // 101 is a BYTE-IDENTICAL intra-batch dup of doc 1
+      101L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val n2Batch = Seq(
+      // 102: byte-identical to STANDING doc 2 — the gate's corpus case
+      102L -> "pack my box with five dozen liquor jugs today",
+      // 103: NEAR-dup of standing doc 1 (one appended word — shingle
+      // Jaccard 7/8, deterministic band collision under the portable
+      // hashes) — must still drop via the minhash probe, proving the gate
+      // composes with the near-dup path, not replaces it
+      103L -> "the quick brown fox jumps over the lazy dog tonight",
+      7L -> "amazingly few discotheques provide jukeboxes here")
+      .toDF("doc_id", "text")
+
+    val n1 = IngestPipeline.runNight(spark, n1Batch, "n1", cfg)
+    assert(n1.accepted == 2 && n1.dropped == 1, n1.toString)
+    val n2 = IngestPipeline.runNight(spark, n2Batch, "n2", cfg)
+    assert(n2.accepted == 1 && n2.dropped == 2, n2.toString)
+
+    // ledger says WHY, with the exact-gate's own reasons
+    val rows = IngestPipeline.ledger(spark, cfg)
+      .select("doc_id", "kept_id", "reason", "load_date").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(rows == Set(
+      (101L, 1L, "exact_intra_dup", "n1"),
+      (102L, 2L, "exact_corpus_dup", "n2"),
+      (103L, 1L, "corpus_dup", "n2")), rows.toString)
+
+    // the gate's audit rows exist and count its drops
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val gateSteps = meta.executionLog
+      .filter(col("target_table").startsWith("ingest_exact_"))
+      .select("target_table", "records_deleted").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gateSteps == Map("ingest_exact_n1" -> 1L, "ingest_exact_n2" -> 1L),
+      gateSteps.toString)
+    // nightly sweep covered the bloom index too
+    assert(meta.executionLog
+      .filter(col("target_table") === "ingest_compact_bloom_n2")
+      .count() == 1)
+
+    // semantic invisibility: the gate-off nights land the SAME corpus
+    // (every exact dup here is also minhash-catchable — uncapped buckets)
+    IngestPipeline.runNight(spark, n1Batch, "n1", off)
+    IngestPipeline.runNight(spark, n2Batch, "n2", off)
+    def landedSet(c: IngestConfig) =
+      spark.read.parquet(c.corpusPath).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    assert(landedSet(cfg) == landedSet(off),
+      s"gate must not change survivors: ${landedSet(cfg)} vs ${landedSet(off)}")
+    assert(landedSet(cfg) == Set(1L, 2L, 7L))
+
+    // mid-crash replay: remove the commit record, re-run night 2 — the
+    // gate's excludeIds hook must not self-drop the already-appended keys
+    val hwm = root.resolve("meta/high_water_mark")
+    val walk = java.nio.file.Files.walk(hwm)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    val replay = IngestPipeline.runNight(spark, n2Batch, "n2", cfg)
+    assert(replay.accepted == 1 && replay.dropped == 2,
+      s"replay must recompute the same survivors: $replay")
+    assert(landedSet(cfg) == Set(1L, 2L, 7L))
+  }
+
+  test("bloom exact gate + retract: a retracted doc's identical content re-admits through the gate") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-bloom-retract")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      bloomIndexPath = Some(root.resolve("bloom_index").toString),
+      bloomShards = 4, bloomBitsPerShard = 1L << 12)
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 2, n1.toString)
+    val res = IngestPipeline.retract(spark, Seq(2L).toDF("doc_id"),
+      "takedown", cfg)
+    assert(res.corpusRemoved == 1 && res.bloomRemoved.contains(1L),
+      res.toString)
+    // the SAME text re-submits under a new id: with the bloom ledger
+    // vacuumed it must be ACCEPTED, not dropped against phantom content
+    val n2 = IngestPipeline.runNight(spark, Seq(
+        30002L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(n2.accepted == 1, s"retracted content must re-admit: $n2")
+    val landed = spark.read.parquet(cfg.corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 30002L), landed.toString)
+  }
 }
