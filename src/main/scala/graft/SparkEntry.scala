@@ -1448,6 +1448,66 @@ object SparkEntry {
           col("sum_n_chars").as("total_chars"),
           col("distinct_source").as("n_sources"))
         .orderBy("lang")
+    }),
+
+    // sharded Bloom membership index (BloomIndex): the exact-dup gate for
+    // re-crawl-heavy ingest. Probe verdicts are EXACT (bloom prefilter +
+    // shard-pruned ledger verify), so the oracle is a plain min-per-key
+    // left join — the bloom, the sharding, the generation rows and the
+    // candidate pruning must all be invisible in the answer. The 100 TB
+    // point: the definite-miss majority of a mostly-new batch costs one
+    // xxhash64 and zero ledger I/O.
+    "q97_bloom_membership" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 3 === 0)
+      val batch = d.filter(col("doc_id") % 3 === 1)
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      val idx = Scratch.dir("graft_q97_").resolve("bloom_index").toString
+      graft.operators.BloomIndex.save(
+        corpus.select(md5(col("text").cast("binary")).as("key"),
+          col("doc_id")),
+        "key", "doc_id", idx, shards = 16, bitsPerShard = 1L << 16,
+        itemsPerShard = 4096L)
+      val keyedBatch = batch.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("key"))
+      val verdict = graft.operators.BloomIndex.probe(s, idx,
+        keyedBatch.select(col("key")), "key")
+      keyedBatch.join(verdict, Seq("key"), "left")
+        .select(col("doc_id"), col("kept_id"),
+          col("kept_id").isNotNull.cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // the bloom index's incremental lifecycle as one oracle: bootstrap
+    // generation + appended generation + a takedown (tombstone → vacuum →
+    // bloom bits stale until rebuild) — the probe must still answer from
+    // the union of the surviving ledger, exactly. Stale bloom bits of the
+    // retracted keys are the deliberate hard case: they make the retracted
+    // keys verify CANDIDATES, and the vacuumed ledger must still say no.
+    "q98_bloom_lifecycle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gen1 = d.filter(col("doc_id") % 4 === 0)
+      val gen2 = d.filter(col("doc_id") % 4 === 1)
+      val batch = d.filter(col("doc_id") % 2 === 0) // overlaps gen1 + new
+      val idx = Scratch.dir("graft_q98_").resolve("bloom_index").toString
+      def keys(df: DataFrame) =
+        df.select(md5(col("text").cast("binary")).as("key"), col("doc_id"))
+      graft.operators.BloomIndex.save(keys(gen1), "key", "doc_id", idx,
+        shards = 16, bitsPerShard = 1L << 16, itemsPerShard = 4096L)
+      graft.operators.BloomIndex.append(keys(gen2), "key", "doc_id", idx)
+      // takedown: every 8th doc leaves the standing set physically
+      graft.operators.BloomIndex.removeIds(s, idx,
+        d.filter(col("doc_id") % 8 === 0).select(col("doc_id")))
+      graft.operators.BloomIndex.vacuum(s, idx)
+      val keyedBatch = batch.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("key"))
+      val verdict = graft.operators.BloomIndex.probe(s, idx,
+        keyedBatch.select(col("key")), "key")
+      keyedBatch.join(verdict, Seq("key"), "left")
+        .select(col("doc_id"), col("kept_id"),
+          col("kept_id").isNotNull.cast("int").as("is_dup"))
+        .orderBy("doc_id")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2460,6 +2520,38 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         | COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q97: the bloom index's exact-membership contract IS the oracle — a
+    // plain min-per-key left join; shards, bloom bits, generation rows and
+    // candidate pruning must all be invisible in the answer
+    "q97_bloom_membership" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 50000, md5(text) FROM documents WHERE doc_id % 9 = 0),
+        |kept AS (SELECT key, min(doc_id) AS kept_id FROM corpus GROUP BY key)
+        |SELECT b.doc_id, k.kept_id,
+        |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
+        |FROM batch b LEFT JOIN kept k USING (key)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q98: bootstrap + appended generation + takedown — the standing set
+    // is both generations MINUS the retracted ids (the stale bloom bits of
+    // the retracted keys are the hard case: they verify as candidates and
+    // the vacuumed ledger must still answer no)
+    "q98_bloom_lifecycle" ->
+      """WITH standing AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents
+        |  WHERE doc_id % 4 IN (0, 1) AND doc_id % 8 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+        |kept AS (SELECT key, min(doc_id) AS kept_id FROM standing GROUP BY key)
+        |SELECT b.doc_id, k.kept_id,
+        |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
+        |FROM batch b LEFT JOIN kept k USING (key)
+        |ORDER BY doc_id""".stripMargin,
 
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
