@@ -498,6 +498,58 @@ object ScaleBench {
         night("ledger", None, ledger = true)
       }
 
+      // ---- bloomgate tier: the exact-dup gate on a re-crawl-heavy night.
+      // A standing corpus lands OUTSIDE the clock (bootstrap night per
+      // run), then the timed night ingests a batch whose majority is
+      // byte-identical re-submissions of standing docs. Gate OFF pays the
+      // full minhash fingerprint on every batch doc and drops the dups in
+      // the banded probe; gate ON cuts them for one md5 + a bloom
+      // membership test each, so the minhash stage only sees the genuinely
+      // new remainder. The mostly-new arm bounds the gate's overhead when
+      // it has nothing to cut.
+      if (wanted("bloomgate")) {
+        import graft.reports.IngestPipeline
+        import graft.reports.IngestPipeline.IngestConfig
+        val standingN = math.min(n / 5, 200000L)
+        val batchN = math.min(n / 10, 100000L)
+        val standing = corpus(spark, standingN, seed = 11L)
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        def mkBatch(dupFrac: Double): DataFrame = {
+          val nDups = (batchN * dupFrac).toLong
+          val dups = standing.filter(col("doc_id") < lit(nDups))
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          val fresh = corpus(spark, batchN - nDups, seed = 99L)
+            .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+          dups.union(fresh).localCheckpoint(true)
+        }
+        val recrawl = mkBatch(0.6)
+        val mostlyNew = mkBatch(0.1)
+        def cfgAt(root: String, bloom: Boolean) = IngestConfig(
+          corpusPath = s"$root/corpus", bandIndexPath = s"$root/band_index",
+          metaDir = s"$root/meta", maxBucket = 200,
+          bloomIndexPath = if (bloom) Some(s"$root/bloom_index") else None,
+          bloomShards = 64, bloomBitsPerShard = 1L << 23)
+        def arm(tag: String, bloom: Boolean, batch: DataFrame): Unit = {
+          val root = s"$scratch/bloomgate_${n}_$tag"
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          timedRuns(n, s"bloomgate_night_$tag",
+              setup = () => {
+                fs.delete(new org.apache.hadoop.fs.Path(root), true)
+                IngestPipeline.runNight(spark, standing, "n0",
+                  cfgAt(root, bloom))
+                ()
+              }) { () =>
+            IngestPipeline.runNight(spark, batch, "n1",
+              cfgAt(root, bloom)).accepted
+          }
+        }
+        arm("recrawl_off", bloom = false, recrawl)
+        arm("recrawl_on", bloom = true, recrawl)
+        arm("new_off", bloom = false, mostlyNew)
+        arm("new_on", bloom = true, mostlyNew)
+      }
+
       // ---- bpe tier: full tokenizer training + corpus encoding. Training
       // wall time must scale with the corpus ONLY through the one
       // distributed dictionary pass — the 200-merge loop runs driver-side

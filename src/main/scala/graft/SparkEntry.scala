@@ -1508,6 +1508,31 @@ object SparkEntry {
         .select(col("doc_id"), col("kept_id"),
           col("kept_id").isNotNull.cast("int").as("is_dup"))
         .orderBy("doc_id")
+    }),
+
+    // nightly drift verdicts from sketch state alone (Sketches.nightDrift):
+    // three nights land per-group sketch rows, night n2 deliberately skews
+    // (its 'de' docs are withheld), and the drift report — composition
+    // ratio + per-row-mean ratio per lang, OK/DRIFT/MISSING — must equal
+    // the oracle's exact arithmetic over the same corpus. The 100 TB
+    // point: the verdict reads nights×groups KB of state, never a corpus
+    // or batch rescan; ratios are exact-count arithmetic (IEEE-identical
+    // across engines), so the whole report is engine-portable.
+    "q99_night_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spec = graft.operators.Sketches.SketchSpec(Seq("lang"),
+        sumCols = Seq("n_chars"))
+      val tmp = Scratch.dir("graft_q99_").resolve("sketches").toString
+      graft.operators.Sketches.appendNight(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), spec, tmp, "n0")
+      graft.operators.Sketches.appendNight(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), spec, tmp, "n1")
+      graft.operators.Sketches.appendNight(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2 &&
+          col("lang") =!= "de"), spec, tmp, "n2")
+      graft.operators.Sketches.nightDrift(s, tmp, spec, "n2",
+          tolerance = 1.2)
+        .orderBy("metric", "lang")
     }))
 
   /** documents ∪ exact copies of every 10th doc (id+10000) — makes the
@@ -2536,6 +2561,44 @@ object SparkEntry {
         |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
         |FROM batch b LEFT JOIN kept k USING (key)
         |ORDER BY doc_id""".stripMargin,
+
+    // q99: the night-drift report replayed as exact SQL — the corpus is
+    // the three nights' union (n2 withholds 'de'), the night under test
+    // is n2, and every ratio/status must match the state-only computation
+    "q99_night_drift" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, n_chars, (doc_id % 3 = 2) AS in_night
+        |  FROM documents WHERE doc_id % 3 <> 2 OR lang <> 'de'),
+        |life AS (
+        |  SELECT lang, COUNT(*) AS n_life, SUM(n_chars) AS s_life
+        |  FROM docs GROUP BY lang),
+        |nt AS (
+        |  SELECT lang, COUNT(*) AS n_night, SUM(n_chars) AS s_night
+        |  FROM docs WHERE in_night GROUP BY lang),
+        |tot AS (
+        |  SELECT COUNT(*) AS life_total,
+        |         COUNT(*) FILTER (WHERE in_night) AS night_total FROM docs),
+        |j AS (
+        |  SELECT l.lang, n_life, s_life, n_night, s_night,
+        |         life_total, night_total
+        |  FROM life l LEFT JOIN nt USING (lang) CROSS JOIN tot),
+        |m AS (
+        |  SELECT lang, 'row_share' AS metric,
+        |         CAST(n_night AS DOUBLE) / night_total AS night_value,
+        |         CAST(n_life AS DOUBLE) / life_total AS lifetime_value
+        |  FROM j
+        |  UNION ALL
+        |  SELECT lang, 'avg_n_chars' AS metric,
+        |         CAST(s_night AS DOUBLE) / n_night,
+        |         CAST(s_life AS DOUBLE) / n_life
+        |  FROM j)
+        |SELECT lang, metric, night_value, lifetime_value,
+        |       night_value / lifetime_value AS ratio,
+        |       CASE WHEN night_value IS NULL THEN 'MISSING'
+        |            WHEN night_value / lifetime_value >= 1.0 / 1.2
+        |             AND night_value / lifetime_value <= 1.2 THEN 'OK'
+        |            ELSE 'DRIFT' END AS status
+        |FROM m ORDER BY metric, lang""".stripMargin,
 
     // q98: bootstrap + appended generation + takedown — the standing set
     // is both generations MINUS the retracted ids (the stale bloom bits of

@@ -268,6 +268,80 @@ object BloomIndex {
       col("kept_id").isNotNull.as("is_dup"))
   }
 
+  /** [[exactGate]]'s output: the batch minus exact duplicates, plus the
+    * two drop sets as `(id, kept_id)` evidence frames. */
+  final case class GateResult(survivors: DataFrame,
+      corpusDropped: DataFrame, intraDropped: DataFrame)
+
+  /**
+   * The ingest pipelines' EXACT-duplicate gate over this index — shared by
+   * [[graft.reports.IngestPipeline.runNight]]'s step 0b and the streaming
+   * sinks, so the nightly and streaming paths cannot drift.
+   *
+   * Scope: rows with a non-null `md5(textCol)` AND a non-null `idCol` (a
+   * null text is never a duplicate of anything — SQL null semantics — and
+   * a null id can't be ledgered or tombstoned); out-of-scope rows pass
+   * through untouched. Intra-batch duplicates keep the SMALLEST id per
+   * content hash (the same pair resolution the banded intra path applies);
+   * corpus verdicts come from [[probe]] with `excludeIds` (the batch's own
+   * ids — replay idempotence: a crashed run's partial append must not
+   * self-drop the re-delivered batch). A missing index directory means
+   * bootstrap: no corpus verdicts, intra dedup still applies.
+   *
+   * `survivors` is PINNED (eager localCheckpoint): it feeds the minhash
+   * hashing, the survivor anti-join and the landing downstream — the
+   * bounded-intermediate pin discipline (SCALE.md rounds 15/17/18).
+   * Dropped frames are normalized to `(idCol, kept_id)`.
+   */
+  def exactGate(batch: DataFrame, idCol: String, textCol: String,
+      path: String, excludeIds: DataFrame): GateResult = {
+    val spark = batch.sparkSession
+    val keyCol = "__exact_key"
+    val cols = batch.columns.toSeq
+    val withKey = batch.withColumn(keyCol,
+      md5(col(textCol).cast("binary")))
+    val inScope = withKey.filter(
+      col(keyCol).isNotNull && col(idCol).isNotNull)
+    val outScope = withKey.filter(
+      col(keyCol).isNull || col(idCol).isNull)
+    val keep = inScope.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val intraKept = inScope.join(keep, Seq(keyCol))
+    val intraSurvivors = intraKept.filter(col(idCol) === col("__keep_id"))
+    val intraDropped = intraKept.filter(col(idCol) =!= col("__keep_id"))
+      .select(col(idCol), col("__keep_id").as("kept_id"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bloomExists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val (corpusSurvivors, corpusDropped) =
+      if (!bloomExists)
+        (intraSurvivors,
+          intraSurvivors.limit(0)
+            .select(col(idCol), lit(null).cast("long").as("kept_id")))
+      else {
+        val verdict = probe(spark, path,
+          intraSurvivors.select(col(keyCol)), keyCol,
+          excludeIds = Some(excludeIds))
+        val joined = intraSurvivors.join(verdict, Seq(keyCol))
+        (joined.filter(!col("is_dup")),
+          joined.filter(col("is_dup")).select(col(idCol), col("kept_id")))
+      }
+    val survivors = corpusSurvivors.select(cols.map(col): _*)
+      .unionByName(outScope.select(cols.map(col): _*))
+      .localCheckpoint(true)
+    GateResult(survivors, corpusDropped, intraDropped)
+  }
+
+  /** The `(md5(text), id)` key rows [[exactGate]]-gated survivors should
+    * [[append]] (or bootstrap-[[save]]) after landing — the gate's scope
+    * rule applied to the append side. */
+  def survivorKeys(survivors: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    survivors
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(md5(col(textCol).cast("binary")).as("__exact_key"),
+        col(idCol))
+
   /** Retract numeric ids from the index: O(|ids|), probe-visible
     * immediately (the verify subtracts them), physical at [[vacuum]]. */
   def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =

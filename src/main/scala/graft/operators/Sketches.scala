@@ -178,6 +178,76 @@ object Sketches {
     state.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Distribution-drift verdicts for one night against the corpus
+   * LIFETIME, computed ENTIRELY from the persisted sketch state — KB of
+   * reads, never a corpus or batch rescan. The question a training-data
+   * team asks after every crawl ("did tonight's batch change shape?")
+   * becomes a state-only query on the same cadence as the sketch append.
+   *
+   * Output is long-form, one row per (group, metric):
+   * `groupCols..., metric, night_value, lifetime_value, ratio, status`.
+   *
+   * Metrics:
+   *   - `row_share` — the group's share of the NIGHT's rows vs its share
+   *     of the LIFETIME rows (composition drift: "did tonight over-sample
+   *     lang=de?"). ratio = night_share / lifetime_share.
+   *   - `avg_<sumCol>` — the group's per-row night mean vs its lifetime
+   *     mean (magnitude drift: "are tonight's de docs half their usual
+   *     length?"). ratio = night_avg / lifetime_avg.
+   *
+   * `status` is `OK` when the ratio sits inside [1/tolerance, tolerance],
+   * `DRIFT` outside it, and `MISSING` for a lifetime group the night
+   * contributed no rows to (reported with a null night value, never a
+   * division artifact). Lifetime INCLUDES the night under test — it is
+   * part of the corpus — so the comparison is well-defined on the very
+   * first night, where every present group's ratio is exactly 1. All
+   * inputs are the state's EXACT counts/sums (HLLs are not consulted), so
+   * the verdicts are deterministic and engine-portable.
+   */
+  def nightDrift(spark: SparkSession, path: String, spec: SketchSpec,
+      night: String, tolerance: Double = 2.0): DataFrame = {
+    require(tolerance > 1.0, s"tolerance must exceed 1 (got $tolerance): " +
+      "it bounds the acceptable ratio band [1/t, t]")
+    checkParams(spark, path, spec)
+    val state = readState(spark, path)
+      .withColumn("night", col("night").cast("string"))
+    val g = spec.groupCols
+    val isNight = col("night") === lit(night)
+    val nightAgg = state.filter(isNight).groupBy(g.map(col): _*)
+      .agg(sum(col("n_rows")).as("__n_night"),
+        spec.sumCols.map(c =>
+          sum(col(sumName(c))).as(s"__night_${sumName(c)}")): _*)
+    val lifeAgg = state.groupBy(g.map(col): _*)
+      .agg(sum(col("n_rows")).as("__n_life"),
+        spec.sumCols.map(c =>
+          sum(col(sumName(c))).as(s"__life_${sumName(c)}")): _*)
+    // grand totals: two longs off the KB-sized state — broadcast, no
+    // driver round-trip in the plan
+    val totals = state.agg(
+      coalesce(sum(when(isNight, col("n_rows"))), lit(0L)).as("__night_total"),
+      sum(col("n_rows")).as("__life_total"))
+    val joined = lifeAgg.join(nightAgg, g, "left")
+      .crossJoin(broadcast(totals))
+    def longForm(metric: String, nightV: Column, lifeV: Column): DataFrame =
+      joined.select(g.map(col) ++ Seq(lit(metric).as("metric"),
+        nightV.cast("double").as("night_value"),
+        lifeV.cast("double").as("lifetime_value")): _*)
+    val rowShare = longForm("row_share",
+      col("__n_night").cast("double") / col("__night_total"),
+      col("__n_life").cast("double") / col("__life_total"))
+    val avgs = spec.sumCols.map(c => longForm(s"avg_$c",
+      col(s"__night_${sumName(c)}").cast("double") / col("__n_night"),
+      col(s"__life_${sumName(c)}").cast("double") / col("__n_life")))
+    (rowShare +: avgs).reduce(_.unionByName(_))
+      .withColumn("ratio", col("night_value") / col("lifetime_value"))
+      .withColumn("status",
+        when(col("night_value").isNull, lit("MISSING"))
+          .when(col("ratio") >= lit(1.0) / lit(tolerance) &&
+            col("ratio") <= lit(tolerance), lit("OK"))
+          .otherwise(lit("DRIFT")))
+  }
+
   /** Per-night view of the persisted state with distinct estimates
     * resolved — the "what did each night contribute" audit twin of
     * [[mergedStats]]. */

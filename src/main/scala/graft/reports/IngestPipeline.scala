@@ -18,6 +18,13 @@ import graft.ops.{Compaction, CompactionResult}
  *      the night's batch are cut BEFORE hashing, so the probe fingerprints
  *      and the corpus lands the cleaned text (within-crawl boilerplate;
  *      O(batch) windows, deterministic for replay).
+ *   0b. EXACT GATE (opt-in, `bloomIndexPath`) — byte-identical
+ *      re-submissions drop against the standing [[graft.operators.BloomIndex]]
+ *      for one md5 + a bloom membership test each, BEFORE the minhash
+ *      stage pays its fingerprint cost on them (exact answers: bloom
+ *      prefilter + ledger verify; measured at 1M docs: a 60%-re-crawl
+ *      night 27.5→17.1 s with spill eliminated, survivors identical —
+ *      SCALE.md round 18).
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -36,11 +43,16 @@ import graft.ops.{Compaction, CompactionResult}
  *      indexes untouched — the repair re-run replaces the bad corpus
  *      partition AND the indexes never held the bad rows (no phantom
  *      content for future probes to drop against).
+ *   3c. DRIFT (opt-in, `driftTolerance` with `statsSketch`) — the night's
+ *      per-group composition and means vs the corpus lifetime, answered
+ *      from sketch state alone ([[graft.operators.Sketches.nightDrift]])
+ *      and filed as DMF result rows; informational, never a gate.
  *   4. INDEX — survivors' banded rows append to the band index (only
  *      touched band partitions gain files) and, when configured, their
  *      embeddings append to the persisted IVF index and/or the composed
  *      IVF+PQ index (only touched cells gain files; the first night
- *      bootstraps every configured index).
+ *      bootstraps every configured index; survivor content hashes append
+ *      to the bloom index when the exact gate is configured).
  *   5. MAINTAIN — [[Compaction.compactPath]] sweeps the per-night file
  *      litter of the band index AND (when configured) the IVF index's
  *      cells, partition-scoped, worst-first. Compaction runs INSIDE the
@@ -129,6 +141,17 @@ object IngestPipeline {
       // rewrite them (they describe what each night contributed, not the
       // current corpus)
       statsSketch: Option[graft.operators.Sketches.SketchSpec] = None,
+      // (opt-in, requires statsSketch) nightly DRIFT CHECK: after the
+      // night's sketch lands, [[graft.operators.Sketches.nightDrift]]
+      // compares the night's per-group composition and per-row means
+      // against the corpus lifetime — ENTIRELY from sketch state (KB),
+      // never a rescan — and the verdicts persist as DMF result rows
+      // (metric `drift_<metric>[group]`, FAIL on DRIFT), the same results
+      // history the DQ re-check writes. Informational, not a gate: a
+      // drifted night still commits; the FAIL rows and
+      // NightResult.driftFailures are the operator's signal. The ratio
+      // band is [1/driftTolerance, driftTolerance]
+      driftTolerance: Option[Double] = None,
       // (opt-in) per-document DROP LEDGER: one row per probe-dropped batch
       // doc — `(id, kept_id, reason, load_date)`, reason `corpus_dup`
       // (duplicates standing content; kept_id is the standing doc) or
@@ -213,7 +236,8 @@ object IngestPipeline {
       skipped: Boolean = false,
       ivfCompaction: Option[CompactionResult] = None,
       ivfPqCompaction: Option[CompactionResult] = None,
-      bloomCompaction: Option[CompactionResult] = None)
+      bloomCompaction: Option[CompactionResult] = None,
+      driftFailures: Option[Long] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -283,18 +307,10 @@ object IngestPipeline {
 
     // 0b. (opt-in) EXACT GATE — byte-identical duplicates drop here, for
     // one md5 + a bloom membership test per doc, before the minhash stage
-    // pays its fingerprint cost on them. Exactness: intra-batch keeps the
-    // smallest id per content hash (the same resolution the banded intra
-    // path applies), corpus-side verdicts come from BloomIndex.probe
-    // (bloom prefilter + ledger verify — never a bloom-only answer), and
-    // the batch's own ids are excluded from the verify so a mid-night
-    // crash replay cannot self-drop rows its first run already appended.
-    // Scope: rows with a non-null key AND a non-null id (a null text is
-    // never a duplicate of anything — SQL null semantics — and a null id
-    // can't be ledgered or tombstoned); out-of-scope rows pass through to
-    // the minhash stage untouched. Output is pinned: it feeds the banded
-    // hashing, the survivor anti-join, and the landing.
-    val exactKeyCol = "__exact_key"
+    // pays its fingerprint cost on them. The semantics (scope, keep-min
+    // intra resolution, replay-safe verify exclusion, pinned output) live
+    // in BloomIndex.exactGate — shared with the streaming sinks so the
+    // two surfaces cannot drift.
     val (gated, exactLedger): (DataFrame, Option[DataFrame]) =
       cfg.bloomIndexPath match {
         case None => (prepped, None)
@@ -302,51 +318,19 @@ object IngestPipeline {
           ExecutionLogger.logged(meta, s"ingest_exact_$night", cfg.carrier,
               (t: (DataFrame, Option[DataFrame])) =>
                 (batchRows, 0L, batchRows - t._1.count())) {
-            val cols = prepped.columns.toSeq
-            val withKey = prepped.withColumn(exactKeyCol,
-              md5(col(cfg.textCol).cast("binary")))
-            val inScope = withKey.filter(
-              col(exactKeyCol).isNotNull && col(cfg.idCol).isNotNull)
-            val outScope = withKey.filter(
-              col(exactKeyCol).isNull || col(cfg.idCol).isNull)
-            val keep = inScope.groupBy(col(exactKeyCol))
-              .agg(min(col(cfg.idCol)).as("__keep_id"))
-            val intraKept = inScope.join(keep, Seq(exactKeyCol))
-            val intraSurvivors =
-              intraKept.filter(col(cfg.idCol) === col("__keep_id"))
-            val intraDropped =
-              intraKept.filter(col(cfg.idCol) =!= col("__keep_id"))
-            val bloomPath = new org.apache.hadoop.fs.Path(bp)
-            val bloomExists = bloomPath
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(bloomPath)
-            val (corpusSurvivors, corpusDropped) =
-              if (!bloomExists)
-                (intraSurvivors,
-                  intraSurvivors.limit(0)
-                    .withColumn("kept_id", lit(null).cast("long"))
-                    .withColumn("is_dup", lit(false)))
-              else {
-                val verdict = graft.operators.BloomIndex.probe(spark, bp,
-                  intraSurvivors.select(col(exactKeyCol)), exactKeyCol,
-                  excludeIds = Some(batch.select(col(cfg.idCol))))
-                val joined = intraSurvivors.join(verdict, Seq(exactKeyCol))
-                (joined.filter(!col("is_dup")).drop("kept_id", "is_dup"),
-                  joined.filter(col("is_dup")))
-              }
+            val gr = graft.operators.BloomIndex.exactGate(prepped,
+              cfg.idCol, cfg.textCol, bp,
+              excludeIds = batch.select(col(cfg.idCol)))
             val ledgerRows =
               if (!cfg.dropLedger) None
-              else Some(corpusDropped
+              else Some(gr.corpusDropped
                 .select(col(cfg.idCol), col("kept_id"),
                   lit("exact_corpus_dup").as("reason"))
-                .union(intraDropped
-                  .select(col(cfg.idCol), col("__keep_id").as("kept_id"),
+                .union(gr.intraDropped
+                  .select(col(cfg.idCol), col("kept_id"),
                     lit("exact_intra_dup").as("reason")))
                 .localCheckpoint(true))
-            val gatedOut = corpusSurvivors.select(cols.map(col): _*)
-              .unionByName(outScope.select(cols.map(col): _*))
-              .localCheckpoint(true)
-            (gatedOut, ledgerRows)
+            (gr.survivors, ledgerRows)
           }
       }
 
@@ -524,6 +508,37 @@ object IngestPipeline {
         }
       }
 
+      // 3c. (opt-in) DRIFT — the night's shape vs the corpus lifetime,
+      // answered from the sketch state alone and persisted as DMF result
+      // rows (the q62 results-history surface). Informational: a drifted
+      // night still commits — the FAIL rows are the operator's signal
+      val driftFailures = cfg.statsSketch.flatMap { spec =>
+        cfg.driftTolerance.map { tol =>
+          ExecutionLogger.logged(meta, s"ingest_drift_$night", cfg.carrier,
+              (n: Long) => (0L, 0L, n)) {
+            val verdicts = graft.operators.Sketches.nightDrift(spark,
+                sketchPath(cfg), spec, night, tol)
+              .filter(col("status") =!= "MISSING")
+              .collect() // bounded: groups × metrics rows off KB of state
+            val now = new java.sql.Timestamp(System.currentTimeMillis())
+            meta.appendDmfResults(verdicts.toSeq.map { r =>
+              val grp = spec.groupCols
+                .map(c => s"$c=${r.getAs[Any](c)}").mkString(",")
+              // DMF values are integral — record the ratio in
+              // parts-per-thousand so 0.87 survives as 870
+              DmfResultRow(now, "corpus",
+                s"drift_${r.getAs[String]("metric")}[$grp]",
+                s"ratio_x1000 in [${math.round(1000.0 / tol)}, " +
+                  s"${math.round(1000.0 * tol)}]",
+                Option(r.getAs[java.lang.Double]("ratio"))
+                  .map(d => math.round(d.toDouble * 1000.0)),
+                if (r.getAs[String]("status") == "OK") "PASS" else "FAIL")
+            })
+            verdicts.count(_.getAs[String]("status") == "DRIFT").toLong
+          }
+        }
+      }
+
       // 4. INDEX — appends touch only the partitions the survivors hit
       ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
         BandIndex.append(
@@ -552,22 +567,18 @@ object IngestPipeline {
               cfg.embCol, ip)
         }
         cfg.bloomIndexPath.foreach { bp =>
-          // the gate's scope rule applied to the append side too: only
-          // rows a future probe could ledger-verify (non-null key + id)
-          val keys = survivors
-            .filter(col(cfg.idCol).isNotNull && col(cfg.textCol).isNotNull)
-            .select(md5(col(cfg.textCol).cast("binary")).as(exactKeyCol),
-              col(cfg.idCol))
+          val keys = graft.operators.BloomIndex.survivorKeys(survivors,
+            cfg.idCol, cfg.textCol)
           val bpath = new org.apache.hadoop.fs.Path(bp)
           if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .exists(bpath))
-            graft.operators.BloomIndex.save(keys, exactKeyCol, cfg.idCol,
+            graft.operators.BloomIndex.save(keys, "__exact_key", cfg.idCol,
               bp, shards = cfg.bloomShards,
               bitsPerShard = cfg.bloomBitsPerShard,
               itemsPerShard = math.max(1L, cfg.bloomBitsPerShard / 10))
           else
-            graft.operators.BloomIndex.append(keys, exactKeyCol, cfg.idCol,
-              bp)
+            graft.operators.BloomIndex.append(keys, "__exact_key",
+              cfg.idCol, bp)
         }
       }
 
@@ -625,7 +636,8 @@ object IngestPipeline {
 
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures, ivfCompaction = ivfComp,
-        ivfPqCompaction = ivfPqComp, bloomCompaction = bloomComp)
+        ivfPqCompaction = ivfPqComp, bloomCompaction = bloomComp,
+        driftFailures = driftFailures)
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()

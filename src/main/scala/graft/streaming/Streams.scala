@@ -203,11 +203,23 @@ object Streams {
       // packed-keeper escape hatch + case-insensitive matching, as
       // IngestConfig.spanDedupPacked / spanDedupLowercase
       spanDedupPacked: Boolean = true,
-      spanDedupLowercase: Boolean = false)
+      spanDedupLowercase: Boolean = false,
+      // (opt-in) the EXACT-dup gate, as IngestConfig.bloomIndexPath:
+      // byte-identical re-submissions drop against the standing
+      // BloomIndex BEFORE this batch pays shingling + permutations —
+      // same shared semantics (BloomIndex.exactGate: keep-min intra
+      // resolution, replay-safe verify exclusion), survivor keys append
+      // after the band append (bootstrap save on the first non-empty
+      // batch; bloom-bits-first ordering keeps crashes false-positive-
+      // only). Compact the bloom index on the same cadence as the band
+      // index.
+      bloomIndexPath: Option[String] = None,
+      bloomShards: Int = 64,
+      bloomBitsPerShard: Long = 1L << 23)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
       val spark = raw.sparkSession
-      val batch = spanDedupK match {
+      val prepped = spanDedupK match {
         case Some(k) =>
           Dedup.removeDuplicateSpans(raw.toDF(), idCol, textCol, k,
               lowercase = spanDedupLowercase, packedKeeper = spanDedupPacked)
@@ -219,6 +231,12 @@ object Streams {
             // span-dedup window shuffle recomputes per consumer
             .localCheckpoint(true)
         case None => raw.toDF()
+      }
+      val batch = bloomIndexPath match {
+        case Some(bp) => graft.operators.BloomIndex.exactGate(prepped,
+          idCol, textCol, bp,
+          excludeIds = prepped.select(col(idCol))).survivors
+        case None => prepped
       }
       val banded = Dedup.lshBanded(batch, idCol, textCol,
         shingleK, numHashes, bands, portable).persist()
@@ -273,6 +291,18 @@ object Streams {
           banded.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
           indexPath)
         if (bootstrap) BandIndex.recordParams(spark, indexPath, hashParams)
+        bloomIndexPath.foreach { bp =>
+          val keys = graft.operators.BloomIndex.survivorKeys(survivors,
+            idCol, textCol)
+          val bpath = new org.apache.hadoop.fs.Path(bp)
+          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(bpath))
+            graft.operators.BloomIndex.save(keys, "__exact_key", idCol,
+              bp, shards = bloomShards, bitsPerShard = bloomBitsPerShard,
+              itemsPerShard = math.max(1L, bloomBitsPerShard / 10))
+          else
+            graft.operators.BloomIndex.append(keys, "__exact_key", idCol, bp)
+        }
         accept(survivors, batchId)
       } finally {
         banded.unpersist()

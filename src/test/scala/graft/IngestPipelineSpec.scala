@@ -273,6 +273,53 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       .count() == 2)
   }
 
+  test("driftTolerance: a drifted night files FAIL DMF rows from sketch state, still commits") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-drift")
+    val spec = graft.operators.Sketches.SketchSpec(Seq("lang"),
+      sumCols = Seq("n_chars"))
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      statsSketch = Some(spec), driftTolerance = Some(1.5))
+    def doc(id: Long, text: String, lang: String) =
+      (id, text, lang, text.length.toLong)
+    // night 1: 2 en + 2 de. first night → every ratio exactly 1, all PASS
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        doc(1L, "the quick brown fox jumps over the lazy dog", "en"),
+        doc(2L, "pack my box with five dozen liquor jugs today", "en"),
+        doc(3L, "ein ganz anderes deutsches dokument ueber andere dinge", "de"),
+        doc(4L, "zwei deutsche saetze ohne gemeinsame woerter darin", "de"))
+      .toDF("doc_id", "text", "lang", "n_chars"), "n1", cfg)
+    assert(n1.accepted == 4 && n1.driftFailures.contains(0L), n1.toString)
+    // night 2: two en docs at ~HALF the usual length — en's avg_n_chars
+    // ratio is 18.5/31.75 ≈ 0.58, outside [1/1.5, 1.5] → DRIFT; de is
+    // absent tonight → MISSING (informational, no DMF row); en's
+    // row_share ratio sits exactly at the 1.5 boundary (either verdict
+    // is acceptable — asserted as such below)
+    val n2 = IngestPipeline.runNight(spark, Seq(
+        doc(5L, "tiny new words here", "en"),
+        doc(6L, "more tiny new text", "en"))
+      .toDF("doc_id", "text", "lang", "n_chars"), "n2", cfg)
+    assert(n2.accepted == 2, n2.toString)
+    assert(n2.driftFailures.exists(_ >= 1L),
+      s"night 2's short docs must flag avg_n_chars drift: $n2")
+    // verdicts landed in the DMF results history (the q62 surface)
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val driftRows = meta.dmfResults
+      .filter(col("metric_name").startsWith("drift_"))
+      .select("metric_name", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(driftRows.contains(("drift_avg_n_chars[lang=en]", "FAIL")),
+      driftRows.toString)
+    assert(driftRows.contains(("drift_row_share[lang=en]", "PASS")) ||
+      driftRows.contains(("drift_row_share[lang=en]", "FAIL")),
+      driftRows.toString)
+    // drifted night still COMMITTED (informational, not a gate)
+    assert(meta.lastLoadTimestamp("ingest_n2", cfg.carrier).isDefined)
+  }
+
   test("dropLedger: per-doc drop reasons with kept partner, replay-idempotent") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-ledger")

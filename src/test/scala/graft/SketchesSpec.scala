@@ -164,4 +164,51 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("distinct_src")))
     assert(got.toSeq == Seq(("n1", 2L, 2L), ("n2", 1L, 1L)))
   }
+
+  test("nightDrift: hand-computed ratios, DRIFT/OK/MISSING verdicts, state-only") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-sketches-drift").resolve("st").toString
+    val spec = SketchSpec(Seq("grp"), sumCols = Seq("v"))
+    // night 1: balanced — en 40 rows (sum 4000), de 40 rows (sum 4000),
+    // fr 20 rows (sum 2000). night 2: en 90 (sum 9000), de 10 rows but
+    // HALVED values (sum 500), fr absent.
+    def night(rows: Seq[(String, Long)], id: String) =
+      Sketches.appendNight(rows.toDF("grp", "v"), spec, path, id)
+    night(Seq.fill(40)(("en", 100L)) ++ Seq.fill(40)(("de", 100L)) ++
+      Seq.fill(20)(("fr", 100L)), "n1")
+    night(Seq.fill(90)(("en", 100L)) ++ Seq.fill(10)(("de", 50L)), "n2")
+
+    val got = Sketches.nightDrift(spark, path, spec, "n2", tolerance = 1.5)
+      .orderBy("metric", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[java.lang.Double]("ratio")).map(_.toDouble),
+        r.getAs[String]("status"))).toSeq
+    // lifetime: en 130/13000, de 50/4500, fr 20/2000, total 200 rows
+    // night:    en 90/9000,  de 10/500,  fr —,       total 100 rows
+    val enShare = (90.0 / 100.0) / (130.0 / 200.0)   // 1.3846 → OK
+    val deShare = (10.0 / 100.0) / (50.0 / 200.0)    // 0.4    → DRIFT
+    val enAvg = (9000.0 / 90.0) / (13000.0 / 130.0)  // 1.0    → OK
+    val deAvg = (500.0 / 10.0) / (4500.0 / 50.0)     // 0.5556 → DRIFT
+    assert(got == Seq(
+      ("de", "avg_v", Some(deAvg), "DRIFT"),
+      ("en", "avg_v", Some(enAvg), "OK"),
+      ("fr", "avg_v", None, "MISSING"),
+      ("de", "row_share", Some(deShare), "DRIFT"),
+      ("en", "row_share", Some(enShare), "OK"),
+      ("fr", "row_share", None, "MISSING")), got.toString)
+
+    // first night: every present group's ratio is exactly 1 — OK
+    val first = TempDirs.create("graft-sketches-drift1").resolve("st").toString
+    Sketches.appendNight(
+      (Seq.fill(3)(("en", 10L)) ++ Seq.fill(2)(("de", 20L))).toDF("grp", "v"),
+      spec, first, "n1")
+    val d1 = Sketches.nightDrift(spark, first, spec, "n1", tolerance = 1.01)
+      .collect()
+    assert(d1.forall(r => r.getAs[Double]("ratio") == 1.0 &&
+      r.getAs[String]("status") == "OK"), d1.mkString(";"))
+
+    val e = intercept[IllegalArgumentException](
+      Sketches.nightDrift(spark, path, spec, "n2", tolerance = 1.0))
+    assert(e.getMessage.contains("tolerance"))
+  }
 }

@@ -278,6 +278,53 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(stats() == Seq(("a", 2L, 2L), ("b", 1L, 1L)), stats().toString)
   }
 
+  test("nearDupIngestStream bloom gate: exact dups cut per micro-batch, cross-batch via the key append") {
+    import spark.implicits._
+    val dir = TempDirs.create("graftingest-bloom").toString
+    val (idx, bloom) = (dir + "/idx", dir + "/bloom")
+    // batch 1 bootstraps BOTH indexes (11 and an exact intra dup 12);
+    // batch 2 re-submits batch-1 survivor content byte-identically (21 —
+    // only the bloom key append can catch it) plus near-dup content (22,
+    // one appended word — the minhash path must still drop it: the gate
+    // composes, not replaces) plus new content (23)
+    Seq(11L -> "the quick brown fox jumps over the lazy dog",
+        12L -> "the quick brown fox jumps over the lazy dog",
+        13L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(21L -> "pack my box with five dozen liquor jugs today",
+        22L -> "the quick brown fox jumps over the lazy dog tonight",
+        23L -> "amazingly few discotheques provide jukeboxes here")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append")
+      .parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200,
+        bloomIndexPath = Some(bloom), bloomShards = 4,
+        bloomBitsPerShard = 1L << 12) { (survivors, _) =>
+        accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(11L, 13L), Set(23L)),
+      s"got $accepted")
+    // the bloom ledger holds exactly the accepted survivors' keys
+    val verdict = graft.operators.BloomIndex.probe(spark, bloom,
+      Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        "amazingly few discotheques provide jukeboxes here",
+        "never appended content").toDF("text")
+        .select(md5(col("text").cast("binary")).as("k")), "k")
+    val dups = verdict.filter(col("is_dup")).count()
+    assert(dups == 3L, s"three survivor keys must stand, got $dups")
+  }
+
   test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-spans").toString
@@ -424,6 +471,34 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     val idxIds = BandIndex.load(spark, idx)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(idxIds == Set(1L, 102L, 103L))
+
+    // same crash-replay contract with the bloom gate ON: the first run's
+    // key append is already standing, and the gate's verify-side exclusion
+    // of the batch's own ids must keep the redelivery from self-dropping
+    val dir2 = TempDirs.create("graftreplay-bloom").toString
+    Seq(101L -> "the quick brown fox jumps over the lazy dog",
+        102L -> "sphinx of black quartz judge my vow tonight",
+        103L -> "jinxed wizards pluck ivy from the big quilt now",
+        104L -> "jinxed wizards pluck ivy from the big quilt now")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir2 + "/in")
+    def runGated(ckpt: String): Set[Long] = {
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = Streams.nearDupIngestStream(
+          Streams.parquetStream(spark, dir2 + "/in", corpus.schema),
+          "doc_id", "text", dir2 + "/idx", maxBucket = 200,
+          bloomIndexPath = Some(dir2 + "/bloom"), bloomShards = 4,
+          bloomBitsPerShard = 1L << 12) { (survivors, _) =>
+          accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      accepted.toList.reduce(_ ++ _)
+    }
+    val gatedFirst = runGated(dir2 + "/ckpt1")
+    assert(gatedFirst == Set(101L, 102L, 103L), s"got $gatedFirst")
+    val gatedReplay = runGated(dir2 + "/ckpt2")
+    assert(gatedReplay == gatedFirst,
+      s"gated replay must redeliver the same survivors: $gatedReplay vs $gatedFirst")
   }
 
   test("nearDupIngestStream fails fast on hash-parameter drift") {
