@@ -284,4 +284,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(merged.contains("partial_hll_union_agg"),
       s"hll_union_agg must partial-aggregate before the exchange:\n$merged")
   }
+
+  test("bloom probe: ledger verify is shard-pruned and broadcast — the ledger never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val idx = TempDirs.create("graft-planshape-bloom").resolve("idx").toString
+    val corpus = (1 to 400).map(i => (s"key-$i", i.toLong)).toDF("k", "id")
+    graft.operators.BloomIndex.save(corpus, "k", "id", idx, shards = 8,
+      bitsPerShard = 1L << 14, itemsPerShard = 1024L)
+    // two standing keys → at most two candidate shards
+    val verdict = graft.operators.BloomIndex.probe(spark, idx,
+      Seq("key-7", "key-250").toDF("k"), "k")
+    val qe = verdict.queryExecution
+    qe.toRdd.count() // execute so scan metrics populate
+    // AQE hides scans inside materialized query stages — walk through them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case o => o.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val keysScans = scans(qe.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/keys")))
+    assert(keysScans.nonEmpty, "the verify must read the key ledger")
+    keysScans.foreach { f =>
+      assert(f.toString.contains("PartitionFilters") &&
+        f.toString.contains("shard"),
+        s"candidate shards must prune at the ledger scan:\n$f")
+      // 8 shard dirs stand; ≤2 candidate shards may be read
+      assert(f.metrics("numFiles").value <= 2,
+        s"pruned ledger scan read ${f.metrics("numFiles").value} files")
+    }
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate set must broadcast to the ledger, not shuffle it:\n$plan")
+  }
 }
