@@ -1510,6 +1510,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the exact gate driven end to end through the audited nightly
+    // pipeline (q74's composition with bloomIndexPath configured):
+    // night-1's byte-identical intra dups drop at the gate, night-2's
+    // byte-identical re-submissions of LANDED content drop against the
+    // standing bloom ledger, near-dup copies still drop in the banded
+    // probe, and the landed corpus must equal the oracle's gated survivor
+    // algebra — exact drops happen BEFORE banding, so the bucket counts
+    // the near-dup algebra sees are the gated batch's, not the raw one's
+    "q100_bloom_gated_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .union(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" zzz extra tail")).as("text")))
+      val root = Scratch.dir("graft_q100_")
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        bloomIndexPath = Some(root.resolve("bloom_index").toString),
+        bloomShards = 8, bloomBitsPerShard = 1L << 16,
+        maxBucket = LshMaxBucket, strict = true)
+      graft.reports.IngestPipeline.runNight(s, b1, "n1", cfg)
+      graft.reports.IngestPipeline.runNight(s, b2, "n2", cfg)
+      s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"), col("load_date").cast("string").as("load_date"))
+        .orderBy("doc_id")
+    }),
+
     // nightly drift verdicts from sketch state alone (Sketches.nightDrift):
     // three nights land per-group sketch rows, night n2 deliberately skews
     // (its 'de' docs are withheld), and the drift report — composition
@@ -2444,6 +2478,7 @@ object SparkEntry {
     // two-night ingest pipeline: the landed corpus equals both nights'
     // survivor sets under the pipeline's dedup algebra (see the SQL's doc)
     "q74_ingest_pipeline" -> IngestTwoNightsSql,
+    "q100_bloom_gated_ingest" -> IngestBloomGatedSql,
     "q96_drop_ledger" -> IngestLedgerSql,
 
     // weighted mix: integer-percent weights (de 250, en 50, default 100) →
@@ -3043,6 +3078,63 @@ object SparkEntry {
 
   /** Two-night ingest parity (q74): the landed corpus is each night's
     * survivor set under its `load_date`. */
+  /** Gated-ingest parity (q100): the two-night survivor algebra with the
+    * bloom exact gate applied BEFORE banding — night-1 intra-exact
+    * keep-min, night-2 exact drops against the keys of night-1's LANDED
+    * survivors, then the usual banded near-dup algebra over the GATED
+    * batches (the bucket counts the cap sees are post-gate). */
+  private lazy val IngestBloomGatedSql: String = {
+    val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""WITH b1r AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 9 = 0),
+       |b2r AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 6 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000, text || ' zzz extra tail' FROM documents WHERE doc_id % 15 = 0),
+       |b1 AS (SELECT doc_id, text FROM b1r WHERE doc_id IN (
+       |  SELECT min(doc_id) FROM b1r GROUP BY md5(text))),
+       |b2i AS (SELECT doc_id, text FROM b2r WHERE doc_id IN (
+       |  SELECT min(doc_id) FROM b2r GROUP BY md5(text))),
+       |corpus AS (SELECT * FROM b1r UNION ALL SELECT * FROM b2r),
+       |$ShinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (
+       | $bands),
+       |bn1 AS (SELECT bd.* FROM banded bd JOIN b1 ON bd.doc_id = b1.doc_id),
+       |ok1 AS (SELECT band, bucket FROM bn1 GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop1 AS (SELECT DISTINCT b.doc_id
+       |  FROM bn1 a JOIN bn1 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok1 ON ok1.band = a.band AND ok1.bucket = a.bucket),
+       |s1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+       |ledger AS (SELECT DISTINCT md5(b1.text) AS key
+       |  FROM b1 JOIN s1 ON s1.doc_id = b1.doc_id),
+       |b2 AS (SELECT b2i.* FROM b2i
+       |  WHERE md5(text) NOT IN (SELECT key FROM ledger)),
+       |idx AS (SELECT bd.* FROM banded bd JOIN s1 ON bd.doc_id = s1.doc_id),
+       |bn2 AS (SELECT bd.* FROM banded bd JOIN b2 ON bd.doc_id = b2.doc_id),
+       |ok2 AS (SELECT band, bucket FROM (SELECT * FROM idx UNION ALL SELECT * FROM bn2)
+       |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop2x AS (SELECT DISTINCT b.doc_id
+       |  FROM idx a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN ok2 ON ok2.band = a.band AND ok2.bucket = a.bucket),
+       |ok2i AS (SELECT band, bucket FROM bn2 GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |drop2i AS (SELECT DISTINCT b.doc_id
+       |  FROM bn2 a JOIN bn2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN ok2i ON ok2i.band = a.band AND ok2i.bucket = a.bucket),
+       |s2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2x)
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop2i))
+       |SELECT doc_id, 'n1' AS load_date FROM s1
+       |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val IngestTwoNightsSql: String =
     ingestSurvivorsCte(
       """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0

@@ -170,6 +170,7 @@ object BloomIndex {
       path: String): Unit = {
     val spark = df.sparkSession
     val g = readGeometry(spark, path)
+    DirSwap.repair(spark, bloomsPath(path)) // crashed compact/rebuild swap
     val kb = keyedWithId(df, keyCol, idCol, g.shards)
     buildGenerations(kb, g).write.mode("append").parquet(bloomsPath(path))
     clusteredKeys(kb)
@@ -199,6 +200,14 @@ object BloomIndex {
     val g = readGeometry(spark, path)
     val keys = keyed(batch.select(col(keyCol)).distinct(), keyCol, g.shards)
 
+    // reader-funnel repair (the PqIndex discipline): a compact/rebuild
+    // crash between its rename-aside and rename-in leaves no live blooms
+    // dir and a marked stage — roll it forward here instead of tripping
+    // the keys-without-blooms guard below (which would demand a manual
+    // rebuild for a state repair can finish mechanically). Concurrency
+    // caveat as DirSwap documents: reader repair shares the maintainer's
+    // window on stores without atomic directory rename.
+    DirSwap.repair(spark, bloomsPath(path))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBlooms = fs.exists(new org.apache.hadoop.fs.Path(bloomsPath(path)))
@@ -417,6 +426,7 @@ object BloomIndex {
     * join; [[save]] with more bits (or more shards) is the remedy. */
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    DirSwap.repair(spark, bloomsPath(path)) // crashed compact/rebuild swap
     val blooms = spark.read.parquet(bloomsPath(path))
       .select(col(ShardCol), col("bloom")).as[(Int, Array[Byte])]
       .groupByKey(_._1)

@@ -156,6 +156,25 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     val _ = spark // silence unused-import pattern if implicits unused
   }
 
+  test("a compact swap stranded mid-crash rolls forward from the probe funnel") {
+    val path = newPath()
+    BloomIndex.save(keysDf("a" -> 1L, "b" -> 2L), "k", "id", path,
+      shards = 4, bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    // crash point between a compact swap's rename-aside and rename-in:
+    // live blooms gone, committed content in blooms__compact behind the
+    // ready marker — exactly what DirSwap.swap stages before renaming
+    val blooms = new java.io.File(new java.net.URI("file://" + path + "/blooms"))
+    val staged = new java.io.File(new java.net.URI(
+      "file://" + path + "/blooms__compact"))
+    assert(blooms.renameTo(staged), "test setup: stranding the swap")
+    assert(new java.io.File(staged, "_graft_swap_ready").createNewFile())
+    // the probe must roll the marked stage forward, not trip the
+    // keys-without-blooms guard
+    val r = probeMap(path, keysDf("a" -> 9L, "zz" -> 9L))
+    assert(r == Map("a" -> ((true, Some(1L))), "zz" -> ((false, None))), r.toString)
+    assert(blooms.exists() && !staged.exists(), "stage must be committed")
+  }
+
   test("probe answers match a plain exact join on a randomized corpus/batch") {
     import spark.implicits._
     val path = newPath()
