@@ -1544,6 +1544,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // snapshot diff (Cdc.snapshotDiff): the added/removed/changed audit
+    // between two versions of a keyed table — one full outer join on the
+    // key, null-safe column comparison. The compliance companion to
+    // retraction ("did the takedown remove exactly the listed ids?")
+    "q101_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val before = d.filter(col("doc_id") % 2 === 0)
+      val after = d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .union(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0))
+      graft.ops.Cdc.snapshotDiff(before, after, "doc_id",
+          Seq("text", "lang"))
+        .orderBy("doc_id")
+    }),
+
     // nightly drift verdicts from sketch state alone (Sketches.nightDrift):
     // three nights land per-group sketch rows, night n2 deliberately skews
     // (its 'de' docs are withheld), and the drift report — composition
@@ -2595,6 +2612,30 @@ object SparkEntry {
         |SELECT b.doc_id, k.kept_id,
         |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
         |FROM batch b LEFT JOIN kept k USING (key)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q101: the same full-outer change audit in plain SQL (null-safe
+    // comparison via IS NOT DISTINCT FROM)
+    "q101_snapshot_diff" ->
+      """WITH before_s AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |after_s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |         lang
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0),
+        |diff AS (
+        |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |         CASE WHEN b.doc_id IS NULL THEN 'added'
+        |              WHEN a.doc_id IS NULL THEN 'removed'
+        |              WHEN NOT (b.text IS NOT DISTINCT FROM a.text)
+        |                OR NOT (b.lang IS NOT DISTINCT FROM a.lang)
+        |              THEN 'changed' ELSE 'unchanged' END AS change
+        |  FROM before_s b FULL OUTER JOIN after_s a ON b.doc_id = a.doc_id)
+        |SELECT doc_id, change FROM diff WHERE change <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
 
     // q99: the night-drift report replayed as exact SQL — the corpus is

@@ -175,4 +175,44 @@ object Cdc {
     val joinExpr = keys.map(k => target(k) <=> incoming(k)).reduce(_ && _)
     target.unionByName(incoming.join(target, joinExpr, "left_anti"))
   }
+
+  /**
+   * Snapshot diff — the added/removed/changed audit between two versions
+   * of a keyed table (the compliance companion to retraction: "what did
+   * tonight's run actually change?", "did the takedown remove exactly the
+   * listed ids?"). The Kimball change-detection step the reference's CDC
+   * design performs before type-2 versioning
+   * (ref: docs/KIMBALL_CDC_DATA_DESIGN.md:289-296), exposed as its own
+   * operator.
+   *
+   * Output: one row per id whose presence or compared columns differ —
+   * `(id, change)` with `change ∈ added | removed | changed` (and
+   * `unchanged` when `includeUnchanged`). Column comparison is NULL-SAFE
+   * (`<=>`): a null-to-value flip is a change, null-to-null is not.
+   *
+   * Plan shape: one full outer join keyed on `id` — each side shuffles
+   * once on the key and nothing else moves; with both snapshots stored
+   * bucketed/partitioned by id the exchange disappears entirely. At
+   * 100 TB prefer selecting only `id` + the compared columns before
+   * calling (column pruning keeps the scan narrow).
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame, id: String,
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val b = before.select((id +: compareCols).map(c =>
+      col(c).as(s"__b_$c")): _*)
+    val a = after.select((id +: compareCols).map(c =>
+      col(c).as(s"__a_$c")): _*)
+    val joined = b.join(a, col(s"__b_$id") === col(s"__a_$id"), "full_outer")
+    val differs = compareCols.map(c =>
+      !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
+    val out = joined.select(
+      coalesce(col(s"__b_$id"), col(s"__a_$id")).as(id),
+      when(col(s"__b_$id").isNull, lit("added"))
+        .when(col(s"__a_$id").isNull, lit("removed"))
+        .when(differs, lit("changed"))
+        .otherwise(lit("unchanged")).as("change"))
+    if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
+  }
 }

@@ -108,4 +108,32 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(out == Seq((1, "a"), (2, "b"), (3, "c")))
   }
+
+  test("snapshotDiff: added/removed/changed with null-safe column compares") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a"), "en"),  // unchanged
+      (2L, Some("b"), "en"),  // removed
+      (3L, Some("c"), "en"),  // changed (text)
+      (4L, None: Option[String], "en"),  // unchanged (null == null)
+      (5L, Some("e"), "en"))  // changed (value -> null)
+      .toDF("id", "text", "lang")
+    val after = Seq(
+      (1L, Some("a"), "en"),
+      (3L, Some("c2"), "en"),
+      (4L, None: Option[String], "en"),
+      (5L, None: Option[String], "en"),
+      (6L, Some("f"), "en"))  // added
+      .toDF("id", "text", "lang")
+    val got = Cdc.snapshotDiff(before, after, "id", Seq("text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "removed"), (3L, "changed"), (5L, "changed"),
+      (6L, "added")), got.toString)
+    val all = Cdc.snapshotDiff(before, after, "id", Seq("text", "lang"),
+        includeUnchanged = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all.contains((1L, "unchanged")) && all.contains((4L, "unchanged")),
+      s"null==null must be unchanged: $all")
+    assert(all.size == 6)
+  }
 }
