@@ -1544,6 +1544,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal byte-window sampling (Multimodal.chunkPayload): the
+    // frame-sample/audio-window shape over opaque binary payloads —
+    // codegen'd sequence+posexplode+substr, zero shuffle, zero UDF. The
+    // oracle slices the SAME bytes through their hex encoding, so the
+    // binary plumbing (offsets, overlap, tail chunks, byte counts) is
+    // pinned exactly
+    "q102_media_chunks" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.chunkPayload(media,
+          chunkBytes = 64, stride = 48)
+        .select(col("media_id"), col("chunk_no"),
+          hex(col("chunk")).as("chunk_hex"),
+          col("chunk_bytes").cast("int").as("chunk_bytes"))
+        .orderBy("media_id", "chunk_no")
+    }),
+
+    // multimodal exact dedup (Multimodal.payloadDupGroups): byte-identical
+    // payload groups keyed by md5 of the RAW bytes — the re-upload case,
+    // one map-side-combined aggregation, no decode
+    "q103_media_dup_groups" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.asMedia(
+        docsWithDupes(s, dir), "doc_id", "text")
+      graft.operators.Multimodal.payloadDupGroups(media)
+        .orderBy("payload_md5")
+    }),
+
     // snapshot diff (Cdc.snapshotDiff): the added/removed/changed audit
     // between two versions of a keyed table — one full outer join on the
     // key, null-safe column comparison. The compliance companion to
@@ -2613,6 +2640,32 @@ object SparkEntry {
         |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
         |FROM batch b LEFT JOIN kept k USING (key)
         |ORDER BY doc_id""".stripMargin,
+
+    // q102: the byte-window chunks replayed through hex encoding — byte
+    // offset o of the payload is hex offset 2o+1, chunk of 64 bytes is
+    // 128 hex chars; start offsets are the stride-48 multiples below the
+    // byte length, chunk_no = start / stride
+    "q102_media_chunks" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0)
+        |SELECT media_id, CAST(u.s / 48 AS INT) AS chunk_no,
+        |       substr(h, CAST(u.s * 2 + 1 AS BIGINT), 128) AS chunk_hex,
+        |       CAST(length(substr(h, CAST(u.s * 2 + 1 AS BIGINT), 128)) / 2 AS INT)
+        |         AS chunk_bytes
+        |FROM m, UNNEST(range(0, CAST(n AS BIGINT), 48)) AS u(s)
+        |ORDER BY media_id, chunk_no""".stripMargin,
+
+    // q103: byte-identical payload groups — payloads are the docs' utf8
+    // bytes, so DuckDB's md5 over the text is md5 over the same bytes
+    "q103_media_dup_groups" ->
+      s"""WITH all_docs AS ($DupDocsSql)
+         |SELECT md5(text) AS payload_md5, min(doc_id) AS canonical_id,
+         |       count(*) AS n_copies
+         |FROM all_docs WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY payload_md5""".stripMargin,
 
     // q101: the same full-outer change audit in plain SQL (null-safe
     // comparison via IS NOT DISTINCT FROM)

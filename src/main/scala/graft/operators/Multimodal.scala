@@ -59,6 +59,46 @@ object Multimodal {
     }
   }
 
+  /**
+   * Byte-window sampling over payloads — the video frame-sample / audio
+   * window analogue as pure column plumbing: one row per (media_id,
+   * chunk_no) with the sliced bytes. `stride < chunkBytes` gives
+   * overlapping windows (the RAG-chunking shape applied to bytes);
+   * `stride == chunkBytes` tiles. Entirely codegen'd (`sequence` +
+   * `posexplode` + `substr` on binary — no UDF) and shuffle-free: a
+   * narrow map whose output is bounded by `ceil(bytes / stride)` rows
+   * per payload. Null/empty payloads yield zero chunks. A real frame
+   * sampler would replace the fixed stride with codec-reported frame
+   * offsets; every downstream contract (row shape, per-chunk bytes,
+   * ordering) stays as pinned here.
+   */
+  def chunkPayload(media: DataFrame, chunkBytes: Int,
+      stride: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive (got $chunkBytes)")
+    require(stride > 0, s"stride must be positive (got $stride)")
+    val n = length(col("payload"))
+    media
+      .where(col("payload").isNotNull && n > 0)
+      .select(col("media_id"), col("payload"),
+        posexplode(sequence(lit(0), n - 1, lit(stride)))
+          .as(Seq("chunk_no", "__start")))
+      .select(col("media_id"), col("chunk_no"),
+        col("payload").substr(col("__start") + 1, lit(chunkBytes))
+          .as("chunk"))
+      .withColumn("chunk_bytes", length(col("chunk")))
+  }
+
+  /** Exact payload-level duplicate groups — byte-identical media (the
+    * re-upload case) keyed by md5 of the RAW payload, never a decode:
+    * one aggregation, map-side combined, `(payload_md5, canonical_id =
+    * min media_id, n_copies)`. The binary twin of
+    * [[Dedup.exactGroups]]. */
+  def payloadDupGroups(media: DataFrame): DataFrame =
+    media.where(col("payload").isNotNull)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Batch feature extraction over media rows (mapPartitions plumbing). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -109,6 +109,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       f.checksum == 'a'.toLong + 'b' + 'c' && f.format == "fake/utf8")
   }
 
+  test("multimodal chunking: overlap, tail chunk, empty payload; payload dup groups") {
+    import spark.implicits._
+    // payload of 10 bytes, chunk 4, stride 3: starts 0,3,6,9 → chunks
+    // "0123", "3456", "6789", "9" (tail shorter than chunkBytes)
+    val media = Multimodal.asMedia(
+      Seq((1L, "0123456789"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val chunks = Multimodal.chunkPayload(media, chunkBytes = 4, stride = 3)
+      .orderBy("media_id", "chunk_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]]("chunk"), "UTF-8"), r.getInt(3)))
+    assert(chunks.toSeq == Seq(
+      (1L, 0, "0123", 4), (1L, 1, "3456", 4), (1L, 2, "6789", 4),
+      (1L, 3, "9", 1)),
+      s"empty/null payloads must yield zero chunks: ${chunks.toSeq}")
+
+    val dupMedia = Multimodal.asMedia(
+      Seq((5L, "same bytes"), (9L, "same bytes"), (6L, "other"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val groups = Multimodal.payloadDupGroups(dupMedia)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((5L, 2L), (6L, 1L)),
+      s"byte-identical payloads must group on the min id: $groups")
+  }
+
   test("ExecutionLogger records success counts and sanitized failures") {
     import graft.meta.ExecutionLogger
     val dir = TempDirs.create("graftel").toString
