@@ -360,8 +360,15 @@ object BloomIndex {
     * only) and clear the set. Bloom bits of the removed keys persist until
     * [[rebuildBlooms]] — a false-positive-width cost, never a correctness
     * one. Returns rows removed. */
-  def vacuum(spark: SparkSession, path: String): Long =
-    PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
+  def vacuum(spark: SparkSession, path: String): Long = {
+    // an index bootstrapped from an all-empty batch has a blooms dir and
+    // marker but no keys dir (an empty partitionBy write commits nothing)
+    // — nothing to vacuum, and reading the absent dir would throw
+    val kp = new org.apache.hadoop.fs.Path(keysPath(path))
+    if (!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
+      0L
+    else PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
+  }
 
   /** Fold each shard's bloom generations into one row (append litter →
     * one row per shard, crash-safe via the shared [[DirSwap]] discipline)
@@ -395,8 +402,11 @@ object BloomIndex {
       DirSwap.swap(spark, live, staged)
       spark.catalog.refreshByPath(live)
     }
-    graft.ops.Compaction.compactPath(spark, keysPath(path), Seq(ShardCol),
-      targetFileBytes)
+    val kp = new org.apache.hadoop.fs.Path(keysPath(path))
+    if (!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
+      graft.ops.CompactionResult(0, 0L, 0L, 0L) // empty-bootstrap index
+    else graft.ops.Compaction.compactPath(spark, keysPath(path),
+      Seq(ShardCol), targetFileBytes)
   }
 
   /** Rebuild every shard's bloom from the (post-vacuum) ledger — restores
