@@ -152,10 +152,16 @@ object BloomIndex {
     val spark = df.sparkSession
     val g = Geometry(shards, bitsPerShard, itemsPerShard)
     val kb = keyedWithId(df, keyCol, idCol, g.shards)
+    // marker BEFORE data (the Sketches appendNight discipline): a crash
+    // mid-save leaves a marker-only or blooms-only state every later
+    // entry point handles (probe treats the absent dirs as empty, the
+    // nightly bootstrap's exists() check routes the re-run to append) —
+    // marker-LAST instead left an unreadable index only a manual delete
+    // could recover
+    writeGeometry(spark, path, g)
     buildGenerations(kb, g).write.mode("overwrite").parquet(bloomsPath(path))
     clusteredKeys(kb)
       .write.mode("overwrite").partitionBy(ShardCol).parquet(keysPath(path))
-    writeGeometry(spark, path, g)
   }
 
   /** Append a batch's `(key, id)` rows: one new bloom generation row per
@@ -213,7 +219,9 @@ object BloomIndex {
     val hasBlooms = fs.exists(new org.apache.hadoop.fs.Path(bloomsPath(path)))
     val hasKeys = fs.exists(new org.apache.hadoop.fs.Path(keysPath(path)))
     // keys without blooms would make every bloom miss a FALSE NEGATIVE —
-    // the one state this index must never serve reads from
+    // the one state this index must never serve reads from. The inverse
+    // (blooms without keys — a crash between save/append's two writes)
+    // is served below: candidates simply fail to verify.
     require(hasBlooms || !hasKeys,
       s"bloom index at $path has a key ledger but no bloom directory — " +
         "the membership test would silently pass duplicates; rebuild with " +
@@ -247,7 +255,7 @@ object BloomIndex {
         val candShards = cands.select(ShardCol).distinct()
           .collect().map(_.getInt(0))
         val kept =
-          if (candShards.isEmpty)
+          if (candShards.isEmpty || !hasKeys)
             keys.limit(0).select(col(KeyCol),
               lit(null).cast("long").as("kept_id"))
           else {
@@ -331,7 +339,11 @@ object BloomIndex {
         val verdict = probe(spark, path,
           intraSurvivors.select(col(keyCol)), keyCol,
           excludeIds = Some(excludeIds))
+        // pinned: the survivor pin below AND a drop-ledger consumer both
+        // read this join — without the pin the candidate-shard ledger
+        // scan + broadcast verify would execute once per consumer
         val joined = intraSurvivors.join(verdict, Seq(keyCol))
+          .localCheckpoint(true)
         (joined.filter(!col("is_dup")),
           joined.filter(col("is_dup")).select(col(idCol), col("kept_id")))
       }
@@ -350,6 +362,22 @@ object BloomIndex {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(md5(col(textCol).cast("binary")).as("__exact_key"),
         col(idCol))
+
+  /** Bootstrap-or-append for the ingest surfaces: save() with the given
+    * geometry when no index exists at `path`, append() otherwise — ONE
+    * implementation for the nightly pipeline and the streaming sinks (the
+    * exactGate anti-drift rule applied to the append side too). */
+  def appendOrBootstrap(keys: DataFrame, keyCol: String, idCol: String,
+      path: String, shards: Int, bitsPerShard: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(
+      keys.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists)
+      save(keys, keyCol, idCol, path, shards = shards,
+        bitsPerShard = bitsPerShard,
+        itemsPerShard = math.max(1L, bitsPerShard / 10))
+    else append(keys, keyCol, idCol, path)
+  }
 
   /** Retract numeric ids from the index: O(|ids|), probe-visible
     * immediately (the verify subtracts them), physical at [[vacuum]]. */
@@ -420,7 +448,7 @@ object BloomIndex {
     DirSwap.repair(spark, live)
     val staged = live + "__rebuild"
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    val ledger = spark.read.parquet(keysPath(path))
+    val ledger = readLedgerOrEmpty(spark, path)
     buildGenerations(
       ledger.select(col(KeyCol), xxhash64(col(KeyCol)).as("__h"),
         col(ShardCol)), g)
@@ -434,6 +462,25 @@ object BloomIndex {
     * `est_fpp` approaches 1 has saturated its bit budget — every probe key
     * becomes a verify candidate and the index degrades to a plain ledger
     * join; [[save]] with more bits (or more shards) is the remedy. */
+  /** The key ledger, or an empty typed frame when the keys directory
+    * never materialized (empty-bootstrap index — an empty partitionBy
+    * write commits nothing). */
+  private def readLedgerOrEmpty(spark: SparkSession,
+      path: String): DataFrame = {
+    val kp = new org.apache.hadoop.fs.Path(keysPath(path))
+    if (kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
+      spark.read.parquet(keysPath(path))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(KeyCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(IdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(ShardCol,
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     DirSwap.repair(spark, bloomsPath(path)) // crashed compact/rebuild swap
@@ -451,7 +498,7 @@ object BloomIndex {
         (shard, gens, merged.cardinality(), merged.expectedFpp())
       }
       .toDF(ShardCol, "generations", "est_items", "est_fpp")
-    val ledger = spark.read.parquet(keysPath(path))
+    val ledger = readLedgerOrEmpty(spark, path)
       .groupBy(col(ShardCol)).agg(count(lit(1)).as("ledger_rows"))
     blooms.join(ledger, Seq(ShardCol), "full")
       .na.fill(0L, Seq("ledger_rows"))

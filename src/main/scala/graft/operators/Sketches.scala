@@ -227,7 +227,14 @@ object Sketches {
     val totals = state.agg(
       coalesce(sum(when(isNight, col("n_rows"))), lit(0L)).as("__night_total"),
       sum(col("n_rows")).as("__life_total"))
-    val joined = lifeAgg.join(nightAgg, g, "left")
+    // NULL-SAFE group join: a null-valued group (supported state — the
+    // null lang cohort) must compare night-vs-lifetime like any other,
+    // not read as MISSING because null never equals null
+    val joined = lifeAgg.join(nightAgg,
+        g.map(c => lifeAgg(c) <=> nightAgg(c)).reduce(_ && _), "left")
+      .select(g.map(lifeAgg(_)) ++
+        (lifeAgg.columns.filterNot(g.contains).map(lifeAgg(_)) ++
+          nightAgg.columns.filterNot(g.contains).map(nightAgg(_))): _*)
       .crossJoin(broadcast(totals))
     def longForm(metric: String, nightV: Column, lifeV: Column): DataFrame =
       joined.select(g.map(col) ++ Seq(lit(metric).as("metric"),

@@ -200,17 +200,22 @@ object Cdc {
       compareCols: Seq[String],
       includeUnchanged: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
-    val b = before.select((id +: compareCols).map(c =>
-      col(c).as(s"__b_$c")): _*)
-    val a = after.select((id +: compareCols).map(c =>
-      col(c).as(s"__a_$c")): _*)
+    // side-presence is tested via non-nullable probe flags, NOT the id
+    // itself: a null-id row never joins (null ≠ null), so it surfaces as
+    // its own added/removed row — and testing the id would misread a
+    // before-only null-id row as "added" (its null __b_id looks like an
+    // absent before side)
+    val b = before.select(lit(true).as("__b_present") +:
+      (id +: compareCols).map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(lit(true).as("__a_present") +:
+      (id +: compareCols).map(c => col(c).as(s"__a_$c")): _*)
     val joined = b.join(a, col(s"__b_$id") === col(s"__a_$id"), "full_outer")
     val differs = compareCols.map(c =>
       !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
     val out = joined.select(
       coalesce(col(s"__b_$id"), col(s"__a_$id")).as(id),
-      when(col(s"__b_$id").isNull, lit("added"))
-        .when(col(s"__a_$id").isNull, lit("removed"))
+      when(col("__b_present").isNull, lit("added"))
+        .when(col("__a_present").isNull, lit("removed"))
         .when(differs, lit("changed"))
         .otherwise(lit("unchanged")).as("change"))
     if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")

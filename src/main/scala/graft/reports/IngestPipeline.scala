@@ -567,18 +567,11 @@ object IngestPipeline {
               cfg.embCol, ip)
         }
         cfg.bloomIndexPath.foreach { bp =>
-          val keys = graft.operators.BloomIndex.survivorKeys(survivors,
-            cfg.idCol, cfg.textCol)
-          val bpath = new org.apache.hadoop.fs.Path(bp)
-          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(bpath))
-            graft.operators.BloomIndex.save(keys, "__exact_key", cfg.idCol,
-              bp, shards = cfg.bloomShards,
-              bitsPerShard = cfg.bloomBitsPerShard,
-              itemsPerShard = math.max(1L, cfg.bloomBitsPerShard / 10))
-          else
-            graft.operators.BloomIndex.append(keys, "__exact_key",
-              cfg.idCol, bp)
+          graft.operators.BloomIndex.appendOrBootstrap(
+            graft.operators.BloomIndex.survivorKeys(survivors,
+              cfg.idCol, cfg.textCol),
+            "__exact_key", cfg.idCol, bp,
+            shards = cfg.bloomShards, bitsPerShard = cfg.bloomBitsPerShard)
         }
       }
 

@@ -292,16 +292,11 @@ object Streams {
           indexPath)
         if (bootstrap) BandIndex.recordParams(spark, indexPath, hashParams)
         bloomIndexPath.foreach { bp =>
-          val keys = graft.operators.BloomIndex.survivorKeys(survivors,
-            idCol, textCol)
-          val bpath = new org.apache.hadoop.fs.Path(bp)
-          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(bpath))
-            graft.operators.BloomIndex.save(keys, "__exact_key", idCol,
-              bp, shards = bloomShards, bitsPerShard = bloomBitsPerShard,
-              itemsPerShard = math.max(1L, bloomBitsPerShard / 10))
-          else
-            graft.operators.BloomIndex.append(keys, "__exact_key", idCol, bp)
+          graft.operators.BloomIndex.appendOrBootstrap(
+            graft.operators.BloomIndex.survivorKeys(survivors, idCol,
+              textCol),
+            "__exact_key", idCol, bp,
+            shards = bloomShards, bitsPerShard = bloomBitsPerShard)
         }
         accept(survivors, batchId)
       } finally {

@@ -175,6 +175,38 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(blooms.exists() && !staged.exists(), "stage must be committed")
   }
 
+  test("bootstrap crash windows: marker-only and blooms-without-keys states self-serve") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-bloomcrash")
+    // (a) crash after the marker, before any data (save is marker-first):
+    // the index reads as EMPTY — every key new — and the nightly re-run's
+    // exists() check routes to append, which heals it
+    val p1 = root.resolve("markeronly").toString
+    BloomIndex.save(keysDf("seed" -> 1L), "k", "id", p1, shards = 2,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p1 + "/blooms"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(p1 + "/keys"), true)
+    assert(probeMap(p1, keysDf("seed" -> 9L)) == Map("seed" -> ((false, None))),
+      "a marker-only index must read as empty, not throw")
+    BloomIndex.append(keysDf("seed" -> 1L), "k", "id", p1) // the heal
+    assert(probeMap(p1, keysDf("seed" -> 9L)) == Map("seed" -> ((true, Some(1L)))))
+
+    // (b) crash between the blooms and keys writes: candidates fail to
+    // verify — a false-positive-only state, never a passed duplicate
+    val p2 = root.resolve("bloomsonly").toString
+    BloomIndex.save(keysDf("solo" -> 5L), "k", "id", p2, shards = 2,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    fs.delete(new org.apache.hadoop.fs.Path(p2 + "/keys"), true)
+    assert(probeMap(p2, keysDf("solo" -> 9L)) == Map("solo" -> ((false, None))),
+      "blooms-without-keys must answer not-dup via the failed verify")
+    // stats/rebuild also tolerate the absent ledger
+    assert(BloomIndex.stats(spark, p2).count() >= 1)
+    BloomIndex.rebuildBlooms(spark, p2)
+    assert(probeMap(p2, keysDf("solo" -> 9L)) == Map("solo" -> ((false, None))))
+  }
+
   test("probe answers match a plain exact join on a randomized corpus/batch") {
     import spark.implicits._
     val path = newPath()

@@ -135,5 +135,15 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(all.contains((1L, "unchanged")) && all.contains((4L, "unchanged")),
       s"null==null must be unchanged: $all")
     assert(all.size == 6)
+
+    // null-id rows never pair (null != null) and must classify by SIDE
+    // PRESENCE: a before-only null-id row is 'removed', an after-only one
+    // is 'added' — not the inverted answers an id-null test would give
+    val bNull = Seq((Option.empty[Long], "x")).toDF("id", "text")
+    val aNull = Seq((Option.empty[Long], "y")).toDF("id", "text")
+    val nullDiff = Cdc.snapshotDiff(bNull, aNull, "id", Seq("text"))
+      .collect().map(r => (r.isNullAt(0), r.getString(1))).toSeq.sorted
+    assert(nullDiff == Seq((true, "added"), (true, "removed")),
+      s"null-id rows must classify by side presence: $nullDiff")
   }
 }

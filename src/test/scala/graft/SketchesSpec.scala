@@ -210,5 +210,20 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](
       Sketches.nightDrift(spark, path, spec, "n2", tolerance = 1.0))
     assert(e.getMessage.contains("tolerance"))
+
+    // a NULL group value (the lang-ID-failure cohort) must compare
+    // night-vs-lifetime like any other group — a null-unsafe join would
+    // silently report it MISSING and hide its drift
+    val np = TempDirs.create("graft-sketches-driftnull").resolve("st").toString
+    def rowsN(g: Seq[(String, Long)]) = g.toDF("grp", "v")
+    Sketches.appendNight(rowsN(Seq((null, 100L), (null, 100L),
+      ("en", 100L), ("en", 100L))), spec, np, "n1")
+    Sketches.appendNight(rowsN(Seq((null, 50L), ("en", 100L))),
+      spec, np, "n2")
+    val nullRow = Sketches.nightDrift(spark, np, spec, "n2",
+        tolerance = 1.3)
+      .filter(col("grp").isNull && col("metric") === "avg_v").head()
+    assert(nullRow.getAs[String]("status") == "DRIFT",
+      s"the null group's halved values must read DRIFT, not MISSING: $nullRow")
   }
 }
