@@ -1517,7 +1517,12 @@ object SparkEntry {
     // standing bloom ledger, near-dup copies still drop in the banded
     // probe, and the landed corpus must equal the oracle's gated survivor
     // algebra — exact drops happen BEFORE banding, so the bucket counts
-    // the near-dup algebra sees are the gated batch's, not the raw one's
+    // the near-dup algebra sees are the gated batch's, not the raw one's.
+    // BENCH NOTE: self-contained like q74 (two audited nights + bloom
+    // bootstrap/append/sweep timed together, by oracle necessity) — the
+    // gate's ~40 extra fixed-cost jobs dominate at this fixture size; at
+    // 1M docs the same gate is a NET WIN (ScaleBench bloomgate tier:
+    // re-crawl night 27.5 → 17.1 s, spill eliminated — SCALE.md round 18)
     "q100_bloom_gated_ingest" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val b1 = d.filter(col("doc_id") % 3 === 0)
