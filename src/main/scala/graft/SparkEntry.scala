@@ -1510,6 +1510,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the maintain cadence end to end as ONE oracle: bootstrap + append
+    // stack bloom generations, a heavy takedown pushes the stale-bit share
+    // past the rebuild threshold, and maintain (vacuum → fold-gated
+    // compact → AUTO rebuildBlooms, round 19) must leave an index whose
+    // probe still answers the plain min-per-key algebra EXACTLY — the
+    // generation counter, the stale tracking and the self-healing rebuild
+    // all invisible in the answer
+    "q104_bloom_auto_rebuild" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def keys(df: DataFrame) =
+        df.select(md5(col("text").cast("binary")).as("key"), col("doc_id"))
+      val idx = Scratch.dir("graft_q104_").resolve("bloom_index").toString
+      graft.operators.BloomIndex.save(
+        keys(d.filter(col("doc_id") % 4 === 0)), "key", "doc_id", idx,
+        shards = 16, bitsPerShard = 1L << 16, itemsPerShard = 4096L)
+      graft.operators.BloomIndex.append(
+        keys(d.filter(col("doc_id") % 4 === 1)), "key", "doc_id", idx)
+      // takedown of 3/4 of the first generation: stale share ≈ 0.375
+      // crosses StaleWarnShare, so this maintain call must self-rebuild
+      graft.operators.BloomIndex.removeIds(s, idx,
+        d.filter(col("doc_id") % 4 === 0 && col("doc_id") % 16 =!= 0)
+          .select(col("doc_id")))
+      val (_, rebuilt) = graft.operators.BloomIndex.maintain(s, idx,
+        minFoldGenerations = 2L)
+      require(rebuilt, "the takedown must trigger the auto-rebuild")
+      val keyedBatch = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("key"))
+      val verdict = graft.operators.BloomIndex.probe(s, idx,
+        keyedBatch.select(col("key")), "key")
+      keyedBatch.join(verdict, Seq("key"), "left")
+        .select(col("doc_id"), col("kept_id"),
+          col("kept_id").isNotNull.cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // the exact gate driven end to end through the audited nightly
     // pipeline (q74's composition with bloomIndexPath configured):
     // night-1's byte-identical intra dups drop at the gate, night-2's
@@ -2742,6 +2777,21 @@ object SparkEntry {
       """WITH standing AS (
         |  SELECT doc_id, md5(text) AS key FROM documents
         |  WHERE doc_id % 4 IN (0, 1) AND doc_id % 8 <> 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+        |kept AS (SELECT key, min(doc_id) AS kept_id FROM standing GROUP BY key)
+        |SELECT b.doc_id, k.kept_id,
+        |       CAST(k.kept_id IS NOT NULL AS INT) AS is_dup
+        |FROM batch b LEFT JOIN kept k USING (key)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q104: standing set after the takedown = gen2 (doc_id%4=1) plus the
+    // kept quarter of gen1 (doc_id%16=0); the auto-rebuild is precision
+    // maintenance only, so the exact min-per-key algebra is unchanged
+    "q104_bloom_auto_rebuild" ->
+      """WITH standing AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents
+        |  WHERE doc_id % 4 = 1 OR doc_id % 16 = 0),
         |batch AS (
         |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
         |kept AS (SELECT key, min(doc_id) AS kept_id FROM standing GROUP BY key)

@@ -81,12 +81,43 @@ object BloomIndex {
   private def bloomsPath(path: String) = s"$path/$BloomsDir"
   private def keysPath(path: String) = s"$path/$KeysDir"
 
+  /** Marker key: bloom generation rows per shard (upper bound — the number
+    * of write passes since the last fold/rebuild). Maintained driver-side
+    * so the nightly fold can be GATED without a Spark job; absent (an index
+    * from before the counter existed) reads as "unknown → fold". */
+  private val GenerationsKey = "generations"
+
+  /** Marker key: ledger rows physically removed by [[vacuum]] since the
+    * last [[rebuildBlooms]]/[[save]] — the exact numerator of the stale-bit
+    * share ([[staleShare]]). Removed keys' bloom BITS persist until a
+    * rebuild, so this is what widens the false-positive tail. */
+  private val RemovedKey = "removedSinceRebuild"
+
+  /** Read-update-write of the marker map (single-maintainer assumption,
+    * like every other maintenance entry point). */
+  private def updateMarker(spark: SparkSession, path: String)(
+      f: Map[String, String] => Map[String, String]): Unit =
+    IndexMeta.write(spark, path, f(IndexMeta.read(spark, path)))
+
+  private def markerLong(spark: SparkSession, path: String, key: String)
+      : Option[Long] =
+    IndexMeta.read(spark, path).get(key).flatMap(v =>
+      scala.util.Try(v.toLong).toOption)
+
+  private def noteRemoved(spark: SparkSession, path: String,
+      removed: Long): Unit =
+    updateMarker(spark, path)(m => m.updated(RemovedKey,
+      (m.get(RemovedKey).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L) + removed).toString))
+
   private def writeGeometry(spark: SparkSession, path: String, g: Geometry): Unit =
     IndexMeta.write(spark, path, Map(
       "layout" -> "bloom_v1",
       "shards" -> g.shards.toString,
       "bitsPerShard" -> g.bitsPerShard.toString,
-      "itemsPerShard" -> g.itemsPerShard.toString))
+      "itemsPerShard" -> g.itemsPerShard.toString,
+      GenerationsKey -> "1",
+      RemovedKey -> "0"))
 
   /** The recorded geometry; fails fast when the marker is absent or from a
     * different layout (probing with guessed geometry would hash keys into
@@ -181,6 +212,12 @@ object BloomIndex {
     buildGenerations(kb, g).write.mode("append").parquet(bloomsPath(path))
     clusteredKeys(kb)
       .write.mode("append").partitionBy(ShardCol).parquet(keysPath(path))
+    // the counter is a PERF gate only (probe ORs every generation, folded
+    // or not), so a crash between the writes and this update merely defers
+    // one fold — never a correctness state
+    updateMarker(spark, path)(m => m.updated(GenerationsKey,
+      (m.get(GenerationsKey).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1L).toString))
   }
 
   /** Exact membership of `batch`'s `keyCol` values against the standing
@@ -341,15 +378,21 @@ object BloomIndex {
           excludeIds = Some(excludeIds))
         // pinned: the survivor pin below AND a drop-ledger consumer both
         // read this join — without the pin the candidate-shard ledger
-        // scan + broadcast verify would execute once per consumer
-        val joined = intraSurvivors.join(verdict, Seq(keyCol))
-          .localCheckpoint(true)
+        // scan + broadcast verify would execute once per consumer.
+        // MEASURED stats: the plain checkpoint inherits the join-product
+        // estimate (~189 TB for a 2 MB batch, measured round 19), which
+        // pinned the session's ShuffleSizing at its 4096-partition max
+        val joined = org.apache.spark.sql.graft.ColumnBridge
+          .pinnedWithMeasuredStats(intraSurvivors.join(verdict, Seq(keyCol)))
         (joined.filter(!col("is_dup")),
           joined.filter(col("is_dup")).select(col(idCol), col("kept_id")))
       }
-    val survivors = corpusSurvivors.select(cols.map(col): _*)
-      .unionByName(outScope.select(cols.map(col): _*))
-      .localCheckpoint(true)
+    // measured-stats pin: survivors feed the minhash hashing downstream —
+    // an inherited join-product estimate here would mis-size every shuffle
+    // of the rest of the night (see pinnedWithMeasuredStats)
+    val survivors = org.apache.spark.sql.graft.ColumnBridge
+      .pinnedWithMeasuredStats(corpusSurvivors.select(cols.map(col): _*)
+        .unionByName(outScope.select(cols.map(col): _*)))
     GateResult(survivors, corpusDropped, intraDropped)
   }
 
@@ -391,26 +434,61 @@ object BloomIndex {
   def vacuum(spark: SparkSession, path: String): Long = {
     // an index bootstrapped from an all-empty batch has a blooms dir and
     // marker but no keys dir (an empty partitionBy write commits nothing)
-    // — nothing to vacuum, and reading the absent dir would throw
+    // — nothing to vacuum, and reading the absent dir would throw. The
+    // tombstone set still clears: a removeIds against the empty index may
+    // have appended ids, and leaving them would (a) make every future
+    // probe broadcast-anti-join the set forever and (b) wrongly subtract
+    // those ids if they are legitimately appended LATER (re-admission
+    // after retraction is an accepted submission, spec-pinned).
     val kp = new org.apache.hadoop.fs.Path(keysPath(path))
-    if (!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
+    if (!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp)) {
+      Tombstones.clear(spark, path)
       0L
-    else PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
+    } else {
+      val removed =
+        PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
+      if (removed > 0L) {
+        noteRemoved(spark, path, removed)
+        val share = staleShare(spark, path)
+        if (share > StaleWarnShare)
+          graft.core.Warn(f"bloom index at $path: ${share * 100}%.0f%% of " +
+            "the bloom population is stale (keys vacuumed since the last " +
+            "rebuild keep their bits set) — the false-positive tail is " +
+            "widening; run BloomIndex.rebuildBlooms (or maintain) to " +
+            "restore precision")
+      }
+      removed
+    }
   }
 
   /** Fold each shard's bloom generations into one row (append litter →
     * one row per shard, crash-safe via the shared [[DirSwap]] discipline)
     * and dedup/compact the ledger's shard directories. Run on the nightly
-    * compaction cadence. */
+    * compaction cadence.
+    *
+    * Both halves are FRAGMENTATION-GATED so a nightly cadence pays only
+    * when litter actually accumulated (the rule
+    * [[graft.ops.Compaction.compactPath]] applies to data files, extended
+    * to the bloom rows): the fold runs only when the marker's generation
+    * counter reaches `minFoldGenerations` (probing g generations costs g
+    * `mightContainLong` calls — trivial — while the fold reads and
+    * rewrites every shard's bloom bytes, the dominant fixed cost of a
+    * small night), and the ledger rewrite skips shard directories whose
+    * excess file count is within `ledgerMinExcessFiles` of target. An
+    * index from before the counter existed reads as unknown → fold. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = graft.ops.Compaction.DefaultTargetFileBytes)
+      targetFileBytes: Long = graft.ops.Compaction.DefaultTargetFileBytes,
+      minFoldGenerations: Long = 2L,
+      ledgerMinExcessFiles: Long = 0L)
       : graft.ops.CompactionResult = {
     import spark.implicits._
     val live = bloomsPath(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     DirSwap.repair(spark, live)
-    if (fs.exists(new org.apache.hadoop.fs.Path(live))) {
+    val gens = markerLong(spark, path, GenerationsKey)
+    val foldDue = gens.forall(_ >= minFoldGenerations)
+    if (foldDue && fs.exists(new org.apache.hadoop.fs.Path(live))) {
       val staged = live + "__compact"
       fs.delete(new org.apache.hadoop.fs.Path(staged), true)
       spark.read.parquet(live)
@@ -429,12 +507,55 @@ object BloomIndex {
         .write.mode("overwrite").parquet(staged)
       DirSwap.swap(spark, live, staged)
       spark.catalog.refreshByPath(live)
+      updateMarker(spark, path)(_.updated(GenerationsKey, "1"))
     }
     val kp = new org.apache.hadoop.fs.Path(keysPath(path))
     if (!kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp))
       graft.ops.CompactionResult(0, 0L, 0L, 0L) // empty-bootstrap index
     else graft.ops.Compaction.compactPath(spark, keysPath(path),
-      Seq(ShardCol), targetFileBytes)
+      Seq(ShardCol), targetFileBytes,
+      minExcessFiles = ledgerMinExcessFiles)
+  }
+
+  /** Share of the standing key population whose bloom bits are STALE —
+    * rows [[vacuum]] physically removed since the last [[rebuildBlooms]],
+    * over (removed + live). Removed keys' bits persist in the filters (the
+    * ledger decides correctness), so this share is exactly the widening of
+    * the false-positive tail heavy retraction traffic causes. Zero-cost
+    * when nothing was removed (marker read only); one metadata-count job
+    * otherwise. */
+  def staleShare(spark: SparkSession, path: String): Double = {
+    val removed = markerLong(spark, path, RemovedKey).getOrElse(0L)
+    if (removed <= 0L) 0.0
+    else {
+      val live = readLedgerOrEmpty(spark, path).count()
+      removed.toDouble / (removed + live).toDouble
+    }
+  }
+
+  /** [[staleShare]] above which [[vacuum]] warns and [[maintain]]
+    * rebuilds: a quarter of the bloom population answering for keys the
+    * ledger no longer holds measurably widens the verify-candidate tail. */
+  val StaleWarnShare: Double = 0.25
+
+  /** The nightly maintenance cadence as ONE entry point — vacuum pending
+    * tombstones, compact (fold-gated, see [[compact]]), and rebuild the
+    * blooms when retraction traffic has made [[staleShare]] exceed
+    * `rebuildShare` (the LshGuard discipline: the footgun fires a loud,
+    * self-healing response instead of silently-wider false-positive
+    * tails). Returns (compaction result, rebuilt?). */
+  def maintain(spark: SparkSession, path: String,
+      targetFileBytes: Long = graft.ops.Compaction.DefaultTargetFileBytes,
+      minFoldGenerations: Long = 2L,
+      ledgerMinExcessFiles: Long = 0L,
+      rebuildShare: Double = StaleWarnShare)
+      : (graft.ops.CompactionResult, Boolean) = {
+    vacuum(spark, path)
+    val comp = compact(spark, path, targetFileBytes, minFoldGenerations,
+      ledgerMinExcessFiles)
+    val rebuilt = staleShare(spark, path) > rebuildShare
+    if (rebuilt) rebuildBlooms(spark, path)
+    (comp, rebuilt)
   }
 
   /** Rebuild every shard's bloom from the (post-vacuum) ledger — restores
@@ -455,6 +576,10 @@ object BloomIndex {
       .write.mode("overwrite").parquet(staged)
     DirSwap.swap(spark, live, staged)
     spark.catalog.refreshByPath(live)
+    // a rebuilt bloom holds exactly the live ledger: no stale bits, one
+    // generation per shard
+    updateMarker(spark, path)(
+      _.updated(GenerationsKey, "1").updated(RemovedKey, "0"))
   }
 
   /** Per-shard health: bloom generations, ledger rows, the filters'
@@ -484,6 +609,27 @@ object BloomIndex {
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     DirSwap.repair(spark, bloomsPath(path)) // crashed compact/rebuild swap
+    val ledger = readLedgerOrEmpty(spark, path)
+      .groupBy(col(ShardCol)).agg(count(lit(1)).as("ledger_rows"))
+    // marker-only index (crash after save wrote the marker, before the
+    // blooms write — a state probe/compact explicitly tolerate): report
+    // ledger-only health rows instead of throwing PATH_NOT_FOUND
+    val bp = new org.apache.hadoop.fs.Path(bloomsPath(path))
+    if (!bp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bp))
+      return ledger.select(col(ShardCol),
+        lit(null).cast("int").as("generations"),
+        lit(null).cast("long").as("est_items"),
+        lit(null).cast("double").as("est_fpp"),
+        col("ledger_rows"),
+        lit(null).cast("double").as("stale_frac"))
+        .orderBy(ShardCol)
+    // hash-function count, recomputed the way BloomFilter.create derives
+    // it from the recorded geometry — needed to invert set-bit counts
+    // into an item estimate (cardinality() counts set BITS, not items):
+    // n̂ = -(m/k)·ln(1 − X/m), the standard bloom occupancy inversion
+    val g = readGeometry(spark, path)
+    val k = math.max(1, math.round(
+      g.bitsPerShard.toDouble / g.itemsPerShard * math.log(2.0))).toInt
     val blooms = spark.read.parquet(bloomsPath(path))
       .select(col(ShardCol), col("bloom")).as[(Int, Array[Byte])]
       .groupByKey(_._1)
@@ -495,13 +641,22 @@ object BloomIndex {
         }
         val merged = it.next()
         it.foreach(merged.mergeInPlace)
-        (shard, gens, merged.cardinality(), merged.expectedFpp())
+        val m = merged.bitSize().toDouble // word-aligned actual size
+        val setBits = math.min(merged.cardinality().toDouble, m - 1.0)
+        val est = math.round(-(m / k) * math.log1p(-setBits / m))
+        (shard, gens, est, merged.expectedFpp())
       }
       .toDF(ShardCol, "generations", "est_items", "est_fpp")
-    val ledger = readLedgerOrEmpty(spark, path)
-      .groupBy(col(ShardCol)).agg(count(lit(1)).as("ledger_rows"))
     blooms.join(ledger, Seq(ShardCol), "full")
       .na.fill(0L, Seq("ledger_rows"))
+      // share of the shard's bloom population the ledger no longer holds —
+      // stale bits from vacuumed keys (cardinality is an estimate, so the
+      // share clamps to [0,1]); null when the shard has no bloom rows
+      .withColumn("stale_frac",
+        when(col("est_items") > 0,
+          least(lit(1.0), greatest(lit(0.0),
+            (col("est_items") - col("ledger_rows"))
+              / col("est_items").cast("double")))))
       .orderBy(ShardCol)
   }
 }

@@ -193,12 +193,18 @@ object Compaction {
       targetFileBytes: Long = DefaultTargetFileBytes,
       maxPartitions: Int = MaxCompactedPartitions,
       zorderCols: Seq[String] = Nil,
-      zorderBits: Int = ZOrder.DefaultBits): CompactionResult = {
+      zorderBits: Int = ZOrder.DefaultBits,
+      minExcessFiles: Long = 0L): CompactionResult = {
     // worst fragmentation first: when the cap defers work to a later run,
     // each run takes the partitions with the most excess files, so capped
-    // re-runs converge instead of revisiting an arbitrary subset
+    // re-runs converge instead of revisiting an arbitrary subset.
+    // `minExcessFiles` raises the entry bar: a partition is rewritten only
+    // when it exceeds its target by MORE than this many files — the knob a
+    // nightly cadence uses so a handful of small appended files don't buy
+    // a full partition rewrite every night (file-count-driven probe cost
+    // only degrades once litter accumulates; SCALE.md round 14)
     val stats = fileStats(spark, path, partCols, targetFileBytes)
-      .filter(col("n_files") > col("target_files"))
+      .filter(col("n_files") > col("target_files") + lit(minExcessFiles))
       .orderBy((col("n_files") - col("target_files")).desc)
       .limit(maxPartitions + 1)
       .collect()

@@ -181,6 +181,18 @@ object IngestPipeline {
       bloomIndexPath: Option[String] = None,
       bloomShards: Int = 64,
       bloomBitsPerShard: Long = 1L << 23,
+      // bloom MAINTENANCE gates (see [[graft.operators.BloomIndex.maintain]]):
+      // the generation fold runs only every `bloomFoldGenerations` appends
+      // (probing g generations is g bit-tests — trivial — while the fold
+      // rewrites every shard's bloom bytes: ~40 fixed-cost jobs per night
+      // at small batch sizes, measured round 19), the ledger rewrite skips
+      // shard dirs within `bloomLedgerMinExcessFiles` of their target
+      // file count, and retraction traffic that pushes the stale-bit share
+      // past `bloomRebuildShare` triggers an automatic rebuildBlooms so
+      // vacuum traffic cannot silently widen the false-positive tail
+      bloomFoldGenerations: Long = 8L,
+      bloomLedgerMinExcessFiles: Long = 8L,
+      bloomRebuildShare: Double = graft.operators.BloomIndex.StaleWarnShare,
       carrier: String = "corpus")
 
   /** Where [[IngestConfig.statsSketch]] state lives. */
@@ -237,7 +249,11 @@ object IngestPipeline {
       ivfCompaction: Option[CompactionResult] = None,
       ivfPqCompaction: Option[CompactionResult] = None,
       bloomCompaction: Option[CompactionResult] = None,
-      driftFailures: Option[Long] = None)
+      driftFailures: Option[Long] = None,
+      // true when this night's maintenance rebuilt the bloom filters
+      // because retraction traffic pushed the stale-bit share past
+      // cfg.bloomRebuildShare (None when no bloom index is configured)
+      bloomRebuilt: Option[Boolean] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -294,13 +310,13 @@ object IngestPipeline {
           // construction (it used to fold into ingest_probe); (b) prepped
           // feeds BOTH the banded hashing and the survivor anti-join —
           // without the pin the span cut would compute twice
-          Dedup.removeDuplicateSpans(batch, cfg.idCol, cfg.textCol, k,
-              lowercase = cfg.spanDedupLowercase,
-              packedKeeper = cfg.spanDedupPacked)
-            .drop(cfg.textCol).drop("removed_tokens")
-            .withColumnRenamed("clean_text", cfg.textCol)
-            .select(batch.columns.map(col).toSeq: _*)
-            .localCheckpoint(true)
+          org.apache.spark.sql.graft.ColumnBridge.pinnedWithMeasuredStats(
+            Dedup.removeDuplicateSpans(batch, cfg.idCol, cfg.textCol, k,
+                lowercase = cfg.spanDedupLowercase,
+                packedKeeper = cfg.spanDedupPacked)
+              .drop(cfg.textCol).drop("removed_tokens")
+              .withColumnRenamed("clean_text", cfg.textCol)
+              .select(batch.columns.map(col).toSeq: _*))
         }
       case None => batch
     }
@@ -361,15 +377,19 @@ object IngestPipeline {
           // the ledger's extra write on the pinned arm. Pair frames are
           // bounded (maxBucket caps bucket fanout), so the checkpoint is
           // O(pairs) like the survivors pin itself
+          val bridge = org.apache.spark.sql.graft.ColumnBridge
           val (cp, ip) =
-            (corpusPairs0.localCheckpoint(true),
-              intraPairs0.localCheckpoint(true))
+            (bridge.pinnedWithMeasuredStats(corpusPairs0),
+              bridge.pinnedWithMeasuredStats(intraPairs0))
           val corpusDups =
             cp.select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
           val intraDups = ip.select(col("id_b").as(cfg.idCol))
           // pin survivors BEFORE any append mutates what the plan reads
-          (gated.join(corpusDups.union(intraDups).distinct(),
-            Seq(cfg.idCol), "left_anti").localCheckpoint(true), cp, ip)
+          // (measured stats throughout: inherited estimates here size every
+          // downstream landing/index shuffle — see pinnedWithMeasuredStats)
+          (bridge.pinnedWithMeasuredStats(
+            gated.join(corpusDups.union(intraDups).distinct(),
+              Seq(cfg.idCol), "left_anti")), cp, ip)
         }
       val accepted = survivors.count()
 
@@ -608,15 +628,24 @@ object IngestPipeline {
             cfg.compactTargetFileBytes)
         }
       }
-      val bloomComp = cfg.bloomIndexPath.map { bp =>
+      // fold/rewrite gates + stale-share-triggered rebuild live in
+      // BloomIndex.maintain — ONE maintenance entry shared with any other
+      // caller, so retraction traffic heals here on the same cadence that
+      // sweeps file litter (a rebuilt night logs rows_deleted=1 as its
+      // audit signal)
+      val bloomMaint = cfg.bloomIndexPath.map { bp =>
         ExecutionLogger.logged(meta, s"ingest_compact_bloom_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          graft.operators.BloomIndex.vacuum(spark, bp)
-          graft.operators.BloomIndex.compact(spark, bp,
-            cfg.compactTargetFileBytes)
+            cfg.carrier, (r: (CompactionResult, Boolean)) =>
+              (0L, r._1.filesBefore - r._1.filesAfter,
+                if (r._2) 1L else 0L)) {
+          graft.operators.BloomIndex.maintain(spark, bp,
+            cfg.compactTargetFileBytes,
+            minFoldGenerations = cfg.bloomFoldGenerations,
+            ledgerMinExcessFiles = cfg.bloomLedgerMinExcessFiles,
+            rebuildShare = cfg.bloomRebuildShare)
         }
       }
+      val bloomComp = bloomMaint.map(_._1)
 
       // 6. LOG — the night's commit record, written LAST: its presence is
       // what makes a later re-run of this night short-circuit. NOTE the
@@ -630,7 +659,7 @@ object IngestPipeline {
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures, ivfCompaction = ivfComp,
         ivfPqCompaction = ivfPqComp, bloomCompaction = bloomComp,
-        driftFailures = driftFailures)
+        driftFailures = driftFailures, bloomRebuilt = bloomMaint.map(_._2))
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()

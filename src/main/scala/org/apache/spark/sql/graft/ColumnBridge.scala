@@ -46,4 +46,52 @@ object ColumnBridge {
     * events asynchronously and `waitUntilEmpty` is `private[spark]`. */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
+
+  /**
+   * Eager localCheckpoint whose resulting plan carries MEASURED statistics
+   * instead of the inherited cost-model estimate.
+   *
+   * `Dataset.localCheckpoint` deliberately copies the ORIGIN plan's
+   * statistics onto the `LogicalRDD` it produces. For a frame built from
+   * join/aggregate chains that estimate is a join-PRODUCT guess, off by
+   * orders of magnitude: the bloom exact gate's survivor frame (a 2 MB,
+   * 1.7k-row batch) estimated at ~189 TB, which drove
+   * [[graft.core.ShuffleSizing]] to pin the whole session at its
+   * 4096-partition max — every later shuffle of BOTH ingest nights ran
+   * thousands of empty tasks (the q89 round-17 defect, resurfacing through
+   * the gate's pin instead of a live join). The checkpoint has already
+   * materialized every partition in the block manager, so the TRUE size is
+   * sitting in the storage status — read it (driver-side metadata, no job)
+   * and rebuild the `LogicalRDD` with it as origin stats. In-memory
+   * UnsafeRow bytes over-count vs on-disk parquet, so downstream sizing
+   * errs toward MORE partitions, never fewer.
+   *
+   * Falls back to the plain checkpoint when the plan shape or storage info
+   * is unavailable (never worse than today's behavior).
+   */
+  def pinnedWithMeasuredStats(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = cp.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        session.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          // an EMPTY pinned frame measures 0 — clamp to 1 byte, which is
+          // still an honest "tiny" (join planning then broadcasts it,
+          // exactly right), rather than falling back to the garbage origin
+          // estimate
+          .map(i => math.max(1L, i.memSize + i.diskSize)) match {
+          case Some(bytes) =>
+            val honest = lr.copy()(session,
+              Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                sizeInBytes = BigInt(bytes))),
+              None)
+            org.apache.spark.sql.classic.Dataset.ofRows(session, honest)
+          case None => cp
+        }
+      case _ => cp
+    }
+  }
 }

@@ -207,6 +207,113 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(probeMap(p2, keysDf("solo" -> 9L)) == Map("solo" -> ((false, None))))
   }
 
+  test("heavy vacuum traffic warns about stale bloom bits; rebuild silences and resets") {
+    import spark.implicits._
+    val path = newPath()
+    BloomIndex.save(keysDf((1 to 10).map(i => (s"k$i", i.toLong)): _*),
+      "k", "id", path, shards = 4, bitsPerShard = 1L << 10,
+      itemsPerShard = 64L)
+    BloomIndex.removeIds(spark, path, (1L to 6L).toDF("id"))
+    val (removed, warns) = graft.core.Warn.capturing {
+      BloomIndex.vacuum(spark, path)
+    }
+    assert(removed == 6L)
+    assert(warns.exists(_.contains("stale")),
+      s"60% stale share must warn, got: $warns")
+    assert(BloomIndex.staleShare(spark, path) == 0.6)
+    // stats carries the per-shard share (exact small counts here: the
+    // merged cardinality still counts the vacuumed keys' bits)
+    val maxStale = BloomIndex.stats(spark, path)
+      .agg(max(col("stale_frac"))).head().getDouble(0)
+    assert(maxStale > 0.0, "stats must expose the stale share per shard")
+    BloomIndex.rebuildBlooms(spark, path)
+    assert(BloomIndex.staleShare(spark, path) == 0.0,
+      "rebuild must reset the stale share")
+    val statsAfter = BloomIndex.stats(spark, path)
+      .agg(max(col("stale_frac"))).head().getDouble(0)
+    assert(statsAfter == 0.0,
+      s"rebuilt blooms hold exactly the live ledger, got stale $statsAfter")
+    // a small follow-up retraction stays under the threshold: no warn
+    BloomIndex.removeIds(spark, path, Seq(7L).toDF("id"))
+    val (_, quiet) = graft.core.Warn.capturing {
+      BloomIndex.vacuum(spark, path)
+    }
+    assert(!quiet.exists(_.contains("stale")),
+      s"a 25% share must not warn (threshold is exclusive), got: $quiet")
+  }
+
+  test("maintain: fold and ledger rewrite are fragmentation-gated; stale share triggers rebuild") {
+    import spark.implicits._
+    val path = newPath()
+    BloomIndex.save(keysDf("a" -> 1L, "b" -> 2L), "k", "id", path,
+      shards = 2, bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    BloomIndex.append(keysDf("c" -> 3L), "k", "id", path)
+    // below both gates: generations (2 < 4) and ledger excess — nothing
+    // rewrites, answers unchanged
+    val (comp1, rebuilt1) = BloomIndex.maintain(spark, path,
+      minFoldGenerations = 4L, ledgerMinExcessFiles = 100L)
+    assert(!rebuilt1 && comp1.partitionsSelected == 0,
+      s"gated maintenance must skip the ledger rewrite, got $comp1")
+    val gens1 = BloomIndex.stats(spark, path)
+      .agg(max(col("generations"))).head().getInt(0)
+    assert(gens1 >= 2, s"the fold must be skipped below the gate, got $gens1")
+    // two more appends reach the generation gate: the fold runs
+    BloomIndex.append(keysDf("d" -> 4L), "k", "id", path)
+    BloomIndex.append(keysDf("e" -> 5L), "k", "id", path)
+    BloomIndex.maintain(spark, path, minFoldGenerations = 4L,
+      ledgerMinExcessFiles = 100L)
+    val gens2 = BloomIndex.stats(spark, path)
+      .agg(max(col("generations"))).head().getInt(0)
+    assert(gens2 == 1, s"reaching the gate must fold, got $gens2")
+    assert(probeMap(path, keysDf("a" -> 9L, "e" -> 9L, "zz" -> 9L)) == Map(
+      "a" -> ((true, Some(1L))), "e" -> ((true, Some(5L))),
+      "zz" -> ((false, None))), "gated maintenance must not change answers")
+    // heavy retraction: the stale share crosses the rebuild threshold and
+    // maintain self-heals (vacuum + rebuild), then re-admission works
+    BloomIndex.removeIds(spark, path, (1L to 4L).toDF("id"))
+    val (_, rebuilt2) = BloomIndex.maintain(spark, path,
+      minFoldGenerations = 4L, ledgerMinExcessFiles = 100L)
+    assert(rebuilt2, "80% stale share must trigger the rebuild")
+    assert(BloomIndex.staleShare(spark, path) == 0.0)
+    assert(probeMap(path, keysDf("a" -> 9L, "e" -> 9L)) == Map(
+      "a" -> ((false, None)), "e" -> ((true, Some(5L)))))
+  }
+
+  test("stats on a marker-only index reports ledger-only rows instead of throwing") {
+    val path = newPath()
+    BloomIndex.save(keysDf("x" -> 1L), "k", "id", path, shards = 2,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/blooms"), true)
+    val rows = BloomIndex.stats(spark, path).collect()
+    assert(rows.nonEmpty, "ledger-only health rows expected")
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("generations"))),
+      "bloom-side stats must be null when the blooms dir is absent")
+    assert(rows.map(_.getAs[Long]("ledger_rows")).sum == 1L)
+  }
+
+  test("vacuum on an index with no key ledger still clears pending tombstones") {
+    import spark.implicits._
+    val path = newPath()
+    BloomIndex.save(keysDf("seed" -> 1L), "k", "id", path, shards = 2,
+      bitsPerShard = 1L << 10, itemsPerShard = 64L)
+    // the empty-bootstrap shape: blooms + marker present, keys dir absent
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/keys"), true)
+    BloomIndex.removeIds(spark, path, Seq(42L).toDF("id"))
+    assert(BloomIndex.vacuum(spark, path) == 0L)
+    // the set must be GONE: a lingering tombstone would wrongly subtract
+    // id 42 if it is legitimately appended later (re-admission)
+    assert(graft.operators.Tombstones.read(spark, path).isEmpty,
+      "vacuum must clear the tombstone set even with no ledger to rewrite")
+    BloomIndex.append(keysDf("fresh" -> 42L), "k", "id", path)
+    assert(probeMap(path, keysDf("fresh" -> 9L)) ==
+      Map("fresh" -> ((true, Some(42L)))),
+      "a later append of a once-tombstoned id must be probe-visible")
+  }
+
   test("probe answers match a plain exact join on a randomized corpus/batch") {
     import spark.implicits._
     val path = newPath()

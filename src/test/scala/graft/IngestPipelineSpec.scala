@@ -822,4 +822,52 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(landed == Set(1L, 30002L), landed.toString)
   }
+
+  test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-bloom-rebuild")
+    val bloomPath = root.resolve("bloom_index").toString
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      bloomIndexPath = Some(bloomPath),
+      bloomShards = 4, bloomBitsPerShard = 1L << 12)
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "pack my box with five dozen liquor jugs today",
+        3L -> "amazingly few discotheques provide jukeboxes here",
+        4L -> "sphinx of black quartz judge my vow tonight ok")
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 4 && n1.bloomRebuilt.contains(false), n1.toString)
+    // takedown of 3 of 4: the stale-bit share jumps to 75% — beyond
+    // cfg.bloomRebuildShare — and the NEXT night's maintenance must heal
+    // it on its own cadence (no manual rebuildBlooms)
+    IngestPipeline.retract(spark, Seq(1L, 2L, 3L).toDF("doc_id"),
+      "bulk-takedown", cfg)
+    assert(graft.operators.BloomIndex.staleShare(spark, bloomPath) > 0.5)
+    val n2 = IngestPipeline.runNight(spark, Seq(
+        5L -> "how vexingly quick daft zebras jump over fences")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(n2.bloomRebuilt.contains(true),
+      s"heavy retraction must trigger the nightly rebuild: $n2")
+    assert(graft.operators.BloomIndex.staleShare(spark, bloomPath) == 0.0,
+      "the rebuild must reset the stale share")
+    // the rebuild logged loudly (rows_deleted=1 on the maintenance row)
+    val meta = new MetaStore(spark, cfg.metaDir)
+    val maint = meta.executionLog
+      .filter(col("target_table") === "ingest_compact_bloom_n2")
+      .select("records_deleted").head().getLong(0)
+    assert(maint == 1L, "the audit row must flag the rebuild")
+    // precision restored AND answers exact: retracted content re-admits,
+    // standing content still drops
+    val n3 = IngestPipeline.runNight(spark, Seq(
+        61L -> "the quick brown fox jumps over the lazy dog", // retracted → new
+        62L -> "how vexingly quick daft zebras jump over fences") // standing dup
+      .toDF("doc_id", "text"), "n3", cfg)
+    assert(n3.accepted == 1 && n3.bloomRebuilt.contains(false), n3.toString)
+    val landed = spark.read.parquet(cfg.corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(4L, 5L, 61L), landed.toString)
+  }
 }
