@@ -99,6 +99,27 @@ private[operators] object DirSwap {
     * readers skip it if it ever rides along. */
   private val ReadyMarker = "_graft_swap_ready"
 
+  /** Claim file a [[repair]] roll-forward creates (atomically,
+    * `createNewFile`) BESIDE the live path — `<live>__claim` in the parent
+    * directory — before its destructive rename: the best-effort
+    * single-actor guard for concurrent reader-funnel repairs. Parent-level
+    * on purpose: creating it INSIDE the staged dir would re-create that
+    * dir (Hadoop create() mkdirs missing parents) when racing the winner's
+    * rename, resurrecting an empty stage. It is a FILE, so the stage
+    * listing (directories only) never mistakes it for a stage. */
+  private def claimPath(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, live.getName + "__claim")
+
+  /** A claim older than this with live still missing is a crashed
+    * claimant; the next repair takes it over. */
+  private val ClaimStaleMs = 60000L
+
+  /** How long a repair LOSER waits for the winner's rename to land before
+    * giving up (the winner's work is one directory rename — milliseconds;
+    * the bound only protects against a winner dying mid-flight, where the
+    * stale-claim takeover on the next entry finishes the job). */
+  private val LoserWaitMs = 10000L
+
   /** Swap the verified `staged` directory in over `live` (steps 1–4). */
   def swap(spark: SparkSession, live: String, staged: String): Unit = {
     val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,9 +151,11 @@ private[operators] object DirSwap {
     if (fs.exists(livePath)) {
       // crash after step 3: live is current, __old is litter — and a
       // crash between rename(staged→live) and the marker delete strands
-      // the ready marker INSIDE live. Sweep both, so the marker keeps
-      // meaning "committed stage", never litter inside a live directory.
+      // the ready marker INSIDE live (and possibly a repair's claim file
+      // beside it — only meaningful while live is MISSING). Sweep all, so
+      // the markers keep meaning "committed stage"/"claim in force".
       fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker), false)
+      fs.delete(claimPath(livePath), false)
       fs.delete(p(oldPath(live)), true)
       false
     } else {
@@ -151,10 +174,57 @@ private[operators] object DirSwap {
         // also lingers (crash after marker write, before rename-aside),
         // the newer one is the interrupted commit
         val chosen = ready.maxBy(_.getModificationTime).getPath
-        fs.rename(chosen, livePath)
-        fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker), false)
-        fs.delete(p(oldPath(live)), true)
-        true
+        // SINGLE-ACTOR claim (best-effort): concurrent repairs — two
+        // readers funneling through the same entry point after a crash —
+        // would otherwise race the destructive rename below. createNewFile
+        // is atomic on local/HDFS-like stores, so exactly one actor claims
+        // and rolls the stage forward; LOSERS wait (bounded) for the
+        // winner's rename to land, so their caller reads the repaired live
+        // dir, never a missing one. A claim whose owner died (older than
+        // ClaimStaleMs with live still missing) is taken over. On stores
+        // without atomic create the claim degrades to the documented
+        // external-serialization caveat — no worse than unguarded.
+        val claim = claimPath(livePath)
+        val owned =
+          (try fs.createNewFile(claim)
+          catch { case _: java.io.IOException => false }) || {
+            try {
+              val age = System.currentTimeMillis() -
+                fs.getFileStatus(claim).getModificationTime
+              age > ClaimStaleMs && !fs.exists(livePath) && {
+                fs.delete(claim, false)
+                fs.createNewFile(claim)
+              }
+            } catch { case _: java.io.IOException => false }
+          }
+        if (owned) {
+          try {
+            // re-check under the claim: another actor may have finished
+            // between our listing and our claim
+            val rolled = !fs.exists(livePath) && fs.exists(chosen) &&
+              fs.rename(chosen, livePath)
+            if (fs.exists(livePath)) {
+              fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),
+                false)
+              fs.delete(p(oldPath(live)), true)
+            }
+            rolled
+          } finally {
+            fs.delete(claim, false)
+            ()
+          }
+        } else {
+          val deadline = System.currentTimeMillis() + LoserWaitMs
+          while (!fs.exists(livePath) &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(50L)
+          if (fs.exists(livePath))
+            // the winner may still be between its rename and its marker
+            // delete — sweep it here too (idempotent)
+            fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),
+              false)
+          false
+        }
       }
     }
   }

@@ -403,6 +403,44 @@ class RetractionSpec extends AnyFunSuite with SparkSpec {
     assert(PqIndex.loadCodes(spark, path).count() == 64)
   }
 
+  test("DirSwap: concurrent repairs converge to ONE consistent live dir (claim marker)") {
+    import graft.operators.PqIndex
+    val path = newPath("dirswap-race")
+    val c = vecCorpus(64)
+    PqIndex.save(c, "vec_id", "embedding", path, m = 4, ksub = 4,
+      iterations = 1)
+    val codes = new java.io.File(new java.net.URI("file://" + path + "/codes"))
+    val staged = new java.io.File(new java.net.URI(
+      "file://" + path + "/codes__vacuum"))
+    assert(codes.renameTo(staged), "test setup: stranding the swap")
+    assert(new java.io.File(staged, "_graft_swap_ready").createNewFile())
+    // two reader-funnel repairs race: the claim marker lets exactly one
+    // roll the stage forward; the loser WAITS for the winner's rename, so
+    // both callers read the repaired live dir
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence((1 to 2).map(_ =>
+        Future(PqIndex.loadCodes(spark, path).count()))),
+      2.minutes)
+    assert(counts == Seq(64L, 64L), s"both racing readers must succeed: $counts")
+    assert(codes.exists() && !staged.exists(), "one consistent live dir")
+    val claim = new java.io.File(new java.net.URI(
+      "file://" + path + "/codes__claim"))
+    assert(!new java.io.File(codes, "_graft_swap_ready").exists() &&
+      !claim.exists(), "no marker litter left behind")
+    // and a STALE claim (a claimant that died before its rename) is taken
+    // over rather than wedging the index forever
+    assert(codes.renameTo(staged), "test setup: strand again")
+    assert(new java.io.File(staged, "_graft_swap_ready").createNewFile())
+    assert(claim.createNewFile())
+    assert(claim.setLastModified(System.currentTimeMillis() - 120000L))
+    assert(PqIndex.loadCodes(spark, path).count() == 64,
+      "a stale claim must be taken over, not waited on forever")
+    assert(codes.exists() && !staged.exists() && !claim.exists())
+  }
+
   test("DirSwap: repair sweeps a ready marker stranded INSIDE live") {
     import graft.operators.PqIndex
     val path = newPath("dirswap-marker")
