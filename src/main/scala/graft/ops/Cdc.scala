@@ -200,6 +200,14 @@ object Cdc {
       compareCols: Seq[String],
       includeUnchanged: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    // the id is prefixed into BOTH sides below ((id +: compareCols)); a
+    // compareCols that repeats it would build duplicate __b_<id>/__a_<id>
+    // columns and the join resolution becomes ambiguous — fail fast with
+    // the fix instead
+    require(!compareCols.contains(id),
+      s"snapshotDiff: compare columns must not include the id column " +
+        s"'$id' — presence is keyed on it already; pass only the value " +
+        "columns to compare")
     // side-presence is tested via non-nullable probe flags, NOT the id
     // itself: a null-id row never joins (null ≠ null), so it surfaces as
     // its own added/removed row — and testing the id would misread a

@@ -145,5 +145,13 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.isNullAt(0), r.getString(1))).toSeq.sorted
     assert(nullDiff == Seq((true, "added"), (true, "removed")),
       s"null-id rows must classify by side presence: $nullDiff")
+
+    // the id in compareCols would build duplicate __b_id/__a_id columns
+    // and make the join resolution ambiguous — fail fast with the fix
+    val e = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(before, after, "id", Seq("id", "text"))
+    }
+    assert(e.getMessage.contains("must not include the id column"),
+      e.getMessage)
   }
 }
