@@ -66,9 +66,10 @@ object SqlDialect {
     * single quotes for strings, as all repo templates do). Idempotent:
     * re-applying to already-rewritten text changes nothing. */
   def toSpark(sql: String): String =
-    rewriteExclude(rewriteQualify(rewriteLikeEscapes(rewriteBareVarchar(
-      rewriteObjectConstruct(translateFormats(unquoteUnitArgs(
-        renameFunctions(quotedIdentifiersToBackticks(sql)))))))))
+    rewriteExclude(rewriteQualify(rewriteWindowInAggFilter(rewriteLikeEscapes(
+      rewriteBareVarchar(rewriteObjectConstruct(translateFormats(
+        unquoteUnitArgs(renameFunctions(
+          quotedIdentifiersToBackticks(sql))))))))))
 
   // ------------------------------------------------------------- scanning
 
@@ -676,6 +677,183 @@ object SqlDialect {
       sql = sql.substring(0, selStart) + outer + sql.substring(tailFrom)
     }
     throw new IllegalStateException("QUALIFY rewrite did not terminate")
+  }
+
+  // ------------------------------------- window inside an aggregate FILTER
+
+  /** Keywords that would change what rows an empty-frame window sees if the
+    * window were hoisted below them — their presence vetoes the rewrite. */
+  private val WindowFilterVetoes = Seq("WHERE", "GROUP", "HAVING", "QUALIFY")
+
+  /**
+   * `AGG(x) OVER ()` inside an aggregate's `FILTER (WHERE …)` clause →
+   * hoisted into a derived table, so the filter predicate references plain
+   * columns:
+   *
+   * {{{
+   *   SELECT COUNT(*) FILTER (WHERE d > AVG(d) OVER ()) FROM t
+   *   -- becomes
+   *   SELECT COUNT(*) FILTER (WHERE d > __win_flt_0)
+   *   FROM (SELECT *, AVG(d) OVER () AS __win_flt_0 FROM t)
+   * }}}
+   *
+   * This is the reference's DQ-021 shape (3-sigma outlier count,
+   * ref: sql/new_rfb_and_total_claimants_active/test_data_quality.sql:300)
+   * — a statement NO engine runs as written (Spark rejects the window in an
+   * aggregate filter, the source warehouse has no aggregate FILTER clause
+   * at all), whose evident intent is "count rows beyond a whole-input
+   * statistic": exactly the two-pass form `DqSuite` computes natively. The
+   * rewrite only fires for a whole-input window (`OVER ()`) whose SELECT
+   * has no WHERE/GROUP BY/HAVING/QUALIFY (those would change the window's
+   * row set when hoisted — such statements are left as-is and keep failing
+   * loudly in Spark). One window per pass; several windows in one filter
+   * nest derived tables (inner columns stay visible through `*`).
+   * Idempotent: rewritten text has no window left inside a filter.
+   */
+  def rewriteWindowInAggFilter(sql0: String): String = {
+    var sql = sql0
+    var counter = 0
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val s = scan(sql)
+
+      // the last index p < i with an OPEN paren enclosing i (depth match)
+      def enclosingOpen(i: Int): Int = {
+        val dv = s.depth(i)
+        var p = i - 1
+        while (p >= 0 && !(s.code(p) && sql.charAt(p) == '(' && s.depth(p) == dv))
+          p -= 1
+        p
+      }
+      // last significant code char before i (skipping whitespace/comments)
+      def prevSignificant(i0: Int): Int = {
+        var p = i0 - 1
+        while (p >= 0 && (!s.code(p) || sql.charAt(p).isWhitespace)) p -= 1
+        p
+      }
+      // is offset i inside a `FILTER ( … )` group (walking outward)?
+      def insideFilter(i: Int): Boolean = {
+        var cur = i
+        while (s.depth(cur) > 0) {
+          val open = enclosingOpen(cur)
+          if (open < 0) return false
+          val before = prevSignificant(open)
+          if (before >= 0) {
+            val wordStart = {
+              var w = before
+              while (w >= 0 && s.code(w) && isWordChar(sql.charAt(w))) w -= 1
+              w + 1
+            }
+            if (keywordAt(sql, s, wordStart, "FILTER")) return true
+          }
+          cur = open - 1
+          if (cur < 0) return false
+        }
+        false
+      }
+
+      // find the first `<fn>( … ) OVER ()` that sits inside a FILTER group
+      var winStart = -1 // start of the aggregate function name
+      var winEnd = -1 // one past OVER's closing paren
+      var i = 0
+      while (i < sql.length && winStart < 0) {
+        if (keywordAt(sql, s, i, "OVER")) {
+          val j = nextSignificant(sql, i + "OVER".length)
+          if (j < sql.length && s.code(j) && sql.charAt(j) == '(') {
+            val k = nextSignificant(sql, j + 1)
+            if (k < sql.length && s.code(k) && sql.charAt(k) == ')' &&
+                insideFilter(i)) {
+              // window expr = the call whose args close right before OVER;
+              // ')' and its matching '(' both carry the INNER depth, so
+              // enclosingOpen finds the match (inner parens sit deeper)
+              val argClose = prevSignificant(i)
+              if (argClose >= 0 && sql.charAt(argClose) == ')') {
+                val argOpen = enclosingOpen(argClose)
+                if (argOpen > 0) {
+                  var w = argOpen - 1
+                  while (w >= 0 && s.code(w) && isWordChar(sql.charAt(w))) w -= 1
+                  if (w + 1 < argOpen) { winStart = w + 1; winEnd = k + 1 }
+                }
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      if (winStart < 0) return sql
+
+      // the enclosing SELECT: nearest preceding SELECT whose depth equals
+      // the depth of the FILTER keyword itself (select-list level)
+      var filterKw = -1
+      locally { // re-find the owning FILTER keyword for its depth
+        var cur = winStart
+        var foundAt = -1
+        while (foundAt < 0 && cur >= 0 && s.depth(cur) > 0) {
+          val open = enclosingOpen(cur)
+          if (open < 0) cur = -1
+          else {
+            val before = prevSignificant(open)
+            var wStart = before
+            while (wStart >= 0 && s.code(wStart) && isWordChar(sql.charAt(wStart)))
+              wStart -= 1
+            wStart += 1
+            if (keywordAt(sql, s, wStart, "FILTER")) foundAt = wStart
+            else cur = open - 1
+          }
+        }
+        filterKw = foundAt
+      }
+      require(filterKw >= 0, s"window-in-filter lost its FILTER (offset $winStart)")
+      val sd = s.depth(filterKw)
+      var selStart = -1
+      i = 0
+      while (i < filterKw) {
+        if (s.depth(i) == sd && keywordAt(sql, s, i, "SELECT")) selStart = i
+        i += 1
+      }
+      if (selStart < 0) return sql // malformed — leave for Spark's error
+
+      // the select's FROM at the same depth, after the filter
+      var fromIdx = -1
+      i = selStart
+      while (i < sql.length && fromIdx < 0) {
+        if (s.depth(i) == sd && keywordAt(sql, s, i, "FROM")) fromIdx = i
+        i += 1
+      }
+      if (fromIdx < 0) return sql
+
+      // FROM body runs to the subquery's close / statement end / a clause
+      // keyword; WHERE/GROUP/HAVING/QUALIFY veto the hoist (semantics)
+      val bodyStart = fromIdx + "FROM".length
+      var bodyEnd = sql.length
+      i = bodyStart
+      while (i < sql.length && bodyEnd == sql.length) {
+        if (s.code(i)) {
+          val c = sql.charAt(i)
+          if ((c == ')' && s.depth(i) == sd) || c == ';') bodyEnd = i
+          else if (s.depth(i) == sd &&
+              (QualifyStoppers ++ WindowFilterVetoes)
+                .exists(k => keywordAt(sql, s, i, k))) {
+            if (WindowFilterVetoes.exists(k => keywordAt(sql, s, i, k)))
+              return sql // veto: hoisting would change the window's rows
+            bodyEnd = i
+          }
+        }
+        i += 1
+      }
+
+      val winText = sql.substring(winStart, winEnd)
+      val colName = s"__win_flt_$counter"
+      counter += 1
+      val fromBody = sql.substring(bodyStart, bodyEnd)
+      // right-to-left surgery: wrap the FROM first, then swap the window
+      sql = sql.substring(0, winStart) + colName +
+        sql.substring(winEnd, bodyStart) +
+        s" (SELECT *, $winText AS $colName FROM $fromBody\n) " +
+        sql.substring(bodyEnd)
+    }
+    throw new IllegalStateException("window-in-filter rewrite did not terminate")
   }
 
   // ------------------------------------------------------------ 4. EXCLUDE

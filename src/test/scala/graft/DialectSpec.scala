@@ -185,6 +185,34 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     assert(ord == Seq(Seq(3, "f"), Seq(2, "e"), Seq(1, "c")))
   }
 
+  test("window inside an aggregate FILTER hoists to a derived table (DQ-021 shape)") {
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0, 100.0).toDF("d").createOrReplaceTempView("wf_t")
+    val q = """SELECT
+      AVG(d) AS mean_d,
+      COUNT(*) FILTER (WHERE d > (AVG(d) OVER () + (1 * STDDEV(d) OVER ()))) AS outliers
+      FROM wf_t"""
+    val sq = SqlDialect.toSpark(q)
+    // Spark rejects the original outright (INVALID_AGGREGATE_FILTER); the
+    // rewrite must leave NO window inside the filter clause
+    val r = spark.sql(sq).head()
+    // data 1,2,3,100: mean 26.5, sample stddev 49.0 → only 100 exceeds
+    assert(r.getLong(1) == 1L, sq)
+    assert(math.abs(r.getDouble(0) - 26.5) < 1e-9)
+    // idempotent: a second pass changes nothing
+    assert(SqlDialect.toSpark(sq) == sq)
+    // a WHERE on the select VETOES the hoist (it would change which rows
+    // the whole-input window sees) — the statement stays as written and
+    // keeps failing loudly in Spark
+    val vetoed =
+      "SELECT COUNT(*) FILTER (WHERE d > AVG(d) OVER ()) FROM wf_t WHERE d > 0"
+    assert(SqlDialect.toSpark(vetoed) == vetoed)
+    // a window NOT inside a filter is untouched
+    val plain = "SELECT d, AVG(d) OVER () AS m FROM wf_t"
+    assert(SqlDialect.toSpark(plain) == plain)
+    spark.catalog.dropTempView("wf_t")
+  }
+
   test("OBJECT_CONSTRUCT wraps to to_json(named_struct(...))") {
     assert(SqlDialect.toSpark(
       "SELECT OBJECT_CONSTRUCT('a', 1, 'b', f(x, y)) AS j FROM t") ==

@@ -30,16 +30,17 @@ import graft.core.{GraftConnection, SqlTemplate}
  * payloads (:207,:288), `||` string-number concatenation, correlated NOT
  * EXISTS against `{{SOURCE_DATABASE}}`-rendered tables (:167-191).
  *
- * Skipped with citation: DQ-021 (:282-302) references `AVG(DAYS) OVER ()`
- * inside an aggregate FILTER — Spark rejects it
- * (INVALID_AGGREGATE_FILTER.CONTAINS_AGGREGATE, asserted below), and the
- * source warehouse cannot run it either (Snowflake has no aggregate FILTER
- * clause at all); its semantics live in DqSuite's two-pass 3-sigma form
- * (q07/q54, oracle-checked). DQ-022 also uses FILTER — valid in Spark, so
- * it runs here despite being unrunnable at the source. DQ-024 is not in
- * this asset (it is the DMF count check from setup_dmf_data_quality.sql,
- * which DialectSpec runs verbatim); the native suite's extra DQ-024 row is
- * excluded from the comparison.
+ * DQ-021 (:282-302) references `AVG(DAYS) OVER ()` inside an aggregate
+ * FILTER — runnable NOWHERE as written (Spark rejects it with
+ * INVALID_AGGREGATE_FILTER, and the source warehouse has no aggregate
+ * FILTER clause at all). The dialect's window-in-filter hoist
+ * (SqlDialect.rewriteWindowInAggFilter) rewrites it to the two-pass
+ * 3-sigma form DqSuite computes natively (q07/q54, oracle-checked), so
+ * since round 19 all 23 checks run and compare. DQ-022 also uses FILTER —
+ * valid in Spark, so it runs despite being unrunnable at the source.
+ * DQ-024 is not in this asset (it is the DMF count check from
+ * setup_dmf_data_quality.sql, which DialectSpec runs verbatim); the native
+ * suite's extra DQ-024 row is excluded from the comparison.
  */
 /** One logical row of the fixture corpus (native claims-report shape) —
   * top-level so Spark can derive an Encoder. */
@@ -196,35 +197,31 @@ class DqVerbatimSpec extends AnyFunSuite with SparkSpec {
 
     val got = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
     stmts.foreach { stmt =>
-      if (stmt.contains("'DQ-021")) {
-        // judged unrunnable everywhere: Spark rejects the window-in-FILTER
-        // (asserted), Snowflake has no FILTER clause — cite and skip
-        val ex = intercept[org.apache.spark.sql.AnalysisException](
-          conn.sql(stmt).collect())
-        assert(ex.getCondition.startsWith("INVALID_AGGREGATE_FILTER"))
-      } else {
-        val rows = conn.sql(stmt).collect()
-        assert(rows.length == 1, s"each statement yields one row: $stmt")
-        val r = rows.head
-        val first = String.valueOf(r.get(0))
-        if (first.startsWith("DQ-")) {
-          val id = first.takeWhile(_ != ':')
-          val failed = r.get(2) match {
-            case l: Long => l
-            case i: Int => i.toLong
-            // DQ-022 reports ROUND(100 - rate, 2) percent — the native
-            // suite's centi-percent scale, divided by 100
-            case d: java.math.BigDecimal => math.round(d.doubleValue() * 100)
-            case d: Double => math.round(d * 100)
-            case other => fail(s"unexpected FAILED_ROWS type: $other")
-          }
-          got(id) = (r.getString(1), failed)
+      // DQ-021 (window inside an aggregate FILTER — unrunnable AS WRITTEN
+      // on Spark and on the source warehouse alike) now runs through the
+      // dialect's two-pass hoist (SqlDialect.rewriteWindowInAggFilter),
+      // closing the asset's last verbatim gap: 23/23 checks execute
+      val rows = conn.sql(stmt).collect()
+      assert(rows.length == 1, s"each statement yields one row: $stmt")
+      val r = rows.head
+      val first = String.valueOf(r.get(0))
+      if (first.startsWith("DQ-")) {
+        val id = first.takeWhile(_ != ':')
+        val failed = r.get(2) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          // DQ-022 reports ROUND(100 - rate, 2) percent — the native
+          // suite's centi-percent scale, divided by 100
+          case d: java.math.BigDecimal => math.round(d.doubleValue() * 100)
+          case d: Double => math.round(d * 100)
+          case other => fail(s"unexpected FAILED_ROWS type: $other")
         }
+        got(id) = (r.getString(1), failed)
       }
     }
 
-    // every runnable check produced a row, and each matches the native suite
-    val expectedIds = ((1 to 20) ++ Seq(22, 23)).map(i => f"DQ-$i%03d")
+    // every check produced a row, and each matches the native suite
+    val expectedIds = (1 to 23).map(i => f"DQ-$i%03d")
     assert(got.keySet == expectedIds.toSet)
     expectedIds.foreach { id =>
       assert(native.contains(id), s"native suite missing $id")
@@ -243,6 +240,10 @@ class DqVerbatimSpec extends AnyFunSuite with SparkSpec {
     assert(got("DQ-016") == ("FAIL", 2L))
     assert(got("DQ-018") == ("WARNING", 1L))
     assert(got("DQ-020") == ("FAIL", 2L))
+    // DQ-021 via the dialect hoist: the two DQ-009 slow-processing rows
+    // are exactly the ones beyond mean + 3σ (the -2 low outlier is below,
+    // not above) — and the value must equal DqSuite's two-pass native form
+    assert(got("DQ-021") == ("INFO", 2L))
     assert(got("DQ-022") == ("INFO", 750L)) // 92.5% compliance, exact
 
     // the message literal embedding $REPORT_START_DT survived un-substituted
