@@ -24,9 +24,15 @@ import scala.collection.mutable.ArrayBuffer
  *  - text via BT/ET blocks with Tm, Td, TD, TL, T-star positioning and the
  *    Tj, TJ, quote show operators; literal `(..)` strings with escapes and
  *    `<hex>` strings;
- *  - one content stream per page, pages in document order (no xref walk —
- *    streams are located by scanning the file; page trees with shared or
- *    split content arrays would need the pluggable seam's full parser).
+ *  - page structure via the PAGE TREE: indirect objects are parsed by a
+ *    sequential `N G obj … endobj` walk (no byte-offset xref table needed —
+ *    robust to files whose xref is stale or stream-compressed), the
+ *    catalog's /Pages tree is walked recursively for DOCUMENT order, and a
+ *    page's /Contents may be a single stream or a SPLIT ARRAY of streams
+ *    (concatenated, per the PDF spec). Files with no parseable page tree
+ *    (truncated, fuzzed, or exotic) fall back to the file-order stream
+ *    scan. Still out of subset: objects inside /ObjStm object streams
+ *    (their payloads are compressed object containers, not content).
  *
  * Glyph widths are not modeled: each Tj (or whole TJ array) is one word at
  * the current text-matrix origin — i.e. cells must be separately positioned,
@@ -69,6 +75,117 @@ object PdfTextExtractor {
       }
     }
     out.toSeq
+  }
+
+  // --------------------------------------------------- object/page-tree layer
+
+  /** All `N G obj … endobj` indirect objects: number → (dictionary text,
+    * raw stream bytes). A sequential walk, not an xref lookup: the xref
+    * table is just a byte index over exactly these objects, and scanning
+    * tolerates files whose xref is stale, truncated, or an (unsupported)
+    * compressed xref stream. Stream payloads are skipped whole so a
+    * binary payload containing `obj` cannot desynchronize the walk. */
+  private[sources] def indirectObjects(
+      pdf: Array[Byte]): Map[Int, (String, Option[Array[Byte]])] = {
+    val s = latin1(pdf)
+    val out = scala.collection.mutable.Map.empty[Int, (String, Option[Array[Byte]])]
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b").matcher(s)
+    var from = 0
+    while (from < s.length && m.find(from)) {
+      val num = m.group(1).toInt
+      var p = m.end()
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      // balanced << >> dictionary (nested /Resources etc.)
+      var dict = ""
+      if (s.startsWith("<<", p)) {
+        val dictStart = p
+        var depth = 0
+        var done = false
+        while (!done && p < s.length) {
+          if (s.startsWith("<<", p)) { depth += 1; p += 2 }
+          else if (s.startsWith(">>", p)) { depth -= 1; p += 2; done = depth == 0 }
+          else p += 1
+        }
+        dict = s.substring(dictStart, p)
+      }
+      var q = p
+      while (q < s.length && s.charAt(q).isWhitespace) q += 1
+      if (s.startsWith("stream", q)) {
+        var st = q + "stream".length
+        if (st < s.length && s.charAt(st) == '\r') st += 1
+        if (st < s.length && s.charAt(st) == '\n') st += 1
+        val end = s.indexOf("endstream", st)
+        if (end < 0) from = s.length // truncated mid-stream: stop the walk
+        else {
+          var e = end
+          if (e > st && s.charAt(e - 1) == '\n') e -= 1
+          if (e > st && s.charAt(e - 1) == '\r') e -= 1
+          out(num) = (dict, Some(java.util.Arrays.copyOfRange(pdf, st, e)))
+          from = end + "endstream".length
+        }
+      } else {
+        out(num) = (dict, None)
+        from = q
+      }
+      if (from < s.length) {
+        val eo = s.indexOf("endobj", from)
+        from = if (eo < 0) from + 1 else eo + "endobj".length
+      }
+    }
+    out.toMap
+  }
+
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+
+  /** Each page's content payload (split /Contents arrays concatenated, per
+    * spec), in PAGE-TREE document order — pages physically out of file
+    * order come back in reading order. Empty when no catalog/page tree
+    * parses (the caller falls back to the file-order scan). */
+  private[sources] def pageContentStreams(pdf: Array[Byte]): Seq[String] = {
+    val objs = indirectObjects(pdf)
+    def dictOf(n: Int): String = objs.get(n).map(_._1).getOrElse("")
+    val typeRe = (t: String) => ("(?s)/Type\\s*/" + t + "\\b").r
+    val catalog = objs.collectFirst {
+      case (_, (d, _)) if typeRe("Catalog").findFirstIn(d).isDefined => d
+    }
+    val rootPages = catalog.flatMap(d =>
+      """(?s)/Pages\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(d)
+        .map(_.group(1).toInt))
+    rootPages match {
+      case None => Seq.empty
+      case Some(root) =>
+        val visited = scala.collection.mutable.Set.empty[Int]
+        def leaves(n: Int): Seq[Int] =
+          if (!visited.add(n)) Seq.empty // cycle guard
+          else {
+            val d = dictOf(n)
+            if (typeRe("Page").findFirstIn(d).isDefined) Seq(n)
+            else
+              """(?s)/Kids\s*\[(.*?)\]""".r.findFirstMatchIn(d).toSeq
+                .flatMap(km => RefRe.findAllMatchIn(km.group(1))
+                  .map(_.group(1).toInt).toSeq)
+                .flatMap(leaves)
+          }
+        def payload(n: Int): Option[String] = objs.get(n).flatMap {
+          case (d, Some(bytes)) =>
+            if (d.contains("/FlateDecode")) inflate(bytes).map(latin1)
+            else Some(latin1(bytes))
+          case _ => None
+        }
+        leaves(root).map { page =>
+          val d = dictOf(page)
+          val refs =
+            """(?s)/Contents\s*\[(.*?)\]""".r.findFirstMatchIn(d) match {
+              case Some(arr) => RefRe.findAllMatchIn(arr.group(1))
+                .map(_.group(1).toInt).toSeq
+              case None => """(?s)/Contents\s+(\d+)\s+\d+\s+R""".r
+                .findFirstMatchIn(d).map(_.group(1).toInt).toSeq
+            }
+          // a split array is ONE content stream: the spec says the pieces
+          // concatenate with (at least) whitespace between them
+          refs.flatMap(payload).mkString("\n")
+        }
+    }
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -479,18 +596,25 @@ object PdfTextExtractor {
     Some(TableIngest.ExtractedTable(page, grid.head, grid.tail.toSeq))
   }
 
-  /** Whole file → tables per page (pages in stream order, a page may yield
-    * several ruling-bounded tables), lattice mode first with word-clustering
-    * fallback — the reference's library order (lattice, then stream;
-    * ref: datafeeds/pdf_table_extractor.py:217-228).
+  /** Whole file → tables per page (a page may yield several ruling-bounded
+    * tables), lattice mode first with word-clustering fallback — the
+    * reference's library order (lattice, then stream;
+    * ref: datafeeds/pdf_table_extractor.py:217-228). Pages come from the
+    * PAGE TREE when one parses (document order, split /Contents arrays
+    * concatenated), else from the file-order stream scan.
     * Never throws: a stream the tokenizer cannot make sense of yields no
     * table rather than failing the whole document. */
-  def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] =
-    contentStreams(pdf).zipWithIndex.flatMap { case (cs, idx) =>
+  def extractTables(pdf: Array[Byte]): Seq[TableIngest.ExtractedTable] = {
+    val viaTree =
+      try pageContentStreams(pdf) catch { case _: Exception => Seq.empty }
+    val streams =
+      if (viaTree.exists(_.contains("BT"))) viaTree else contentStreams(pdf)
+    streams.zipWithIndex.flatMap { case (cs, idx) =>
       try {
         val ws = words(idx + 1, cs)
         val lattice = latticeTables(ws, rulingSegments(cs))
         if (lattice.nonEmpty) lattice else clusterTable(ws).toSeq
       } catch { case _: Exception => Seq.empty }
     }
+  }
 }

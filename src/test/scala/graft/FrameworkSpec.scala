@@ -315,6 +315,81 @@ class FrameworkSpec extends AnyFunSuite with SparkSpec {
     assert(ingested.count() == 2)
   }
 
+  test("page tree: split /Contents arrays concatenate; tree order beats file order") {
+    import graft.sources.{PdfTextExtractor, TableIngest}
+    // page ONE (by tree order) is split across TWO content streams — the
+    // header+first row in one, the second row in another (FlateDecode) —
+    // and its objects sit LAST in the file, after page two's. A file-order
+    // stream scan would (a) break the split page into two phantom pages
+    // and (b) emit the pages backwards; the page-tree walk must do neither.
+    val p1a =
+      """BT /F1 10 Tf
+        |1 0 0 1 72 700 Tm (Claim Id) Tj
+        |1 0 0 1 200 700 Tm (Units) Tj
+        |1 0 0 1 300 700 Tm (Amount Paid) Tj
+        |1 0 0 1 72 686 Tm (CLM-001) Tj
+        |1 0 0 1 200 686 Tm (3) Tj
+        |1 0 0 1 300 686 Tm (120.50) Tj
+        |ET""".stripMargin
+    val p1b =
+      """BT /F1 10 Tf
+        |1 0 0 1 72 672 Tm (CLM-002) Tj
+        |1 0 0 1 200 672 Tm (1) Tj
+        |1 0 0 1 300 672 Tm (45.00) Tj
+        |ET""".stripMargin
+    val p2 =
+      """BT /F1 10 Tf
+        |1 0 0 1 72 700 Tm (CLM-003) Tj
+        |1 0 0 1 200 700 Tm (2) Tj
+        |1 0 0 1 300 700 Tm (80.25) Tj
+        |1 0 0 1 72 686 Tm (CLM-004) Tj
+        |1 0 0 1 200 686 Tm (5) Tj
+        |1 0 0 1 300 686 Tm (10.00) Tj
+        |ET""".stripMargin
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val (a, b2, c2) =
+      (p1a.getBytes("ISO-8859-1"), deflate(p1b.getBytes("ISO-8859-1")),
+        p2.getBytes("ISO-8859-1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    // Kids order (5, then 3) is the DOCUMENT order; object order disagrees
+    w("2 0 obj << /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c2.length} >> stream\n"); bos.write(c2); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents [6 0 R 7 0 R] >> endobj\n")
+    w(s"6 0 obj << /Length ${a.length} >> stream\n"); bos.write(a); w("\nendstream endobj\n")
+    w(s"7 0 obj << /Length ${b2.length} /Filter /FlateDecode >> stream\n")
+    bos.write(b2); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+
+    val tables = PdfTextExtractor.extractTables(bos.toByteArray)
+    assert(tables.map(_.page) == Seq(1, 2), tables.map(_.page).toString)
+    // the split page came back WHOLE: both rows under the one header
+    assert(tables.head.header == Seq("Claim Id", "Units", "Amount Paid"))
+    assert(tables.head.rows == Seq(
+      Seq("CLM-001", "3", "120.50"), Seq("CLM-002", "1", "45.00")),
+      tables.head.rows.toString)
+    // page 2 is the continuation; stitch inherits the page-1 header
+    val dir = TempDirs.create("graftpdf-split")
+    val path = dir.resolve("split.pdf")
+    java.nio.file.Files.write(path, bos.toByteArray)
+    val df = TableIngest.ingestPdf(spark, path.toString)
+    assert(df.columns.toSeq == Seq("Claim Id", "Units", "Amount Paid"))
+    val rows = df.orderBy("Claim Id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("CLM-001", "3", "120.50"), ("CLM-002", "1", "45.00"),
+      ("CLM-003", "2", "80.25"), ("CLM-004", "5", "10.00")))
+  }
+
   test("lattice mode: two bordered tables on one page extract separately") {
     import graft.sources.{PdfTextExtractor, TableIngest}
     // table A (top): the 3-column detail grid; table B (bottom): a 2-column
