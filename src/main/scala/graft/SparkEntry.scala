@@ -1554,9 +1554,14 @@ object SparkEntry {
     // algebra — exact drops happen BEFORE banding, so the bucket counts
     // the near-dup algebra sees are the gated batch's, not the raw one's.
     // BENCH NOTE: self-contained like q74 (two audited nights + bloom
-    // bootstrap/append/sweep timed together, by oracle necessity) — the
-    // gate's ~40 extra fixed-cost jobs dominate at this fixture size; at
-    // 1M docs the same gate is a NET WIN (ScaleBench bloomgate tier:
+    // bootstrap/append/sweep timed together, by oracle necessity). Round
+    // 19 removed the real fixture cost — the gate's survivor pin carried a
+    // garbage join-product size estimate (~189 TB for a 2 MB batch) that
+    // pinned ShuffleSizing at 4096 partitions for BOTH nights (fixed by
+    // pinnedWithMeasuredStats; 33k→575 tasks, idle 39→20 s) — and gated
+    // the per-night bloom maintenance by fragmentation. What remains over
+    // q74 is the gate's own probe/append jobs at a 2k-doc fixture; at 1M
+    // docs the same gate is a NET WIN (ScaleBench bloomgate tier:
     // re-crawl night 27.5 → 17.1 s, spill eliminated — SCALE.md round 18)
     "q100_bloom_gated_ingest" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
