@@ -8,7 +8,18 @@ object Bench {
   private[graft] def runOnce(spark: SparkSession, sfDir: String)(
       fn: (SparkSession, String) => DataFrame): Unit =
     try graft.core.ShuffleSizing.scoped(spark) { fn(spark, sfDir).count(); () }
-    finally graft.core.Caches.releaseAll() // drop operator-taken caches
+    finally {
+      graft.core.Caches.releaseAll() // drop operator-taken caches
+      // localCheckpoint blocks (the operators' pin discipline) are freed
+      // only when the driver GCs their RDD references and the async
+      // ContextCleaner processes them — in a 100+-query shared session
+      // they pile up in the block manager and squeeze unified memory for
+      // every LATER query (measured round 19: sub-second vocab queries ran
+      // 2× slower late in the full run than isolated). Between bench
+      // queries nothing references them — drop them synchronously.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
   /** The compact-line key of a query name (`q79_bpe_pairs` → `q79`) —
     * unique by construction (main's shortKey logic falls back to the full

@@ -33,7 +33,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.core.Caches.releaseAll() // drop operator-taken caches
+      finally {
+        graft.core.Caches.releaseAll() // drop operator-taken caches
+        // and the queries' localCheckpoint pins — same shared-session
+        // hygiene as Bench.runOnce (the async cleaner is too slow for a
+        // 100+-query session; nothing references them between queries)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -93,6 +93,15 @@ object BloomIndex {
     * rebuild, so this is what widens the false-positive tail. */
   private val RemovedKey = "removedSinceRebuild"
 
+  /** Marker key: standing ledger rows, maintained WITHOUT any counting
+    * job — an accumulator rides the generation-build pass save/append/
+    * rebuild already run (every key row flows through it), and vacuum
+    * subtracts its removed count. The stale-share denominator; slight
+    * over-count on task retries or replayed appends is fine for a health
+    * ratio. Absent on a pre-counter index → staleShare falls back to one
+    * metadata count and persists it. */
+  private val LiveRowsKey = "ledgerRows"
+
   /** Read-update-write of the marker map (single-maintainer assumption,
     * like every other maintenance entry point). */
   private def updateMarker(spark: SparkSession, path: String)(
@@ -150,8 +159,12 @@ object BloomIndex {
       .withColumn(ShardCol, pmod(col("__h"), lit(shards.toLong)).cast("int"))
 
   /** One bloom generation per shard from `(key, hash, shard)` rows — a
-    * single shuffle by shard, one filter alive per group at a time. */
-  private def buildGenerations(keyedDf: DataFrame, g: Geometry): DataFrame = {
+    * single shuffle by shard, one filter alive per group at a time.
+    * `rowTally` (when given) counts the key rows as they stream through —
+    * the [[LiveRowsKey]] bookkeeping, free because this pass runs anyway. */
+  private def buildGenerations(keyedDf: DataFrame, g: Geometry,
+      rowTally: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = keyedDf.sparkSession
     import spark.implicits._
     val (items, bits) = (g.itemsPerShard, g.bitsPerShard)
@@ -159,7 +172,10 @@ object BloomIndex {
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
         val bf = BloomFilter.create(items, bits)
-        rows.foreach(r => bf.putLong(r._2))
+        rows.foreach { r =>
+          rowTally.foreach(_.add(1L))
+          bf.putLong(r._2)
+        }
         val out = new java.io.ByteArrayOutputStream()
         bf.writeTo(out)
         (shard, out.toByteArray)
@@ -190,9 +206,12 @@ object BloomIndex {
     // marker-LAST instead left an unreadable index only a manual delete
     // could recover
     writeGeometry(spark, path, g)
-    buildGenerations(kb, g).write.mode("overwrite").parquet(bloomsPath(path))
+    val tally = spark.sparkContext.longAccumulator("bloom_ledger_rows")
+    buildGenerations(kb, g, Some(tally))
+      .write.mode("overwrite").parquet(bloomsPath(path))
     clusteredKeys(kb)
       .write.mode("overwrite").partitionBy(ShardCol).parquet(keysPath(path))
+    updateMarker(spark, path)(_.updated(LiveRowsKey, tally.value.toString))
   }
 
   /** Append a batch's `(key, id)` rows: one new bloom generation row per
@@ -209,15 +228,21 @@ object BloomIndex {
     val g = readGeometry(spark, path)
     DirSwap.repair(spark, bloomsPath(path)) // crashed compact/rebuild swap
     val kb = keyedWithId(df, keyCol, idCol, g.shards)
-    buildGenerations(kb, g).write.mode("append").parquet(bloomsPath(path))
+    val tally = spark.sparkContext.longAccumulator("bloom_ledger_rows")
+    buildGenerations(kb, g, Some(tally))
+      .write.mode("append").parquet(bloomsPath(path))
     clusteredKeys(kb)
       .write.mode("append").partitionBy(ShardCol).parquet(keysPath(path))
-    // the counter is a PERF gate only (probe ORs every generation, folded
-    // or not), so a crash between the writes and this update merely defers
-    // one fold — never a correctness state
-    updateMarker(spark, path)(m => m.updated(GenerationsKey,
-      (m.get(GenerationsKey).flatMap(v =>
-        scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1L).toString))
+    // the counters are PERF/health gates only (probe ORs every generation,
+    // folded or not; the ledger decides correctness), so a crash between
+    // the writes and this update merely defers one fold / skews a ratio —
+    // never a correctness state
+    updateMarker(spark, path)(m => m
+      .updated(GenerationsKey, (m.get(GenerationsKey).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1L).toString)
+      .updated(LiveRowsKey, (m.get(LiveRowsKey).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L)
+        + tally.value).toString))
   }
 
   /** Exact membership of `batch`'s `keyCol` values against the standing
@@ -449,6 +474,15 @@ object BloomIndex {
         PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
       if (removed > 0L) {
         noteRemoved(spark, path, removed)
+        // keep the live-row tally in step (pre-counter indexes leave it
+        // absent — staleShare then falls back to a one-off count)
+        updateMarker(spark, path)(m =>
+          m.get(LiveRowsKey).flatMap(v =>
+            scala.util.Try(v.toLong).toOption) match {
+            case Some(live) =>
+              m.updated(LiveRowsKey, math.max(0L, live - removed).toString)
+            case None => m
+          })
         val share = staleShare(spark, path)
         if (share > StaleWarnShare)
           graft.core.Warn(f"bloom index at $path: ${share * 100}%.0f%% of " +
@@ -521,14 +555,19 @@ object BloomIndex {
     * rows [[vacuum]] physically removed since the last [[rebuildBlooms]],
     * over (removed + live). Removed keys' bits persist in the filters (the
     * ledger decides correctness), so this share is exactly the widening of
-    * the false-positive tail heavy retraction traffic causes. Zero-cost
-    * when nothing was removed (marker read only); one metadata-count job
-    * otherwise. */
+    * the false-positive tail heavy retraction traffic causes. Marker reads
+    * only — no job — except on a pre-counter index, which pays one
+    * metadata count and persists it. */
   def staleShare(spark: SparkSession, path: String): Double = {
     val removed = markerLong(spark, path, RemovedKey).getOrElse(0L)
     if (removed <= 0L) 0.0
     else {
-      val live = readLedgerOrEmpty(spark, path).count()
+      val live = markerLong(spark, path, LiveRowsKey).getOrElse {
+        val counted = readLedgerOrEmpty(spark, path).count()
+        updateMarker(spark, path)(
+          _.updated(LiveRowsKey, counted.toString))
+        counted
+      }
       removed.toDouble / (removed + live).toDouble
     }
   }
@@ -570,16 +609,18 @@ object BloomIndex {
     val staged = live + "__rebuild"
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     val ledger = readLedgerOrEmpty(spark, path)
+    val tally = spark.sparkContext.longAccumulator("bloom_ledger_rows")
     buildGenerations(
       ledger.select(col(KeyCol), xxhash64(col(KeyCol)).as("__h"),
-        col(ShardCol)), g)
+        col(ShardCol)), g, Some(tally))
       .write.mode("overwrite").parquet(staged)
     DirSwap.swap(spark, live, staged)
     spark.catalog.refreshByPath(live)
     // a rebuilt bloom holds exactly the live ledger: no stale bits, one
-    // generation per shard
+    // generation per shard, and the row tally re-baselines exactly
     updateMarker(spark, path)(
-      _.updated(GenerationsKey, "1").updated(RemovedKey, "0"))
+      _.updated(GenerationsKey, "1").updated(RemovedKey, "0")
+        .updated(LiveRowsKey, tally.value.toString))
   }
 
   /** Per-shard health: bloom generations, ledger rows, the filters'

@@ -21,6 +21,18 @@ import graft.operators.{BandIndex, Dedup}
  */
 object Streams {
 
+  /** Eager pin with MEASURED statistics
+    * ([[org.apache.spark.sql.graft.ColumnBridge.pinnedWithMeasuredStats]]):
+    * a plain `localCheckpoint(true)` copies the origin plan's cost-model
+    * estimate onto the pinned frame, and in the ingest sinks that estimate
+    * is a join-product guess off by orders of magnitude. In a STREAMING
+    * session the stakes are higher than in batch: ShuffleSizing raises are
+    * raise-only, so one poisoned micro-batch would leave every later
+    * micro-batch of a months-long query mis-sized. Used via
+    * `.transform(pin)` at every sink pin site. */
+  private def pin(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.pinnedWithMeasuredStats(df)
+
   /** Tumbling-window event counts/sums with watermark, matching the batch
    *  `groupBy(window(...))` semantics. */
   def windowedEventAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
@@ -229,7 +241,7 @@ object Streams {
             // pin the cut once: batch feeds the banded hashing, the probe's
             // excludeIds, AND the survivor anti-join — without this the
             // span-dedup window shuffle recomputes per consumer
-            .localCheckpoint(true)
+            .transform(pin)
         case None => raw.toDF()
       }
       val batch = bloomIndexPath match {
@@ -267,14 +279,14 @@ object Streams {
             BandIndex.probe(spark, indexPath, banded, idCol, maxBucket,
                 excludeIds = Some(batch.select(col(idCol))))
               .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-              .localCheckpoint(true)
+              .transform(pin)
           else none
         val intraDups =
           if (dedupWithinBatch)
             Dedup.pairsFromBanded(banded, idCol, maxBucket,
                 caller = "nearDupIngestStream")
               .select(col("id_b").as(idCol))
-              .localCheckpoint(true)
+              .transform(pin)
           else none
         // pin the survivor set BEFORE appending, with lineage TRUNCATED
         // (eager localCheckpoint): the append write refreshes the session's
@@ -286,7 +298,7 @@ object Streams {
         // frame goes out of scope.
         val survivors = batch.join(
             corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+          .transform(pin)
         BandIndex.append(
           banded.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
           indexPath)
@@ -354,7 +366,7 @@ object Streams {
       // pin the batch once: it feeds the probe, the intra-batch pairs, the
       // survivor anti-join, and the append — and must be detached from any
       // source lineage before the index append refreshes file caches
-      val batch = rawBatch.localCheckpoint(true)
+      val batch = rawBatch.transform(pin)
       try {
         val p = new org.apache.hadoop.fs.Path(indexPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -372,7 +384,7 @@ object Streams {
                 excludeIds = Some(batch.select(col(idCol))))
               .filter(col("cosine") >= threshold)
               .select(col("query_id").as(idCol))
-              .localCheckpoint(true)
+              .transform(pin)
           else none
         val intraDups =
           if (dedupWithinBatch) {
@@ -381,13 +393,13 @@ object Streams {
             l.join(broadcast(r), col("__ia") < col("__ib"))
               .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
               .select(col("__ib").as(idCol))
-              .localCheckpoint(true)
+              .transform(pin)
           } else none
         // survivors pinned BEFORE the append for the same read-after-append
         // reason as the MinHash sink (append refreshes file-listing caches)
         val survivors = batch.join(
             corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+          .transform(pin)
         if (bootstrap) {
           // an empty first batch must not found the index with zero-vector
           // k-means centroids — stay unbootstrapped until data arrives
@@ -461,7 +473,7 @@ object Streams {
       val spark = rawBatch.sparkSession
       // pinned once, detached from source lineage before the append
       // refreshes file caches (annIngestStream's reasoning verbatim)
-      val batch = rawBatch.localCheckpoint(true)
+      val batch = rawBatch.transform(pin)
       try {
         val p = new org.apache.hadoop.fs.Path(indexPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -488,7 +500,7 @@ object Streams {
                     candidates = 1, nprobe = nprobe, excludeIds = ex)
                   .filter(col("pq_score") >= threshold)
                   .select(col("query_id").as(idCol))
-            }).localCheckpoint(true)
+            }).transform(pin)
           } else none
         val intraDups =
           if (dedupWithinBatch) {
@@ -497,11 +509,11 @@ object Streams {
             l.join(broadcast(r), col("__ia") < col("__ib"))
               .filter(Vectors.cosineExact(col("__va"), col("__vb")) >= threshold)
               .select(col("__ib").as(idCol))
-              .localCheckpoint(true)
+              .transform(pin)
           } else none
         val survivors = batch.join(
             corpusDups.union(intraDups).distinct(), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+          .transform(pin)
         if (bootstrap) {
           if (!survivors.isEmpty)
             IvfPqIndex.save(survivors, idCol, vecCol, indexPath,
