@@ -339,6 +339,40 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
       == "[\"a\\\"b\"]")
   }
 
+  test("pinnedWithMeasuredStats: the pin carries measured bytes, not the join-product guess") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.graft.ColumnBridge
+    // a join chain whose cost-model estimate multiplies: the plain
+    // checkpoint INHERITS that estimate (the q100 defect — a 2 MB frame
+    // claiming ~189 TB pinned ShuffleSizing at its 4096-partition max)
+    val base = (1 to 500).map(i => (i.toLong, s"doc $i body")).toDF("id", "t")
+    val a = base.groupBy("id").agg(count(lit(1)).as("n"))
+    val chained = base.join(a, Seq("id")).join(base.select(col("id")), Seq("id"))
+    def estOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plain = chained.localCheckpoint(true)
+    val pinned = ColumnBridge.pinnedWithMeasuredStats(chained)
+    assert(pinned.collect().length == 500 &&
+      plain.collect().length == 500, "same data either way")
+    val (pe, me) = (estOf(plain), estOf(pinned))
+    // measured: positive, and sane — within 100x of the raw data's real
+    // footprint (UnsafeRow in-memory bytes over-count vs parquet, which is
+    // the safe direction for shuffle sizing)
+    assert(me > 0, s"measured estimate must be positive, got $me")
+    assert(me < BigInt(100L * 1024 * 1024),
+      s"500 tiny rows must not measure in the gigabytes: $me")
+    assert(pe > me,
+      s"the inherited estimate ($pe) should exceed the measured one ($me) " +
+        "on a join chain — otherwise this spec guards nothing")
+    // an EMPTY pinned frame measures tiny (clamped to >= 1), never the
+    // inherited guess
+    val empty = ColumnBridge.pinnedWithMeasuredStats(chained.filter(lit(false)))
+    assert(empty.collect().isEmpty)
+    assert(estOf(empty) < BigInt(1024 * 1024),
+      s"empty pin must read tiny, got ${estOf(empty)}")
+  }
+
   test("Bench contended flag: sustained EXTERNAL cpu marks the entry, self-load does not") {
     // external = machine busy cores minus our own (clamped at 0): a bench
     // query saturating all 32 cores itself reads external ≈ 0, while r18's
