@@ -132,11 +132,17 @@ final class GraftConnection(val spark: SparkSession) {
           case SaveMode.ErrorIfExists if exists =>
             throw new IllegalStateException(s"temporary table `$name` already exists")
           case SaveMode.Ignore if exists => ()
+          // measured-stats pins (not plain localCheckpoint): the view is
+          // queried by LATER statements, and an inherited join-product
+          // estimate would mis-plan every one of them — measured bytes let
+          // small saved frames broadcast and big ones shuffle honestly
           case SaveMode.Append if exists =>
-            spark.table(name).unionByName(df)
-              .localCheckpoint(true).createOrReplaceTempView(name)
+            org.apache.spark.sql.graft.ColumnBridge.pinnedWithMeasuredStats(
+                spark.table(name).unionByName(df))
+              .createOrReplaceTempView(name)
           case _ =>
-            df.localCheckpoint(true).createOrReplaceTempView(name)
+            org.apache.spark.sql.graft.ColumnBridge.pinnedWithMeasuredStats(df)
+              .createOrReplaceTempView(name)
         }
       case other => throw new IllegalArgumentException(s"unknown table type: $other")
     }
@@ -200,7 +206,8 @@ final class GraftConnection(val spark: SparkSession) {
           spark.table(targetTable), src, joinKeys, updateColumns, insertColumns)
         // the merged plan READS the target, and Spark rejects overwriting a
         // relation from a plan that scans it — truncate the lineage first
-        val materialized = r.result.localCheckpoint(true)
+        val materialized = org.apache.spark.sql.graft.ColumnBridge
+          .pinnedWithMeasuredStats(r.result) // measured: later statements query it
         materialized.createOrReplaceTempView(targetTable)
         r.cleanup()
         graft.merge.UpsertResult(r.inserted, r.updated, r.deleted,
