@@ -16,9 +16,16 @@ object Bench {
       // they pile up in the block manager and squeeze unified memory for
       // every LATER query (measured round 19: sub-second vocab queries ran
       // 2× slower late in the full run than isolated). Between bench
-      // queries nothing references them — drop them synchronously.
+      // queries nothing references them — drop them synchronously. Temp
+      // views a query registered must go WITH their blocks: a view whose
+      // pinned backing blocks were just dropped is unrecoverable
+      // (checkpoint lineage is truncated), and bench queries are
+      // self-contained by contract anyway.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
     }
 
   /** The compact-line key of a query name (`q79_bpe_pairs` → `q79`) —
@@ -162,8 +169,12 @@ object Bench {
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines()
           .next().trim.split("\\s+").drop(1).map(_.toLong)
-        // cpu line: user nice system idle iowait irq softirq steal ...
-        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+        // cpu line: user nice system idle iowait irq softirq steal guest
+        // guest_nice — keep user+nice+system+irq+softirq+steal; drop
+        // idle/iowait AND the guest fields (guest time is already counted
+        // inside user/nice; summing it would double-count VM co-tenants)
+        f.take(8).zipWithIndex
+          .collect { case (v, i) if i != 3 && i != 4 => v }.sum
       } catch { case _: Throwable => -1L }
     val jiffyHz = 100.0 // Linux USER_HZ as exposed via /proc/stat
     val osBean = java.lang.management.ManagementFactory

@@ -37,9 +37,14 @@ object Verify {
         graft.core.Caches.releaseAll() // drop operator-taken caches
         // and the queries' localCheckpoint pins — same shared-session
         // hygiene as Bench.runOnce (the async cleaner is too slow for a
-        // 100+-query session; nothing references them between queries)
+        // 100+-query session; nothing references them between queries).
+        // Temp views go WITH their blocks: a view over dropped checkpoint
+        // blocks is unrecoverable, and queries are self-contained
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        spark.catalog.listTables().collect()
+          .filter(_.isTemporary)
+          .foreach(tb => spark.catalog.dropTempView(tb.name))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -822,6 +822,11 @@ object SqlDialect {
         i += 1
       }
       if (fromIdx < 0) return sql
+      // the FILTER must sit in the SELECT LIST (before FROM): a windowed
+      // filter after the FROM (e.g. inside ORDER BY) has no hoist target —
+      // leave the statement as written to fail loudly in Spark, rather
+      // than splicing substrings backwards
+      if (fromIdx < winEnd) return sql
 
       // FROM body runs to the subquery's close / statement end / a clause
       // keyword; WHERE/GROUP/HAVING/QUALIFY veto the hoist (semantics)

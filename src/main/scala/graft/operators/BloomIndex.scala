@@ -113,12 +113,6 @@ object BloomIndex {
     IndexMeta.read(spark, path).get(key).flatMap(v =>
       scala.util.Try(v.toLong).toOption)
 
-  private def noteRemoved(spark: SparkSession, path: String,
-      removed: Long): Unit =
-    updateMarker(spark, path)(m => m.updated(RemovedKey,
-      (m.get(RemovedKey).flatMap(v =>
-        scala.util.Try(v.toLong).toOption).getOrElse(0L) + removed).toString))
-
   private def writeGeometry(spark: SparkSession, path: String, g: Geometry): Unit =
     IndexMeta.write(spark, path, Map(
       "layout" -> "bloom_v1",
@@ -473,16 +467,22 @@ object BloomIndex {
       val removed =
         PartitionVacuum.vacuum(spark, path, keysPath(path), ShardCol, IdCol)
       if (removed > 0L) {
-        noteRemoved(spark, path, removed)
-        // keep the live-row tally in step (pre-counter indexes leave it
-        // absent — staleShare then falls back to a one-off count)
-        updateMarker(spark, path)(m =>
-          m.get(LiveRowsKey).flatMap(v =>
-            scala.util.Try(v.toLong).toOption) match {
-            case Some(live) =>
-              m.updated(LiveRowsKey, math.max(0L, live - removed).toString)
-            case None => m
-          })
+        // ONE read-modify-write for both counters (two separate updates
+        // would double the marker round-trips and a crash between them
+        // would skew the stale-share denominator); pre-counter indexes
+        // leave LiveRowsKey absent — staleShare falls back to a one-off
+        // count
+        updateMarker(spark, path) { m =>
+          def long(k: String) =
+            m.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
+          val bumped = m.updated(RemovedKey,
+            (long(RemovedKey).getOrElse(0L) + removed).toString)
+          long(LiveRowsKey) match {
+            case Some(live) => bumped.updated(LiveRowsKey,
+              math.max(0L, live - removed).toString)
+            case None => bumped
+          }
+        }
         val share = staleShare(spark, path)
         if (share > StaleWarnShare)
           graft.core.Warn(f"bloom index at $path: ${share * 100}%.0f%% of " +
@@ -590,9 +590,14 @@ object BloomIndex {
       rebuildShare: Double = StaleWarnShare)
       : (graft.ops.CompactionResult, Boolean) = {
     vacuum(spark, path)
-    val comp = compact(spark, path, targetFileBytes, minFoldGenerations,
-      ledgerMinExcessFiles)
+    // decide the rebuild BEFORE compacting: a rebuild rewrites every
+    // shard's bloom from the ledger anyway (and leaves one generation per
+    // shard), so folding first would pay the full-bloom rewrite twice in
+    // one night — skip the fold on rebuild nights, keep the ledger sweep
     val rebuilt = staleShare(spark, path) > rebuildShare
+    val comp = compact(spark, path, targetFileBytes,
+      minFoldGenerations = if (rebuilt) Long.MaxValue else minFoldGenerations,
+      ledgerMinExcessFiles = ledgerMinExcessFiles)
     if (rebuilt) rebuildBlooms(spark, path)
     (comp, rebuilt)
   }

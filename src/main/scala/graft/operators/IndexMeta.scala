@@ -185,19 +185,14 @@ private[operators] object DirSwap {
         // without atomic create the claim degrades to the documented
         // external-serialization caveat — no worse than unguarded.
         val claim = claimPath(livePath)
-        val owned =
-          (try fs.createNewFile(claim)
-          catch { case _: java.io.IOException => false }) || {
-            try {
-              val age = System.currentTimeMillis() -
-                fs.getFileStatus(claim).getModificationTime
-              age > ClaimStaleMs && !fs.exists(livePath) && {
-                fs.delete(claim, false)
-                fs.createNewFile(claim)
-              }
-            } catch { case _: java.io.IOException => false }
-          }
-        if (owned) {
+        def takeClaim(): Boolean =
+          try fs.createNewFile(claim)
+          catch { case _: java.io.IOException => false }
+        def stealClaim(): Boolean =
+          try {
+            !fs.exists(livePath) && { fs.delete(claim, false); takeClaim() }
+          } catch { case _: java.io.IOException => false }
+        def rollForward(): Boolean =
           try {
             // re-check under the claim: another actor may have finished
             // between our listing and our claim
@@ -213,17 +208,31 @@ private[operators] object DirSwap {
             fs.delete(claim, false)
             ()
           }
-        } else {
+        val staleAge =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(claim).getModificationTime > ClaimStaleMs
+          catch { case _: java.io.IOException => false }
+        if (takeClaim() || (staleAge && stealClaim())) rollForward()
+        else {
+          // a claimant holds the stage: wait (bounded) for its rename. The
+          // winner's work is one directory rename, so a live dir normally
+          // appears in milliseconds; if the deadline passes with live
+          // STILL missing the claimant is dead or wedged — steal the claim
+          // and finish the roll-forward ourselves, so a crash between
+          // claim-create and rename strands readers for at most
+          // LoserWaitMs, never until the age threshold
           val deadline = System.currentTimeMillis() + LoserWaitMs
           while (!fs.exists(livePath) &&
               System.currentTimeMillis() < deadline)
             Thread.sleep(50L)
-          if (fs.exists(livePath))
+          if (fs.exists(livePath)) {
             // the winner may still be between its rename and its marker
             // delete — sweep it here too (idempotent)
             fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),
               false)
-          false
+            false
+          } else if (stealClaim()) rollForward()
+          else false
         }
       }
     }

@@ -145,9 +145,19 @@ object PdfTextExtractor {
     val objs = indirectObjects(pdf)
     def dictOf(n: Int): String = objs.get(n).map(_._1).getOrElse("")
     val typeRe = (t: String) => ("(?s)/Type\\s*/" + t + "\\b").r
-    val catalog = objs.collectFirst {
-      case (_, (d, _)) if typeRe("Catalog").findFirstIn(d).isDefined => d
-    }
+    def isCatalog(d: String) = typeRe("Catalog").findFirstIn(d).isDefined
+    // the LIVE catalog: the LAST trailer's /Root (incremental updates
+    // append a new trailer, and the last one wins per spec — an updated
+    // file can hold TWO catalog objects, and picking an arbitrary one
+    // would silently serve the superseded page tree). Fallback when no
+    // trailer parses: the highest-numbered catalog object (updates assign
+    // new, higher object numbers).
+    val catalog = """(?s)/Root\s+(\d+)\s+\d+\s+R""".r
+      .findAllMatchIn(latin1(pdf)).toSeq.lastOption
+      .map(_.group(1).toInt)
+      .map(dictOf).filter(isCatalog)
+      .orElse(objs.toSeq.filter(o => isCatalog(o._2._1))
+        .sortBy(_._1).lastOption.map(_._2._1))
     val rootPages = catalog.flatMap(d =>
       """(?s)/Pages\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(d)
         .map(_.group(1).toInt))

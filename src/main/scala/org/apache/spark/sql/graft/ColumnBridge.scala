@@ -84,10 +84,13 @@ object ColumnBridge {
           // estimate
           .map(i => math.max(1L, i.memSize + i.diskSize)) match {
           case Some(bytes) =>
+            // constraints pass through (lr.constraints resolves the origin
+            // set) — dropping them would cost downstream IsNotNull
+            // inference on every consumer of the pin
             val honest = lr.copy()(session,
               Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
                 sizeInBytes = BigInt(bytes))),
-              None)
+              Some(lr.constraints))
             org.apache.spark.sql.classic.Dataset.ofRows(session, honest)
           case None => cp
         }

@@ -210,6 +210,12 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     // a window NOT inside a filter is untouched
     val plain = "SELECT d, AVG(d) OVER () AS m FROM wf_t"
     assert(SqlDialect.toSpark(plain) == plain)
+    // a windowed filter AFTER the FROM clause (e.g. in ORDER BY) has no
+    // hoist target — the statement stays as written (and fails loudly in
+    // Spark) instead of crashing the rewriter on backwards substrings
+    val afterFrom =
+      "SELECT max(d) FROM wf_t ORDER BY COUNT(*) FILTER (WHERE d > AVG(d) OVER ())"
+    assert(SqlDialect.toSpark(afterFrom) == afterFrom)
     spark.catalog.dropTempView("wf_t")
   }
 
