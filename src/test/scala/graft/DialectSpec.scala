@@ -216,6 +216,21 @@ class DialectSpec extends AnyFunSuite with SparkSpec {
     val afterFrom =
       "SELECT max(d) FROM wf_t ORDER BY COUNT(*) FILTER (WHERE d > AVG(d) OVER ())"
     assert(SqlDialect.toSpark(afterFrom) == afterFrom)
+    // TWO aggregates with their own windowed filters in one select: each
+    // hoists in its own pass (nested derived tables; inner columns stay
+    // visible through *)
+    val two = spark.sql(SqlDialect.toSpark(
+      """SELECT
+        |  COUNT(*) FILTER (WHERE d > AVG(d) OVER ()) AS above_mean,
+        |  COUNT(*) FILTER (WHERE d < MIN(d) OVER () + 0.5) AS near_min
+        |FROM wf_t""".stripMargin)).head()
+    assert(two.getLong(0) == 1L && two.getLong(1) == 1L, two.toString)
+    // inside a CTE body: the hoist stays within the CTE's subquery
+    val cte = spark.sql(SqlDialect.toSpark(
+      """WITH s AS (
+        |  SELECT COUNT(*) FILTER (WHERE d > AVG(d) OVER ()) AS n FROM wf_t)
+        |SELECT n FROM s""".stripMargin)).head()
+    assert(cte.getLong(0) == 1L, cte.toString)
     spark.catalog.dropTempView("wf_t")
   }
 
