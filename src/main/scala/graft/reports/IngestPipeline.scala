@@ -60,7 +60,12 @@ import graft.ops.{Compaction, CompactionResult}
  *      aging measurement (SCALE.md round-14) shows probe cost tracking
  *      file count, not data — five nights of uncompacted appends made
  *      probes 2.6× slower while the sweep costs seconds and restores the
- *      flat per-row cost.
+ *      flat per-row cost. The bloom index maintains through
+ *      [[graft.operators.BloomIndex.maintain]]: vacuum, a
+ *      fragmentation-GATED fold/sweep (a small night pays no fixed
+ *      maintenance), and an automatic rebuild once retraction traffic
+ *      pushes the stale-bit share past `bloomRebuildShare` — so vacuum
+ *      traffic cannot silently widen the false-positive tail.
  *   6. LOG — each step runs inside [[ExecutionLogger.logged]] (SUCCESS /
  *      FAILED + timings + sanitized error, the reference's audit shape)
  *      and the night's high-water mark is recorded AS THE LAST STEP — it
