@@ -814,6 +814,65 @@ object ScaleBench {
           s""""probe_after_sec":$probeAfter}""")
       }
 
+      // ---- bloomretract tier: the bloom membership index's retraction
+      // lifecycle at corpus scale — removeIds is O(|ids|) and probe-visible
+      // immediately, vacuum rewrites only touched shard directories, and
+      // the round-19 stale-share cadence AUTO-REBUILDS after a heavy
+      // takedown (40% here): the rebuild is one ledger read + bloom write,
+      // after which the probe answers from a fresh false-positive tail.
+      // Probe batch = 1% of the corpus keys (re-crawl shaped).
+      if (wanted("bloomretract")) {
+        import graft.operators.BloomIndex
+        val docs = spark.read.parquet(s"$scratch/docs_$n")
+          .select(col("doc_id"), col("text"))
+        val keys = docs.select(
+          md5(col("text").cast("binary")).as("key"), col("doc_id"))
+        val idxPath = s"$scratch/bloomretract_idx_$n"
+        val ip = new org.apache.hadoop.fs.Path(idxPath)
+        val ifs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (ifs.exists(ip)) ifs.delete(ip, true)
+        var t0 = System.nanoTime()
+        BloomIndex.save(keys, "key", "doc_id", idxPath,
+          shards = 64, bitsPerShard = 1L << 23,
+          itemsPerShard = (1L << 23) / 10)
+        val saveSec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        val batch = keys.filter(col("doc_id") % 100 === 0)
+          .select(col("key")).localCheckpoint(true)
+        def probeSec(): Double = {
+          val t = System.nanoTime()
+          BloomIndex.probe(spark, idxPath, batch, "key").count()
+          math.rint((System.nanoTime() - t) / 1e7) / 100
+        }
+        val probeBefore = probeSec()
+        // 0.1% takedown: hidden immediately, physical at vacuum
+        t0 = System.nanoTime()
+        BloomIndex.removeIds(spark, idxPath,
+          docs.filter(col("doc_id") % 1000 === 7).select(col("doc_id")))
+        val removeSec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        val probePending = probeSec() // tombstone anti-join surcharge
+        t0 = System.nanoTime()
+        val removedSmall = BloomIndex.vacuum(spark, idxPath)
+        val vacuumSec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        val probeAfter = probeSec()
+        // HEAVY takedown (40%): stale share crosses StaleWarnShare and the
+        // maintain cadence must self-heal with a rebuild
+        BloomIndex.removeIds(spark, idxPath,
+          docs.filter(col("doc_id") % 5 < 2).select(col("doc_id")))
+        t0 = System.nanoTime()
+        val (_, rebuilt) = BloomIndex.maintain(spark, idxPath)
+        val maintainSec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+        val share = BloomIndex.staleShare(spark, idxPath)
+        val probeRebuilt = probeSec()
+        println(s"""{"op":"bloomretract","docs":$n,""" +
+          s""""removed_small":$removedSmall,"save_sec":$saveSec,""" +
+          s""""remove_sec":$removeSec,"vacuum_sec":$vacuumSec,""" +
+          s""""maintain_sec":$maintainSec,"rebuilt":$rebuilt,""" +
+          s""""stale_after":$share,"probe_before_sec":$probeBefore,""" +
+          s""""probe_pending_sec":$probePending,""" +
+          s""""probe_after_sec":$probeAfter,""" +
+          s""""probe_rebuilt_sec":$probeRebuilt}""")
+      }
+
       // ---- filecost tier: the controlled discriminator for the aging
       // tiers' per-file probe-cost hypothesis. The SAME code rows probed
       // from a compacted (~66-file) and a littered (~380-file) layout with
