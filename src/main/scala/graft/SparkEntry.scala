@@ -1510,6 +1510,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the nightly EVAL GATE end to end (round 19): two audited nights with
+    // an eval set staged as parquet — batch docs whose 3-shingle
+    // containment against any eval doc reaches 0.6 (with ≥5 shared
+    // shingles) drop BEFORE the probe, so eval data never lands. The
+    // batches are near-dup-free by construction, so the landed corpus
+    // equals the pure gate algebra (q86's detector arithmetic applied
+    // per night) — exactly what the oracle computes
+    "q105_ingest_eval_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      val root = Scratch.dir("graft_q105_")
+      val evalPath = root.resolve("eval_set").toString
+      evalSet.write.mode("overwrite").parquet(evalPath)
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        evalSetPath = Some(evalPath),
+        evalGateK = 3, evalGateMinOverlap = 5L,
+        evalGateContainment = 0.6,
+        maxBucket = LshMaxBucket, strict = true)
+      graft.reports.IngestPipeline.runNight(s,
+        d.filter(col("doc_id") % 3 === 0), "n1", cfg)
+      graft.reports.IngestPipeline.runNight(s,
+        d.filter(col("doc_id") % 3 === 1), "n2", cfg)
+      s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"),
+          col("load_date").cast("string").as("load_date"))
+        .orderBy("doc_id")
+    }),
+
     // the maintain cadence end to end as ONE oracle: bootstrap + append
     // stack bloom generations, a heavy takedown pushes the stale-bit share
     // past the rebuild threshold, and maintain (vacuum → fold-gated
@@ -2790,6 +2823,12 @@ object SparkEntry {
         |FROM batch b LEFT JOIN kept k USING (key)
         |ORDER BY doc_id""".stripMargin,
 
+    // q105: the eval gate's flagged set (q86's detector arithmetic over
+    // the raw batches — flagging is per-doc with no df cutoff) filters the
+    // batches BEFORE the full two-night near-dup survivor algebra runs,
+    // exactly the pipeline's step order (gate before banding)
+    "q105_ingest_eval_gate" -> IngestEvalGateSql,
+
     // q104: standing set after the takedown = gen2 (doc_id%4=1) plus the
     // kept quarter of gen1 (doc_id%16=0); the auto-rebuild is precision
     // maintenance only, so the exact min-per-key algebra is unchanged
@@ -3155,7 +3194,8 @@ object SparkEntry {
     * 2 probes against — IngestPipeline.retract's semantics. Shared by
     * q74, q89 and q90. */
   private def ingestSurvivorsCte(b1Sql: String, b2Sql: String,
-      retractSql: Option[String] = None): String = {
+      retractSql: Option[String] = None,
+      prelude: Option[String] = None): String = {
     val mins = (0 until 8).map(s => s"min(md5('$s ' || shingle)) AS mh$s").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bucket FROM sig")
@@ -3165,7 +3205,11 @@ object SparkEntry {
     val idxFilter = retractSql
       .map(_ => "\n  WHERE bd.doc_id NOT IN (SELECT doc_id FROM retr)")
       .getOrElse("")
-    s"""WITH b1 AS (
+    // prelude CTEs (e.g. the eval gate's flagged set) splice in BEFORE b1
+    // so the batch SQLs can reference them — names must avoid the
+    // algebra's own (corpus/toks/sh/sig/banded/bn*/ok*/drop*/s*/idx)
+    val pre = prelude.map(p => s"$p,\n").getOrElse("")
+    s"""WITH ${pre}b1 AS (
        |  $b1Sql),
        |b2 AS (
        |  $b2Sql),
@@ -3297,6 +3341,43 @@ object SparkEntry {
       """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
         |  UNION ALL
         |  SELECT doc_id + 20000, text || ' zzz extra tail' FROM documents WHERE doc_id % 6 = 0""".stripMargin) +
+    s"""
+       |SELECT doc_id, 'n1' AS load_date FROM s1
+       |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
+       |ORDER BY doc_id""".stripMargin
+
+  /** Eval-gate nightly composition (q105): the contamination-flagged docs
+    * (3-shingle containment ≥ 0.6 with ≥ 5 shared shingles against the
+    * staged eval set — q86's detector arithmetic, per-doc because no df
+    * cutoff applies) are removed from the batches FIRST, then the full
+    * two-night near-dup survivor algebra runs over the gated batches —
+    * the pipeline's exact step order. */
+  private lazy val IngestEvalGateSql: String =
+    ingestSurvivorsCte(
+      "SELECT doc_id, text FROM raw1 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)",
+      "SELECT doc_id, text FROM raw2 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)",
+      prelude = Some(
+        """raw1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          |raw2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+          |rawall AS (SELECT * FROM raw1 UNION ALL SELECT * FROM raw2),
+          |btoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM rawall),
+          |bsh AS (SELECT DISTINCT doc_id, u.shingle
+          |        FROM btoks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+          |          i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle)),
+          |eset AS (SELECT doc_id + 20000 AS probe_id, substr(text, 1, 200) AS text
+          |         FROM documents WHERE doc_id % 13 = 0),
+          |ptoks AS (SELECT probe_id, string_split_regex(trim(text), '\s+') AS t FROM eset),
+          |psh AS (SELECT DISTINCT probe_id, u.shingle
+          |        FROM ptoks, unnest(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+          |          i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' '))) u(shingle)),
+          |psizes AS (SELECT probe_id, count(*) AS n_probe_sh FROM psh GROUP BY 1),
+          |pcommon AS (SELECT b.doc_id, p.probe_id, count(*) AS n_common
+          |            FROM bsh b JOIN psh p USING (shingle) GROUP BY 1, 2),
+          |flagged AS (
+          |  SELECT DISTINCT doc_id
+          |  FROM pcommon JOIN psizes USING (probe_id)
+          |  WHERE n_common >= 5
+          |    AND CAST(n_common AS DOUBLE) / CAST(n_probe_sh AS DOUBLE) >= 0.6)""".stripMargin)) +
     s"""
        |SELECT doc_id, 'n1' AS load_date FROM s1
        |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2

@@ -25,6 +25,13 @@ import graft.ops.{Compaction, CompactionResult}
  *      prefilter + ledger verify; measured at 1M docs: a 60%-re-crawl
  *      night 27.5→17.1 s with spill eliminated, survivors identical —
  *      SCALE.md round 18).
+ *   0c. EVAL GATE (opt-in, `evalSetPath`) — batch docs whose word-shingle
+ *      containment against a benchmark/eval set passes the threshold drop
+ *      BEFORE the probe: nightly decontamination, so eval data never
+ *      leaks into the corpus or the band index in the first place
+ *      (the batch operator q86 is the retroactive form). Eval shingles
+ *      broadcast; drops ledger as reason='contaminated' with the matched
+ *      eval doc as evidence.
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -157,11 +164,14 @@ object IngestPipeline {
       // NightResult.driftFailures are the operator's signal. The ratio
       // band is [1/driftTolerance, driftTolerance]
       driftTolerance: Option[Double] = None,
-      // (opt-in) per-document DROP LEDGER: one row per probe-dropped batch
-      // doc — `(id, kept_id, reason, load_date)`, reason `corpus_dup`
-      // (duplicates standing content; kept_id is the standing doc) or
-      // `intra_dup` (duplicates a batch-mate; kept_id is the kept mate) —
-      // under <metaDir>/drop_ledger/load_date=<night>. THE answer to "why
+      // (opt-in) per-document DROP LEDGER: one row per gate/probe-dropped
+      // batch doc — `(id, kept_id, reason, load_date)`, reason
+      // `corpus_dup` (duplicates standing content; kept_id is the
+      // standing doc), `intra_dup` (duplicates a batch-mate; kept_id is
+      // the kept mate), `exact_corpus_dup`/`exact_intra_dup` (the bloom
+      // gate's byte-identical forms), or `contaminated` (the eval gate;
+      // kept_id is the matched EVAL doc id) — under
+      // <metaDir>/drop_ledger/load_date=<night>. THE answer to "why
       // did my document disappear?" without re-running the probe; O(drops)
       // rows and cost (the pair frames pin once), replay-idempotent like
       // the landing (the night's ledger directory is overwritten whole,
@@ -183,6 +193,28 @@ object IngestPipeline {
       // never depend on bucket caps. Survivor keys append nightly
       // (bootstrap on first night) and the index sweeps on the same
       // compaction/vacuum cadence as the others.
+      // (opt-in) EVAL-SET CONTAMINATION GATE: parquet path of a benchmark/
+      // eval document set (idCol/textCol schema, numeric ids). Batch docs
+      // whose word-k-shingle containment against ANY eval doc reaches
+      // `evalGateContainment` (with ≥ `evalGateMinOverlap` shared
+      // shingles) drop BEFORE landing — nightly decontamination, so eval
+      // data can never leak into the training corpus in the first place
+      // (the batch operator, Dedup.decontaminate/q86, is the RETROACTIVE
+      // form for corpora that predate the gate). The eval set is small by
+      // contract: its shingle set broadcasts, the batch never self-joins.
+      // Runs AFTER the exact gate (cheapest cut first) and BEFORE the
+      // near-dup probe — a contaminated doc must never enter the band
+      // index. Drops are ledgered as reason='contaminated' with kept_id =
+      // the matched EVAL doc id (evidence) when dropLedger is on. NOTE
+      // `evalGateMaxShingleDf` prunes stop-shingles by document frequency
+      // WITHIN THE NIGHT'S BATCH (the default no-cutoff is exact; real
+      // decontamination uses long shingles, k ≥ 8, which are rare by
+      // nature).
+      evalSetPath: Option[String] = None,
+      evalGateK: Int = 8,
+      evalGateMinOverlap: Long = 1L,
+      evalGateContainment: Double = 0.8,
+      evalGateMaxShingleDf: Long = Long.MaxValue,
       bloomIndexPath: Option[String] = None,
       bloomShards: Int = 64,
       bloomBitsPerShard: Long = 1L << 23,
@@ -355,9 +387,49 @@ object IngestPipeline {
           }
       }
 
+    // 0c. (opt-in) EVAL GATE — contaminated docs (word-k-shingle
+    // containment against the eval set past the threshold) drop before
+    // the near-dup probe ever sees them: the eval set's shingles
+    // broadcast, the flagged set is |contaminated|-sized, the batch never
+    // shuffles for this step. See IngestConfig.evalSetPath.
+    val (screened, evalLedger): (DataFrame, Option[DataFrame]) =
+      cfg.evalSetPath match {
+        case None => (gated, None)
+        case Some(ep) =>
+          ExecutionLogger.logged(meta, s"ingest_eval_$night", cfg.carrier,
+              (t: (DataFrame, Option[DataFrame])) =>
+                (batchRows, 0L, batchRows - t._1.count())) {
+            val evalSet = spark.read.parquet(ep)
+              .select(col(cfg.idCol), col(cfg.textCol))
+            val pairs = Dedup.containmentPairs(gated, evalSet, cfg.idCol,
+                cfg.textCol, cfg.evalGateK, cfg.evalGateMinOverlap,
+                cfg.evalGateMaxShingleDf)
+              .filter(col("containment") >= cfg.evalGateContainment)
+            // ONE evidence row per dropped doc: highest containment, ties
+            // to the smallest eval id — deterministic for replay
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(cfg.idCol))
+              .orderBy(col("containment").desc, col("probe_id").asc)
+            val flagged = pairs.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .select(col(cfg.idCol), col("probe_id"))
+              .localCheckpoint(true) // bounded; two consumers below
+            val ledgerRows =
+              if (!cfg.dropLedger) None
+              else Some(flagged.select(col(cfg.idCol),
+                col("probe_id").cast("long").as("kept_id"),
+                lit("contaminated").as("reason")))
+            val survivors = org.apache.spark.sql.graft.ColumnBridge
+              .pinnedWithMeasuredStats(gated.join(
+                broadcast(flagged.select(col(cfg.idCol))),
+                Seq(cfg.idCol), "left_anti"))
+            (survivors, ledgerRows)
+          }
+      }
+
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in
-    val banded = Dedup.lshBanded(gated, cfg.idCol, cfg.textCol,
+    val banded = Dedup.lshBanded(screened, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
       val (survivors, corpusPairs, intraPairs) =
@@ -393,7 +465,7 @@ object IngestPipeline {
           // (measured stats throughout: inherited estimates here size every
           // downstream landing/index shuffle — see pinnedWithMeasuredStats)
           (bridge.pinnedWithMeasuredStats(
-            gated.join(corpusDups.union(intraDups).distinct(),
+            screened.join(corpusDups.union(intraDups).distinct(),
               Seq(cfg.idCol), "left_anti")), cp, ip)
         }
       val accepted = survivors.count()
@@ -407,7 +479,7 @@ object IngestPipeline {
       if (cfg.dropLedger) {
         ExecutionLogger.logged(meta, s"ingest_ledger_$night", cfg.carrier,
             (n: Long) => (0L, 0L, n)) {
-          val batchIds = gated.select(col(cfg.idCol))
+          val batchIds = screened.select(col(cfg.idCol))
           val corpusLedger = corpusPairs
             .select(explode(array(
               struct(col("id_a").as("d"), col("id_b").as("k")),
@@ -429,6 +501,8 @@ object IngestPipeline {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
             .unionByName(exactLedger.getOrElse(
+              corpusLedger.limit(0)))
+            .unionByName(evalLedger.getOrElse(
               corpusLedger.limit(0)))
             .localCheckpoint(true)
           // written DIRECTLY into the night's directory (not partitionBy

@@ -823,6 +823,53 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(landed == Set(1L, 30002L), landed.toString)
   }
 
+  test("eval gate: contaminated docs drop BEFORE the probe, ledgered with the eval doc as evidence") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-evalgate")
+    val evalPath = root.resolve("eval_set").toString
+    // the eval doc: 6 tokens → four 3-shingles
+    Seq(900L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(evalPath)
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      evalSetPath = Some(evalPath), evalGateK = 3,
+      dropLedger = true)
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        // 1 contains the whole eval doc → containment 1.0 ≥ 0.8: dropped
+        1L -> "alpha beta gamma delta epsilon zeta and much more after it",
+        2L -> "pack my box with five dozen liquor jugs today",
+        // 3/4: byte-identical pair — the near-dup probe must still run
+        // AFTER the gate and drop the larger id
+        3L -> "the quick brown fox jumps over the lazy dog",
+        4L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 2 && n1.dropped == 2, n1.toString)
+    val landed = spark.read.parquet(cfg.corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(2L, 3L), landed.toString)
+    // the ledger explains BOTH drops, the contaminated one pointing at
+    // the matched eval doc
+    val rows = IngestPipeline.ledger(spark, cfg)
+      .select("doc_id", "kept_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 900L, "contaminated"), (4L, 3L, "intra_dup")),
+      rows.toString)
+    // the contaminated doc never entered the band index (gate runs before
+    // banding): its id appears nowhere in the standing index
+    val idxIds = spark.read.parquet(cfg.bandIndexPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(2L, 3L),
+      s"contaminated/dropped docs must not enter the index: $idxIds")
+    // night 2: the standing-corpus near-dup path still works post-gate
+    val n2 = IngestPipeline.runNight(spark, Seq(
+        20L -> "pack my box with five dozen liquor jugs today", // corpus dup
+        21L -> "amazingly few discotheques provide jukeboxes here")
+      .toDF("doc_id", "text"), "n2", cfg)
+    assert(n2.accepted == 1 && n2.dropped == 1, n2.toString)
+  }
+
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-bloom-rebuild")
