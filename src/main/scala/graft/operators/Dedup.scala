@@ -399,6 +399,44 @@ object Dedup {
   }
 
   /**
+   * [[decontaminate]] with EVIDENCE — the ingest surfaces' SHARED
+   * contamination gate ([[graft.reports.IngestPipeline]] step 0c and the
+   * streaming sinks use exactly this, so the two surfaces cannot drift —
+   * the `BloomIndex.exactGate` discipline). Returns `(survivors, flagged)`
+   * where `flagged` is ONE evidence row per dropped doc, `(id, probe_id)`
+   * — the matched eval doc with the highest containment, ties to the
+   * smallest probe id, so replays are deterministic. `flagged` is
+   * |contaminated|-sized (an eval set only touches so much of a batch) and
+   * pinned — it has two consumers (the anti-join and the caller's drop
+   * ledger); survivors pin with MEASURED statistics so the estimate
+   * feeding the rest of the night is honest.
+   */
+  def contaminationGate(
+      batch: DataFrame, evalSet: DataFrame, id: String, text: String,
+      k: Int = 8, minOverlap: Long = 1, minContainment: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment must be in [0, 1], got $minContainment — a " +
+        "percent-style value would silently flag NOTHING and let eval " +
+        "data leak through the gate")
+    val pairs = containmentPairs(batch, evalSet, id, text, k, minOverlap,
+        maxShingleDf)
+      .filter(col("containment") >= minContainment)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(col("containment").desc, col("probe_id").asc)
+    val flagged = pairs
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col("probe_id"))
+      .localCheckpoint(true)
+    val survivors = org.apache.spark.sql.graft.ColumnBridge
+      .pinnedWithMeasuredStats(batch.join(
+        broadcast(flagged.select(col(id))), Seq(id), "left_anti"))
+    (survivors, flagged)
+  }
+
+  /**
    * Resolve candidate pairs into duplicate CLUSTERS: connected components
    * by iterative min-label propagation, so each document maps to the
    * smallest id reachable through the pair graph (= the canonical doc of

@@ -396,33 +396,38 @@ object IngestPipeline {
       cfg.evalSetPath match {
         case None => (gated, None)
         case Some(ep) =>
+          // the step's TRUE input count: the exact gate may already have
+          // dropped rows (the span cut rewrites text, never drops), so
+          // counting this step's drops against batchRows would attribute
+          // the exact gate's drops twice in the audit trail
+          val gatedRows =
+            if (cfg.bloomIndexPath.isDefined) gated.count() else batchRows
           ExecutionLogger.logged(meta, s"ingest_eval_$night", cfg.carrier,
               (t: (DataFrame, Option[DataFrame])) =>
-                (batchRows, 0L, batchRows - t._1.count())) {
+                (gatedRows, 0L, gatedRows - t._1.count())) {
             val evalSet = spark.read.parquet(ep)
               .select(col(cfg.idCol), col(cfg.textCol))
-            val pairs = Dedup.containmentPairs(gated, evalSet, cfg.idCol,
-                cfg.textCol, cfg.evalGateK, cfg.evalGateMinOverlap,
-                cfg.evalGateMaxShingleDf)
-              .filter(col("containment") >= cfg.evalGateContainment)
-            // ONE evidence row per dropped doc: highest containment, ties
-            // to the smallest eval id — deterministic for replay
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col(cfg.idCol))
-              .orderBy(col("containment").desc, col("probe_id").asc)
-            val flagged = pairs.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1)
-              .select(col(cfg.idCol), col("probe_id"))
-              .localCheckpoint(true) // bounded; two consumers below
+            // the LEDGER casts the eval id to long for its kept_id
+            // evidence — a string-id eval set would null-cast the
+            // evidence away silently (the retract path's contract,
+            // enforced here too)
+            if (cfg.dropLedger)
+              require(evalSet.schema(cfg.idCol).dataType
+                  .isInstanceOf[org.apache.spark.sql.types.NumericType],
+                s"eval set id column '${cfg.idCol}' has type " +
+                  s"${evalSet.schema(cfg.idCol).dataType} — the drop " +
+                  "ledger records the matched eval doc as a numeric " +
+                  "kept_id; map eval ids to a stable numeric key first " +
+                  "(a null-cast here would silently erase the evidence)")
+            val (survivors, flagged) = Dedup.contaminationGate(gated,
+              evalSet, cfg.idCol, cfg.textCol, cfg.evalGateK,
+              cfg.evalGateMinOverlap, cfg.evalGateContainment,
+              cfg.evalGateMaxShingleDf)
             val ledgerRows =
               if (!cfg.dropLedger) None
               else Some(flagged.select(col(cfg.idCol),
                 col("probe_id").cast("long").as("kept_id"),
                 lit("contaminated").as("reason")))
-            val survivors = org.apache.spark.sql.graft.ColumnBridge
-              .pinnedWithMeasuredStats(gated.join(
-                broadcast(flagged.select(col(cfg.idCol))),
-                Seq(cfg.idCol), "left_anti"))
             (survivors, ledgerRows)
           }
       }

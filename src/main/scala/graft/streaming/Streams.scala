@@ -227,7 +227,18 @@ object Streams {
       // index.
       bloomIndexPath: Option[String] = None,
       bloomShards: Int = 64,
-      bloomBitsPerShard: Long = 1L << 23)
+      bloomBitsPerShard: Long = 1L << 23,
+      // (opt-in) the EVAL-SET CONTAMINATION GATE, as
+      // IngestConfig.evalSetPath: micro-batch docs whose word-k-shingle
+      // containment against the staged eval set passes the threshold drop
+      // BEFORE banding — the SHARED Dedup.contaminationGate, so the
+      // nightly and streaming surfaces cannot drift, and eval data never
+      // enters a stream-fed corpus or its band index either
+      evalSetPath: Option[String] = None,
+      evalGateK: Int = 8,
+      evalGateMinOverlap: Long = 1L,
+      evalGateContainment: Double = 0.8,
+      evalGateMaxShingleDf: Long = Long.MaxValue)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
       val spark = raw.sparkSession
@@ -244,11 +255,18 @@ object Streams {
             .transform(pin)
         case None => raw.toDF()
       }
-      val batch = bloomIndexPath match {
+      val exactGated = bloomIndexPath match {
         case Some(bp) => graft.operators.BloomIndex.exactGate(prepped,
           idCol, textCol, bp,
           excludeIds = prepped.select(col(idCol))).survivors
         case None => prepped
+      }
+      val batch = evalSetPath match {
+        case Some(ep) => Dedup.contaminationGate(exactGated,
+          spark.read.parquet(ep).select(col(idCol), col(textCol)),
+          idCol, textCol, evalGateK, evalGateMinOverlap,
+          evalGateContainment, evalGateMaxShingleDf)._1
+        case None => exactGated
       }
       val banded = Dedup.lshBanded(batch, idCol, textCol,
         shingleK, numHashes, bands, portable).persist()

@@ -351,6 +351,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(dups == 3L, s"three survivor keys must stand, got $dups")
   }
 
+  test("nearDupIngestStream eval gate: contaminated micro-batch docs never land nor enter the index") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    val dir = TempDirs.create("graftingest-eval").toString
+    val idx = dir + "/idx"
+    val evalPath = dir + "/eval_set"
+    Seq(900L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text").write.parquet(evalPath)
+    // 11 contains the whole eval doc → gate-dropped; 12 clean; batch 2's
+    // 21 near-dups 12 — the PROBE path must still fire after the gate
+    Seq(11L -> "alpha beta gamma delta epsilon zeta plus trailing words",
+        12L -> "pack my box with five dozen liquor jugs today")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(21L -> "pack my box with five dozen liquor jugs today",
+        22L -> "how vexingly quick daft zebras jump around")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200,
+        evalSetPath = Some(evalPath), evalGateK = 3) { (survivors, _) =>
+        accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(12L), Set(22L)), s"got $accepted")
+    // the contaminated doc entered NEITHER the corpus (accept) NOR the index
+    val idxIds = BandIndex.load(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(12L, 22L), idxIds.toString)
+  }
+
   test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-spans").toString
