@@ -1578,6 +1578,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 lexical retrieval (Okapi, Lucene non-negative IDF) — keyword
+    // top-k over the corpus: ONE (doc,term) postings shuffle with the doc
+    // length denormalized into each posting, per-term df + 2-scalar corpus
+    // stats on broadcasts, top-k as TakeOrderedAndProject. The persisted
+    // twin (Bm25Index, term-hash-bucket partition pruning) is spec-pinned
+    // equal to this frame path
+    "q106_bm25_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Bm25.search(d, "doc_id", "text",
+        Seq("spark", "shuffle", "broadcast"), k = 25)
+    }),
+
+    // DSIR importance weights (hashed unigram+bigram bag models, add-0.5
+    // smoothing, 8192 md5 buckets): target = the English slice, raw = the
+    // whole corpus. Two 8192-row histograms + one broadcast-join score agg
+    "q107_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dsir.importanceWeights(
+          d, d.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // stratified DSIR selection: top-20 docs by importance weight WITHIN
+    // each language (rank window partitioned by lang — no global sort),
+    // the deterministic counterpart of the paper's Gumbel resampling
+    "q108_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = graft.operators.Dsir.importanceWeights(
+        d, d.filter(col("lang") === "en"), "doc_id", "text",
+        carry = Seq("lang"))
+      graft.operators.Dsir.selectStratified(w, "doc_id", "lang",
+          perStratum = 20)
+        .select(col("lang"), col("doc_id"), col("logw"))
+        .orderBy(col("lang"), col("logw").desc, col("doc_id"))
+    }),
+
     // the exact gate driven end to end through the audited nightly
     // pipeline (q74's composition with bloomIndexPath configured):
     // night-1's byte-identical intra dups drop at the gate, night-2's
@@ -2844,6 +2880,46 @@ object SparkEntry {
         |FROM batch b LEFT JOIN kept k USING (key)
         |ORDER BY doc_id""".stripMargin,
 
+    // BM25: whitespace tokens (q33's oracle-parity convention), Lucene
+    // non-negative idf, k1=1.2 b=0.75; (rounded score desc, doc_id) is a
+    // total order so the LIMIT is deterministic across engines
+    "q106_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+        |cs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |       WHERE term IN ('spark', 'shuffle', 'broadcast') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |   SUM( ln((cs.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |        * tf.tf * (1.2 + 1.0)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score
+        | FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+        | GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 25""".stripMargin,
+
+    // DSIR importance weights: the shared CTE's per-doc sum, by doc
+    "q107_dsir_weights" ->
+      s"""$DsirWeightsCte
+         |SELECT doc_id, n_grams, round(logw, 6) AS logw FROM sc
+         |ORDER BY doc_id""".stripMargin,
+
+    // stratified DSIR selection: top-20 per language by the ROUNDED weight
+    // (both engines rank the same 6-dp value; doc_id breaks ties)
+    "q108_dsir_select" ->
+      s"""$DsirWeightsCte
+         |SELECT lang, doc_id, logw FROM (
+         |  SELECT lang, doc_id, round(logw, 6) AS logw,
+         |         rank() OVER (PARTITION BY lang
+         |                      ORDER BY round(logw, 6) DESC, doc_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 20
+         |ORDER BY lang, logw DESC, doc_id""".stripMargin,
+
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
     "q69_compaction" ->
@@ -3098,6 +3174,57 @@ object SparkEntry {
   private def bucketSql(e: String): String =
     s"((strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 1, 1)) - 1) * 16" +
       s" + (strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 2, 1)) - 1)) % 100"
+
+  /** DSIR gram bucket 0..8191 — the q50 hex-digit formula widened to the
+    * first 4 md5 hex chars (Dsir.bucketOf's portable path). */
+  private def dsirBucketSql(e: String): String = {
+    val digits = (1 to 4).map { i =>
+      val w = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $w"
+    }
+    s"(${digits.mkString(" + ")}) % 8192"
+  }
+
+  /** Shared DSIR CTE chain ending in `sc(doc_id, lang, n_grams, logw)`:
+    * whitespace unigrams+bigrams, md5-hashed into 8192 buckets, add-0.5
+    * smoothed log ratio of the English-slice model vs the whole corpus —
+    * Dsir.importanceWeights' exact algebra (q107 reads it per-doc, q108
+    * ranks it per language). Bigrams via lead() over the positional
+    * unnest; lead's trailing NULL is filtered, matching zip_with's
+    * one-shorter slice. */
+  private val DsirWeightsCte: String =
+    s"""WITH toksarr AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS arr
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |pos AS (
+       |  SELECT doc_id, lang, unnest(arr) AS term,
+       |         unnest(range(1, len(arr) + 1)) AS pos
+       |  FROM toksarr),
+       |grams AS (
+       |  SELECT doc_id, lang, term AS gram FROM pos
+       |  UNION ALL
+       |  SELECT doc_id, lang, gram FROM (
+       |    SELECT doc_id, lang,
+       |           term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+       |    FROM pos)
+       |  WHERE gram IS NOT NULL),
+       |hashed AS (
+       |  SELECT doc_id, lang, CAST(${dsirBucketSql("gram")} AS BIGINT) AS bucket
+       |  FROM grams),
+       |tgt AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM hashed
+       |        WHERE lang = 'en' GROUP BY 1),
+       |rawh AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM hashed GROUP BY 1),
+       |tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS tt,
+       |               (SELECT COALESCE(SUM(c), 0) FROM rawh) AS tr),
+       |lr AS (
+       |  SELECT rawh.bucket,
+       |         ln((COALESCE(tgt.c, 0) + 0.5) / (tot.tt + 0.5 * 8192))
+       |       - ln((rawh.c + 0.5) / (tot.tr + 0.5 * 8192)) AS logratio
+       |  FROM rawh LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT h.doc_id, h.lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         SUM(lr.logratio) AS logw
+       |  FROM hashed h JOIN lr USING (bucket) GROUP BY 1, 2)""".stripMargin
 
   /** Working-days closed form between the fixed period start (Monday
     * 2024-01-01) and ts — same formula as the q14 oracle. */

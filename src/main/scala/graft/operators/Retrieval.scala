@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/**
+ * BM25 lexical retrieval over a document corpus — the missing sibling of the
+ * embedding-ANN family ([[Similarity]], [[IvfIndex]]): keyword search for
+ * corpus exploration, retrieval-based decontamination, and quality-probe
+ * queries against a training corpus.
+ *
+ * Scoring is Okapi BM25 with the Lucene-style non-negative IDF
+ * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework";
+ * idf = ln((N - df + 0.5)/(df + 0.5) + 1)):
+ *
+ *   score(D, Q) = SUM_t idf(t) * tf(t,D)*(k1+1) / (tf(t,D) + k1*(1 - b + b*|D|/avgdl))
+ *
+ * Scale shape (the part that matters at 100 TB):
+ *  - The postings build is ONE (doc, term) hash shuffle; doc length is
+ *    denormalized into each posting row (the classic norm-in-posting trick)
+ *    so scoring never rejoins the full corpus.
+ *  - A query touches only its own terms' postings. In-memory: an `isin`
+ *    filter that pushes into the scan. Persisted ([[Bm25Index]]): postings
+ *    are PARTITIONED by a term hash bucket, so a query prunes to
+ *    |Q| directories out of `buckets` — the scan reads a few thousandths
+ *    of a 100 TB index, never the corpus.
+ *  - Per-term df and the 2-scalar corpus stats ride broadcast joins;
+ *    the final per-doc sum is a map-side-combinable hash agg on the
+ *    (small) candidate set; top-k compiles to TakeOrderedAndProject —
+ *    no global sort, no single-partition exchange.
+ *
+ * Tokenization is the corpus-wide whitespace convention (`Text.tokens`,
+ * oracle-parity proven by q33); empty docs carry no postings and do not
+ * count toward N or avgdl.
+ */
+object Bm25 {
+
+  /** k1 tempers tf saturation; b the length normalization (defaults are the
+   *  standard Robertson values). */
+  final case class Params(k1: Double = 1.2, b: Double = 0.75)
+
+  val TermCol = "term"
+  val TfCol = "tf"
+  val DlCol = "dl"
+
+  /**
+   * Postings frame: one row per (doc, term) with the term frequency and the
+   * denormalized doc length. ONE hash shuffle on (id, term): the doc length
+   * is computed from the token array BEFORE the explode and rides through
+   * the groupBy as `first` — no second pass, no window re-shuffle.
+   */
+  def postings(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = Text.tokens(col(text))
+    docs
+      .where(length(trim(col(text))) > 0)
+      .select(col(id), size(toks).cast("double").as(DlCol),
+        explode(toks).as(TermCol))
+      .groupBy(col(id), col(TermCol))
+      .agg(count(lit(1)).as(TfCol), first(col(DlCol)).as(DlCol))
+  }
+
+  /** 1-row corpus stats (n docs, average doc length) straight off the docs
+   *  scan — a global partial agg, NO shuffle (vs re-aggregating postings,
+   *  which would re-key terms-per-doc × docs rows by doc). */
+  def corpusStats(docs: DataFrame, text: String): DataFrame =
+    docs.where(length(trim(col(text))) > 0)
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(size(Text.tokens(col(text)))).as("avgdl"))
+
+  /** Per-query-term document frequency, computed from the postings already
+   *  filtered to the query's terms (df(t) only needs t's own postings). */
+  private def termDf(queryPost: DataFrame): DataFrame =
+    queryPost.groupBy(col(TermCol))
+      .agg(count(lit(1)).cast("double").as("df"))
+
+  private def scoreExpr(p: Params): Column = {
+    val idf = log(
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col(TfCol) * lit(p.k1 + 1.0) /
+      (col(TfCol) + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * col(DlCol) / col("avgdl")))
+    idf * norm
+  }
+
+  /**
+   * Score and rank: top-k docs for a bag of query terms. `stats` must be the
+   * corpus-wide 1-row frame (it is NOT derivable from the filtered postings).
+   * Ordering is total — rounded score desc, then id — so results are
+   * deterministic across engines and runs.
+   */
+  def topK(post: DataFrame, stats: DataFrame, id: String,
+           queryTerms: Seq[String], k: Int,
+           p: Params = Params()): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 query needs at least one term")
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val qp = post.where(col(TermCol).isin(queryTerms.distinct: _*))
+    qp.join(broadcast(termDf(qp)), TermCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(id))
+      .agg(sum(scoreExpr(p)).as("score_raw"))
+      .select(col(id), round(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
+  /** Convenience: postings + stats + topK in one call (the oracle-pinned
+   *  q106 path). For repeated queries, build [[Bm25Index]] once instead. */
+  def search(docs: DataFrame, id: String, text: String,
+             queryTerms: Seq[String], k: Int,
+             p: Params = Params()): DataFrame =
+    topK(postings(docs, id, text), corpusStats(docs, text), id,
+      queryTerms, k, p)
+}
+
+/**
+ * Persisted BM25 postings index: `save` writes postings PARTITIONED by a
+ * term hash bucket (`tb=<0..buckets-1>/`) plus a 1-row stats frame;
+ * `query` prunes the scan to the query terms' buckets. The bucket function
+ * is xxhash64 (engine-native — the index is internal, the oracle never
+ * hashes it), recomputed identically at query time, so pruning needs no
+ * driver-side term dictionary.
+ *
+ * At 10B docs the postings are ~terms-per-doc × docs rows, but any single
+ * query reads |Q| buckets of |Q|/buckets of the index — directory-pruned
+ * exactly like [[IvfIndex]] probes prune cells. Rebuild-to-refresh (the
+ * corpus churns nightly through [[graft.reports.IngestPipeline]]); for
+ * incremental corpora, append new docs' postings into the same bucket
+ * layout — scores shift only through (n, avgdl), which `save` refreshes.
+ */
+object Bm25Index {
+
+  val BucketCol = "tb"
+
+  private def bucketOf(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets)).cast("int")
+
+  def save(docs: DataFrame, id: String, text: String, path: String,
+           buckets: Int = 64): Unit = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    Bm25.corpusStats(docs, text)
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Bm25.postings(docs, id, text)
+      .withColumn(BucketCol, bucketOf(col(Bm25.TermCol), buckets))
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(s"$path/postings")
+  }
+
+  /** Top-k for `queryTerms` reading only their buckets' postings. */
+  def query(spark: SparkSession, path: String, id: String,
+            queryTerms: Seq[String], k: Int,
+            p: Bm25.Params = Bm25.Params()): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 query needs at least one term")
+    val stats = spark.read.parquet(s"$path/stats")
+    val buckets = stats.select(col("buckets")).head().getInt(0)
+    val wanted = queryTerms.distinct
+    // the bucket function is a Spark expression; evaluate it for the query's
+    // literal terms with a |Q|-row local frame (driver-cheap, bounded by |Q|)
+    val wantedBuckets = spark
+      .createDataFrame(wanted.map(Tuple1(_))).toDF(Bm25.TermCol)
+      .select(bucketOf(col(Bm25.TermCol), buckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(s"$path/postings")
+      // directory pruning on tb + row filter on term, both pushed to the scan
+      .where(col(BucketCol).isin(wantedBuckets: _*) &&
+        col(Bm25.TermCol).isin(wanted: _*))
+    Bm25.topK(pruned, stats.drop("buckets"), id, wanted, k, p)
+  }
+}
