@@ -245,6 +245,40 @@ object ScaleBench {
         }
       }
 
+      // ---- retrieval tier: BM25 index build + query, and DSIR importance
+      // weighting. Claims under test: (a) a PERSISTED BM25 query is
+      // directory-pruned — its cost tracks the query's terms' postings, not
+      // the corpus (vs the frames path, which rebuilds postings per query);
+      // (b) DSIR is linear scans + an 8192-row broadcast — nothing pairwise
+      // — and the md5 portable-hash tax vs xxhash64 is quantified.
+      if (wanted("retrieval")) {
+        val idxPath = s"$scratch/bm25_idx_$n"
+        timedRuns(n, "bm25_index_build")(() => {
+          graft.operators.Bm25Index.save(
+            spark.read.parquet(s"$scratch/docs_$n"), "doc_id", "text",
+            idxPath, buckets = 64)
+          spark.read.parquet(s"$idxPath/postings").count()
+        })
+        // three mid-frequency vocab terms (~2.4% of docs each)
+        val q = Seq("w12", "w345", "w4999")
+        timedRuns(n, "bm25_query_indexed")(() =>
+          graft.operators.Bm25Index.query(spark, idxPath, "doc_id", q,
+            k = 100).count())
+        timedRuns(n, "bm25_query_frames")(() =>
+          graft.operators.Bm25.search(
+            spark.read.parquet(s"$scratch/docs_$n"), "doc_id", "text", q,
+            k = 100).count())
+        Seq(("dsir_weights_md5", true), ("dsir_weights_xx", false))
+          .foreach { case (name, portable) =>
+            timedRuns(n, name)(() => {
+              val d = spark.read.parquet(s"$scratch/docs_$n")
+              graft.operators.Dsir.importanceWeights(
+                d, d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+                portable = portable).count()
+            })
+          }
+      }
+
       // ---- incremental probe tier: full recompute vs persisted-index probe
       // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
       if (wanted("probe") || wanted("probe_inc") || wanted("probe_full")) {

@@ -51,6 +51,8 @@ object Bm25 {
    * the groupBy as `first` — no second pass, no window re-shuffle.
    */
   def postings(docs: DataFrame, id: String, text: String): DataFrame = {
+    // the (id, term) shuffle carries roughly the tokenized text plus keys
+    graft.core.ShuffleSizing.ensureFor(docs, expansionFactor = 2.0)
     val toks = Text.tokens(col(text))
     docs
       .where(length(trim(col(text))) > 0)
@@ -113,19 +115,33 @@ object Bm25 {
 }
 
 /**
- * Persisted BM25 postings index: `save` writes postings PARTITIONED by a
- * term hash bucket (`tb=<0..buckets-1>/`) plus a 1-row stats frame;
- * `query` prunes the scan to the query terms' buckets. The bucket function
- * is xxhash64 (engine-native — the index is internal, the oracle never
- * hashes it), recomputed identically at query time, so pruning needs no
- * driver-side term dictionary.
+ * Persisted BM25 postings index with the engine's standard index
+ * lifecycle ([[BandIndex]]'s discipline): `save` bootstraps, `append` adds
+ * a batch's postings into the same bucket layout (touched partitions gain
+ * files, nothing rewrites), `removeIds` tombstones retracted docs —
+ * O(|ids|), subtracted by every `query` before scoring so taken-down
+ * content can NEVER surface — and `vacuum` makes removal physical via the
+ * shared crash-safe [[PartitionVacuum]] and re-derives exact corpus stats.
+ *
+ * Layout: postings PARTITIONED by a term hash bucket (`tb=<0..buckets-1>/`)
+ * so a query's scan directory-prunes to its own terms; corpus stats as
+ * additive 1-row generations `(n, sum_dl, buckets)` summed at read —
+ * append is a generation append, never a read-modify-write (the
+ * [[BloomIndex]] ledger rule). The bucket function is xxhash64
+ * (engine-native — the index is internal, the oracle never hashes it),
+ * recomputed at query time, so pruning needs no driver-side dictionary.
  *
  * At 10B docs the postings are ~terms-per-doc × docs rows, but any single
- * query reads |Q| buckets of |Q|/buckets of the index — directory-pruned
- * exactly like [[IvfIndex]] probes prune cells. Rebuild-to-refresh (the
- * corpus churns nightly through [[graft.reports.IngestPipeline]]); for
- * incremental corpora, append new docs' postings into the same bucket
- * layout — scores shift only through (n, avgdl), which `save` refreshes.
+ * query reads |Q| buckets' directories — pruned exactly like [[IvfIndex]]
+ * probes prune cells.
+ *
+ * Drift note: between a retraction and its vacuum, the tombstoned docs
+ * still count inside (n, avgdl, df) — scoring CONSTANTS drift slightly
+ * while membership stays exact (the [[BloomIndex]] stance: bits persist,
+ * the ledger decides). `vacuum` restores exact constants; run it on the
+ * nightly maintenance cadence. Appends are exactly-once by caller
+ * contract (the ingest pipeline's commit-last discipline); a replayed
+ * append double-counts postings — rebuild or vacuum-after-retract to heal.
  */
 object Bm25Index {
 
@@ -134,26 +150,100 @@ object Bm25Index {
   private def bucketOf(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets)).cast("int")
 
-  def save(docs: DataFrame, id: String, text: String, path: String,
-           buckets: Int = 64): Unit = {
-    require(buckets > 0, s"need buckets > 0, got $buckets")
-    Bm25.corpusStats(docs, text)
+  /** One additive stats generation for a doc batch. */
+  private def statsDelta(docs: DataFrame, text: String,
+                         buckets: Int): DataFrame =
+    docs.where(length(trim(col(text))) > 0)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(size(Text.tokens(col(text)))).cast("double").as("sum_dl"))
       .withColumn("buckets", lit(buckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+
+  /** (buckets, 1-row (n, avgdl) frame) from the summed generations. */
+  private def readStats(spark: SparkSession,
+                        path: String): (Int, DataFrame) = {
+    val gens = spark.read.parquet(s"$path/stats")
+    val buckets = gens.select(col("buckets")).head().getInt(0)
+    (buckets, gens.agg(sum(col("n")).as("n"),
+      (sum(col("sum_dl")) / sum(col("n"))).as("avgdl")))
+  }
+
+  private def writePostings(docs: DataFrame, id: String, text: String,
+                            path: String, buckets: Int,
+                            mode: String): Unit =
     Bm25.postings(docs, id, text)
       .withColumn(BucketCol, bucketOf(col(Bm25.TermCol), buckets))
       .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol)
+      .write.mode(mode).partitionBy(BucketCol)
       .parquet(s"$path/postings")
+
+  /** Bootstrap the index. Postings land first, stats last — a bootstrap
+    * crash leaves no stats generation and `query` fails loudly on the
+    * missing path (never silently wrong constants); re-run `save`. */
+  def save(docs: DataFrame, id: String, text: String, path: String,
+           buckets: Int = 64): Unit = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    writePostings(docs, id, text, path, buckets, "overwrite")
+    statsDelta(docs, text, buckets)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Top-k for `queryTerms` reading only their buckets' postings. */
+  /** Append a batch: touched bucket partitions gain files, stats gain one
+    * generation row — no read-modify-write anywhere. */
+  def append(docs: DataFrame, id: String, text: String,
+             path: String): Unit = {
+    val (buckets, _) = readStats(docs.sparkSession, path)
+    writePostings(docs, id, text, path, buckets, "append")
+    statsDelta(docs, text, buckets)
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Retract docs (numeric ids — the engine's id contract): O(|ids|)
+    * tombstone append; every `query` subtracts the set before scoring. */
+  def removeIds(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, path, ids)
+
+  /** Physically drop retracted docs' postings (only bucket partitions
+    * holding them rewrite — crash-safe rename-aside swap) and re-derive
+    * EXACT corpus stats from the survivors, folding the generation files
+    * to one via stage-then-swap. A vacuum crashed between the stats delete
+    * and the rename is rolled FORWARD here first (the staged dir is
+    * complete by construction when the live dir is gone); a missing stats
+    * dir with no stage is a bootstrap crash — `readStats` fails loudly
+    * and the heal is re-running `save`. Returns postings rows removed. */
+  def vacuum(spark: SparkSession, path: String, id: String): Long = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/stats__fresh")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath) && fs.exists(staged)) {
+      fs.rename(staged, statsPath) // roll a crashed stats swap forward
+      ()
+    }
+    val removed = PartitionVacuum.vacuum(
+      spark, path, s"$path/postings", BucketCol, id)
+    if (removed > 0) {
+      val buckets = readStats(spark, path)._1
+      val fresh = spark.read.parquet(s"$path/postings")
+        .groupBy(col(id))
+        .agg(first(col(Bm25.DlCol)).as(Bm25.DlCol))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col(Bm25.DlCol)).as("sum_dl"))
+        .withColumn("buckets", lit(buckets))
+      fresh.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      fs.delete(statsPath, true)
+      fs.rename(staged, statsPath)
+      ()
+    }
+    removed
+  }
+
+  /** Top-k for `queryTerms` reading only their buckets' postings, with
+    * tombstoned docs subtracted BEFORE df/scoring (membership exact; see
+    * the class note on constant drift until vacuum). */
   def query(spark: SparkSession, path: String, id: String,
             queryTerms: Seq[String], k: Int,
             p: Bm25.Params = Bm25.Params()): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 query needs at least one term")
-    val stats = spark.read.parquet(s"$path/stats")
-    val buckets = stats.select(col("buckets")).head().getInt(0)
+    val (buckets, stats) = readStats(spark, path)
     val wanted = queryTerms.distinct
     // the bucket function is a Spark expression; evaluate it for the query's
     // literal terms with a |Q|-row local frame (driver-cheap, bounded by |Q|)
@@ -165,6 +255,7 @@ object Bm25Index {
       // directory pruning on tb + row filter on term, both pushed to the scan
       .where(col(BucketCol).isin(wantedBuckets: _*) &&
         col(Bm25.TermCol).isin(wanted: _*))
-    Bm25.topK(pruned, stats.drop("buckets"), id, wanted, k, p)
+    Bm25.topK(Tombstones.subtract(spark, path, pruned, id),
+      stats, id, wanted, k, p)
   }
 }

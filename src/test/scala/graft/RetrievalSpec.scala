@@ -90,6 +90,41 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(dirs.size > 2, "fixture should spread terms over several buckets")
   }
 
+  test("lifecycle: append extends, retraction hides immediately, vacuum " +
+      "is physical and restores exact constants") {
+    import spark.implicits._
+    val path = TempDirs.create("graft-bm25-life").resolve("idx").toString
+    val c1 = docs(1L -> "spark shuffle join", 2L -> "merge sort batch")
+    val c2 = docs(3L -> "spark spark window", 4L -> "scan filter project")
+    Bm25Index.save(c1, "doc_id", "text", path, buckets = 8)
+    Bm25Index.append(c2, "doc_id", "text", path)
+    val union = c1.union(c2)
+    val q = Seq("spark", "window")
+    // appended index ≡ a from-scratch frame computation over the union —
+    // stats generations sum additively, df comes off the live postings
+    assert(Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList ===
+      Bm25.search(union, "doc_id", "text", q, 10).collect().toList)
+
+    // retraction: doc 3 must vanish from results IMMEDIATELY (tombstone
+    // subtraction), before any physical rewrite
+    Bm25Index.removeIds(spark, path, Seq(3L).toDF("doc_id"))
+    val afterRetract = Bm25Index.query(spark, path, "doc_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!afterRetract.contains(3L) && afterRetract.contains(1L))
+
+    // vacuum: physical removal + exact constants — the index must now
+    // equal a from-scratch computation over the survivors
+    val removed = Bm25Index.vacuum(spark, path, "doc_id")
+    assert(removed > 0)
+    val survivors = union.filter(col("doc_id") =!= 3L)
+    assert(Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList ===
+      Bm25.search(survivors, "doc_id", "text", q, 10).collect().toList)
+    // the generation files folded to one exact stats row
+    assert(spark.read.parquet(s"$path/stats").count() === 1)
+    // idempotent re-vacuum is a no-op
+    assert(Bm25Index.vacuum(spark, path, "doc_id") === 0L)
+  }
+
   test("stats 1-row frame carries n/avgdl over non-empty docs only") {
     val st = Bm25.corpusStats(corpus, "text").collect()(0)
     assert(st.getDouble(0) === 3.0 && st.getDouble(1) === 4.0)
