@@ -49,10 +49,22 @@ object Bm25 {
    * denormalized doc length. ONE hash shuffle on (id, term): the doc length
    * is computed from the token array BEFORE the explode and rides through
    * the groupBy as `first` — no second pass, no window re-shuffle.
+   *
+   * The (id, term) keys are near-unique, so the partial (map-side) agg
+   * reduces almost nothing and its per-task hash table buffers close to
+   * the task's whole exploded input. Building over a compactly-written
+   * corpus (few big splits) that table spilled a measured 49.5 GB at 1M
+   * docs — [[Bm25Index]]'s build path pre-splits the docs so each task's
+   * table stays memory-sized (the explode's ~30× byte expansion is the
+   * sizing input, not the parquet bytes). Ad-hoc query paths (q106's
+   * term-filtered scoring) never hit this: a term filter pushes below the
+   * aggregate, so only the query terms' rows ever reach the hash table.
+   * (A doc-local run-length formulation would avoid the agg entirely, but
+   * lambda-captured expressions re-evaluate PER ELEMENT inside
+   * higher-order functions — measured as a runaway, each doc re-sorting
+   * its token array hundreds of times. The shuffle is the honest plan.)
    */
   def postings(docs: DataFrame, id: String, text: String): DataFrame = {
-    // the (id, term) shuffle carries roughly the tokenized text plus keys
-    graft.core.ShuffleSizing.ensureFor(docs, expansionFactor = 2.0)
     val toks = Text.tokens(col(text))
     docs
       .where(length(trim(col(text))) > 0)
@@ -139,24 +151,34 @@ object Bm25 {
  * still count inside (n, avgdl, df) — scoring CONSTANTS drift slightly
  * while membership stays exact (the [[BloomIndex]] stance: bits persist,
  * the ledger decides). `vacuum` restores exact constants; run it on the
- * nightly maintenance cadence. Appends are exactly-once by caller
- * contract (the ingest pipeline's commit-last discipline); a replayed
- * append double-counts postings — rebuild or vacuum-after-retract to heal.
+ * nightly maintenance cadence.
+ *
+ * Replay contract (the ingest pipeline's at-least-once nights): `append`
+ * takes the batch's idempotence key as `gen`. Stats generations live
+ * under `stats/gen=<key>/` and a replay REPLACES its own generation —
+ * constants stay exact. Replayed postings ROWS do duplicate, but they
+ * are byte-identical by determinism (tf/dl are functions of the text),
+ * and `query` collapses them with a per-candidate (id, term) distinct —
+ * so scores never change; `save`-rebuild or the next full rewrite sweeps
+ * the litter. Reusing a `gen` key for a DIFFERENT batch breaks this —
+ * the key is one batch's identity, exactly like a night id.
  */
 object Bm25Index {
 
   val BucketCol = "tb"
+  val GenCol = "gen"
 
   private def bucketOf(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets)).cast("int")
 
   /** One additive stats generation for a doc batch. */
-  private def statsDelta(docs: DataFrame, text: String,
-                         buckets: Int): DataFrame =
+  private def statsDelta(docs: DataFrame, text: String, buckets: Int,
+                         gen: String): DataFrame =
     docs.where(length(trim(col(text))) > 0)
       .agg(count(lit(1)).cast("double").as("n"),
         sum(size(Text.tokens(col(text)))).cast("double").as("sum_dl"))
       .withColumn("buckets", lit(buckets))
+      .withColumn(GenCol, lit(gen))
 
   /** (buckets, 1-row (n, avgdl) frame) from the summed generations. */
   private def readStats(spark: SparkSession,
@@ -169,12 +191,37 @@ object Bm25Index {
 
   private def writePostings(docs: DataFrame, id: String, text: String,
                             path: String, buckets: Int,
-                            mode: String): Unit =
-    Bm25.postings(docs, id, text)
+                            mode: String): Unit = {
+    // Pre-split the docs so each build task's partial-agg hash table (≈ its
+    // whole exploded input — near-unique keys, see Bm25.postings) stays
+    // memory-sized: parquet packs small corpus files into few 128 MB
+    // splits, and ONE task buffering a compact corpus's explode spilled a
+    // measured 49.5 GB at 1M docs. The 128× factor is measured, not the
+    // serialized 38×: UnsafeRow overhead plus the sort/write buffers each
+    // task runs alongside its table, against ~150 MB/task of unified
+    // memory at 32 local cores on the 8 GB test heap (64-way pre-split
+    // still spilled 25 GB; per-task state must sit under ~100 MB).
+    // ensureFor sizes from the same estimate (and raises the agg
+    // shuffle's partition count); the floor keeps every core busy for
+    // small builds.
+    val spark = docs.sparkSession
+    val parts = math.max(
+      graft.core.ShuffleSizing.ensureFor(docs, expansionFactor = 128.0),
+      spark.sparkContext.defaultParallelism * 2)
+    Bm25.postings(docs.repartition(parts), id, text)
       .withColumn(BucketCol, bucketOf(col(Bm25.TermCol), buckets))
       .repartition(col(BucketCol))
+      // term-sorted row groups: parquet min/max stats then prune a query's
+      // `term IN` WITHIN each bucket file, not just across bucket dirs
+      .sortWithinPartitions(col(BucketCol), col(Bm25.TermCol))
       .write.mode(mode).partitionBy(BucketCol)
       .parquet(s"$path/postings")
+  }
+
+  private def writeStatsGen(delta: DataFrame, path: String,
+                            mode: String): Unit =
+    delta.coalesce(1).write.mode(mode).partitionBy(GenCol)
+      .parquet(s"$path/stats")
 
   /** Bootstrap the index. Postings land first, stats last — a bootstrap
     * crash leaves no stats generation and `query` fails loudly on the
@@ -183,18 +230,28 @@ object Bm25Index {
            buckets: Int = 64): Unit = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
     writePostings(docs, id, text, path, buckets, "overwrite")
-    statsDelta(docs, text, buckets)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeStatsGen(statsDelta(docs, text, buckets, "bootstrap"), path,
+      "overwrite")
   }
 
-  /** Append a batch: touched bucket partitions gain files, stats gain one
-    * generation row — no read-modify-write anywhere. */
-  def append(docs: DataFrame, id: String, text: String,
-             path: String): Unit = {
-    val (buckets, _) = readStats(docs.sparkSession, path)
+  /** Append a batch under idempotence key `gen`: touched bucket partitions
+    * gain files and the batch's stats generation is REPLACED (delete
+    * before write, the key's own directory only) — a mid-night crash
+    * replay lands the constants exactly once. No read-modify-write on
+    * any standing generation. */
+  def append(docs: DataFrame, id: String, text: String, path: String,
+             gen: String): Unit = {
+    val spark = docs.sparkSession
+    val (buckets, _) = readStats(spark, path)
     writePostings(docs, id, text, path, buckets, "append")
-    statsDelta(docs, text, buckets)
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    // the generation directory name must use Spark's own partition
+    // escaping or a key with special characters would miss the delete
+    // and double-count on replay (the IndexMeta.scala:383 lesson)
+    val genDir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(GenCol, gen)
+    val gp = new org.apache.hadoop.fs.Path(s"$path/stats/$genDir")
+    gp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(gp, true)
+    writeStatsGen(statsDelta(docs, text, buckets, gen), path, "append")
   }
 
   /** Retract docs (numeric ids — the engine's id contract): O(|ids|)
@@ -228,7 +285,9 @@ object Bm25Index {
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col(Bm25.DlCol)).as("sum_dl"))
         .withColumn("buckets", lit(buckets))
-      fresh.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+        .withColumn(GenCol, lit("folded"))
+      fresh.coalesce(1).write.mode("overwrite").partitionBy(GenCol)
+        .parquet(staged.toString)
       fs.delete(statsPath, true)
       fs.rename(staged, statsPath)
       ()
@@ -255,6 +314,10 @@ object Bm25Index {
       // directory pruning on tb + row filter on term, both pushed to the scan
       .where(col(BucketCol).isin(wantedBuckets: _*) &&
         col(Bm25.TermCol).isin(wanted: _*))
+      // collapse byte-identical rows a crash-replayed append may have
+      // duplicated (the replay contract above) — a distinct over the
+      // already-pruned candidate set, bounded by the query's postings
+      .dropDuplicates(id, Bm25.TermCol)
     Bm25.topK(Tombstones.subtract(spark, path, pruned, id),
       stats, id, wanted, k, p)
   }

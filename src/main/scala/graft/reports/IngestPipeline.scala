@@ -230,6 +230,13 @@ object IngestPipeline {
       bloomFoldGenerations: Long = 8L,
       bloomLedgerMinExcessFiles: Long = 8L,
       bloomRebuildShare: Double = graft.operators.BloomIndex.StaleWarnShare,
+      // keyword-retrieval index as a nightly target: survivors' BM25
+      // postings append to a standing [[graft.operators.Bm25Index]]
+      // (bootstrap on first night) with the night id as the stats
+      // generation — a mid-night crash replay lands the scoring constants
+      // exactly once; swept + stats-exactified by the nightly maintain
+      bm25IndexPath: Option[String] = None,
+      bm25Buckets: Int = 64,
       carrier: String = "corpus")
 
   /** Where [[IngestConfig.statsSketch]] state lives. */
@@ -290,7 +297,8 @@ object IngestPipeline {
       // true when this night's maintenance rebuilt the bloom filters
       // because retraction traffic pushed the stale-bit share past
       // cfg.bloomRebuildShare (None when no bloom index is configured)
-      bloomRebuilt: Option[Boolean] = None)
+      bloomRebuilt: Option[Boolean] = None,
+      bm25Compaction: Option[CompactionResult] = None)
 
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
@@ -677,6 +685,18 @@ object IngestPipeline {
             "__exact_key", cfg.idCol, bp,
             shards = cfg.bloomShards, bitsPerShard = cfg.bloomBitsPerShard)
         }
+        cfg.bm25IndexPath.foreach { bp =>
+          val bpath = new org.apache.hadoop.fs.Path(bp)
+          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(bpath))
+            graft.operators.Bm25Index.save(survivors, cfg.idCol,
+              cfg.textCol, bp, buckets = cfg.bm25Buckets)
+          else
+            // night id = the stats generation's idempotence key: a crash
+            // replay of this night replaces its own generation
+            graft.operators.Bm25Index.append(survivors, cfg.idCol,
+              cfg.textCol, bp, gen = night)
+        }
       }
 
       // 5. MAINTAIN — partition-scoped sweep of per-night index litter,
@@ -730,6 +750,19 @@ object IngestPipeline {
         }
       }
       val bloomComp = bloomMaint.map(_._1)
+      val bm25Comp = cfg.bm25IndexPath.map { bp =>
+        ExecutionLogger.logged(meta, s"ingest_compact_bm25_$night",
+            cfg.carrier, (r: CompactionResult) =>
+              (0L, r.filesBefore - r.filesAfter, 0L)) {
+          // out-of-band retractions sweep physically on the same cadence
+          // (vacuum also re-derives EXACT scoring constants); then the
+          // per-night posting-file litter bin-packs like every index
+          graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
+          Compaction.compactPath(spark, s"$bp/postings",
+            Seq(graft.operators.Bm25Index.BucketCol),
+            cfg.compactTargetFileBytes)
+        }
+      }
 
       // 6. LOG — the night's commit record, written LAST: its presence is
       // what makes a later re-run of this night short-circuit. NOTE the
@@ -743,7 +776,8 @@ object IngestPipeline {
       NightResult(night, batchRows, accepted, batchRows - accepted,
         comp, dqFailures, ivfCompaction = ivfComp,
         ivfPqCompaction = ivfPqComp, bloomCompaction = bloomComp,
-        driftFailures = driftFailures, bloomRebuilt = bloomMaint.map(_._2))
+        driftFailures = driftFailures, bloomRebuilt = bloomMaint.map(_._2),
+        bm25Compaction = bm25Comp)
     } finally {
       banded.unpersist()
       graft.core.Caches.releaseAll()
@@ -756,7 +790,8 @@ object IngestPipeline {
       bandRemoved: Long,
       ivfRemoved: Option[Long] = None,
       ivfPqRemoved: Option[Long] = None,
-      bloomRemoved: Option[Long] = None)
+      bloomRemoved: Option[Long] = None,
+      bm25Removed: Option[Long] = None)
 
   /**
    * Retract documents from the landed corpus AND every configured standing
@@ -851,7 +886,14 @@ object IngestPipeline {
         graft.operators.BloomIndex.vacuum(spark, bp)
       }
     }
+    val bm25Removed = cfg.bm25IndexPath.filter(exists).map { bp =>
+      ExecutionLogger.logged(meta, s"retract_bm25_$label", cfg.carrier,
+          (n: Long) => (0L, n, 0L)) {
+        graft.operators.Bm25Index.removeIds(spark, bp, pinned)
+        graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
+      }
+    }
     RetractResult(requested, corpusRemoved, bandRemoved, ivfRemoved,
-      ivfPqRemoved, bloomRemoved)
+      ivfPqRemoved, bloomRemoved, bm25Removed)
   }
 }

@@ -511,6 +511,52 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       log.contains("ingest_compact_ivfpq_n2"), log.toString)
   }
 
+  test("bm25 nightly target: bootstraps, appends per-night generations, " +
+      "queries the landed corpus, retracts") {
+    import spark.implicits._
+    import graft.operators.{Bm25, Bm25Index}
+    val root = TempDirs.create("graft-ingest-bm25")
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      bm25IndexPath = Some(root.resolve("bm25").toString),
+      bm25Buckets = 8)
+    def emb = Array(1f, 0f, 0f, 0f)
+    val b1 = Seq(
+      (1L, "spark shuffle join window", emb),
+      (2L, "merge sort batch stream", emb))
+      .toDF("doc_id", "text", "embedding")
+    val b2 = Seq(
+      (3L, "spark spark broadcast scan", emb),
+      (4L, "spark shuffle join window", emb)) // exact dup of 1 — drops
+      .toDF("doc_id", "text", "embedding")
+    val n1 = IngestPipeline.runNight(spark, b1, "n1", cfg)
+    val n2 = IngestPipeline.runNight(spark, b2, "n2", cfg)
+    assert(n1.accepted == 2 && n2.accepted == 1, (n1, n2).toString)
+    assert(n2.bm25Compaction.isDefined, n2.toString)
+    val bp = cfg.bm25IndexPath.get
+    // the standing index answers ≡ a from-scratch computation over the
+    // landed survivors (nightly stats generations sum to exact constants)
+    val landed = spark.read.parquet(cfg.corpusPath)
+      .select(col("doc_id"), col("text"))
+    val q = Seq("spark", "window")
+    assert(Bm25Index.query(spark, bp, "doc_id", q, 10).collect().toList ===
+      Bm25.search(landed, "doc_id", "text", q, 10).collect().toList)
+    // audit: the bm25 sweep is its own logged step each night
+    val log = new MetaStore(spark, cfg.metaDir).executionLog.collect()
+      .map(r => r.getAs[String]("target_table")).toSet
+    assert(log.contains("ingest_compact_bm25_n1") &&
+      log.contains("ingest_compact_bm25_n2"), log.toString)
+    // takedown flows through retract like every other index family
+    val rr = IngestPipeline.retract(spark, Seq(3L).toDF("doc_id"),
+      "dmca-1", cfg)
+    assert(rr.bm25Removed.exists(_ > 0L), rr.toString)
+    val after = Bm25Index.query(spark, bp, "doc_id", Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!after.contains(3L) && after.contains(1L), after.toString)
+  }
+
   test("failOnDq: a FAILing night withholds its commit record and stays re-runnable") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-faildq")

@@ -97,11 +97,18 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     val c1 = docs(1L -> "spark shuffle join", 2L -> "merge sort batch")
     val c2 = docs(3L -> "spark spark window", 4L -> "scan filter project")
     Bm25Index.save(c1, "doc_id", "text", path, buckets = 8)
-    Bm25Index.append(c2, "doc_id", "text", path)
+    Bm25Index.append(c2, "doc_id", "text", path, gen = "n1")
     val union = c1.union(c2)
     val q = Seq("spark", "window")
     // appended index ≡ a from-scratch frame computation over the union —
     // stats generations sum additively, df comes off the live postings
+    assert(Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList ===
+      Bm25.search(union, "doc_id", "text", q, 10).collect().toList)
+
+    // crash-replay: re-appending the SAME generation must not change any
+    // score — the stats generation replaces itself and the duplicated
+    // posting rows collapse in the query's candidate distinct
+    Bm25Index.append(c2, "doc_id", "text", path, gen = "n1")
     assert(Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList ===
       Bm25.search(union, "doc_id", "text", q, 10).collect().toList)
 
