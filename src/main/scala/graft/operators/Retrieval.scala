@@ -225,12 +225,17 @@ object Bm25Index {
 
   /** Bootstrap the index. Postings land first, stats last — a bootstrap
     * crash leaves no stats generation and `query` fails loudly on the
-    * missing path (never silently wrong constants); re-run `save`. */
+    * missing path (never silently wrong constants); re-run `save`.
+    * `gen` labels the bootstrap batch's stats generation: an ingest
+    * surface bootstrapping from its FIRST batch must pass the same
+    * idempotence key `append` would get, so a replay that finds the index
+    * already bootstrapped appends over (replaces) the SAME generation —
+    * constants land exactly once either way. */
   def save(docs: DataFrame, id: String, text: String, path: String,
-           buckets: Int = 64): Unit = {
+           buckets: Int = 64, gen: String = "bootstrap"): Unit = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
     writePostings(docs, id, text, path, buckets, "overwrite")
-    writeStatsGen(statsDelta(docs, text, buckets, "bootstrap"), path,
+    writeStatsGen(statsDelta(docs, text, buckets, gen), path,
       "overwrite")
   }
 

@@ -687,13 +687,15 @@ object IngestPipeline {
         }
         cfg.bm25IndexPath.foreach { bp =>
           val bpath = new org.apache.hadoop.fs.Path(bp)
+          // night id = the stats generation's idempotence key either way:
+          // a crash replay of this night replaces its own generation (a
+          // replayed BOOTSTRAP night takes the append arm — same key, so
+          // the constants still land exactly once)
           if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .exists(bpath))
             graft.operators.Bm25Index.save(survivors, cfg.idCol,
-              cfg.textCol, bp, buckets = cfg.bm25Buckets)
+              cfg.textCol, bp, buckets = cfg.bm25Buckets, gen = night)
           else
-            // night id = the stats generation's idempotence key: a crash
-            // replay of this night replaces its own generation
             graft.operators.Bm25Index.append(survivors, cfg.idCol,
               cfg.textCol, bp, gen = night)
         }

@@ -112,6 +112,31 @@ object Streams {
     graft.operators.Sketches.appendNight(survivors, spec, statePath,
       s"b$batchId")
 
+  /** Micro-batch twin of [[graft.reports.IngestPipeline]]'s `bm25IndexPath`
+    * target: append a batch's ACCEPTED survivors' BM25 postings to the
+    * standing keyword index from an ingest sink's `accept` callback
+    * (bootstrap on the first batch). The stats generation is keyed by the
+    * batch id (`gen = "b<batchId>"`), so an at-least-once REPLAY replaces
+    * its own scoring-constant contribution instead of double-counting,
+    * and the replay-duplicated posting rows collapse in every query's
+    * candidate distinct — [[graft.operators.Bm25Index]]'s replay contract
+    * riding foreachBatch's batchId, exactly like [[sketchAccepted]].
+    * Sweep with `Bm25Index.vacuum` + compaction on the nightly cadence. */
+  def bm25Accepted(survivors: DataFrame, idCol: String, textCol: String,
+      indexPath: String, batchId: Long, buckets: Int = 64): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(
+      survivors.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      // batch key as the bootstrap generation too: a replayed bootstrap
+      // batch takes the append arm and REPLACES this same generation
+      graft.operators.Bm25Index.save(survivors, idCol, textCol, indexPath,
+        buckets = buckets, gen = s"b$batchId")
+    else
+      graft.operators.Bm25Index.append(survivors, idCol, textCol, indexPath,
+        gen = s"b$batchId")
+  }
+
   /**
    * Streaming gap-based sessionization — the streaming counterpart of
    * `Cdc.sessionize` (q52), composed from Spark's native `session_window`

@@ -304,6 +304,53 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(stats() == Seq(("a", 2L, 2L), ("b", 1L, 1L)), stats().toString)
   }
 
+  test("bm25Accepted: streaming twin of the nightly bm25IndexPath target") {
+    import spark.implicits._
+    import graft.operators.{Bm25, Bm25Index}
+    val dir = TempDirs.create("graftingest-bm25").toString
+    val idx = dir + "/idx"
+    val bm25 = dir + "/bm25"
+    // batch 0: 104 dups 103 within the batch (dropped); batch 1: 202 new
+    Seq(101L -> "the quick brown fox jumps over the lazy dog",
+        103L -> "jinxed wizards pluck ivy from the big quilt now",
+        104L -> "jinxed wizards pluck ivy from the big quilt now")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(202L -> "how vexingly quick daft zebras jump around")
+      .toDF("doc_id", "text").coalesce(1).write.mode("append")
+      .parquet(dir + "/in")
+    val schema = Seq(0L -> "").toDF("doc_id", "text").schema
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200) { (survivors, batchId) =>
+        Streams.bm25Accepted(survivors, "doc_id", "text", bm25, batchId,
+          buckets = 8); ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the standing keyword index answers ≡ a from-scratch computation over
+    // exactly the accepted survivors (the dropped dup never indexes)
+    val landed = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog",
+      103L -> "jinxed wizards pluck ivy from the big quilt now",
+      202L -> "how vexingly quick daft zebras jump around")
+      .toDF("doc_id", "text")
+    def top(qt: Seq[String]) =
+      Bm25Index.query(spark, bm25, "doc_id", qt, 10).collect().toList
+    assert(top(Seq("quick", "jumps")) ===
+      Bm25.search(landed, "doc_id", "text", Seq("quick", "jumps"), 10)
+        .collect().toList)
+    // an at-least-once REPLAY of the BOOTSTRAP batch takes the append arm
+    // with the same generation key — constants must not double-count
+    Streams.bm25Accepted(
+      Seq(101L -> "the quick brown fox jumps over the lazy dog",
+          103L -> "jinxed wizards pluck ivy from the big quilt now")
+        .toDF("doc_id", "text"), "doc_id", "text", bm25, 0L, buckets = 8)
+    assert(top(Seq("quick", "jumps")) ===
+      Bm25.search(landed, "doc_id", "text", Seq("quick", "jumps"), 10)
+        .collect().toList)
+  }
+
   test("nearDupIngestStream bloom gate: exact dups cut per micro-batch, cross-batch via the key append") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-bloom").toString
