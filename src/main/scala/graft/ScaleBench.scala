@@ -279,6 +279,33 @@ object ScaleBench {
           }
       }
 
+      // ---- lm tier: CCNet-style bigram-LM quality scoring. Claims under
+      // test: (a) the model is VOCABULARY-sized (≤ V² bigram rows however
+      // big the corpus — `rows` of lm_model_* reports it); (b) min-count
+      // pruning cuts the Zipf hapax tail of that model; (c) train+score is
+      // two linear scans + two model joins + one per-doc agg — nothing
+      // pairwise, wall tracks corpus size, not corpus².
+      if (wanted("lm")) {
+        val target = () => spark.read.parquet(s"$scratch/docs_$n")
+          .filter(col("doc_id") % 10 === 0)
+        timedRuns(n, "lm_model_full")(() =>
+          graft.operators.NgramLm.train(target(), "doc_id", "text")
+            .bigrams.count())
+        timedRuns(n, "lm_model_pruned")(() =>
+          graft.operators.NgramLm.train(target(), "doc_id", "text")
+            .prune(2).bigrams.count())
+        Seq(("lm_train_score", 1L), ("lm_train_score_pruned", 2L))
+          .foreach { case (name, minCount) =>
+            timedRuns(n, name)(() => {
+              val d = spark.read.parquet(s"$scratch/docs_$n")
+              val m = graft.operators.NgramLm
+                .train(target(), "doc_id", "text").prune(minCount)
+              graft.operators.NgramLm.crossEntropy(d, "doc_id", "text", m)
+                .count()
+            })
+          }
+      }
+
       // ---- incremental probe tier: full recompute vs persisted-index probe
       // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
       if (wanted("probe") || wanted("probe_inc") || wanted("probe_full")) {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, SqlTemplate, Tables}
 import graft.functions.{Dates, Text, Vectors}
 import graft.merge.Upsert
-import graft.operators.{BandIndex, Dedup, IvfIndex, Multimodal, Similarity}
+import graft.operators.{BandIndex, Bm25, Dedup, Fusion, IvfIndex, Multimodal, NgramLm, Similarity}
 import graft.ops.{Cdc, Compaction, Periods}
 import graft.reports.Feeds
 
@@ -1614,6 +1614,52 @@ object SparkEntry {
         .orderBy(col("lang"), col("logw").desc, col("doc_id"))
     }),
 
+    // hybrid retrieval: a BM25 lexical arm and a dense cosine-ANN arm
+    // fused by reciprocal-rank fusion (rrf = SUM 1/(60+rank)) — ranks
+    // only, no score calibration. Both arms are top-k frames before the
+    // fusion union; the tiny rank windows run over ≤20 rows
+    "q109_hybrid_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val lex = Fusion.ranked(
+        Bm25.search(d, "doc_id", "text",
+          Seq("spark", "shuffle", "broadcast"), k = 20),
+        "doc_id", "score")
+      val dense = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e, "vec_id", "vec_id",
+          "embedding", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Fusion.rrf(Seq(lex, dense), "doc_id", topK = 15)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
+    // CCNet-style LM quality scoring: train an add-alpha bigram model on
+    // the English slice, score every doc's cross-entropy under it (lower
+    // = more target-like). Model state is vocabulary-sized, not
+    // corpus-sized; scoring is two model joins + one per-doc agg
+    "q110_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = NgramLm.train(d.filter(col("lang") === "en"), "doc_id", "text")
+      NgramLm.crossEntropy(d, "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
+    // CCNet's head/middle/tail perplexity split over the scored corpus:
+    // exact tercile cutoffs (1-row agg, broadcast) — no ntile global
+    // sort. Output is the per-tier audit row the keep decision reads
+    "q111_ppl_tiers" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = NgramLm.train(d.filter(col("lang") === "en"), "doc_id", "text")
+      val scored = NgramLm.crossEntropy(d, "doc_id", "text", m)
+      NgramLm.perplexityTiers(scored, "cross_entropy")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("cross_entropy")), 6).as("avg_ce"),
+          round(min(col("cross_entropy")), 6).as("min_ce"),
+          round(max(col("cross_entropy")), 6).as("max_ce"))
+        .orderBy("tier")
+    }),
+
     // the exact gate driven end to end through the audited nightly
     // pipeline (q74's composition with bloomIndexPath configured):
     // night-1's byte-identical intra dups drop at the gate, night-2's
@@ -2920,6 +2966,66 @@ object SparkEntry {
          |WHERE rk <= 20
          |ORDER BY lang, logw DESC, doc_id""".stripMargin,
 
+    // hybrid RRF: the q106 BM25 arm and the q31 quantized-cosine arm (one
+    // query vector), each ranked by its own total order, fused by
+    // SUM 1/(60+rank); ranks are engine-identical because both arms order
+    // by exactly-reproducible values
+    "q109_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+         |cs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+         |       WHERE term IN ('spark', 'shuffle', 'broadcast') GROUP BY 1),
+         |bm AS (SELECT tf.doc_id,
+         |   SUM( ln((cs.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * tf.tf * (1.2 + 1.0)
+         |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / cs.avgdl)) ) AS score
+         | FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN cs
+         | GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |          ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |        FROM (SELECT doc_id, score FROM bm
+         |              ORDER BY round(score, 6) DESC, doc_id LIMIT 20)),
+         |v AS (SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+         |dense AS (SELECT doc_id, rank FROM (
+         |  SELECT b.vec_id AS doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY ${IcosSql("a.qv", "b.qv")} DESC, b.vec_id) AS rank
+         |  FROM (SELECT qv FROM v WHERE vec_id = 0) a, v b WHERE b.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+         |SELECT doc_id, round(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score,
+         |       CAST(COUNT(*) AS BIGINT) AS n_arms
+         |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // bigram-LM cross-entropy, by doc
+    "q110_lm_score" ->
+      s"""$LmScoreCte
+         |SELECT doc_id, n_bigrams, cross_entropy FROM sc
+         |ORDER BY doc_id""".stripMargin,
+
+    // CCNet head/middle/tail terciles: exact linear-interpolated cutoffs
+    // over the ROUNDED scores (both engines interpolate between the same
+    // 6-dp values, and a boundary tie means lower = upper — exact either
+    // way), then the per-tier audit aggregates
+    "q111_ppl_tiers" ->
+      s"""$LmScoreCte,
+         |cuts AS (SELECT quantile_cont(cross_entropy, 1.0/3.0) AS t1,
+         |                quantile_cont(cross_entropy, 2.0/3.0) AS t2 FROM sc),
+         |tiers AS (
+         |  SELECT CASE WHEN cross_entropy <= t1 THEN 'head'
+         |              WHEN cross_entropy <= t2 THEN 'middle'
+         |              ELSE 'tail' END AS tier, cross_entropy
+         |  FROM sc CROSS JOIN cuts)
+         |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       round(AVG(cross_entropy), 6) AS avg_ce,
+         |       round(MIN(cross_entropy), 6) AS min_ce,
+         |       round(MAX(cross_entropy), 6) AS max_ce
+         |FROM tiers GROUP BY 1 ORDER BY tier""".stripMargin,
+
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
     "q69_compaction" ->
@@ -3184,6 +3290,37 @@ object SparkEntry {
     }
     s"(${digits.mkString(" + ")}) % 8192"
   }
+
+  /** Shared bigram-LM CTE chain ending in `sc(doc_id, n_bigrams,
+    * cross_entropy)`: whitespace-token transitions, add-0.5-smoothed
+    * bigram conditional trained on the English slice
+    * (p = (c12+0.5)/(c1+0.5*V), c1 = SUM c12 so the conditional
+    * normalizes; unseen context scores 1/V) — NgramLm.crossEntropy's
+    * exact algebra. Bigrams via list_zip of the one-shorter list slices,
+    * matching zip_with's convention. */
+  private val LmScoreCte: String =
+    """WITH tox AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |pairs AS (
+      |  SELECT doc_id, lang, z[1] AS w1, z[2] AS w2 FROM (
+      |    SELECT doc_id, lang,
+      |           unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+      |    FROM tox WHERE len(toks) >= 2)),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+      |        FROM pairs WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+      |       FROM (SELECT unnest(toks) AS t FROM tox WHERE lang = 'en')),
+      |logp AS (
+      |  SELECT p.doc_id,
+      |         ln((coalesce(c12.c12, 0) + 0.5) /
+      |            (coalesce(c1.c1, 0) + 0.5 * vv.v)) AS lp
+      |  FROM pairs p LEFT JOIN c1 USING (w1)
+      |       LEFT JOIN c12 USING (w1, w2) CROSS JOIN vv),
+      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |              round(-AVG(lp), 6) AS cross_entropy
+      |       FROM logp GROUP BY 1)""".stripMargin
 
   /** Shared DSIR CTE chain ending in `sc(doc_id, lang, n_grams, logw)`:
     * whitespace unigrams+bigrams, md5-hashed into 8192 buckets, add-0.5

@@ -327,3 +327,57 @@ object Bm25Index {
       stats, id, wanted, k, p)
   }
 }
+
+/**
+ * Rank fusion for hybrid retrieval — combine a lexical [[Bm25]] arm with a
+ * dense embedding arm ([[Similarity]] / [[IvfIndex]] probes) into one
+ * ranking via reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+ * "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+ * Learning Methods"):
+ *
+ *   rrf(d) = SUM_arms 1 / (k + rank_arm(d))        (k = 60, the paper's)
+ *
+ * RRF needs only each arm's RANKS, never its scores — so BM25 points and
+ * cosine similarities fuse without calibration, which is exactly why it is
+ * the standard hybrid-search combiner.
+ *
+ * Scale shape: each arm is already a top-k frame (tens of rows — the
+ * expensive part, index-pruned scan or ANN probe, happened inside the
+ * arm). Fusion is a union + one tiny hash agg; ordering compiles to
+ * TakeOrderedAndProject. Per-arm ranks, when derived here from scores,
+ * are a window over an ALREADY top-k frame — bounded rows, not a
+ * corpus-wide sort.
+ */
+object Fusion {
+
+  val RrfK = 60
+
+  /** Derive 1-based ranks from a scored top-k frame: row_number over
+   *  (rounded score desc, id) — the engine's standard total order, so
+   *  ranks are deterministic across engines and runs. Only for frames a
+   *  top-k already bounded. */
+  def ranked(arm: DataFrame, id: String, scoreCol: String): DataFrame =
+    arm.select(col(id),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(round(col(scoreCol), 6).desc, col(id))).as("rank"))
+
+  /**
+   * Fuse ranked arms: each input holds (`id`, `rankCol`) with 1-based
+   * ranks. Returns (id, rrf_score, n_arms) — top `topK` by
+   * (rounded score desc, id).
+   */
+  def rrf(arms: Seq[DataFrame], id: String, rankCol: String = "rank",
+          k: Int = RrfK, topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "RRF needs at least one arm")
+    require(k > 0, s"RRF constant must be positive, got $k")
+    val u = arms
+      .map(_.select(col(id), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionAll _)
+    u.groupBy(col(id))
+      .agg(round(sum(lit(1.0) / (lit(k.toDouble) + col("__r"))), 6)
+          .as("rrf_score"),
+        count(lit(1)).as("n_arms"))
+      .orderBy(col("rrf_score").desc, col(id))
+      .limit(topK)
+  }
+}
