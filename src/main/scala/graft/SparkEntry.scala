@@ -1644,6 +1644,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the LM quality gate driven end to end through the audited nightly
+    // pipeline (q74's composition with lmModelPath configured): the bigram
+    // model trains on the corpus's English slice and ships as a persisted
+    // artifact; each night's batch docs past the cross-entropy ceiling
+    // drop BEFORE the probe — they never land, never enter the band
+    // index, and the near-dup algebra sees only the gated batches
+    "q112_ingest_lm_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val en = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+      val root = Scratch.dir("graft_q112_")
+      val modelPath = root.resolve("lm_model").toString
+      NgramLm.save(s, NgramLm.train(en, "doc_id", "text"), modelPath)
+      val cfg = graft.reports.IngestPipeline.IngestConfig(
+        corpusPath = root.resolve("corpus").toString,
+        bandIndexPath = root.resolve("band_index").toString,
+        metaDir = root.resolve("meta").toString,
+        lmModelPath = Some(modelPath),
+        lmGateMaxCe = 3.43,
+        maxBucket = LshMaxBucket, strict = true)
+      graft.reports.IngestPipeline.runNight(s,
+        d.filter(col("doc_id") % 3 === 0), "n1", cfg)
+      graft.reports.IngestPipeline.runNight(s,
+        d.filter(col("doc_id") % 3 === 1), "n2", cfg)
+      s.read.parquet(cfg.corpusPath)
+        .select(col("doc_id"),
+          col("load_date").cast("string").as("load_date"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet's head/middle/tail perplexity split over the scored corpus:
     // exact tercile cutoffs (1-row agg, broadcast) — no ntile global
     // sort. Output is the per-tier audit row the keep decision reads
@@ -3026,6 +3056,12 @@ object SparkEntry {
          |       round(MAX(cross_entropy), 6) AS max_ce
          |FROM tiers GROUP BY 1 ORDER BY tier""".stripMargin,
 
+    // LM-gated nightly composition: flagged = docs past the cross-entropy
+    // ceiling under the en-trained model; both nights' batches lose their
+    // flagged docs BEFORE the survivor algebra (gate-before-banding, the
+    // q105 pattern applied to the quality gate)
+    "q112_ingest_lm_gate" -> IngestLmGateSql,
+
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
     "q69_compaction" ->
@@ -3298,29 +3334,31 @@ object SparkEntry {
     * normalizes; unseen context scores 1/V) — NgramLm.crossEntropy's
     * exact algebra. Bigrams via list_zip of the one-shorter list slices,
     * matching zip_with's convention. */
-  private val LmScoreCte: String =
-    """WITH tox AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
-      |  FROM documents WHERE len(trim(text)) > 0),
-      |pairs AS (
-      |  SELECT doc_id, lang, z[1] AS w1, z[2] AS w2 FROM (
-      |    SELECT doc_id, lang,
-      |           unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
-      |    FROM tox WHERE len(toks) >= 2)),
-      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
-      |        FROM pairs WHERE lang = 'en' GROUP BY 1, 2),
-      |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-      |vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
-      |       FROM (SELECT unnest(toks) AS t FROM tox WHERE lang = 'en')),
-      |logp AS (
-      |  SELECT p.doc_id,
-      |         ln((coalesce(c12.c12, 0) + 0.5) /
-      |            (coalesce(c1.c1, 0) + 0.5 * vv.v)) AS lp
-      |  FROM pairs p LEFT JOIN c1 USING (w1)
-      |       LEFT JOIN c12 USING (w1, w2) CROSS JOIN vv),
-      |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |              round(-AVG(lp), 6) AS cross_entropy
-      |       FROM logp GROUP BY 1)""".stripMargin
+  private def lmScoreFragments(p: String): String =
+    s"""${p}tox AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS lmtoks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |${p}pairs AS (
+       |  SELECT doc_id, lang, z[1] AS w1, z[2] AS w2 FROM (
+       |    SELECT doc_id, lang,
+       |           unnest(list_zip(lmtoks[1:len(lmtoks)-1], lmtoks[2:len(lmtoks)])) AS z
+       |    FROM ${p}tox WHERE len(lmtoks) >= 2)),
+       |${p}c12 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+       |        FROM ${p}pairs WHERE lang = 'en' GROUP BY 1, 2),
+       |${p}c1 AS (SELECT w1, SUM(c12) AS c1 FROM ${p}c12 GROUP BY 1),
+       |${p}vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+       |       FROM (SELECT unnest(lmtoks) AS t FROM ${p}tox WHERE lang = 'en')),
+       |${p}logp AS (
+       |  SELECT pr.doc_id,
+       |         ln((coalesce(bg.c12, 0) + 0.5) /
+       |            (coalesce(cx.c1, 0) + 0.5 * ${p}vv.v)) AS lp
+       |  FROM ${p}pairs pr LEFT JOIN ${p}c1 cx USING (w1)
+       |       LEFT JOIN ${p}c12 bg USING (w1, w2) CROSS JOIN ${p}vv),
+       |${p}sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |              round(-AVG(lp), 6) AS cross_entropy
+       |       FROM ${p}logp GROUP BY 1)""".stripMargin
+
+  private lazy val LmScoreCte: String = "WITH " + lmScoreFragments("")
 
   /** Shared DSIR CTE chain ending in `sc(doc_id, lang, n_grams, logw)`:
     * whitespace unigrams+bigrams, md5-hashed into 8192 buckets, add-0.5
@@ -3642,6 +3680,21 @@ object SparkEntry {
           |  FROM pcommon JOIN psizes USING (probe_id)
           |  WHERE n_common >= 5
           |    AND CAST(n_common AS DOUBLE) / CAST(n_probe_sh AS DOUBLE) >= 0.6)""".stripMargin)) +
+    s"""
+       |SELECT doc_id, 'n1' AS load_date FROM s1
+       |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2
+       |ORDER BY doc_id""".stripMargin
+
+  /** LM-gate parity (q112): survivors of the two-night composition where
+    * each batch first loses its docs whose bigram cross-entropy under the
+    * English-slice model exceeds the ceiling — the engine gates before
+    * banding, so the algebra runs over the gated batches. */
+  private lazy val IngestLmGateSql: String =
+    ingestSurvivorsCte(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)",
+      "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)",
+      prelude = Some(lmScoreFragments("lm") +
+        ",\nflagged AS (SELECT doc_id FROM lmsc WHERE cross_entropy > 3.43)")) +
     s"""
        |SELECT doc_id, 'n1' AS load_date FROM s1
        |UNION ALL SELECT doc_id, 'n2' AS load_date FROM s2

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -114,6 +114,56 @@ object NgramLm {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(col("__logp")), 6).as("cross_entropy"))
+  }
+
+  /**
+   * Persist a trained model as an engine artifact: the three frames under
+   * one root plus an [[IndexMeta]] marker recording kind and pruning
+   * state — the [[Vocab.saveBpe]] discipline, so a scoring path can never
+   * silently mix models. The model is an OUTPUT of training and an INPUT
+   * of every later scoring run (the CCNet deployment shape: train once on
+   * the trusted slice, score every nightly batch).
+   */
+  def save(spark: SparkSession, model: Model, path: String,
+           minCountApplied: Long = 1L): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    IndexMeta.write(spark, path,
+      Map("kind" -> "bigram-lm", "minCount" -> minCountApplied.toString))
+  }
+
+  /** Load a [[save]]d model; fails fast on a path that is not one. */
+  def load(spark: SparkSession, path: String): Model = {
+    val params = IndexMeta.read(spark, path)
+    require(params.get("kind").contains("bigram-lm"),
+      s"no bigram-LM marker at $path (kind=${params.get("kind")}) — " +
+        "was this path written by NgramLm.save?")
+    Model(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/vocab"))
+  }
+
+  /**
+   * The ingest-time quality gate (CCNet's tail cut applied at the door):
+   * split a batch into (survivors, flagged) where flagged carries
+   * (id, cross_entropy) for every doc whose score under the model EXCEEDS
+   * `maxCe`. Docs the model cannot score (fewer than two tokens) are NOT
+   * flagged — the gate only judges what it can measure; pair it with the
+   * short-doc rules of [[graft.functions.Text.qualityVerdict]] for those.
+   * Cost: one scoring pass over the batch + a |flagged|-sized anti-join —
+   * the batch never self-joins.
+   */
+  def qualityGate(batch: DataFrame, id: String, text: String,
+                  model: Model, maxCe: Double,
+                  alpha: Double = Alpha): (DataFrame, DataFrame) = {
+    require(!maxCe.isNaN && maxCe > 0.0,
+      s"lm quality gate needs a positive cross-entropy ceiling, got $maxCe")
+    val flagged = crossEntropy(batch, id, text, model, alpha)
+      .filter(col("cross_entropy") > maxCe)
+      .select(col(id), col("cross_entropy"))
+    val survivors = batch.join(flagged, Seq(id), "left_anti")
+    (survivors, flagged)
   }
 
   /**

@@ -32,6 +32,14 @@ import graft.ops.{Compaction, CompactionResult}
  *      (the batch operator q86 is the retroactive form). Eval shingles
  *      broadcast; drops ledger as reason='contaminated' with the matched
  *      eval doc as evidence.
+ *   0d. LM QUALITY GATE (opt-in, `lmModelPath`) — batch docs whose bigram
+ *      cross-entropy under a persisted [[graft.operators.NgramLm]] model
+ *      exceeds `lmGateMaxCe` drop BEFORE the probe: the CCNet tail cut
+ *      applied at the door, so low-quality text never pays shingling and
+ *      never lands. One scoring pass (two model joins + a per-doc agg) +
+ *      a |flagged|-sized anti-join; docs the model cannot score
+ *      (< 2 tokens) pass. Drops ledger as reason='low_quality' (kept_id
+ *      NULL — there is no partner doc; the evidence is the score).
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -215,6 +223,20 @@ object IngestPipeline {
       evalGateMinOverlap: Long = 1L,
       evalGateContainment: Double = 0.8,
       evalGateMaxShingleDf: Long = Long.MaxValue,
+      // (opt-in) LM QUALITY GATE: path of a persisted bigram LM
+      // ([[graft.operators.NgramLm.save]] — train once on the trusted
+      // target slice, ship the artifact). Batch docs whose cross-entropy
+      // under the model EXCEEDS `lmGateMaxCe` drop before the near-dup
+      // probe — CCNet's perplexity tail cut applied at ingest. Runs AFTER
+      // the exact and eval gates (cheapest and strictest cuts first);
+      // docs the model cannot score (< 2 tokens) pass — the gate only
+      // judges what it can measure. Drops are ledgered as
+      // reason='low_quality' with kept_id NULL (no partner doc; the
+      // flagged score is the evidence) when dropLedger is on. Setting the
+      // path without a finite ceiling fails fast — a gate that can never
+      // drop is a configuration mistake, not a no-op.
+      lmModelPath: Option[String] = None,
+      lmGateMaxCe: Double = Double.PositiveInfinity,
       bloomIndexPath: Option[String] = None,
       bloomShards: Int = 64,
       bloomBitsPerShard: Long = 1L << 23,
@@ -440,9 +462,42 @@ object IngestPipeline {
           }
       }
 
+    // 0d. (opt-in) LM QUALITY GATE — docs past the cross-entropy ceiling
+    // drop before the probe: one scoring pass (two model joins + a
+    // per-doc agg) + a |flagged|-sized anti-join; the batch never
+    // self-joins. See IngestConfig.lmModelPath.
+    val (qualified, lmLedger): (DataFrame, Option[DataFrame]) =
+      cfg.lmModelPath match {
+        case None => (screened, None)
+        case Some(mp) =>
+          require(!cfg.lmGateMaxCe.isInfinite,
+            "lmModelPath is set but lmGateMaxCe is unbounded — a gate " +
+              "that can never drop is a configuration mistake; set the " +
+              "cross-entropy ceiling (NgramLm.perplexityTiers picks one)")
+          // this step's TRUE input count, same accounting rule as the
+          // eval gate: earlier gates may already have dropped rows
+          val inRows =
+            if (cfg.bloomIndexPath.isDefined || cfg.evalSetPath.isDefined)
+              screened.count()
+            else batchRows
+          ExecutionLogger.logged(meta, s"ingest_lm_$night", cfg.carrier,
+              (t: (DataFrame, Option[DataFrame])) =>
+                (inRows, 0L, inRows - t._1.count())) {
+            val model = graft.operators.NgramLm.load(spark, mp)
+            val (survivors, flagged) = graft.operators.NgramLm.qualityGate(
+              screened, cfg.idCol, cfg.textCol, model, cfg.lmGateMaxCe)
+            val ledgerRows =
+              if (!cfg.dropLedger) None
+              else Some(flagged.select(col(cfg.idCol),
+                lit(null).cast("long").as("kept_id"),
+                lit("low_quality").as("reason")))
+            (survivors, ledgerRows)
+          }
+      }
+
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in
-    val banded = Dedup.lshBanded(screened, cfg.idCol, cfg.textCol,
+    val banded = Dedup.lshBanded(qualified, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
       val (survivors, corpusPairs, intraPairs) =
@@ -478,7 +533,7 @@ object IngestPipeline {
           // (measured stats throughout: inherited estimates here size every
           // downstream landing/index shuffle — see pinnedWithMeasuredStats)
           (bridge.pinnedWithMeasuredStats(
-            screened.join(corpusDups.union(intraDups).distinct(),
+            qualified.join(corpusDups.union(intraDups).distinct(),
               Seq(cfg.idCol), "left_anti")), cp, ip)
         }
       val accepted = survivors.count()
@@ -492,7 +547,7 @@ object IngestPipeline {
       if (cfg.dropLedger) {
         ExecutionLogger.logged(meta, s"ingest_ledger_$night", cfg.carrier,
             (n: Long) => (0L, 0L, n)) {
-          val batchIds = screened.select(col(cfg.idCol))
+          val batchIds = qualified.select(col(cfg.idCol))
           val corpusLedger = corpusPairs
             .select(explode(array(
               struct(col("id_a").as("d"), col("id_b").as("k")),
@@ -516,6 +571,8 @@ object IngestPipeline {
             .unionByName(exactLedger.getOrElse(
               corpusLedger.limit(0)))
             .unionByName(evalLedger.getOrElse(
+              corpusLedger.limit(0)))
+            .unionByName(lmLedger.getOrElse(
               corpusLedger.limit(0)))
             .localCheckpoint(true)
           // written DIRECTLY into the night's directory (not partitionBy

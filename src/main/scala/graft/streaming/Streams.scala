@@ -263,7 +263,14 @@ object Streams {
       evalGateK: Int = 8,
       evalGateMinOverlap: Long = 1L,
       evalGateContainment: Double = 0.8,
-      evalGateMaxShingleDf: Long = Long.MaxValue)
+      evalGateMaxShingleDf: Long = Long.MaxValue,
+      // (opt-in) the LM QUALITY GATE, as IngestConfig.lmModelPath: docs
+      // past the cross-entropy ceiling under the persisted bigram LM drop
+      // BEFORE banding — the SHARED NgramLm.qualityGate, so stream-fed
+      // corpora get the same CCNet tail cut as the nightly surface.
+      // Unscorable docs (< 2 tokens) pass, same contract
+      lmModelPath: Option[String] = None,
+      lmGateMaxCe: Double = Double.PositiveInfinity)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
       val spark = raw.sparkSession
@@ -286,12 +293,21 @@ object Streams {
           excludeIds = prepped.select(col(idCol))).survivors
         case None => prepped
       }
-      val batch = evalSetPath match {
+      val screened = evalSetPath match {
         case Some(ep) => Dedup.contaminationGate(exactGated,
           spark.read.parquet(ep).select(col(idCol), col(textCol)),
           idCol, textCol, evalGateK, evalGateMinOverlap,
           evalGateContainment, evalGateMaxShingleDf)._1
         case None => exactGated
+      }
+      val batch = lmModelPath match {
+        case Some(mp) =>
+          require(!lmGateMaxCe.isInfinite,
+            "lmModelPath is set but lmGateMaxCe is unbounded — set the " +
+              "cross-entropy ceiling (NgramLm.perplexityTiers picks one)")
+          graft.operators.NgramLm.qualityGate(screened, idCol, textCol,
+            graft.operators.NgramLm.load(spark, mp), lmGateMaxCe)._1
+        case None => screened
       }
       val banded = Dedup.lshBanded(batch, idCol, textCol,
         shingleK, numHashes, bands, portable).persist()

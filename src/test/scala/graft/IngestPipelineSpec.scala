@@ -916,6 +916,73 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(n2.accepted == 1 && n2.dropped == 1, n2.toString)
   }
 
+  test("lm gate: low-quality docs drop BEFORE the probe, ledgered with a null partner") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-lmgate")
+    val modelPath = root.resolve("lm_model").toString
+    // the train corpus must cover EVERY fluent family in the batch — an
+    // out-of-domain doc scores the same all-unseen ln V as gibberish
+    // (that is the operator working, not a bug)
+    val trainDocs = Seq(
+      800L -> "the cat sat on the mat",
+      801L -> "the cat ran on the mat",
+      802L -> "pack my box with five dozen liquor jugs today",
+      803L -> "pack my box with six dozen liquor jugs today")
+      .toDF("doc_id", "text")
+    graft.operators.NgramLm.save(spark,
+      graft.operators.NgramLm.train(trainDocs, "doc_id", "text"), modelPath)
+    val model = graft.operators.NgramLm.load(spark, modelPath)
+    // ceiling strictly between the fluent docs' scores and the gibberish
+    // doc's (all-unseen-context = ln V) — derived, not guessed
+    val fluent = "the cat sat on the mat"
+    val packDoc = "pack my box with five dozen liquor jugs today"
+    val gibberish = "zz qq ww rr tt uu"
+    val ces = graft.operators.NgramLm.crossEntropy(
+        Seq(1L -> fluent, 2L -> gibberish, 3L -> packDoc)
+          .toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.max(ces(1L), ces(3L)) < ces(2L), ces.toString)
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      lmModelPath = Some(modelPath),
+      lmGateMaxCe = (math.max(ces(1L), ces(3L)) + ces(2L)) / 2,
+      dropLedger = true)
+    val n1 = IngestPipeline.runNight(spark, Seq(
+        1L -> fluent,
+        2L -> gibberish, // past the ceiling: gate-dropped
+        // 3/4: byte-identical pair — the probe must still run AFTER the
+        // gate and drop the larger id
+        3L -> packDoc,
+        4L -> packDoc,
+        5L -> "hi") // single token: unscorable, must pass the gate
+      .toDF("doc_id", "text"), "n1", cfg)
+    assert(n1.accepted == 3 && n1.dropped == 2, n1.toString)
+    val landed = spark.read.parquet(cfg.corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 3L, 5L), landed.toString)
+    // the ledger explains both drops; the quality drop has NO partner doc
+    val rows = IngestPipeline.ledger(spark, cfg)
+      .select("doc_id", "kept_id", "reason").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSet
+    assert(rows == Set((2L, None, "low_quality"), (4L, Some(3L), "intra_dup")),
+      rows.toString)
+    // the flagged doc never entered the band index (gate before banding)
+    val idxIds = spark.read.parquet(cfg.bandIndexPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!idxIds.contains(2L), idxIds.toString)
+    // an unbounded ceiling with the path set is a configuration error
+    intercept[IllegalArgumentException] {
+      IngestPipeline.runNight(spark,
+        Seq(9L -> "x y z").toDF("doc_id", "text"), "n2",
+        cfg.copy(lmGateMaxCe = Double.PositiveInfinity))
+    }
+  }
+
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-bloom-rebuild")

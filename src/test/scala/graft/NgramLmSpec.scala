@@ -81,6 +81,40 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(exact === approx)
   }
 
+  test("save/load roundtrip scores identically and a wrong path fails fast") {
+    val path = TempDirs.create("graft-lm").resolve("model").toString
+    val m = NgramLm.train(train, "doc_id", "text")
+    NgramLm.save(spark, m, path)
+    val cand = docs(40L -> "a b a", 41L -> "z q")
+    val direct = NgramLm.crossEntropy(cand, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val loaded = NgramLm.crossEntropy(cand, "doc_id", "text",
+      NgramLm.load(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(direct === loaded)
+    val notAModel = TempDirs.create("graft-lm").resolve("nope").toString
+    intercept[IllegalArgumentException](NgramLm.load(spark, notAModel))
+  }
+
+  test("qualityGate splits on the ceiling; unscorable docs pass") {
+    val m = NgramLm.train(train, "doc_id", "text")
+    val batch = docs(
+      50L -> "a b a",   // fluent under the model
+      51L -> "z q",     // unseen everywhere: ce = ln V = ln 2
+      52L -> "a")       // single token — unscorable, must PASS
+    // ceiling between the fluent score and ln 2
+    val fluentCe = NgramLm.crossEntropy(docs(50L -> "a b a"), "doc_id",
+      "text", m).collect().head.getDouble(2)
+    val maxCe = (fluentCe + math.log(2.0)) / 2
+    val (surv, flagged) = NgramLm.qualityGate(batch, "doc_id", "text", m, maxCe)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(50L, 52L))
+    val fl = flagged.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fl.keySet === Set(51L) && fl(51L) === r6(math.log(2.0)))
+    intercept[IllegalArgumentException](
+      NgramLm.qualityGate(batch, "doc_id", "text", m, -1.0))
+  }
+
   test("rrf matches the definition: sum of 1/(k+rank), ranks only") {
     import spark.implicits._
     val armA = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")

@@ -436,6 +436,58 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(12L, 22L), idxIds.toString)
   }
 
+  test("nearDupIngestStream lm gate: low-quality micro-batch docs never land nor enter the index") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, NgramLm}
+    val dir = TempDirs.create("graftingest-lm").toString
+    val idx = dir + "/idx"
+    val modelPath = dir + "/lm_model"
+    // the train corpus covers every fluent family in the stream — an
+    // out-of-domain doc scores the all-unseen ln V, same as gibberish
+    val trainDocs = Seq(
+      800L -> "the cat sat on the mat",
+      801L -> "the cat ran on the mat",
+      802L -> "sphinx of black quartz judge my vow")
+      .toDF("doc_id", "text")
+    NgramLm.save(spark, NgramLm.train(trainDocs, "doc_id", "text"), modelPath)
+    val model = NgramLm.load(spark, modelPath)
+    val fluent = "the cat sat on the mat"
+    val sphinx = "sphinx of black quartz judge my vow"
+    val gibberish = "zz qq ww rr tt uu"
+    val ces = NgramLm.crossEntropy(
+        Seq(1L -> fluent, 2L -> gibberish, 3L -> sphinx)
+          .toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // batch 1: 11 fluent, 12 gibberish (gate-dropped); batch 2's 21
+    // byte-identical to 11 — the PROBE path must still fire after the gate
+    Seq(11L -> fluent, 12L -> gibberish)
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(21L -> fluent, 22L -> sphinx)
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200,
+        lmModelPath = Some(modelPath),
+        lmGateMaxCe = (math.max(ces(1L), ces(3L)) + ces(2L)) / 2) { (survivors, _) =>
+        accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(11L), Set(22L)), s"got $accepted")
+    // the gibberish doc entered NEITHER the corpus (accept) NOR the index
+    val idxIds = BandIndex.load(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(11L, 22L), idxIds.toString)
+  }
+
   test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-spans").toString
