@@ -362,6 +362,31 @@ object Fusion {
         .orderBy(round(col(scoreCol), 6).desc, col(id))).as("rank"))
 
   /**
+   * Hybrid search over the PERSISTED indexes — the 100 TB path: the
+   * lexical arm prunes the standing [[Bm25Index]] to the query terms'
+   * bucket directories, the dense arm probes the standing
+   * [[IvfIndex]]'s `nprobe` cells, and the two top-k lists fuse by RRF.
+   * Each arm reads an index-pruned sliver of its index and nothing else;
+   * the fusion itself touches ≤ 2·kPerArm rows. The corpora behind the
+   * two indexes must share the id space (the engine's documents ↔
+   * embeddings contract). `queryId` must not collide with a corpus id —
+   * the dense probe excludes self-pairs by id.
+   */
+  def hybridTopK(spark: SparkSession, bm25Path: String, ivfPath: String,
+                 id: String, terms: Seq[String], queryVec: Array[Float],
+                 kPerArm: Int = 20, nprobe: Int = 1, queryId: Long = -1L,
+                 k: Int = RrfK, topK: Int = 10): DataFrame = {
+    val lex = ranked(
+      Bm25Index.query(spark, bm25Path, id, terms, kPerArm), id, "score")
+    import spark.implicits._
+    val dense = IvfIndex.probe(spark, ivfPath,
+        Seq((queryId, queryVec)).toDF("__hq_id", "__hq_vec"),
+        "__hq_id", "__hq_vec", kPerArm, nprobe)
+      .select(col("neighbor_id").as(id), col("rank"))
+    rrf(Seq(lex, dense), id, k = k, topK = topK)
+  }
+
+  /**
    * Fuse ranked arms: each input holds (`id`, `rankCol`) with 1-based
    * ranks. Returns (id, rrf_score, n_arms) — top `topK` by
    * (rounded score desc, id).

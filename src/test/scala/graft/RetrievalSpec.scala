@@ -136,4 +136,46 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     val st = Bm25.corpusStats(corpus, "text").collect()(0)
     assert(st.getDouble(0) === 3.0 && st.getDouble(1) === 4.0)
   }
+
+  test("persisted hybrid RRF equals the frame-arm fusion, both arms index-pruned") {
+    import spark.implicits._
+    import graft.operators.{Fusion, IvfIndex, Similarity}
+    val root = TempDirs.create("graft-hybrid")
+    val bm25Path = root.resolve("bm25").toString
+    val ivfPath = root.resolve("ivf").toString
+    // one id space: text and an embedding per doc (the documents ↔
+    // embeddings contract); embeddings separate ids deliberately
+    val texts = docs(
+      1L -> "spark shuffle spark join",
+      2L -> "spark window frame",
+      3L -> "merge sort batch stream",
+      4L -> "scan filter project spark")
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.1f, 0.0f),
+      2L -> Array(0.9f, 0.2f, 0.1f),
+      3L -> Array(0.0f, 1.0f, 0.9f),
+      4L -> Array(0.2f, 0.8f, 1.0f)).toDF("doc_id", "embedding")
+    Bm25Index.save(texts, "doc_id", "text", bm25Path, buckets = 8)
+    // one centroid: every probe covers the whole index, so the dense arm
+    // must equal brute force and the equivalence below is exact
+    IvfIndex.save(vecs, "doc_id", "embedding", ivfPath, numCentroids = 1)
+    val qVec = Array(1.0f, 0.15f, 0.05f)
+    val terms = Seq("spark", "window")
+
+    val hybrid = Fusion.hybridTopK(spark, bm25Path, ivfPath, "doc_id",
+        terms, qVec, kPerArm = 3, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+
+    val lexArm = Fusion.ranked(
+      Bm25.search(texts, "doc_id", "text", terms, k = 3), "doc_id", "score")
+    val denseArm = Similarity.bruteForceTopK(
+        Seq(-1L -> qVec).toDF("doc_id", "embedding"), vecs,
+        "doc_id", "doc_id", "embedding", "embedding", k = 3)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val expected = Fusion.rrf(Seq(lexArm, denseArm), "doc_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(hybrid === expected)
+    // docs in both arms outrank single-arm docs at equal ranks
+    assert(hybrid.head._3 === 2L)
+  }
 }
