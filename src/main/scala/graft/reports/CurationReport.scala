@@ -49,6 +49,15 @@ object CurationReport {
       minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
       minStopwordFrac: Double = 0.06,
       maxDupLineFrac: Double = 0.3, maxDupTokenRatio: Double = 0.6,
+      // (opt-in) LM quality sheets: a persisted bigram model
+      // ([[graft.operators.NgramLm.save]]) scores the corpus once; the
+      // report gets the head/middle/tail tier audit (the keep-set
+      // decision CCNet makes) and the `lmWorstN` highest-cross-entropy
+      // docs — the human-review queue. Bounded outputs (3 tier rows +
+      // lmWorstN rows); the scoring pass is corpus-linear like the
+      // signal pass
+      lmModelPath: Option[String] = None,
+      lmWorstN: Int = 20,
       carrier: String = "corpus")
 
   final case class CurationSummary(
@@ -145,10 +154,32 @@ object CurationReport {
       else base :+ ("Near-Dup Pairs" -> Dedup.minhashLshPairs(
         corpus, cfg.idCol, cfg.textCol, cfg.shingleK, cfg.numHashes,
         cfg.bands, cfg.maxBucket).orderBy(col("id_a").asc, col("id_b").asc))
-    if (!cfg.dupSpans) withNearDup
-    else withNearDup :+ ("Duplicated Spans" -> Dedup.duplicateGrams(
-      corpus, cfg.idCol, cfg.textCol, cfg.spanK)
-      .orderBy(col("n").desc, col("gram").asc).limit(cfg.spanTopN))
+    val withSpans =
+      if (!cfg.dupSpans) withNearDup
+      else withNearDup :+ ("Duplicated Spans" -> Dedup.duplicateGrams(
+        corpus, cfg.idCol, cfg.textCol, cfg.spanK)
+        .orderBy(col("n").desc, col("gram").asc).limit(cfg.spanTopN))
+    cfg.lmModelPath match {
+      case None => withSpans
+      case Some(mp) =>
+        import graft.operators.NgramLm
+        // one scoring pass feeds both sheets (the perDoc discipline)
+        val scored = graft.core.Caches.track(NgramLm.crossEntropy(
+          corpus, cfg.idCol, cfg.textCol, NgramLm.load(spark, mp)))
+        val tiers = NgramLm.perplexityTiers(scored, "cross_entropy")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("cross_entropy")), 6).as("avg_ce"),
+            round(min(col("cross_entropy")), 6).as("min_ce"),
+            round(max(col("cross_entropy")), 6).as("max_ce"))
+          .orderBy(col("tier"))
+        val worst = scored
+          .select(col(cfg.idCol), col("n_bigrams"), col("cross_entropy"))
+          .orderBy(col("cross_entropy").desc, col(cfg.idCol).asc)
+          .limit(cfg.lmWorstN)
+        withSpans ++ Seq("LM Quality Tiers" -> tiers,
+          "LM Worst Docs" -> worst)
+    }
   }
 
   /** Render the workbook (one sheet per section) and log each phase to the

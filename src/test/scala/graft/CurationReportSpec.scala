@@ -117,6 +117,36 @@ class CurationReportSpec extends AnyFunSuite with SparkSpec {
     assert(summary.nearDupPairs >= 1L) // 10/11 exact, 30 near of both
   }
 
+  test("lm sheets appear when a model is configured; planted gibberish is worst") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-curation-lm")
+    val modelPath = dir.resolve("lm_model").toString
+    // train on the fixture's own good docs — in-domain text scores low
+    graft.operators.NgramLm.save(spark, graft.operators.NgramLm.train(
+      fixture.filter(col("doc_id") <= 3L), "doc_id", "text"), modelPath)
+    val d = fixture.union(
+      Seq((40L, "zzq qqz wwx rrv ttk uuj zzq wwx")).toDF("doc_id", "text"))
+    val frames = CurationReport.sections(spark, d,
+      CurationConfig(lmModelPath = Some(modelPath), lmWorstN = 3))
+    try {
+      assert(frames.map(_._1).takeRight(2) ==
+        Seq("LM Quality Tiers", "LM Worst Docs"))
+      val tiers = frames.toMap.apply("LM Quality Tiers").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(tiers.keySet == Set("head", "middle", "tail"))
+      assert(tiers.values.sum == 8L) // every scoreable doc got a tier
+      val worst = frames.toMap.apply("LM Worst Docs").collect()
+      assert(worst.length == 3)
+      // the all-unseen docs lead: 20 ("too short" — one unseen bigram)
+      // ties the gibberish doc at ln V exactly, id breaks the tie
+      assert(worst.take(2).map(_.getLong(0)).toSeq == Seq(20L, 40L),
+        worst.map(_.toString).mkString("; "))
+      // ordered by score, highest first
+      val ces = worst.map(_.getDouble(2)).toSeq
+      assert(ces == ces.sorted.reverse)
+    } finally graft.core.Caches.releaseAll()
+  }
+
   test("dupSpans sheet appears when enabled and surfaces the shared body") {
     val frames = CurationReport.sections(spark, fixture,
       CurationConfig(dupSpans = true, spanK = 8, spanTopN = 5))
