@@ -13,7 +13,11 @@ import graft.operators.{Mixing, Packing}
  *
  *   1. FILTER — [[Text.qualityVerdict]] keeps only documents passing the
  *      configured C4/Gopher battery (the curation report's thresholds —
- *      the report SHOWS the outcome distribution, this applies it).
+ *      the report SHOWS the outcome distribution, this applies it);
+ *      opt-in [[graft.operators.NgramLm.qualityGate]] then applies the
+ *      CCNet perplexity cut under a persisted model (`lmModelPath`) —
+ *      both filters are pure functions of the text, so the build stays
+ *      byte-identically reproducible.
  *   2. MIX — [[Mixing.mixCorpus]] replicates/samples per domain
  *      (deterministic md5-bucket fractional epochs); each copy carries
  *      its 0-based `epoch`.
@@ -52,6 +56,15 @@ object TrainingSetBuild {
       minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
       minStopwordFrac: Double = 0.06,
       maxDupLineFrac: Double = 0.3, maxDupTokenRatio: Double = 0.6,
+      // (opt-in) LM perplexity cut after the rule battery: a persisted
+      // bigram model ([[graft.operators.NgramLm.save]]) scores the kept
+      // docs once and those past the cross-entropy ceiling are excluded
+      // from the mix — the CCNet keep decision applied at build time.
+      // Unscorable docs (< 2 tokens) pass this stage (the rule battery's
+      // minTokens already governs them). Same fail-fast as the ingest
+      // gate: a model path without a finite ceiling is a config error
+      lmModelPath: Option[String] = None,
+      lmGateMaxCe: Double = Double.PositiveInfinity,
       // resume from an existing staged table: when the stage phase's
       // commit record (the staged parquet's _SUCCESS marker) exists, skip
       // re-running the quality battery and pack straight from it —
@@ -83,10 +96,20 @@ object TrainingSetBuild {
       s"maxEpochs=${cfg.maxEpochs} cannot keep (doc, epoch) pack keys " +
         s"unique under a domain weight of $maxW (epochs run 0..ceil(w)-1); " +
         s"raise maxEpochs to at least ${math.ceil(maxW).toLong}")
-    val kept = corpus.filter(
+    val ruleKept = corpus.filter(
       Text.qualityVerdict(col(cfg.textCol), cfg.minTokens, cfg.maxTokens,
         cfg.minAvgWordLen, cfg.maxAvgWordLen, cfg.minStopwordFrac,
         cfg.maxDupLineFrac, cfg.maxDupTokenRatio).getField("keep"))
+    val kept = cfg.lmModelPath match {
+      case None => ruleKept
+      case Some(mp) =>
+        require(!cfg.lmGateMaxCe.isInfinite,
+          "lmModelPath is set but lmGateMaxCe is unbounded — set the " +
+            "cross-entropy ceiling (NgramLm.perplexityTiers picks one)")
+        graft.operators.NgramLm.qualityGate(ruleKept, cfg.idCol,
+          cfg.textCol, graft.operators.NgramLm.load(corpus.sparkSession, mp),
+          cfg.lmGateMaxCe)._1
+    }
     val mixed = Mixing.mixCorpus(kept, cfg.idCol, col(cfg.domainCol),
       cfg.weights, cfg.defaultWeight)
     mixed.withColumn("pack_key",

@@ -44,6 +44,38 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Long]("token_offset") / cfg.budget))
   }
 
+  test("lm filter: a rule-passing but out-of-domain doc is cut from the mix") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-tsb-lm")
+    val modelPath = dir.resolve("lm_model").toString
+    graft.operators.NgramLm.save(spark, graft.operators.NgramLm.train(
+      corpus.filter(col("doc_id") <= 19L), "doc_id", "text"), modelPath)
+    val model = graft.operators.NgramLm.load(spark, modelPath)
+    // passes the rule battery (50+ tokens, stopwords, distinct tokens) but
+    // is out-of-domain under the model: every second transition has an
+    // unseen context
+    val offDomain = (1 to 30).map(i => s"the zqx$i the wkv$i").mkString(" ")
+    val withOff = corpus.union(
+      Seq((95L, offDomain, "web", 120L)).toDF("doc_id", "text", "lang", "n_chars"))
+    val ces = graft.operators.NgramLm.crossEntropy(
+        Seq(1L -> (body + " doc 1"), 2L -> offDomain).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ces(1L) < ces(2L), ces.toString)
+    val lmCfg = cfg.copy(lmModelPath = Some(modelPath),
+      lmGateMaxCe = (ces(1L) + ces(2L)) / 2)
+    val packedIds = TrainingSetBuild.plan(withOff, lmCfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // the off-domain doc is cut; the in-domain mix is untouched
+    assert(!packedIds.contains(95L), packedIds.toString)
+    val baseline = TrainingSetBuild.plan(corpus, cfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(packedIds === baseline)
+    // unbounded ceiling with a model path fails fast
+    intercept[IllegalArgumentException](
+      TrainingSetBuild.plan(withOff, cfg.copy(lmModelPath = Some(modelPath))))
+  }
+
   test("run: shards + manifest land, audit trail written, summary exact") {
     val dir = TempDirs.create("graft-trainset")
     val out = dir.resolve("out").toString
