@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, SqlTemplate, Tables}
 import graft.functions.{Dates, Text, Vectors}
 import graft.merge.Upsert
-import graft.operators.{BandIndex, Bm25, Dedup, Fusion, IvfIndex, Multimodal, NgramLm, Similarity}
+import graft.operators.{BandIndex, Bm25, Dedup, Fusion, IvfIndex, Multimodal, NbClassifier, NgramLm, Similarity}
 import graft.ops.{Cdc, Compaction, Periods}
 import graft.reports.Feeds
 
@@ -1690,6 +1690,38 @@ object SparkEntry {
         .orderBy("tier")
     }),
 
+    // GPT-3-style seed-supervised quality classifier: multinomial Naive
+    // Bayes trained on a curated-vs-raw seed split (sources src0-4 vs
+    // src15-19), scoring EVERY corpus doc with the smoothed log-odds. The
+    // model is vocabulary-sized (one token agg + a 1-row totals frame);
+    // scoring is one broadcastable join + a map-side-combinable per-doc agg
+    "q113_nb_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = NbClassifier.train(
+        d.filter(col("source").isin(NbPosSeeds: _*)),
+        d.filter(col("source").isin(NbNegSeeds: _*)),
+        "doc_id", "text")
+      NbClassifier.logOdds(d, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
+    // the GPT-3 keep rule over the classifier scores: keep iff a
+    // Pareto(9) draw exceeds 1 - sigmoid(log_odds) — the draw
+    // inverse-transformed from a CONTENT-HASH-seeded uniform so the
+    // stochastic-looking kept set is exactly reproducible (and
+    // oracle-pinnable); both comparison sides rounded to 6 dp so the
+    // decision cannot flip on last-ulp ln/exp engine differences
+    "q114_nb_pareto_keep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = NbClassifier.train(
+        d.filter(col("source").isin(NbPosSeeds: _*)),
+        d.filter(col("source").isin(NbNegSeeds: _*)),
+        "doc_id", "text")
+      val scored = NbClassifier.logOdds(d, "doc_id", "text", m)
+      NbClassifier.paretoKeep(scored, "doc_id")
+        .select(col("doc_id"), col("log_odds"), col("keep_p"), col("noise"))
+        .orderBy("doc_id")
+    }),
+
     // the exact gate driven end to end through the audited nightly
     // pipeline (q74's composition with bloomIndexPath configured):
     // night-1's byte-identical intra dups drop at the gate, night-2's
@@ -3062,6 +3094,29 @@ object SparkEntry {
     // q105 pattern applied to the quality gate)
     "q112_ingest_lm_gate" -> IngestLmGateSql,
 
+    // q113: the seed-supervised NB quality score, every corpus doc
+    "q113_nb_quality_score" ->
+      s"""$NbScoreCte
+         |SELECT doc_id, n_tokens, log_odds FROM sc
+         |ORDER BY doc_id""".stripMargin,
+
+    // q114: GPT-3's pareto keep rule, the draw seeded from the doc id's
+    // md5 so the kept set is deterministic; both comparison sides rounded
+    // to 6 dp before comparing (exactly as the Spark side does)
+    "q114_nb_pareto_keep" ->
+      s"""$NbScoreCte,
+         |drawn AS (
+         |  SELECT doc_id, log_odds,
+         |         round(1.0 / (1.0 + exp(-log_odds)), 6) AS keep_p,
+         |         round(pow(1.0 - (${md5DigitSql("doc_id", 1)} * 4096.0
+         |                        + ${md5DigitSql("doc_id", 2)} * 256.0
+         |                        + ${md5DigitSql("doc_id", 3)} * 16.0
+         |                        + ${md5DigitSql("doc_id", 4)}) / 65536.0,
+         |                   -1.0 / 9.0) - 1.0, 6) AS noise
+         |  FROM sc)
+         |SELECT doc_id, log_odds, keep_p, noise FROM drawn
+         |WHERE noise > 1.0 - keep_p ORDER BY doc_id""".stripMargin,
+
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from
     "q69_compaction" ->
@@ -3360,6 +3415,47 @@ object SparkEntry {
 
   private lazy val LmScoreCte: String = "WITH " + lmScoreFragments("")
 
+  /** md5 hex digit i (1-based) of an expression as 0..15 — the q50/q107
+    * portable-hash digit, shared by the q114 uniform draw. */
+  private def md5DigitSql(e: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), $i, 1)) - 1)"
+
+  /** Shared Naive-Bayes classifier CTE chain ending in `sc(doc_id,
+    * n_tokens, log_odds)`: whitespace tokens, add-0.5-smoothed multinomial
+    * NB trained on the src0-4 (positive) vs src15-19 (negative) seed
+    * split over the JOINT seed vocabulary, class prior from seed doc
+    * counts — NbClassifier.logOdds' exact algebra. */
+  private val NbScoreCte: String =
+    s"""WITH seeds AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |              THEN 1 ELSE 0 END AS p
+       |  FROM documents
+       |  WHERE source IN ('src0','src1','src2','src3','src4',
+       |                   'src15','src16','src17','src18','src19')),
+       |stok AS (
+       |  SELECT p, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM seeds WHERE len(trim(text)) > 0),
+       |cnt AS (SELECT token, CAST(SUM(p) AS DOUBLE) AS c_pos,
+       |               CAST(SUM(1 - p) AS DOUBLE) AS c_neg
+       |        FROM stok GROUP BY 1),
+       |tot AS (SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg,
+       |               CAST(COUNT(*) AS DOUBLE) AS v FROM cnt),
+       |nd AS (SELECT CAST(SUM(p) AS DOUBLE) AS n_pos,
+       |              CAST(SUM(1 - p) AS DOUBLE) AS n_neg FROM seeds),
+       |ctok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |lr AS (
+       |  SELECT ct.doc_id,
+       |         ln((coalesce(c.c_pos, 0) + 0.5) / (t.t_pos + 0.5 * t.v))
+       |       - ln((coalesce(c.c_neg, 0) + 0.5) / (t.t_neg + 0.5 * t.v)) AS lr
+       |  FROM ctok ct LEFT JOIN cnt c USING (token) CROSS JOIN tot t),
+       |sc AS (
+       |  SELECT lr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         round(ln(nd.n_pos / nd.n_neg) + SUM(lr.lr), 6) AS log_odds
+       |  FROM lr CROSS JOIN nd GROUP BY lr.doc_id, nd.n_pos, nd.n_neg)""".stripMargin
+
   /** Shared DSIR CTE chain ending in `sc(doc_id, lang, n_grams, logw)`:
     * whitespace unigrams+bigrams, md5-hashed into 8192 buckets, add-0.5
     * smoothed log ratio of the English-slice model vs the whole corpus —
@@ -3447,6 +3543,12 @@ object SparkEntry {
     * oracle SQL strings — a single constant so the cap can't drift between
     * engine and oracle. */
   private val LshMaxBucket = 200
+
+  /** q113/q114 classifier seed split: curated-vs-raw stand-ins over the
+    * fixture's `source` buckets (the GPT-3 recipe trains curated corpora
+    * against a crawl sample). */
+  private val NbPosSeeds = Seq("src0", "src1", "src2", "src3", "src4")
+  private val NbNegSeeds = Seq("src15", "src16", "src17", "src18", "src19")
 
   /** documents ∪ exact copies (mirrors docsWithDupes). */
   private val DupDocsSql =

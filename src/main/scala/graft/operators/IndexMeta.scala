@@ -177,13 +177,14 @@ private[operators] object DirSwap {
         // SINGLE-ACTOR claim (best-effort): concurrent repairs — two
         // readers funneling through the same entry point after a crash —
         // would otherwise race the destructive rename below. createNewFile
-        // is atomic on local/HDFS-like stores, so exactly one actor claims
-        // and rolls the stage forward; LOSERS wait (bounded) for the
-        // winner's rename to land, so their caller reads the repaired live
-        // dir, never a missing one. A claim whose owner died (older than
-        // ClaimStaleMs with live still missing) is taken over. On stores
-        // without atomic create the claim degrades to the documented
-        // external-serialization caveat — no worse than unguarded.
+        // is atomic on HDFS; on stores where it is check-then-create
+        // (LocalFileSystem among them) two actors can both claim, and the
+        // rename-race catch inside rollForward() is the hard backstop —
+        // the loser observes live present and reports convergence. LOSERS
+        // of the claim wait (bounded) for the winner's rename to land, so
+        // their caller reads the repaired live dir, never a missing one.
+        // A claim whose owner died (older than ClaimStaleMs with live
+        // still missing) is taken over.
         val claim = claimPath(livePath)
         def takeClaim(): Boolean =
           try fs.createNewFile(claim)
@@ -196,8 +197,22 @@ private[operators] object DirSwap {
           try {
             // re-check under the claim: another actor may have finished
             // between our listing and our claim
-            val rolled = !fs.exists(livePath) && fs.exists(chosen) &&
-              fs.rename(chosen, livePath)
+            val rolled =
+              try !fs.exists(livePath) && fs.exists(chosen) &&
+                fs.rename(chosen, livePath)
+              catch {
+                // the HARD backstop for a lost rename race: FileSystem
+                // .createNewFile is check-then-create on several stores
+                // (LocalFileSystem among them), so two actors CAN both
+                // hold the claim; the loser's rename then fails mid-op
+                // (local fs: renameTo fails once the winner moved the
+                // source and the FileUtil.copy fallback throws
+                // FileNotFoundException). If live is there now, the other
+                // actor rolled the stage forward — that is convergence,
+                // not an error; anything else is a real fault
+                case e: java.io.IOException =>
+                  if (fs.exists(livePath)) false else throw e
+              }
             if (fs.exists(livePath)) {
               fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),
                 false)

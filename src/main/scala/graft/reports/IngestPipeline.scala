@@ -40,6 +40,11 @@ import graft.ops.{Compaction, CompactionResult}
  *      a |flagged|-sized anti-join; docs the model cannot score
  *      (< 2 tokens) pass. Drops ledger as reason='low_quality' (kept_id
  *      NULL — there is no partner doc; the evidence is the score).
+ *   0e. CLASSIFIER GATE (opt-in, `nbModelPath`) — batch docs failing the
+ *      GPT-3 pareto keep rule under a persisted
+ *      [[graft.operators.NbClassifier]] model drop BEFORE the probe; the
+ *      draw is content-hash-seeded, so a replayed night re-derives the
+ *      same verdicts. Drops ledger as reason='classifier_rejected'.
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -237,6 +242,16 @@ object IngestPipeline {
       // drop is a configuration mistake, not a no-op.
       lmModelPath: Option[String] = None,
       lmGateMaxCe: Double = Double.PositiveInfinity,
+      // (opt-in) CLASSIFIER GATE: path of a persisted seed-supervised NB
+      // model ([[graft.operators.NbClassifier.save]]). Batch docs that
+      // FAIL the GPT-3 pareto keep rule (`noise > 1 - sigmoid(log_odds)`,
+      // draw content-hash-seeded so replays re-derive the same verdicts)
+      // drop before the near-dup probe. Runs AFTER the LM gate; docs the
+      // model cannot score (zero tokens) pass. Drops are ledgered as
+      // reason='classifier_rejected' with kept_id NULL when dropLedger
+      // is on.
+      nbModelPath: Option[String] = None,
+      nbParetoShape: Double = graft.operators.NbClassifier.ParetoShape,
       bloomIndexPath: Option[String] = None,
       bloomShards: Int = 64,
       bloomBitsPerShard: Long = 1L << 23,
@@ -495,9 +510,38 @@ object IngestPipeline {
           }
       }
 
+    // 0e. (opt-in) CLASSIFIER GATE — docs failing the pareto keep rule
+    // drop before the probe: one scoring pass (one model join + a per-doc
+    // agg) + a |flagged|-sized anti-join; the draw is content-hash-seeded
+    // so a replayed night re-derives the same verdicts. See
+    // IngestConfig.nbModelPath.
+    val (classified, nbLedger): (DataFrame, Option[DataFrame]) =
+      cfg.nbModelPath match {
+        case None => (qualified, None)
+        case Some(mp) =>
+          val inRows =
+            if (cfg.bloomIndexPath.isDefined || cfg.evalSetPath.isDefined ||
+              cfg.lmModelPath.isDefined) qualified.count()
+            else batchRows
+          ExecutionLogger.logged(meta, s"ingest_nb_$night", cfg.carrier,
+              (t: (DataFrame, Option[DataFrame])) =>
+                (inRows, 0L, inRows - t._1.count())) {
+            val model = graft.operators.NbClassifier.load(spark, mp)
+            val (survivors, flagged) = graft.operators.NbClassifier
+              .paretoGate(qualified, cfg.idCol, cfg.textCol, model,
+                cfg.nbParetoShape)
+            val ledgerRows =
+              if (!cfg.dropLedger) None
+              else Some(flagged.select(col(cfg.idCol),
+                lit(null).cast("long").as("kept_id"),
+                lit("classifier_rejected").as("reason")))
+            (survivors, ledgerRows)
+          }
+      }
+
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in
-    val banded = Dedup.lshBanded(qualified, cfg.idCol, cfg.textCol,
+    val banded = Dedup.lshBanded(classified, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
       val (survivors, corpusPairs, intraPairs) =
@@ -533,7 +577,7 @@ object IngestPipeline {
           // (measured stats throughout: inherited estimates here size every
           // downstream landing/index shuffle — see pinnedWithMeasuredStats)
           (bridge.pinnedWithMeasuredStats(
-            qualified.join(corpusDups.union(intraDups).distinct(),
+            classified.join(corpusDups.union(intraDups).distinct(),
               Seq(cfg.idCol), "left_anti")), cp, ip)
         }
       val accepted = survivors.count()
@@ -547,7 +591,7 @@ object IngestPipeline {
       if (cfg.dropLedger) {
         ExecutionLogger.logged(meta, s"ingest_ledger_$night", cfg.carrier,
             (n: Long) => (0L, 0L, n)) {
-          val batchIds = qualified.select(col(cfg.idCol))
+          val batchIds = classified.select(col(cfg.idCol))
           val corpusLedger = corpusPairs
             .select(explode(array(
               struct(col("id_a").as("d"), col("id_b").as("k")),
@@ -573,6 +617,8 @@ object IngestPipeline {
             .unionByName(evalLedger.getOrElse(
               corpusLedger.limit(0)))
             .unionByName(lmLedger.getOrElse(
+              corpusLedger.limit(0)))
+            .unionByName(nbLedger.getOrElse(
               corpusLedger.limit(0)))
             .localCheckpoint(true)
           // written DIRECTLY into the night's directory (not partitionBy

@@ -15,8 +15,11 @@ import graft.operators.{Mixing, Packing}
  *      configured C4/Gopher battery (the curation report's thresholds —
  *      the report SHOWS the outcome distribution, this applies it);
  *      opt-in [[graft.operators.NgramLm.qualityGate]] then applies the
- *      CCNet perplexity cut under a persisted model (`lmModelPath`) —
- *      both filters are pure functions of the text, so the build stays
+ *      CCNet perplexity cut under a persisted model (`lmModelPath`), and
+ *      opt-in [[graft.operators.NbClassifier.paretoGate]] applies the
+ *      GPT-3 classifier keep rule under a persisted NB model
+ *      (`nbModelPath`, content-hash-seeded draw) — all three filters are
+ *      pure functions of the text/content hash, so the build stays
  *      byte-identically reproducible.
  *   2. MIX — [[Mixing.mixCorpus]] replicates/samples per domain
  *      (deterministic md5-bucket fractional epochs); each copy carries
@@ -65,6 +68,13 @@ object TrainingSetBuild {
       // gate: a model path without a finite ceiling is a config error
       lmModelPath: Option[String] = None,
       lmGateMaxCe: Double = Double.PositiveInfinity,
+      // (opt-in) seed-supervised classifier keep after the LM cut: a
+      // persisted NB model ([[graft.operators.NbClassifier.save]]) scores
+      // the kept docs once and the GPT-3 pareto rule decides keeps — the
+      // draw is content-hash-seeded, so the build stays byte-identically
+      // reproducible. Unscorable docs (zero tokens) pass this stage
+      nbModelPath: Option[String] = None,
+      nbParetoShape: Double = graft.operators.NbClassifier.ParetoShape,
       // resume from an existing staged table: when the stage phase's
       // commit record (the staged parquet's _SUCCESS marker) exists, skip
       // re-running the quality battery and pack straight from it —
@@ -100,7 +110,7 @@ object TrainingSetBuild {
       Text.qualityVerdict(col(cfg.textCol), cfg.minTokens, cfg.maxTokens,
         cfg.minAvgWordLen, cfg.maxAvgWordLen, cfg.minStopwordFrac,
         cfg.maxDupLineFrac, cfg.maxDupTokenRatio).getField("keep"))
-    val kept = cfg.lmModelPath match {
+    val lmKept = cfg.lmModelPath match {
       case None => ruleKept
       case Some(mp) =>
         require(!cfg.lmGateMaxCe.isInfinite,
@@ -109,6 +119,14 @@ object TrainingSetBuild {
         graft.operators.NgramLm.qualityGate(ruleKept, cfg.idCol,
           cfg.textCol, graft.operators.NgramLm.load(corpus.sparkSession, mp),
           cfg.lmGateMaxCe)._1
+    }
+    val kept = cfg.nbModelPath match {
+      case None => lmKept
+      case Some(mp) =>
+        graft.operators.NbClassifier.paretoGate(lmKept, cfg.idCol,
+          cfg.textCol,
+          graft.operators.NbClassifier.load(corpus.sparkSession, mp),
+          cfg.nbParetoShape)._1
     }
     val mixed = Mixing.mixCorpus(kept, cfg.idCol, col(cfg.domainCol),
       cfg.weights, cfg.defaultWeight)

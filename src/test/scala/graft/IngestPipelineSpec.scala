@@ -983,6 +983,60 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nb classifier gate: rejected docs drop BEFORE the probe, replay-deterministic") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-nbgate")
+    val modelPath = root.resolve("nb_model").toString
+    val fluent = "the cat sat on the mat with the other cat"
+    val packDoc = "pack my box with five dozen liquor jugs today"
+    val spam = "buy cheap pills now buy cheap pills now buy cheap pills"
+    graft.operators.NbClassifier.save(spark,
+      graft.operators.NbClassifier.train(
+        Seq(800L -> fluent, 801L -> packDoc).toDF("doc_id", "text"),
+        Seq(802L -> spam).toDF("doc_id", "text"), "doc_id", "text"),
+      modelPath)
+    val model = graft.operators.NbClassifier.load(spark, modelPath)
+    val batch = Seq(
+      1L -> fluent,
+      2L -> spam, // negative-seed-like: classifier-rejected
+      // 3/4: byte-identical pair — the probe must still run AFTER the gate
+      3L -> packDoc,
+      4L -> packDoc)
+      .toDF("doc_id", "text")
+    // derive the expected verdicts from the operator itself (the draw is
+    // content-hash-seeded, so this is exact, not probabilistic)
+    val (_, flagged) = graft.operators.NbClassifier.paretoGate(
+      batch, "doc_id", "text", model)
+    val flaggedIds = flagged.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flaggedIds.contains(2L) && !flaggedIds.contains(1L) &&
+      !flaggedIds.contains(3L), flaggedIds.toString)
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      nbModelPath = Some(modelPath),
+      dropLedger = true)
+    val n1 = IngestPipeline.runNight(spark, batch, "n1", cfg)
+    assert(n1.accepted == 4 - flaggedIds.size - 1, n1.toString)
+    val landed = spark.read.parquet(cfg.corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 3L) -- flaggedIds, landed.toString)
+    // the ledger explains the classifier drop with a null partner and the
+    // probe drop with its kept doc
+    val rows = IngestPipeline.ledger(spark, cfg)
+      .select("doc_id", "kept_id", "reason").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSet
+    assert(rows.contains((4L, Some(3L), "intra_dup")), rows.toString)
+    assert(flaggedIds.forall(id =>
+      rows.contains((id, None, "classifier_rejected"))), rows.toString)
+    // rejected docs never entered the band index (gate before banding)
+    val idxIds = spark.read.parquet(cfg.bandIndexPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((idxIds & flaggedIds).isEmpty, idxIds.toString)
+  }
+
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
     import spark.implicits._
     val root = TempDirs.create("graft-ingest-bloom-rebuild")

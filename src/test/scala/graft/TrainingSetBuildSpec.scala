@@ -76,6 +76,28 @@ class TrainingSetBuildSpec extends AnyFunSuite with SparkSpec {
       TrainingSetBuild.plan(withOff, cfg.copy(lmModelPath = Some(modelPath))))
   }
 
+  test("nb filter: a rule-passing but negative-seed-like doc is cut") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-tsb-nb")
+    val modelPath = dir.resolve("nb_model").toString
+    // negative seed shares the spam doc's vocabulary; positive seed is the
+    // corpus body's
+    val spam = (1 to 30).map(i => s"buy$i cheap$i pills$i now$i").mkString(" ")
+    graft.operators.NbClassifier.save(spark, graft.operators.NbClassifier.train(
+      Seq(1L -> (body + " doc 1")).toDF("doc_id", "text"),
+      Seq(2L -> spam).toDF("doc_id", "text"), "doc_id", "text"), modelPath)
+    val withSpam = corpus.union(
+      Seq((96L, spam, "web", 120L)).toDF("doc_id", "text", "lang", "n_chars"))
+    val nbCfg = cfg.copy(nbModelPath = Some(modelPath))
+    val packedIds = TrainingSetBuild.plan(withSpam, nbCfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!packedIds.contains(96L), packedIds.toString)
+    // the in-domain mix is untouched (keep_p ~ 1 survives any draw)
+    val baseline = TrainingSetBuild.plan(corpus, cfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(packedIds === baseline)
+  }
+
   test("run: shards + manifest land, audit trail written, summary exact") {
     val dir = TempDirs.create("graft-trainset")
     val out = dir.resolve("out").toString
