@@ -306,6 +306,37 @@ object ScaleBench {
           }
       }
 
+      // ---- nb tier: seed-supervised NB quality classifier. Claims under
+      // test: (a) the model is VOCABULARY-sized (one (token, class) agg
+      // over the seeds — `rows` of nb_model_* reports it); (b) min-count
+      // pruning keeps the score-time join build side broadcastable; (c)
+      // train + score + keep is two seed scans + ONE model join + one
+      // per-doc agg + per-row keep arithmetic — nothing pairwise, wall
+      // tracks corpus size, not corpus².
+      if (wanted("nb")) {
+        val pos = () => spark.read.parquet(s"$scratch/docs_$n")
+          .filter(col("doc_id") % 10 === 0)
+        val neg = () => spark.read.parquet(s"$scratch/docs_$n")
+          .filter(col("doc_id") % 10 === 1)
+        timedRuns(n, "nb_model_full")(() =>
+          graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")
+            .tokenCounts.count())
+        timedRuns(n, "nb_model_pruned")(() =>
+          graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")
+            .prune(2).tokenCounts.count())
+        Seq(("nb_train_score_keep", 1L), ("nb_train_score_keep_pruned", 2L))
+          .foreach { case (name, minCount) =>
+            timedRuns(n, name)(() => {
+              val d = spark.read.parquet(s"$scratch/docs_$n")
+              val m = graft.operators.NbClassifier
+                .train(pos(), neg(), "doc_id", "text").prune(minCount)
+              graft.operators.NbClassifier.paretoKeep(
+                graft.operators.NbClassifier.logOdds(d, "doc_id", "text", m),
+                "doc_id").count()
+            })
+          }
+      }
+
       // ---- incremental probe tier: full recompute vs persisted-index probe
       // (the nightly-ingest story — Dedup.probeBandedPairs' reason to exist)
       if (wanted("probe") || wanted("probe_inc") || wanted("probe_full")) {

@@ -270,7 +270,15 @@ object Streams {
       // corpora get the same CCNet tail cut as the nightly surface.
       // Unscorable docs (< 2 tokens) pass, same contract
       lmModelPath: Option[String] = None,
-      lmGateMaxCe: Double = Double.PositiveInfinity)
+      lmGateMaxCe: Double = Double.PositiveInfinity,
+      // (opt-in) the CLASSIFIER GATE, as IngestConfig.nbModelPath:
+      // micro-batch docs failing the GPT-3 pareto keep rule under the
+      // persisted NB model drop BEFORE banding — the SHARED
+      // NbClassifier.paretoGate; the draw is content-hash-seeded, so an
+      // at-least-once replay re-derives the same verdicts. Zero-token
+      // docs pass, same contract
+      nbModelPath: Option[String] = None,
+      nbParetoShape: Double = graft.operators.NbClassifier.ParetoShape)
       (accept: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (raw: Dataset[Row], batchId: Long) =>
       val spark = raw.sparkSession
@@ -300,7 +308,7 @@ object Streams {
           evalGateContainment, evalGateMaxShingleDf)._1
         case None => exactGated
       }
-      val batch = lmModelPath match {
+      val lmGated = lmModelPath match {
         case Some(mp) =>
           require(!lmGateMaxCe.isInfinite,
             "lmModelPath is set but lmGateMaxCe is unbounded — set the " +
@@ -308,6 +316,12 @@ object Streams {
           graft.operators.NgramLm.qualityGate(screened, idCol, textCol,
             graft.operators.NgramLm.load(spark, mp), lmGateMaxCe)._1
         case None => screened
+      }
+      val batch = nbModelPath match {
+        case Some(mp) =>
+          graft.operators.NbClassifier.paretoGate(lmGated, idCol, textCol,
+            graft.operators.NbClassifier.load(spark, mp), nbParetoShape)._1
+        case None => lmGated
       }
       val banded = Dedup.lshBanded(batch, idCol, textCol,
         shingleK, numHashes, bands, portable).persist()

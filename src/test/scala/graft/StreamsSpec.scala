@@ -488,6 +488,52 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds == Set(11L, 22L), idxIds.toString)
   }
 
+  test("nearDupIngestStream nb gate: classifier-rejected micro-batch docs never land nor enter the index") {
+    import spark.implicits._
+    import graft.operators.{BandIndex, NbClassifier}
+    val dir = TempDirs.create("graftingest-nb").toString
+    val idx = dir + "/idx"
+    val modelPath = dir + "/nb_model"
+    val fluent = "the cat sat on the mat with the other cat"
+    val sphinx = "sphinx of black quartz judge my vow tonight ok"
+    val spam = "buy cheap pills now buy cheap pills now buy cheap pills"
+    NbClassifier.save(spark, NbClassifier.train(
+      Seq(800L -> fluent, 801L -> sphinx).toDF("doc_id", "text"),
+      Seq(802L -> spam).toDF("doc_id", "text"), "doc_id", "text"), modelPath)
+    val model = NbClassifier.load(spark, modelPath)
+    // batch 1: 11 fluent, 12 spam (gate-dropped); batch 2's 21 is
+    // byte-identical to 11 — the PROBE path must still fire after the gate
+    val batch = Seq(11L -> fluent, 12L -> spam, 21L -> fluent, 22L -> sphinx)
+      .toDF("doc_id", "text")
+    val flaggedIds = NbClassifier.paretoGate(batch, "doc_id", "text", model)
+      ._2.select("doc_id").as[Long].collect().toSet
+    assert(flaggedIds == Set(12L), flaggedIds.toString)
+    Seq(11L -> fluent, 12L -> spam)
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir + "/in")
+    Seq(21L -> fluent, 22L -> sphinx)
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir + "/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = Streams.nearDupIngestStream(
+        Streams.parquetStream(spark, dir + "/in", schema),
+        "doc_id", "text", idx, maxBucket = 200,
+        nbModelPath = Some(modelPath)) { (survivors, _) =>
+        accepted += survivors.select("doc_id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(accepted.toList == List(Set(11L), Set(22L)), s"got $accepted")
+    // the spam doc entered NEITHER the corpus (accept) NOR the index
+    val idxIds = BandIndex.load(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxIds == Set(11L, 22L), idxIds.toString)
+  }
+
   test("nearDupIngestStream spanDedupK: batch boilerplate cut before hashing and accept") {
     import spark.implicits._
     val dir = TempDirs.create("graftingest-spans").toString
