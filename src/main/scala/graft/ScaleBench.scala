@@ -294,16 +294,37 @@ object ScaleBench {
         timedRuns(n, "lm_model_pruned")(() =>
           graft.operators.NgramLm.train(target(), "doc_id", "text")
             .prune(2).bigrams.count())
+        // the action must CONSUME the score: a bare count() lets Catalyst
+        // eliminate the left-outer model joins entirely (aggregated right
+        // sides have unique keys and no referenced columns), so the timed
+        // plan would skip the scoring work — the round-19 lm tier's
+        // original numbers did exactly that (SCALE.md, measurement
+        // lessons)
+        def scoreAll(ce: DataFrame): Long =
+          ce.agg(count(lit(1)), sum("cross_entropy")).head().getLong(0)
         Seq(("lm_train_score", 1L), ("lm_train_score_pruned", 2L))
           .foreach { case (name, minCount) =>
             timedRuns(n, name)(() => {
               val d = spark.read.parquet(s"$scratch/docs_$n")
               val m = graft.operators.NgramLm
                 .train(target(), "doc_id", "text").prune(minCount)
-              graft.operators.NgramLm.crossEntropy(d, "doc_id", "text", m)
-                .count()
+              scoreAll(graft.operators.NgramLm.crossEntropy(
+                d, "doc_id", "text", m))
             })
           }
+        // the PRODUCTION shape (CCNet deployment: train once, ship the
+        // artifact): the model loads from parquet, so the planner sees its
+        // real vocabulary-sized stats and broadcasts the joins statically
+        val lmModelPath = s"$scratch/lm_model_$n"
+        timedRuns(n, "lm_score_indexed", setup = () => {
+          val mp = new org.apache.hadoop.fs.Path(lmModelPath)
+          if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(mp))
+            graft.operators.NgramLm.save(spark, graft.operators.NgramLm
+              .train(target(), "doc_id", "text").prune(2), lmModelPath, 2L)
+        })(() => scoreAll(graft.operators.NgramLm.crossEntropy(
+          spark.read.parquet(s"$scratch/docs_$n"), "doc_id", "text",
+          graft.operators.NgramLm.load(spark, lmModelPath))))
       }
 
       // ---- nb tier: seed-supervised NB quality classifier. Claims under
@@ -324,6 +345,9 @@ object ScaleBench {
         timedRuns(n, "nb_model_pruned")(() =>
           graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")
             .prune(2).tokenCounts.count())
+        // the keep filter consumes the score, so Catalyst cannot
+        // join-eliminate the scoring work under the count (see the lm
+        // tier's scoreAll note)
         Seq(("nb_train_score_keep", 1L), ("nb_train_score_keep_pruned", 2L))
           .foreach { case (name, minCount) =>
             timedRuns(n, name)(() => {
@@ -335,6 +359,22 @@ object ScaleBench {
                 "doc_id").count()
             })
           }
+        // the production shape: persisted model, planner sees real
+        // vocabulary-sized stats, token join broadcasts statically
+        val nbModelPath = s"$scratch/nb_model_$n"
+        timedRuns(n, "nb_score_keep_indexed", setup = () => {
+          val mp = new org.apache.hadoop.fs.Path(nbModelPath)
+          if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(mp))
+            graft.operators.NbClassifier.save(spark,
+              graft.operators.NbClassifier
+                .train(pos(), neg(), "doc_id", "text").prune(2),
+              nbModelPath, 2L)
+        })(() => graft.operators.NbClassifier.paretoKeep(
+          graft.operators.NbClassifier.logOdds(
+            spark.read.parquet(s"$scratch/docs_$n"), "doc_id", "text",
+            graft.operators.NbClassifier.load(spark, nbModelPath)),
+          "doc_id").count())
       }
 
       // ---- incremental probe tier: full recompute vs persisted-index probe

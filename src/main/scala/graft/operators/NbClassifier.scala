@@ -33,9 +33,13 @@ import graft.functions.Text
  *    tail while totals and V stay trained (the [[NgramLm.Model.prune]]
  *    discipline), keeping the score-time join build side broadcastable.
  *  - Scoring is ONE hash join of the exploded candidate tokens against
- *    the model (AQE broadcasts it when pruned) followed by one per-doc
- *    map-side-combinable agg. Nothing pairwise; doc text never leaves
- *    its partition un-exploded.
+ *    the model followed by one per-doc map-side-combinable agg. Score
+ *    against a [[save]]d-and-[[load]]ed model (the deployment shape):
+ *    parquet-backed model frames carry real vocabulary-sized stats, so
+ *    the planner broadcasts the join statically (measured: 3 MB shuffle
+ *    at 250k docs vs 349 MB for the fresh-train plan — SCALE.md round
+ *    19). Nothing pairwise; doc text never leaves its partition
+ *    un-exploded.
  *  - The keep rule is per-row arithmetic on a content-hash-seeded uniform
  *    draw — deterministic (reruns and audits reproduce the exact kept
  *    set, the engine-wide md5-bucket discipline of `Sampling`), zero
@@ -103,16 +107,17 @@ object NbClassifier {
     tokenRows(docs, id, text)
       .join(model.tokenCounts, Seq("token"), "left")
       .crossJoin(broadcast(model.totals))
-      .select(col(id), col("n_pos"), col("n_neg"),
+      .select(col(id),
         (log((coalesce(col("c_pos"), lit(0.0)) + lit(alpha)) /
              (col("t_pos") + lit(alpha) * col("v"))) -
          log((coalesce(col("c_neg"), lit(0.0)) + lit(alpha)) /
              (col("t_neg") + lit(alpha) * col("v")))).as("__lr"))
-      .groupBy(col(id), col("n_pos"), col("n_neg"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(log(col("n_pos") / col("n_neg")) + sum(col("__lr")), 6)
-          .as("log_odds"))
-      .drop("n_pos", "n_neg")
+      .groupBy(col(id)) // id-only keys: the prior joins back AFTER the agg
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sumlr"))
+      .crossJoin(broadcast(model.totals
+        .select(log(col("n_pos") / col("n_neg")).as("__prior"))))
+      .select(col(id), col("n_tokens"),
+        round(col("__prior") + col("__sumlr"), 6).as("log_odds"))
 
   /**
    * GPT-3's stochastic keep rule over a scored frame, made deterministic:

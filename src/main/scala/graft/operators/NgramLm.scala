@@ -33,8 +33,13 @@ import graft.functions.Text
  *    a derived `w1` agg for contexts and a 1-row distinct-count for V —
  *    the same map-side-combinable shapes as [[Bm25.postings]].
  *  - Scoring is two hash joins of the exploded candidate transitions
- *    against the model frames (AQE broadcasts them when the pruned model
- *    fits) followed by one per-doc map-side-combinable agg. Nothing
+ *    against the model frames followed by one per-doc map-side-combinable
+ *    agg. Score against a [[save]]d-and-[[load]]ed model (the CCNet
+ *    deployment shape): parquet-backed model frames carry real
+ *    vocabulary-sized stats, so the planner broadcasts the joins
+ *    statically (measured: 3 MB total shuffle at 250k docs vs 1.3 GB for
+ *    the fresh-train plan, whose aggregate-derived estimates force a
+ *    shuffle join of the exploded corpus — SCALE.md round 19). Nothing
  *    pairwise, nothing corpus × corpus; doc text never leaves its
  *    partition un-exploded.
  *
