@@ -58,6 +58,15 @@ object CurationReport {
       // signal pass
       lmModelPath: Option[String] = None,
       lmWorstN: Int = 20,
+      // (opt-in) classifier sheets: a persisted NB model
+      // ([[graft.operators.NbClassifier.save]]) scores the corpus once;
+      // the report gets the keep/reject audit under the deterministic
+      // pareto rule (what the ingest gate / training-set build would
+      // decide — previewable because the draw is content-hash-seeded)
+      // and the `nbWorstN` lowest-log-odds docs, the human-review queue.
+      // Bounded outputs (2 verdict rows + nbWorstN rows)
+      nbModelPath: Option[String] = None,
+      nbWorstN: Int = 20,
       carrier: String = "corpus")
 
   final case class CurationSummary(
@@ -159,7 +168,7 @@ object CurationReport {
       else withNearDup :+ ("Duplicated Spans" -> Dedup.duplicateGrams(
         corpus, cfg.idCol, cfg.textCol, cfg.spanK)
         .orderBy(col("n").desc, col("gram").asc).limit(cfg.spanTopN))
-    cfg.lmModelPath match {
+    val withLm = cfg.lmModelPath match {
       case None => withSpans
       case Some(mp) =>
         import graft.operators.NgramLm
@@ -179,6 +188,33 @@ object CurationReport {
           .limit(cfg.lmWorstN)
         withSpans ++ Seq("LM Quality Tiers" -> tiers,
           "LM Worst Docs" -> worst)
+    }
+    cfg.nbModelPath match {
+      case None => withLm
+      case Some(mp) =>
+        import graft.operators.NbClassifier
+        // one scoring pass feeds both sheets; the audit previews the
+        // EXACT gate outcome because the pareto draw is content-hash-
+        // seeded, not sampled
+        val scored = graft.core.Caches.track(NbClassifier.logOdds(
+          corpus, cfg.idCol, cfg.textCol, NbClassifier.load(spark, mp)))
+        val drawn = NbClassifier.paretoKeep(scored, cfg.idCol)
+          .select(col(cfg.idCol)).withColumn("__kept", lit(1))
+        val audit = scored.join(drawn, Seq(cfg.idCol), "left")
+          .withColumn("verdict",
+            when(col("__kept").isNotNull, lit("keep")).otherwise(lit("reject")))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("log_odds")), 6).as("avg_log_odds"),
+            round(min(col("log_odds")), 6).as("min_log_odds"),
+            round(max(col("log_odds")), 6).as("max_log_odds"))
+          .orderBy(col("verdict"))
+        val worstNb = scored
+          .select(col(cfg.idCol), col("n_tokens"), col("log_odds"))
+          .orderBy(col("log_odds").asc, col(cfg.idCol).asc)
+          .limit(cfg.nbWorstN)
+        withLm ++ Seq("Classifier Keep Audit" -> audit,
+          "Classifier Worst Docs" -> worstNb)
     }
   }
 

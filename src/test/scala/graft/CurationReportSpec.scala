@@ -147,6 +147,42 @@ class CurationReportSpec extends AnyFunSuite with SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("classifier sheets appear when a model is configured; planted spam is worst and rejected") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft-curation-nb")
+    val modelPath = dir.resolve("nb_model").toString
+    val spam = "buy cheap pills now buy cheap pills now buy cheap pills"
+    graft.operators.NbClassifier.save(spark, graft.operators.NbClassifier.train(
+      fixture.filter(col("doc_id") <= 3L),
+      Seq(900L -> spam).toDF("doc_id", "text"), "doc_id", "text"), modelPath)
+    val d = fixture.union(Seq((41L, spam)).toDF("doc_id", "text"))
+    val frames = CurationReport.sections(spark, d,
+      CurationConfig(nbModelPath = Some(modelPath), nbWorstN = 3))
+    try {
+      assert(frames.map(_._1).takeRight(2) ==
+        Seq("Classifier Keep Audit", "Classifier Worst Docs"))
+      val audit = frames.toMap.apply("Classifier Keep Audit").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the audit previews the gate: the spam doc rejects, and counts
+      // cover every scoreable doc
+      assert(audit.getOrElse("reject", 0L) >= 1L, audit.toString)
+      assert(audit.values.sum == 8L, audit.toString) // 7 fixture + spam
+      val worst = frames.toMap.apply("Classifier Worst Docs").collect()
+      assert(worst.length == 3)
+      assert(worst.head.getLong(0) == 41L,
+        worst.map(_.toString).mkString("; "))
+      // ordered by score, lowest (most negative-seed-like) first
+      val los = worst.map(_.getDouble(2)).toSeq
+      assert(los == los.sorted)
+      // the audit's keep/reject split is EXACTLY paretoKeep's
+      val m = graft.operators.NbClassifier.load(spark, modelPath)
+      val keptIds = graft.operators.NbClassifier.paretoKeep(
+          graft.operators.NbClassifier.logOdds(d, "doc_id", "text", m),
+          "doc_id").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(audit.getOrElse("keep", 0L) == keptIds.size.toLong)
+    } finally graft.core.Caches.releaseAll()
+  }
+
   test("dupSpans sheet appears when enabled and surfaces the shared body") {
     val frames = CurationReport.sections(spark, fixture,
       CurationConfig(dupSpans = true, spanK = 8, spanTopN = 5))
