@@ -288,12 +288,14 @@ object ScaleBench {
       if (wanted("lm")) {
         val target = () => spark.read.parquet(s"$scratch/docs_$n")
           .filter(col("doc_id") % 10 === 0)
-        timedRuns(n, "lm_model_full")(() =>
+        // consume c12, not just the keys (see the nb tier's modelRows)
+        def lmModelRows(m: graft.operators.NgramLm.Model): Long =
+          m.bigrams.agg(count(lit(1)), sum("c12")).head().getLong(0)
+        timedRuns(n, "lm_model_full")(() => lmModelRows(
+          graft.operators.NgramLm.train(target(), "doc_id", "text")))
+        timedRuns(n, "lm_model_pruned")(() => lmModelRows(
           graft.operators.NgramLm.train(target(), "doc_id", "text")
-            .bigrams.count())
-        timedRuns(n, "lm_model_pruned")(() =>
-          graft.operators.NgramLm.train(target(), "doc_id", "text")
-            .prune(2).bigrams.count())
+            .prune(2)))
         // the action must CONSUME the score: a bare count() lets Catalyst
         // eliminate the left-outer model joins entirely (aggregated right
         // sides have unique keys and no referenced columns), so the timed
@@ -339,12 +341,18 @@ object ScaleBench {
           .filter(col("doc_id") % 10 === 0)
         val neg = () => spark.read.parquet(s"$scratch/docs_$n")
           .filter(col("doc_id") % 10 === 1)
-        timedRuns(n, "nb_model_full")(() =>
+        // consume the per-class sums, not just the keys — a bare count()
+        // over the (token, class) aggregate lets Catalyst prune the
+        // c_pos/c_neg sum expressions from the timed plan (the lm tier's
+        // scoreAll lesson, one level up)
+        def modelRows(m: graft.operators.NbClassifier.Model): Long =
+          m.tokenCounts.agg(count(lit(1)), sum(col("c_pos") + col("c_neg")))
+            .head().getLong(0)
+        timedRuns(n, "nb_model_full")(() => modelRows(
+          graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")))
+        timedRuns(n, "nb_model_pruned")(() => modelRows(
           graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")
-            .tokenCounts.count())
-        timedRuns(n, "nb_model_pruned")(() =>
-          graft.operators.NbClassifier.train(pos(), neg(), "doc_id", "text")
-            .prune(2).tokenCounts.count())
+            .prune(2)))
         // the keep filter consumes the score, so Catalyst cannot
         // join-eliminate the scoring work under the count (see the lm
         // tier's scoreAll note)

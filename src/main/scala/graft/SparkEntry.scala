@@ -1705,11 +1705,12 @@ object SparkEntry {
     }),
 
     // the GPT-3 keep rule over the classifier scores: keep iff a
-    // Pareto(9) draw exceeds 1 - sigmoid(log_odds) — the draw
-    // inverse-transformed from a CONTENT-HASH-seeded uniform so the
-    // stochastic-looking kept set is exactly reproducible (and
-    // oracle-pinnable); both comparison sides rounded to 6 dp so the
-    // decision cannot flip on last-ulp ln/exp engine differences
+    // Pareto(9) draw reaches 1 - sigmoid(log_odds) — the draw
+    // inverse-transformed from an ID-HASH-seeded uniform so the
+    // stochastic-looking kept set is exactly reproducible for stable ids
+    // (and oracle-pinnable); `>=` because the discretized draw can be
+    // exactly 0; both comparison sides rounded to 6 dp so the decision
+    // cannot flip on last-ulp ln/exp engine differences
     "q114_nb_pareto_keep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val m = NbClassifier.train(
@@ -3101,8 +3102,9 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     // q114: GPT-3's pareto keep rule, the draw seeded from the doc id's
-    // md5 so the kept set is deterministic; both comparison sides rounded
-    // to 6 dp before comparing (exactly as the Spark side does)
+    // md5 so the kept set is deterministic; `>=` (the discretized draw
+    // can be exactly 0) and both comparison sides rounded to 6 dp before
+    // comparing (exactly as the Spark side does)
     "q114_nb_pareto_keep" ->
       s"""$NbScoreCte,
          |drawn AS (
@@ -3115,7 +3117,7 @@ object SparkEntry {
          |                   -1.0 / 9.0) - 1.0, 6) AS noise
          |  FROM sc)
          |SELECT doc_id, log_odds, keep_p, noise FROM drawn
-         |WHERE noise > 1.0 - keep_p ORDER BY doc_id""".stripMargin,
+         |WHERE noise >= 1.0 - keep_p ORDER BY doc_id""".stripMargin,
 
     // compaction parity: the compacted copy must read back exactly as the
     // original table it was built from

@@ -207,11 +207,15 @@ private[operators] object DirSwap {
                 // hold the claim; the loser's rename then fails mid-op
                 // (local fs: renameTo fails once the winner moved the
                 // source and the FileUtil.copy fallback throws
-                // FileNotFoundException). If live is there now, the other
-                // actor rolled the stage forward — that is convergence,
-                // not an error; anything else is a real fault
+                // FileNotFoundException). Convergence is ONLY the state
+                // where live exists AND the chosen stage is gone — the
+                // winner renamed it in. A partial-copy fault (disk full,
+                // permissions) also leaves live present, but with chosen
+                // still on disk; swallowing that would bless a corrupt
+                // live dir, so it stays loud
                 case e: java.io.IOException =>
-                  if (fs.exists(livePath)) false else throw e
+                  if (fs.exists(livePath) && !fs.exists(chosen)) false
+                  else throw e
               }
             if (fs.exists(livePath)) {
               fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),

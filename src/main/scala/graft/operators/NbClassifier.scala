@@ -40,7 +40,7 @@ import graft.functions.Text
  *    at 250k docs vs 349 MB for the fresh-train plan — SCALE.md round
  *    19). Nothing pairwise; doc text never leaves its partition
  *    un-exploded.
- *  - The keep rule is per-row arithmetic on a content-hash-seeded uniform
+ *  - The keep rule is per-row arithmetic on an id-hash-seeded uniform
  *    draw — deterministic (reruns and audits reproduce the exact kept
  *    set, the engine-wide md5-bucket discipline of `Sampling`), zero
  *    shuffle, zero driver state.
@@ -121,32 +121,35 @@ object NbClassifier {
 
   /**
    * GPT-3's stochastic keep rule over a scored frame, made deterministic:
-   * keep a document iff `pareto_draw > 1 - p` where `p =
+   * keep a document iff `pareto_draw >= 1 - p` where `p =
    * sigmoid(log_odds)` and the Pareto(shape) draw is inverse-transformed
-   * from a CONTENT-HASH-seeded uniform — `u = first 4 md5 hex digits of
-   * the id / 65536` (the engine's md5-bucket sampling discipline), so
-   * reruns, audits, and the oracle reproduce the exact kept set. Both
-   * sides of the comparison are rounded to 6 places BEFORE comparing so
-   * the keep decision cannot flip on last-ulp ln/exp differences between
-   * engines. Returns the kept rows with `keep_p` (the sigmoid) and
-   * `noise` (the draw), both rounded.
+   * from an ID-HASH-seeded uniform — `u = first 4 md5 hex digits of the
+   * id / 65536`, the engine's md5-bucket sampling discipline — so reruns,
+   * audits, and the oracle reproduce the exact kept set AS LONG AS ids
+   * are stable across runs (the draw is a function of the id, NOT the
+   * text: two byte-identical docs under different ids draw differently,
+   * and a re-ingestion that reassigns ids redraws). The comparison is
+   * `>=` (not the continuous rule's `>`) because the 16-bit discretized
+   * draw CAN be exactly 0 (ids whose md5 starts `0000`, ~1 in 65,536) —
+   * under `>` such an id would be rejected forever even at p = 1. Both
+   * sides round to 6 places BEFORE comparing so the keep decision cannot
+   * flip on last-ulp ln/exp differences between engines. Returns the
+   * kept rows with `keep_p` (the sigmoid) and `noise` (the draw), both
+   * rounded.
    */
   def paretoKeep(scored: DataFrame, id: String,
                  scoreCol: String = "log_odds",
                  shape: Double = ParetoShape): DataFrame =
     drawn(scored, id, scoreCol, shape)
-      .filter(col("noise") > lit(1.0) - col("keep_p"))
+      .filter(col("noise") >= lit(1.0) - col("keep_p"))
 
   /** The scored frame + `keep_p` (sigmoid of the score) and `noise` (the
-   *  content-hash-seeded Pareto draw), both rounded to 6 places. */
+   *  id-hash-seeded Pareto draw), both rounded to 6 places. */
   private def drawn(scored: DataFrame, id: String, scoreCol: String,
                     shape: Double): DataFrame = {
-    val hex = md5(col(id).cast("string"))
-    val digit = (i: Int) =>
-      // conv() on a single hex digit: 0..15, exact
-      conv(substring(hex, i, 1), 16, 10).cast("double")
-    val u = (digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)) /
-      lit(65536.0)
+    // the Dsir.bucketOf md5-prefix form, widened to the raw 16-bit value
+    val u = conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10)
+      .cast("double") / lit(65536.0)
     scored
       .withColumn("keep_p",
         round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6))
@@ -170,7 +173,7 @@ object NbClassifier {
       s"classifier gate needs a positive pareto shape, got $shape")
     val flagged = drawn(logOdds(batch, id, text, model, alpha), id,
         "log_odds", shape)
-      .filter(col("noise") <= lit(1.0) - col("keep_p"))
+      .filter(col("noise") < lit(1.0) - col("keep_p"))
       .select(col(id), col("log_odds"), col("keep_p"), col("noise"))
     val survivors = batch.join(flagged.select(col(id)), Seq(id), "left_anti")
     (survivors, flagged)

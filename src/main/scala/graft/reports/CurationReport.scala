@@ -62,11 +62,14 @@ object CurationReport {
       // ([[graft.operators.NbClassifier.save]]) scores the corpus once;
       // the report gets the keep/reject audit under the deterministic
       // pareto rule (what the ingest gate / training-set build would
-      // decide — previewable because the draw is content-hash-seeded)
+      // decide — previewable because the draw is id-hash-seeded)
       // and the `nbWorstN` lowest-log-odds docs, the human-review queue.
       // Bounded outputs (2 verdict rows + nbWorstN rows)
       nbModelPath: Option[String] = None,
       nbWorstN: Int = 20,
+      // must match the gate/build shape for the audit to preview THEIR
+      // decision — the preview is only exact under the same shape
+      nbParetoShape: Double = graft.operators.NbClassifier.ParetoShape,
       carrier: String = "corpus")
 
   final case class CurationSummary(
@@ -194,11 +197,12 @@ object CurationReport {
       case Some(mp) =>
         import graft.operators.NbClassifier
         // one scoring pass feeds both sheets; the audit previews the
-        // EXACT gate outcome because the pareto draw is content-hash-
+        // EXACT gate outcome because the pareto draw is id-hash-
         // seeded, not sampled
         val scored = graft.core.Caches.track(NbClassifier.logOdds(
           corpus, cfg.idCol, cfg.textCol, NbClassifier.load(spark, mp)))
-        val drawn = NbClassifier.paretoKeep(scored, cfg.idCol)
+        val drawn = NbClassifier.paretoKeep(scored, cfg.idCol,
+            shape = cfg.nbParetoShape)
           .select(col(cfg.idCol)).withColumn("__kept", lit(1))
         val audit = scored.join(drawn, Seq(cfg.idCol), "left")
           .withColumn("verdict",

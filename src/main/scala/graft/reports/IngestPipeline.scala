@@ -43,8 +43,9 @@ import graft.ops.{Compaction, CompactionResult}
  *   0e. CLASSIFIER GATE (opt-in, `nbModelPath`) — batch docs failing the
  *      GPT-3 pareto keep rule under a persisted
  *      [[graft.operators.NbClassifier]] model drop BEFORE the probe; the
- *      draw is content-hash-seeded, so a replayed night re-derives the
- *      same verdicts. Drops ledger as reason='classifier_rejected'.
+ *      draw is id-hash-seeded, so a replayed night with stable ids
+ *      re-derives the same verdicts. Drops ledger as
+ *      reason='classifier_rejected'.
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -244,10 +245,10 @@ object IngestPipeline {
       lmGateMaxCe: Double = Double.PositiveInfinity,
       // (opt-in) CLASSIFIER GATE: path of a persisted seed-supervised NB
       // model ([[graft.operators.NbClassifier.save]]). Batch docs that
-      // FAIL the GPT-3 pareto keep rule (`noise > 1 - sigmoid(log_odds)`,
-      // draw content-hash-seeded so replays re-derive the same verdicts)
-      // drop before the near-dup probe. Runs AFTER the LM gate; docs the
-      // model cannot score (zero tokens) pass. Drops are ledgered as
+      // FAIL the GPT-3 pareto keep rule (`noise >= 1 - sigmoid(log_odds)`,
+      // draw id-hash-seeded so replays with stable ids re-derive the
+      // same verdicts) drop before the near-dup probe. Runs AFTER the
+      // LM gate; docs the model cannot score (zero tokens) pass. Drops are ledgered as
       // reason='classifier_rejected' with kept_id NULL when dropLedger
       // is on.
       nbModelPath: Option[String] = None,
@@ -409,13 +410,20 @@ object IngestPipeline {
     // intra resolution, replay-safe verify exclusion, pinned output) live
     // in BloomIndex.exactGate — shared with the streaming sinks so the
     // two surfaces cannot drift.
-    val (gated, exactLedger): (DataFrame, Option[DataFrame]) =
+    // Each configured gate returns its SURVIVOR COUNT alongside the frame:
+    // the count is computed once inside the logged body (over the gate's
+    // pinned output) and threaded forward as the next gate's input count —
+    // before round 19's review pass, every downstream gate re-counted its
+    // un-pinned input, re-executing the whole upstream gate chain per
+    // count (bloom probe + containment + LM scoring ran up to four times
+    // under a fully-configured night).
+    val (gated, exactLedger, gatedRows): (DataFrame, Option[DataFrame], Long) =
       cfg.bloomIndexPath match {
-        case None => (prepped, None)
+        case None => (prepped, None, batchRows)
         case Some(bp) =>
           ExecutionLogger.logged(meta, s"ingest_exact_$night", cfg.carrier,
-              (t: (DataFrame, Option[DataFrame])) =>
-                (batchRows, 0L, batchRows - t._1.count())) {
+              (t: (DataFrame, Option[DataFrame], Long)) =>
+                (batchRows, 0L, batchRows - t._3)) {
             val gr = graft.operators.BloomIndex.exactGate(prepped,
               cfg.idCol, cfg.textCol, bp,
               excludeIds = batch.select(col(cfg.idCol)))
@@ -428,7 +436,8 @@ object IngestPipeline {
                   .select(col(cfg.idCol), col("kept_id"),
                     lit("exact_intra_dup").as("reason")))
                 .localCheckpoint(true))
-            (gr.survivors, ledgerRows)
+            // exactGate pins its survivors — the count is a cached scan
+            (gr.survivors, ledgerRows, gr.survivors.count())
           }
       }
 
@@ -437,19 +446,17 @@ object IngestPipeline {
     // the near-dup probe ever sees them: the eval set's shingles
     // broadcast, the flagged set is |contaminated|-sized, the batch never
     // shuffles for this step. See IngestConfig.evalSetPath.
-    val (screened, evalLedger): (DataFrame, Option[DataFrame]) =
+    val (screened, evalLedger, screenedRows): (DataFrame, Option[DataFrame], Long) =
       cfg.evalSetPath match {
-        case None => (gated, None)
+        case None => (gated, None, gatedRows)
         case Some(ep) =>
-          // the step's TRUE input count: the exact gate may already have
-          // dropped rows (the span cut rewrites text, never drops), so
-          // counting this step's drops against batchRows would attribute
-          // the exact gate's drops twice in the audit trail
-          val gatedRows =
-            if (cfg.bloomIndexPath.isDefined) gated.count() else batchRows
+          // the step's input count is the PREVIOUS gate's threaded
+          // survivor count (the span cut rewrites text, never drops), so
+          // this step's drops are never attributed twice in the audit
+          // trail and the upstream chain never re-executes for a count
           ExecutionLogger.logged(meta, s"ingest_eval_$night", cfg.carrier,
-              (t: (DataFrame, Option[DataFrame])) =>
-                (gatedRows, 0L, gatedRows - t._1.count())) {
+              (t: (DataFrame, Option[DataFrame], Long)) =>
+                (gatedRows, 0L, gatedRows - t._3)) {
             val evalSet = spark.read.parquet(ep)
               .select(col(cfg.idCol), col(cfg.textCol))
             // the LEDGER casts the eval id to long for its kept_id
@@ -464,7 +471,7 @@ object IngestPipeline {
                   "ledger records the matched eval doc as a numeric " +
                   "kept_id; map eval ids to a stable numeric key first " +
                   "(a null-cast here would silently erase the evidence)")
-            val (survivors, flagged) = Dedup.contaminationGate(gated,
+            val (survivors0, flagged) = Dedup.contaminationGate(gated,
               evalSet, cfg.idCol, cfg.textCol, cfg.evalGateK,
               cfg.evalGateMinOverlap, cfg.evalGateContainment,
               cfg.evalGateMaxShingleDf)
@@ -473,7 +480,10 @@ object IngestPipeline {
               else Some(flagged.select(col(cfg.idCol),
                 col("probe_id").cast("long").as("kept_id"),
                 lit("contaminated").as("reason")))
-            (survivors, ledgerRows)
+            // pin: the survivors feed the next gate/probe AND this count
+            val survivors = org.apache.spark.sql.graft.ColumnBridge
+              .pinnedWithMeasuredStats(survivors0)
+            (survivors, ledgerRows, survivors.count())
           }
       }
 
@@ -481,53 +491,45 @@ object IngestPipeline {
     // drop before the probe: one scoring pass (two model joins + a
     // per-doc agg) + a |flagged|-sized anti-join; the batch never
     // self-joins. See IngestConfig.lmModelPath.
-    val (qualified, lmLedger): (DataFrame, Option[DataFrame]) =
+    val (qualified, lmLedger, qualifiedRows): (DataFrame, Option[DataFrame], Long) =
       cfg.lmModelPath match {
-        case None => (screened, None)
+        case None => (screened, None, screenedRows)
         case Some(mp) =>
           require(!cfg.lmGateMaxCe.isInfinite,
             "lmModelPath is set but lmGateMaxCe is unbounded — a gate " +
               "that can never drop is a configuration mistake; set the " +
               "cross-entropy ceiling (NgramLm.perplexityTiers picks one)")
-          // this step's TRUE input count, same accounting rule as the
-          // eval gate: earlier gates may already have dropped rows
-          val inRows =
-            if (cfg.bloomIndexPath.isDefined || cfg.evalSetPath.isDefined)
-              screened.count()
-            else batchRows
           ExecutionLogger.logged(meta, s"ingest_lm_$night", cfg.carrier,
-              (t: (DataFrame, Option[DataFrame])) =>
-                (inRows, 0L, inRows - t._1.count())) {
+              (t: (DataFrame, Option[DataFrame], Long)) =>
+                (screenedRows, 0L, screenedRows - t._3)) {
             val model = graft.operators.NgramLm.load(spark, mp)
-            val (survivors, flagged) = graft.operators.NgramLm.qualityGate(
+            val (survivors0, flagged) = graft.operators.NgramLm.qualityGate(
               screened, cfg.idCol, cfg.textCol, model, cfg.lmGateMaxCe)
             val ledgerRows =
               if (!cfg.dropLedger) None
               else Some(flagged.select(col(cfg.idCol),
                 lit(null).cast("long").as("kept_id"),
                 lit("low_quality").as("reason")))
-            (survivors, ledgerRows)
+            val survivors = org.apache.spark.sql.graft.ColumnBridge
+              .pinnedWithMeasuredStats(survivors0)
+            (survivors, ledgerRows, survivors.count())
           }
       }
 
     // 0e. (opt-in) CLASSIFIER GATE — docs failing the pareto keep rule
     // drop before the probe: one scoring pass (one model join + a per-doc
-    // agg) + a |flagged|-sized anti-join; the draw is content-hash-seeded
-    // so a replayed night re-derives the same verdicts. See
-    // IngestConfig.nbModelPath.
+    // agg) + a |flagged|-sized anti-join; the draw is seeded from the doc
+    // id's md5, so a replayed night with stable ids re-derives the same
+    // verdicts. See IngestConfig.nbModelPath.
     val (classified, nbLedger): (DataFrame, Option[DataFrame]) =
       cfg.nbModelPath match {
         case None => (qualified, None)
         case Some(mp) =>
-          val inRows =
-            if (cfg.bloomIndexPath.isDefined || cfg.evalSetPath.isDefined ||
-              cfg.lmModelPath.isDefined) qualified.count()
-            else batchRows
           ExecutionLogger.logged(meta, s"ingest_nb_$night", cfg.carrier,
               (t: (DataFrame, Option[DataFrame])) =>
-                (inRows, 0L, inRows - t._1.count())) {
+                (qualifiedRows, 0L, qualifiedRows - t._1.count())) {
             val model = graft.operators.NbClassifier.load(spark, mp)
-            val (survivors, flagged) = graft.operators.NbClassifier
+            val (survivors0, flagged) = graft.operators.NbClassifier
               .paretoGate(qualified, cfg.idCol, cfg.textCol, model,
                 cfg.nbParetoShape)
             val ledgerRows =
@@ -535,7 +537,11 @@ object IngestPipeline {
               else Some(flagged.select(col(cfg.idCol),
                 lit(null).cast("long").as("kept_id"),
                 lit("classifier_rejected").as("reason")))
-            (survivors, ledgerRows)
+            // the last gate's survivors feed the probe, the landing
+            // anti-join AND the ledger's batch-id semi-join — pin here
+            // too; the logger's count reads the pinned frame
+            (org.apache.spark.sql.graft.ColumnBridge
+              .pinnedWithMeasuredStats(survivors0), ledgerRows)
           }
       }
 

@@ -18,8 +18,8 @@ import graft.operators.{Mixing, Packing}
  *      CCNet perplexity cut under a persisted model (`lmModelPath`), and
  *      opt-in [[graft.operators.NbClassifier.paretoGate]] applies the
  *      GPT-3 classifier keep rule under a persisted NB model
- *      (`nbModelPath`, content-hash-seeded draw) — all three filters are
- *      pure functions of the text/content hash, so the build stays
+ *      (`nbModelPath`, id-hash-seeded draw) — all three filters are
+ *      pure functions of the text and the stable doc id, so the build stays
  *      byte-identically reproducible.
  *   2. MIX — [[Mixing.mixCorpus]] replicates/samples per domain
  *      (deterministic md5-bucket fractional epochs); each copy carries
@@ -71,7 +71,7 @@ object TrainingSetBuild {
       // (opt-in) seed-supervised classifier keep after the LM cut: a
       // persisted NB model ([[graft.operators.NbClassifier.save]]) scores
       // the kept docs once and the GPT-3 pareto rule decides keeps — the
-      // draw is content-hash-seeded, so the build stays byte-identically
+      // draw is id-hash-seeded, so the build stays byte-identically
       // reproducible. Unscorable docs (zero tokens) pass this stage
       nbModelPath: Option[String] = None,
       nbParetoShape: Double = graft.operators.NbClassifier.ParetoShape,

@@ -274,7 +274,7 @@ object Streams {
       // (opt-in) the CLASSIFIER GATE, as IngestConfig.nbModelPath:
       // micro-batch docs failing the GPT-3 pareto keep rule under the
       // persisted NB model drop BEFORE banding — the SHARED
-      // NbClassifier.paretoGate; the draw is content-hash-seeded, so an
+      // NbClassifier.paretoGate; the draw is id-hash-seeded, so an
       // at-least-once replay re-derives the same verdicts. Zero-token
       // docs pass, same contract
       nbModelPath: Option[String] = None,

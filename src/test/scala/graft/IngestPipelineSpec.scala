@@ -1004,7 +1004,7 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       4L -> packDoc)
       .toDF("doc_id", "text")
     // derive the expected verdicts from the operator itself (the draw is
-    // content-hash-seeded, so this is exact, not probabilistic)
+    // id-hash-seeded, so this is exact, not probabilistic)
     val (_, flagged) = graft.operators.NbClassifier.paretoGate(
       batch, "doc_id", "text", model)
     val flaggedIds = flagged.select("doc_id").collect().map(_.getLong(0)).toSet

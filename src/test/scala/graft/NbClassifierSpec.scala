@@ -78,7 +78,7 @@ class NbClassifierSpec extends AnyFunSuite with SparkSpec {
     val expect = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).flatMap { id =>
       val p = r6(1.0 / (1.0 + math.exp(
         -scored.filter(col("doc_id") === id).collect().head.getDouble(1))))
-      if (draw(id) > 1.0 - p) Some((id, p, draw(id))) else None
+      if (draw(id) >= 1.0 - p) Some((id, p, draw(id))) else None
     }
     assert(kept.toSeq.sortBy(_._1) === expect)
     assert(expect.map(_._1).contains(5L), "p~1 docs survive any draw")
@@ -87,6 +87,20 @@ class NbClassifierSpec extends AnyFunSuite with SparkSpec {
     val again = NbClassifier.paretoKeep(scored, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === kept.map(_._1).toSet)
+  }
+
+  test("a zero draw (md5 prefix 0000) keeps a p=1 doc — the >= edge") {
+    import spark.implicits._
+    // md5("5329") starts with 0000 -> u = 0 -> noise rounds to 0.0; the
+    // continuous rule's strict > would reject this doc forever even at
+    // keep_p = 1.0
+    val scored = Seq((5329L, 40.0), (5329000L, -40.0))
+      .toDF("doc_id", "log_odds")
+    val kept = NbClassifier.paretoKeep(scored, "doc_id")
+      .select("doc_id", "keep_p", "noise").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(kept.contains(5329L), kept.toString)
+    assert(kept(5329L) === ((1.0, 0.0)), "p rounds to 1, draw to 0")
   }
 
   test("pareto gate splits survivors/flagged; unscorable docs pass") {
