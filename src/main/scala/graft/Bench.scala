@@ -121,6 +121,29 @@ object Bench {
   private[graft] def contendedSet(externals: Seq[Double], bound: Double): Boolean =
     externals.nonEmpty && externals.min > bound
 
+  /** How many samples a set should still take after seeing its first:
+    * multi-second queries get ONE sample per set. The seven end-to-end
+    * pipeline compositions (q74/q89/q90/q96/q100/q105/q112, ~12-22 s each)
+    * at 3 reps plus retry sets pushed the round-19 driver bench past its
+    * budget (BENCH_r19.json rc 124 — the third round without a usable
+    * filed artifact). Their run-to-run variance is already tracked by the
+    * ScaleBench tiers, and at 12+ s wall the one-time codegen cost a
+    * multi-rep median exists to amortize is noise — so a set whose FIRST
+    * sample lands at/above `heavySec` stops there. Sub-second queries keep
+    * the full median-of-N discipline (they are the ones whose single-run
+    * numbers swing several-fold). A budget overrun forces single-sample
+    * for everything left: a degraded-but-complete artifact beats rc 124. */
+  private[graft] def samplesPlanned(firstWall: Double, heavySec: Double,
+      runs: Int, overBudget: Boolean): Int =
+    if (overBudget || firstWall >= heavySec) 1 else runs
+
+  /** Retry-set cap by weight class: heavy queries re-sample at most ONCE
+    * (a retry doubles a 20 s query's cost; two could triple it), light
+    * queries keep the configured cap, nothing retries past the budget. */
+  private[graft] def retryCap(heavy: Boolean, maxRetries: Int,
+      overBudget: Boolean): Int =
+    if (overBudget) 0 else if (heavy) math.min(maxRetries, 1) else maxRetries
+
   /** The filed artifact's "baseline" field: a JSON ARRAY of the paths the
     * baseline medians came from (or null when none) — not a comma-joined
     * string, so consumers can tell the multi-round median baseline from a
@@ -253,31 +276,54 @@ object Bench {
     // filing them as clean medians
     val extBound = sys.env.get("SPARK_GRAFT_BENCH_EXT_BOUND")
       .flatMap(_.toDoubleOption).getOrElse(2.0)
+    // multi-second queries sample ONCE per set (see samplesPlanned); the
+    // threshold is generous enough that every median-needing query (all
+    // sub-second to ~2 s) keeps its reps
+    val heavySec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(5.0)
+    // soft wall budget for the whole sampling phase: past it, remaining
+    // queries run once with no retries — a complete single-sample artifact
+    // beats the driver's kill (r19 filed rc 124 / parsed:null)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(1200.0)
+    val benchT0 = System.nanoTime()
+    def overBudget(): Boolean = (System.nanoTime() - benchT0) / 1e9 > budgetSec
     final case class QueryStat(
         runTimes: Seq[Double], loads: Seq[Double], exts: Seq[Double],
         median: Double, failed: Boolean, attempts: Int)
     val stats = selected.map { case (name, fn) =>
-      def takeSamples(): Seq[(Double, Double, Double)] = (1 to runs).map { _ =>
-        val j0 = busyJiffies(); val c0 = ownCpuNanos()
-        val t0 = System.nanoTime()
-        try runOnce(spark, sfDir)(fn)
-        catch {
-          case e: Throwable =>
-            // a throwing query must not bench as fast: remember the failure
-            // and report -1 below instead of the (meaningless) wall time
-            failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      def takeSamples(): Seq[(Double, Double, Double)] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+        var planned = runs
+        var i = 0
+        while (i < planned) {
+          val j0 = busyJiffies(); val c0 = ownCpuNanos()
+          val t0 = System.nanoTime()
+          try runOnce(spark, sfDir)(fn)
+          catch {
+            case e: Throwable =>
+              // a throwing query must not bench as fast: remember the failure
+              // and report -1 below instead of the (meaningless) wall time
+              failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val j1 = busyJiffies(); val c1 = ownCpuNanos()
+          val busy =
+            if (j0 < 0 || j1 < 0 || wall <= 0) -1.0
+            else (j1 - j0) / jiffyHz / wall
+          val own =
+            if (c0 < 0 || c1 < 0 || wall <= 0) -1.0
+            else (c1 - c0) / 1e9 / wall
+          val ext =
+            if (busy < 0 || own < 0) -1.0 else externalCores(busy, own)
+          buf += ((wall, load1(), ext))
+          if (i == 0) {
+            planned = samplesPlanned(wall, heavySec, runs, overBudget())
+            if (failures.contains(name)) planned = 1 // re-running a thrower buys nothing
+          }
+          i += 1
         }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val j1 = busyJiffies(); val c1 = ownCpuNanos()
-        val busy =
-          if (j0 < 0 || j1 < 0 || wall <= 0) -1.0
-          else (j1 - j0) / jiffyHz / wall
-        val own =
-          if (c0 < 0 || c1 < 0 || wall <= 0) -1.0
-          else (c1 - c0) / 1e9 / wall
-        val ext =
-          if (busy < 0 || own < 0) -1.0 else externalCores(busy, own)
-        (wall, load1(), ext)
+        buf.toSeq
       }
       def isBad(s: Seq[(Double, Double, Double)]): Boolean = {
         val loads = s.map(_._2).filter(_ >= 0)
@@ -291,7 +337,12 @@ object Bench {
       }
       var best = takeSamples()
       var attempts = 1
-      while (!failures.contains(name) && isBad(best) && attempts <= maxRetries) {
+      // heavy sets (single-sampled) retry at most once; past the budget
+      // nothing retries — see retryCap
+      def capNow(): Int =
+        retryCap(best.headOption.exists(_._1 >= heavySec), maxRetries,
+          overBudget())
+      while (!failures.contains(name) && isBad(best) && attempts <= capNow()) {
         val next = takeSamples()
         attempts += 1
         // keep the cleaner set: a clean set beats a flagged one; among equals
@@ -344,6 +395,13 @@ object Bench {
           contendedSet(st.exts.filter(_ >= 0), extBound) =>
         k -> (st.exts.filter(_ >= 0) :+ 0.0).max
     }.toSeq.sortBy(_._1)
+    // queries whose kept set has ONE sample although multiple were
+    // configured (heavy-query or over-budget single-sampling): the filed
+    // number is a single run, not a median — say so in the artifact
+    val single = stats.collect {
+      case (k, st) if !st.failed && st.runTimes.length == 1 && runs > 1 => k
+    }.toSeq.sorted
+    val budgetHit = overBudget()
     // stdout values are rounded to 3 decimals: the driver keeps only the tail
     // of stdout (a ~2000-char window), and 60+ full-precision doubles push
     // the front of the line out of it — that truncation is what produced
@@ -410,9 +468,10 @@ object Bench {
       .mkString("{", ",", "}")
     val contendedJson = contended.map { case (k, e) => "\"" + k + "\":" + r3(e) }
       .mkString("{", ",", "}")
+    val singleJson = single.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baselineNote = baselineJson(baselinePaths, jsonEscape)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"single":$singleJson,"budget_hit":$budgetHit,"baseline":$baselineNote,"detail":$detailJson,"failed":$failedJson}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -424,7 +483,7 @@ object Bench {
     // stderr diag; stdout keeps exactly the documented line shape (extra
     // keys after "sf" broke the driver's parse in r05/r06) — detail line
     // first, compact line LAST (see above)
-    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"failed":$failedJson}""")
+    System.err.println(s"""BENCH_DIAG {"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"single":$singleJson,"budget_hit":$budgetHit,"failed":$failedJson}""")
     // contention evidence INTO the filed artifact: the driver keeps only a
     // ~2000-char stdout tail, so r14's undetected load plateau was invisible
     // to the next round's judge without target/bench.json. A compact diag
@@ -441,7 +500,7 @@ object Bench {
       "\"" + shortKeyOf(k) + "\":" + r3(mx)
     }).mkString("{", ",", "}")
     println(detailLine)
-    println(s"""{"bench_diag":{"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"maxload":$flaggedLoads}}""")
+    println(s"""{"bench_diag":{"runs":$runs,"loadavg1":$load,"noisy":$noisyJson,"retried":$retriedJson,"suspect":$suspectJson,"contended":$contendedJson,"single":${single.length},"budget_hit":$budgetHit,"maxload":$flaggedLoads}}""")
     println(stdoutLine)
     spark.stop()
   }

@@ -373,6 +373,27 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
       s"empty pin must read tiny, got ${estOf(empty)}")
   }
 
+  test("Bench sampling plan: heavy queries single-sample, budget overrun degrades, retries cap") {
+    // a set whose FIRST sample is multi-second stops at 1 (the seven
+    // ~12-22 s pipeline compositions at 3 reps + retries are what pushed
+    // BENCH_r19 past the driver budget to rc 124)
+    assert(Bench.samplesPlanned(14.2, 5.0, 3, overBudget = false) == 1)
+    assert(Bench.samplesPlanned(5.0, 5.0, 3, overBudget = false) == 1) // at-threshold counts
+    // sub-second queries keep the full median-of-N discipline
+    assert(Bench.samplesPlanned(0.3, 5.0, 3, overBudget = false) == 3)
+    assert(Bench.samplesPlanned(2.1, 5.0, 3, overBudget = false) == 3)
+    // past the soft budget EVERYTHING single-samples — a degraded-but-
+    // complete artifact beats the driver's kill
+    assert(Bench.samplesPlanned(0.3, 5.0, 3, overBudget = true) == 1)
+    // heavy sets retry at most once, light keep the configured cap,
+    // nothing retries past the budget
+    assert(Bench.retryCap(heavy = true, maxRetries = 2, overBudget = false) == 1)
+    assert(Bench.retryCap(heavy = true, maxRetries = 0, overBudget = false) == 0)
+    assert(Bench.retryCap(heavy = false, maxRetries = 2, overBudget = false) == 2)
+    assert(Bench.retryCap(heavy = false, maxRetries = 2, overBudget = true) == 0)
+    assert(Bench.retryCap(heavy = true, maxRetries = 2, overBudget = true) == 0)
+  }
+
   test("Bench contended flag: sustained EXTERNAL cpu marks the entry, self-load does not") {
     // external = machine busy cores minus our own (clamped at 0): a bench
     // query saturating all 32 cores itself reads external ≈ 0, while r18's
