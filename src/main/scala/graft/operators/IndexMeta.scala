@@ -212,10 +212,21 @@ private[operators] object DirSwap {
                 // winner renamed it in. A partial-copy fault (disk full,
                 // permissions) also leaves live present, but with chosen
                 // still on disk; swallowing that would bless a corrupt
-                // live dir, so it stays loud
+                // live dir, so it stays loud. The convergence check is two
+                // non-atomic probes, and the winner's rename can land
+                // BETWEEN them (exists(live) sampled false, then chosen
+                // vanishes) — so a non-converged first read re-probes once
+                // after a brief sleep before declaring the fault real; a
+                // converged crash repair must never be reported as a
+                // reader failure.
                 case e: java.io.IOException =>
-                  if (fs.exists(livePath) && !fs.exists(chosen)) false
-                  else throw e
+                  def converged(): Boolean =
+                    fs.exists(livePath) && !fs.exists(chosen)
+                  if (converged()) false
+                  else {
+                    Thread.sleep(100L)
+                    if (converged()) false else throw e
+                  }
               }
             if (fs.exists(livePath)) {
               fs.delete(new org.apache.hadoop.fs.Path(livePath, ReadyMarker),
@@ -410,60 +421,82 @@ private[graft] object PartitionVacuum {
           .map(r => (r.get(0), r.getLong(1)))
         if (touched.isEmpty) { Tombstones.clear(spark, tombRoot); return 0L }
         val removed = touched.map(_._2).sum
-        val touchedVals = touched.map(_._1)
-        // isin never matches null — a null partition value needs its own
-        // isNull arm or its rows silently vanish from the survivor set
-        val (nullTouched, nonNullVals) = touchedVals.partition(_ == null)
-        val survivorPred = Seq(
-          if (nonNullVals.nonEmpty)
-            Some(col(partCol).isin(nonNullVals.map(_.asInstanceOf[AnyRef]).toIndexedSeq: _*))
-          else None,
-          if (nullTouched.nonEmpty) Some(col(partCol).isNull) else None
-        ).flatten.reduce(_ || _)
-        val survivors = df.filter(survivorPred)
+        val touchedVals = touched.map(_._1).toIndexedSeq
+        val survivors = df.filter(partitionPred(partCol, touchedVals))
           .join(bts, df(idCol) === bts(Tombstones.IdCol), "left_anti")
-        survivors.write.partitionBy(partCol).mode("overwrite").parquet(staged)
-        // Directory names must be built with the SAME escaping rule
-        // Spark's writer used for both the live layout and the stage
-        // (special characters percent-escape, null and empty string map
-        // to __HIVE_DEFAULT_PARTITION__) — a hand-built s"$partCol=$v"
-        // misses escaped values, the swap no-ops, and retracted rows
-        // silently survive with the tombstone protection cleared.
-        val dirNames = touchedVals.map(dirNameFor(partCol, _))
-        // Validate EVERY computed live dir before the first destructive
-        // rename: a touched partition by definition has live bytes, so a
-        // missing live dir means name reconstruction broke — abort loudly
-        // with nothing renamed rather than half-swap.
-        dirNames.foreach { d =>
-          val live = hp(s"$dataRoot/$d")
-          require(fs.exists(live),
-            s"vacuum computed live partition directory '$live' which does " +
-              "not exist — partition-name reconstruction mismatch; " +
-              "aborting before any swap (tombstones remain in force)")
-        }
-        fs.mkdirs(hp(s"$dataRoot/$AsideDir"))
-        dirNames.foreach { dirName =>
-          val live = hp(s"$dataRoot/$dirName")
-          val aside = hp(s"$dataRoot/$AsideDir/$dirName")
-          val stagedDir = hp(s"$staged/$dirName")
-          fs.delete(aside, true)
-          fs.rename(live, aside)
-          // a fully-tombstoned partition has no staged survivors: the
-          // delete IS the rewrite
-          if (fs.exists(stagedDir)) fs.rename(stagedDir, live)
-          fs.delete(aside, true)
-        }
-        fs.delete(hp(s"$dataRoot/$AsideDir"), true)
-        fs.delete(hp(staged), true)
-        // the rewrite replaced files under an unchanged path: invalidate
-        // cached plans and file listings over it, or a probe whose plan
-        // matches a pre-vacuum cached frame silently resurrects the
-        // retracted rows (spec-pinned — the CacheManager matches plans by
-        // path, not by file list)
-        spark.catalog.refreshByPath(dataRoot)
+        replacePartitions(spark, dataRoot, partCol, touchedVals, survivors)
         Tombstones.clear(spark, tombRoot) // commit point — see scaladoc
         removed
     }
+  }
+
+  /** Predicate selecting exactly `touchedVals`' partitions. isin never
+    * matches null — a null partition value needs its own isNull arm or
+    * its rows silently vanish from the replacement set. */
+  private[graft] def partitionPred(partCol: String,
+      touchedVals: Seq[Any]): org.apache.spark.sql.Column = {
+    val (nullTouched, nonNullVals) = touchedVals.partition(_ == null)
+    Seq(
+      if (nonNullVals.nonEmpty)
+        Some(col(partCol).isin(nonNullVals.map(_.asInstanceOf[AnyRef]).toIndexedSeq: _*))
+      else None,
+      if (nullTouched.nonEmpty) Some(col(partCol).isNull) else None
+    ).flatten.reduce(_ || _)
+  }
+
+  /** Stage `replacement` (a frame already filtered to exactly
+    * `touchedVals`' partitions — the caller controls its content, sort
+    * order, and file shape) and swap those partition directories in with
+    * the aside-per-partition crash discipline documented on this object.
+    * Shared by [[vacuum]] (tombstone survivors) and in-place row folds
+    * ([[Bm25Index.compact]]'s replay-litter dedup). Directories absent
+    * from the staged output are treated as fully-emptied: the delete IS
+    * the rewrite. */
+  private[graft] def replacePartitions(spark: SparkSession, dataRoot: String,
+      partCol: String, touchedVals: Seq[Any], replacement: DataFrame): Unit = {
+    val fs = hp(dataRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repair(fs, dataRoot)
+    val staged = dataRoot + "__vacuum"
+    fs.delete(hp(staged), true) // stale partial stage from a crashed run
+    replacement.write.partitionBy(partCol).mode("overwrite").parquet(staged)
+    // Directory names must be built with the SAME escaping rule
+    // Spark's writer used for both the live layout and the stage
+    // (special characters percent-escape, null and empty string map
+    // to __HIVE_DEFAULT_PARTITION__) — a hand-built s"$partCol=$v"
+    // misses escaped values, the swap no-ops, and the rows the rewrite
+    // meant to drop silently survive.
+    val dirNames = touchedVals.map(dirNameFor(partCol, _))
+    // Validate EVERY computed live dir before the first destructive
+    // rename: a touched partition by definition has live bytes, so a
+    // missing live dir means name reconstruction broke — abort loudly
+    // with nothing renamed rather than half-swap.
+    dirNames.foreach { d =>
+      val live = hp(s"$dataRoot/$d")
+      require(fs.exists(live),
+        s"partition rewrite computed live directory '$live' which does " +
+          "not exist — partition-name reconstruction mismatch; " +
+          "aborting before any swap (live layout untouched)")
+    }
+    fs.mkdirs(hp(s"$dataRoot/$AsideDir"))
+    dirNames.foreach { dirName =>
+      val live = hp(s"$dataRoot/$dirName")
+      val aside = hp(s"$dataRoot/$AsideDir/$dirName")
+      val stagedDir = hp(s"$staged/$dirName")
+      fs.delete(aside, true)
+      fs.rename(live, aside)
+      // a fully-emptied partition has no staged rows: the delete IS the
+      // rewrite
+      if (fs.exists(stagedDir)) fs.rename(stagedDir, live)
+      fs.delete(aside, true)
+    }
+    fs.delete(hp(s"$dataRoot/$AsideDir"), true)
+    fs.delete(hp(staged), true)
+    // the rewrite replaced files under an unchanged path: invalidate
+    // cached plans and file listings over it, or a probe whose plan
+    // matches a pre-rewrite cached frame silently reads the old rows
+    // (spec-pinned — the CacheManager matches plans by path, not by
+    // file list)
+    spark.catalog.refreshByPath(dataRoot)
   }
 
   /** The physical directory name Spark's writer gave this partition
@@ -483,6 +516,14 @@ private[graft] object PartitionVacuum {
     }
     ExternalCatalogUtils.getPartitionPathString(partCol, s)
   }
+
+  /** Entry-point repair for callers that SCAN the layout before calling
+    * [[replacePartitions]] (which repairs again, idempotently): a
+    * stranded aside must roll back before the caller's read or its rows
+    * are invisible to the detection scan. */
+  private[graft] def repairAt(spark: SparkSession, dataRoot: String): Unit =
+    repair(hp(dataRoot).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dataRoot)
 
   /** Roll back any partition stranded mid-swap by a crash (aside present,
     * live missing). Runs at [[vacuum]] entry; safe when nothing is

@@ -159,8 +159,8 @@ object Bm25 {
  * constants stay exact. Replayed postings ROWS do duplicate, but they
  * are byte-identical by determinism (tf/dl are functions of the text),
  * and `query` collapses them with a per-candidate (id, term) distinct —
- * so scores never change; `save`-rebuild or the next full rewrite sweeps
- * the litter. Reusing a `gen` key for a DIFFERENT batch breaks this —
+ * so scores never change; `compact` folds the litter physically, touched
+ * buckets only. Reusing a `gen` key for a DIFFERENT batch breaks this —
  * the key is one batch's identity, exactly like a night id.
  */
 object Bm25Index {
@@ -300,6 +300,46 @@ object Bm25Index {
     removed
   }
 
+  /** Fold crash-replay posting litter: an at-least-once `append` replay
+    * duplicates its batch's posting ROWS (byte-identical by determinism —
+    * see the replay contract above); `query` collapses them per candidate
+    * set, but the bytes persist in storage until a full rebuild. This
+    * rewrites EXACTLY the bucket partitions holding duplicate (id, term)
+    * rows — crash-safe via the shared aside-per-partition swap
+    * ([[PartitionVacuum.replacePartitions]]) — restoring one row per
+    * (id, term) and the term-sorted row groups the query path's row-group
+    * pruning relies on. Returns rows folded away (0 = nothing to do,
+    * nothing touched). Detection is one (bucket, id, term) count over the
+    * postings — the same O(index) maintenance-cadence class as `vacuum`'s
+    * semi-join scan; stats are untouched (replays REPLACE their stats
+    * generation, so constants never double-count). */
+  def compact(spark: SparkSession, path: String, id: String): Long = {
+    val post = s"$path/postings"
+    // roll back any aside a crashed rewrite stranded BEFORE scanning, or
+    // its rows are invisible to the litter detection below
+    PartitionVacuum.repairAt(spark, post)
+    val df = spark.read.parquet(post)
+    val dupBuckets = df
+      .groupBy(col(BucketCol), col(id), col(Bm25.TermCol))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .groupBy(col(BucketCol))
+      .agg(sum(col("__c") - 1).as("__extra"))
+      .collect()
+    if (dupBuckets.isEmpty) return 0L
+    val touched: Seq[Any] = dupBuckets.map(_.get(0)).toSeq
+    val folded = dupBuckets.map(_.getLong(1)).sum
+    val survivors = df
+      .filter(PartitionVacuum.partitionPred(BucketCol, touched))
+      .dropDuplicates(id, Bm25.TermCol)
+      // restore the bucket layout's file shape: one write task per bucket,
+      // term-sorted row groups for the query path's min/max pruning
+      .repartition(col(BucketCol))
+      .sortWithinPartitions(col(BucketCol), col(Bm25.TermCol))
+    PartitionVacuum.replacePartitions(spark, post, BucketCol, touched,
+      survivors)
+    folded
+  }
+
   /** Top-k for `queryTerms` reading only their buckets' postings, with
     * tombstoned docs subtracted BEFORE df/scoring (membership exact; see
     * the class note on constant drift until vacuum). */
@@ -352,14 +392,34 @@ object Fusion {
 
   val RrfK = 60
 
+  /** How many rows [[ranked]] will rank at most when the caller does not
+   *  say: far above any real per-arm k, far below a corpus. */
+  val RankedDefaultBound = 10000
+
   /** Derive 1-based ranks from a scored top-k frame: row_number over
    *  (rounded score desc, id) — the engine's standard total order, so
-   *  ranks are deterministic across engines and runs. Only for frames a
-   *  top-k already bounded. */
-  def ranked(arm: DataFrame, id: String, scoreCol: String): DataFrame =
-    arm.select(col(id),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(round(col(scoreCol), 6).desc, col(id))).as("rank"))
+   *  ranks are deterministic across engines and runs.
+   *
+   *  The no-partition window is single-partition by nature, which is only
+   *  safe over a frame a top-k already bounded — and nothing used to
+   *  enforce that precondition: a caller passing an unbounded scored
+   *  corpus got a corpus-wide one-partition sort with no warning. The
+   *  bound is now STRUCTURAL: the input is first cut to `bound` rows by
+   *  the SAME total order the ranks use (compiles to
+   *  TakeOrderedAndProject — a per-partition heap + driver merge, never a
+   *  global sort), so the window provably sees ≤ `bound` rows whatever
+   *  the caller feeds it. Ranks 1..bound are identical to the unbounded
+   *  frame's (the orders agree), and ranks past any real fusion's per-arm
+   *  k contribute ~nothing to an RRF sum by construction. */
+  def ranked(arm: DataFrame, id: String, scoreCol: String,
+             bound: Int = RankedDefaultBound): DataFrame = {
+    require(bound > 0, s"ranked needs a positive row bound, got $bound")
+    arm
+      .orderBy(round(col(scoreCol), 6).desc, col(id)).limit(bound)
+      .select(col(id),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(round(col(scoreCol), 6).desc, col(id))).as("rank"))
+  }
 
   /**
    * Hybrid search over the PERSISTED indexes — the 100 TB path: the
@@ -367,23 +427,36 @@ object Fusion {
    * bucket directories, the dense arm probes the standing
    * [[IvfIndex]]'s `nprobe` cells, and the two top-k lists fuse by RRF.
    * Each arm reads an index-pruned sliver of its index and nothing else;
-   * the fusion itself touches ≤ 2·kPerArm rows. The corpora behind the
-   * two indexes must share the id space (the engine's documents ↔
+   * the fusion itself touches ≤ arms·kPerArm rows. The corpora behind
+   * the indexes must share the id space (the engine's documents ↔
    * embeddings contract). `queryId` must not collide with a corpus id —
-   * the dense probe excludes self-pairs by id.
+   * the dense probes exclude self-pairs by id.
+   *
+   * `ivfPqPath` adds a THIRD arm over a standing [[IvfPqIndex]] — at
+   * 100 TB the dense arm IS the PQ-compressed index (the flat [[IvfIndex]]
+   * stores full vectors); fusing both dense arms lets the exact-sliver
+   * index and the compressed index vote, and RRF needs no score
+   * calibration between them. The PQ probe is the same cell-pruned scan:
+   * nprobe cell directories, ADC scoring, bounded heap.
    */
   def hybridTopK(spark: SparkSession, bm25Path: String, ivfPath: String,
                  id: String, terms: Seq[String], queryVec: Array[Float],
                  kPerArm: Int = 20, nprobe: Int = 1, queryId: Long = -1L,
-                 k: Int = RrfK, topK: Int = 10): DataFrame = {
+                 k: Int = RrfK, topK: Int = 10,
+                 ivfPqPath: Option[String] = None): DataFrame = {
     val lex = ranked(
       Bm25Index.query(spark, bm25Path, id, terms, kPerArm), id, "score")
     import spark.implicits._
-    val dense = IvfIndex.probe(spark, ivfPath,
-        Seq((queryId, queryVec)).toDF("__hq_id", "__hq_vec"),
+    val q = Seq((queryId, queryVec)).toDF("__hq_id", "__hq_vec")
+    val dense = IvfIndex.probe(spark, ivfPath, q,
         "__hq_id", "__hq_vec", kPerArm, nprobe)
       .select(col("neighbor_id").as(id), col("rank"))
-    rrf(Seq(lex, dense), id, k = k, topK = topK)
+    val pqArm = ivfPqPath.map { p =>
+      IvfPqIndex.probe(spark, p, q, "__hq_id", "__hq_vec",
+          candidates = kPerArm, nprobe = nprobe)
+        .select(col("neighbor_id").as(id), col("rank"))
+    }
+    rrf(Seq(lex, dense) ++ pqArm, id, k = k, topK = topK)
   }
 
   /**

@@ -137,6 +137,128 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(st.getDouble(0) === 3.0 && st.getDouble(1) === 4.0)
   }
 
+  test("compact folds replay litter physically; queries unchanged; clean buckets untouched") {
+    val path = TempDirs.create("graft-bm25-compact").resolve("idx").toString
+    val c1 = docs(1L -> "spark shuffle join", 2L -> "merge sort batch")
+    val c2 = docs(3L -> "spark spark window", 4L -> "scan filter project")
+    Bm25Index.save(c1, "doc_id", "text", path, buckets = 8)
+    Bm25Index.append(c2, "doc_id", "text", path, gen = "n1")
+    val clean = spark.read.parquet(s"$path/postings").count()
+    val q = Seq("spark", "window")
+    val before = Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList
+
+    // a crash-replayed night: the same generation appends again —
+    // byte-identical posting rows duplicate in storage
+    Bm25Index.append(c2, "doc_id", "text", path, gen = "n1")
+    val littered = spark.read.parquet(s"$path/postings").count()
+    assert(littered > clean, "replay must have duplicated posting rows")
+
+    // which bucket dirs the replay touched vs not (c2's terms' buckets)
+    def dirSnapshot(): Map[String, Long] =
+      new java.io.File(s"$path/postings").listFiles()
+        .filter(_.getName.startsWith("tb=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName.hashCode.toLong + f.length() + f.lastModified())
+            .sum
+        }.toMap
+    val preCompact = dirSnapshot()
+
+    val folded = Bm25Index.compact(spark, path, "doc_id")
+    assert(folded === littered - clean, s"folded $folded of ${littered - clean}")
+    // storage row count is back to the dedup'd count
+    assert(spark.read.parquet(s"$path/postings").count() === clean)
+    // queries unchanged (they collapsed the litter already; now it's gone)
+    assert(Bm25Index.query(spark, path, "doc_id", q, 10).collect().toList
+      === before)
+    // buckets holding no litter were not rewritten (byte-untouched files)
+    val postCompact = dirSnapshot()
+    val dupBuckets = preCompact.keySet.filter(k =>
+      postCompact.get(k) != preCompact.get(k))
+    assert(dupBuckets.nonEmpty, "compact must have rewritten the touched buckets")
+    assert(dupBuckets != preCompact.keySet,
+      "compact must leave litter-free buckets byte-untouched")
+    // idempotent: a second compact finds nothing
+    assert(Bm25Index.compact(spark, path, "doc_id") === 0L)
+  }
+
+  test("ranked structurally bounds an unbounded frame — no corpus-wide single-partition sort") {
+    import spark.implicits._
+    import graft.operators.Fusion
+    // a deliberately-unbounded scored frame (no top-k upstream)
+    val scored = spark.range(0, 5000)
+      .select(col("id").as("doc_id"), (col("id") % 97).cast("double").as("score"))
+    val r = Fusion.ranked(scored, "doc_id", "score", bound = 50)
+    val rows = r.collect()
+    // the guard cuts to the bound BEFORE the one-partition window
+    assert(rows.length === 50)
+    // ranks agree with the unbounded total order's first 50: score desc
+    // (rounded), then id — 96.0 docs first (ids 96, 193, ...)
+    assert(rows.head.getLong(0) === 96L && rows.head.getInt(1) === 1)
+    assert(rows.map(_.getInt(1)).toList === (1 to 50).toList)
+    // the cut compiles to TakeOrderedAndProject (per-partition heap +
+    // driver merge), never a global Sort of the full frame
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // default bound applies when the caller says nothing
+    assert(Fusion.ranked(scored, "doc_id", "score").count()
+      === math.min(5000, Fusion.RankedDefaultBound))
+    intercept[IllegalArgumentException] {
+      Fusion.ranked(scored, "doc_id", "score", bound = 0)
+    }
+  }
+
+  test("hybrid fusion takes a third IVFPQ arm; two-arm behavior unchanged") {
+    import spark.implicits._
+    import graft.operators.{Fusion, IvfIndex, IvfPqIndex}
+    val root = TempDirs.create("graft-hybrid3")
+    val bm25Path = root.resolve("bm25").toString
+    val ivfPath = root.resolve("ivf").toString
+    val pqPath = root.resolve("ivfpq").toString
+    val texts = docs(
+      1L -> "spark shuffle spark join",
+      2L -> "spark window frame",
+      3L -> "merge sort batch stream",
+      4L -> "scan filter project spark")
+    // 4-dim vectors so m=2 divides dims; one cell → probes cover the index
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.1f, 0.0f, 0.0f),
+      2L -> Array(0.9f, 0.2f, 0.1f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.9f, 0.1f),
+      4L -> Array(0.2f, 0.8f, 1.0f, 0.0f)).toDF("doc_id", "embedding")
+    Bm25Index.save(texts, "doc_id", "text", bm25Path, buckets = 8)
+    IvfIndex.save(vecs, "doc_id", "embedding", ivfPath, numCentroids = 1)
+    IvfPqIndex.save(vecs, "doc_id", "embedding", pqPath,
+      numCells = 1, m = 2, ksub = 4)
+    val qVec = Array(1.0f, 0.15f, 0.05f, 0.0f)
+    val terms = Seq("spark", "window")
+
+    val threeArm = Fusion.hybridTopK(spark, bm25Path, ivfPath, "doc_id",
+        terms, qVec, kPerArm = 3, topK = 4, ivfPqPath = Some(pqPath))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+
+    // expected: the two standing arms plus a separately-computed PQ arm,
+    // fused by the same RRF
+    val lex = Fusion.ranked(
+      Bm25Index.query(spark, bm25Path, "doc_id", terms, 3), "doc_id", "score")
+    val q = Seq((-1L, qVec)).toDF("__hq_id", "__hq_vec")
+    val dense = IvfIndex.probe(spark, ivfPath, q, "__hq_id", "__hq_vec", 3)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val pq = IvfPqIndex.probe(spark, pqPath, q, "__hq_id", "__hq_vec",
+        candidates = 3)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val expected = Fusion.rrf(Seq(lex, dense, pq), "doc_id", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(threeArm === expected)
+    // every fused doc carries up to 3 arm votes now
+    assert(threeArm.map(_._3).max === 3L)
+    // and the 2-arm call (no path) is byte-identical to the pre-overload shape
+    val twoArm = Fusion.hybridTopK(spark, bm25Path, ivfPath, "doc_id",
+        terms, qVec, kPerArm = 3, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(twoArm.map(_._3).max === 2L)
+  }
+
   test("persisted hybrid RRF equals the frame-arm fusion, both arms index-pruned") {
     import spark.implicits._
     import graft.operators.{Fusion, IvfIndex, Similarity}
