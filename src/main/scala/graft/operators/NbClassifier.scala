@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -79,6 +79,24 @@ object NbClassifier {
   def tokenRows(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(Text.tokens(col(text))).as("token"))
 
+  /** `id`, failing the JOB loudly on the first null — a row-level guard,
+   *  not a driver-side count, so it costs no extra pass. A null id breaks
+   *  the whole classifier discipline silently: md5(null) nulls the
+   *  id-hash draw, making BOTH the gate's flagged filter (noise < 1-p)
+   *  and [[paretoKeep]]'s keep filter (noise >= 1-p) evaluate to NULL —
+   *  the gate would pass what the keep rule drops (the surfaces disagree)
+   *  — and every null-id doc collapses into ONE scored group in
+   *  [[logOdds]]' groupBy. Out-of-scope routing (the
+   *  [[BloomIndex.exactGate]] pattern) can't work here either: a null key
+   *  never matches the gate's survivor anti-join, so a flagged null-id
+   *  row would still survive. Null ids are a data-contract violation —
+   *  fail, don't guess. */
+  private def checkedId(id: String, caller: String): Column =
+    when(col(id).isNull, raise_error(lit(s"$caller: null-id document — " +
+      "the id-hash-seeded draw and the per-doc grouping are undefined " +
+      "for a null id; assign stable non-null ids upstream")))
+      .otherwise(col(id)).as(id)
+
   /** Train on labeled seeds: one (token, class) count agg over the union
    *  plus a derived 1-row totals/priors frame. */
   def train(pos: DataFrame, neg: DataFrame, id: String,
@@ -104,7 +122,8 @@ object NbClassifier {
    */
   def logOdds(docs: DataFrame, id: String, text: String, model: Model,
               alpha: Double = Alpha): DataFrame =
-    tokenRows(docs, id, text)
+    tokenRows(docs.select(checkedId(id, "NbClassifier.logOdds"),
+        col(text)), id, text)
       .join(model.tokenCounts, Seq("token"), "left")
       .crossJoin(broadcast(model.totals))
       .select(col(id),
@@ -147,8 +166,11 @@ object NbClassifier {
    *  id-hash-seeded Pareto draw), both rounded to 6 places. */
   private def drawn(scored: DataFrame, id: String, scoreCol: String,
                     shape: Double): DataFrame = {
-    // the Dsir.bucketOf md5-prefix form, widened to the raw 16-bit value
-    val u = conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10)
+    // the Dsir.bucketOf md5-prefix form, widened to the raw 16-bit value;
+    // the id rides through checkedId so a null id fails the job loudly
+    // instead of nulling the draw (see checkedId)
+    val u = conv(substring(md5(
+        checkedId(id, "NbClassifier keep rule").cast("string")), 1, 4), 16, 10)
       .cast("double") / lit(65536.0)
     scored
       .withColumn("keep_p",
@@ -163,8 +185,11 @@ object NbClassifier {
    * (survivors, flagged) where flagged carries (id, log_odds, keep_p,
    * noise) for every doc whose draw FAILS the keep rule. Docs the model
    * cannot score (zero tokens) are NOT flagged — the gate only judges
-   * what it can measure. Cost: one scoring pass over the batch + a
-   * |flagged|-sized anti-join — the batch never self-joins.
+   * what it can measure. A null-id doc fails the job loudly (see
+   * `checkedId` — a null id nulls the draw AND can never be anti-joined
+   * out, so no routing keeps the gate and [[paretoKeep]] complements).
+   * Cost: one scoring pass over the batch + a |flagged|-sized anti-join —
+   * the batch never self-joins.
    */
   def paretoGate(batch: DataFrame, id: String, text: String, model: Model,
                  shape: Double = ParetoShape,

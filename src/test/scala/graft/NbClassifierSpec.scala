@@ -122,6 +122,38 @@ class NbClassifierSpec extends AnyFunSuite with SparkSpec {
       NbClassifier.paretoGate(batch, "doc_id", "text", m, shape = -1.0))
   }
 
+  test("null-id docs fail the job loudly in scoring, keep, and gate") {
+    import spark.implicits._
+    val m = NbClassifier.train(pos, neg, "doc_id", "text")
+    // md5(null) nulls the id-hash draw: without the guard the gate's
+    // flagged filter and paretoKeep's keep filter BOTH go NULL and the
+    // two surfaces disagree (and the null id can't be anti-joined out) —
+    // so every entry point must fail instead of guessing
+    val nullId = Seq((Some(40L), "good"), (None, "good good"))
+      .toDF("doc_id", "text")
+    def failsLoudly(f: => Array[_]): Unit = {
+      val e = intercept[Exception](f)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null-id document")),
+        s"expected the null-id message, got: ${e.getMessage}")
+    }
+    failsLoudly(NbClassifier.logOdds(nullId, "doc_id", "text", m).collect())
+    val scoredOk = NbClassifier.logOdds(docs(41L -> "good"), "doc_id", "text", m)
+    // a scored frame with a null id injected AFTER scoring still fails
+    // in the keep rule's draw
+    val nullScored = scoredOk.unionByName(
+      Seq((Option.empty[Long], 1L, 0.5)).toDF("doc_id", "n_tokens", "log_odds"))
+    failsLoudly(NbClassifier.paretoKeep(nullScored, "doc_id").collect())
+    failsLoudly {
+      val (s, f) = NbClassifier.paretoGate(nullId, "doc_id", "text", m)
+      s.collect() ++ f.collect()
+    }
+    // non-null frames are untouched by the guard
+    assert(NbClassifier.paretoKeep(scoredOk, "doc_id").count() >= 0)
+  }
+
   test("scoring plans no cartesian product and no window") {
     val m = NbClassifier.train(pos, neg, "doc_id", "text")
     val plan = NbClassifier.logOdds(docs(40L -> "good bad"),
