@@ -45,7 +45,10 @@ import graft.ops.{Compaction, CompactionResult}
  *      [[graft.operators.NbClassifier]] model drop BEFORE the probe; the
  *      draw is id-hash-seeded, so a replayed night with stable ids
  *      re-derives the same verdicts. Drops ledger as
- *      reason='classifier_rejected'.
+ *      reason='classifier_rejected'. After both model-backed gates, a
+ *      flagged-share drift monitor ([[GateDrift]]) compares the night
+ *      against the trailing nights' median and warns on a jump (stale
+ *      model / drifted corpus) — informational, never a gate.
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -521,13 +524,13 @@ object IngestPipeline {
     // agg) + a |flagged|-sized anti-join; the draw is seeded from the doc
     // id's md5, so a replayed night with stable ids re-derives the same
     // verdicts. See IngestConfig.nbModelPath.
-    val (classified, nbLedger): (DataFrame, Option[DataFrame]) =
+    val (classified, nbLedger, classifiedRows): (DataFrame, Option[DataFrame], Long) =
       cfg.nbModelPath match {
-        case None => (qualified, None)
+        case None => (qualified, None, qualifiedRows)
         case Some(mp) =>
           ExecutionLogger.logged(meta, s"ingest_nb_$night", cfg.carrier,
-              (t: (DataFrame, Option[DataFrame])) =>
-                (qualifiedRows, 0L, qualifiedRows - t._1.count())) {
+              (t: (DataFrame, Option[DataFrame], Long)) =>
+                (qualifiedRows, 0L, qualifiedRows - t._3)) {
             val model = graft.operators.NbClassifier.load(spark, mp)
             val (survivors0, flagged) = graft.operators.NbClassifier
               .paretoGate(qualified, cfg.idCol, cfg.textCol, model,
@@ -540,10 +543,24 @@ object IngestPipeline {
             // the last gate's survivors feed the probe, the landing
             // anti-join AND the ledger's batch-id semi-join — pin here
             // too; the logger's count reads the pinned frame
-            (org.apache.spark.sql.graft.ColumnBridge
-              .pinnedWithMeasuredStats(survivors0), ledgerRows)
+            val pinned = org.apache.spark.sql.graft.ColumnBridge
+              .pinnedWithMeasuredStats(survivors0)
+            (pinned, ledgerRows, pinned.count())
           }
       }
+
+    // GATE-RATE DRIFT — the model-backed gates score against STANDING
+    // model artifacts, and a jump in a night's flagged share is the one
+    // signal that says "stale model or drifted corpus" (what
+    // Sketches.nightDrift is to column stats, this is to drop rates).
+    // Runs AFTER the gates' audit rows landed, reads only the
+    // metadata-sized execution log, warns, never gates.
+    if (cfg.lmModelPath.isDefined)
+      GateDrift.checkAfterNight(meta, "ingest_lm_", night,
+        rowsIn = screenedRows, flagged = screenedRows - qualifiedRows)
+    if (cfg.nbModelPath.isDefined)
+      GateDrift.checkAfterNight(meta, "ingest_nb_", night,
+        rowsIn = qualifiedRows, flagged = qualifiedRows - classifiedRows)
 
     // 1. PROBE — batch-only hashing; the standing corpus is only touched
     // through the index, and only in the buckets this batch lands in

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.meta.MetaStore
 import graft.operators.Dedup
-import graft.reports.IngestPipeline
+import graft.reports.{GateDrift, IngestPipeline}
 import graft.reports.IngestPipeline.IngestConfig
 
 /**
@@ -1035,6 +1035,83 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     val idxIds = spark.read.parquet(cfg.bandIndexPath)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert((idxIds & flaggedIds).isEmpty, idxIds.toString)
+  }
+
+  test("gate-rate drift: a corpus-shifted night fires the warning; the audit surface carries the share") {
+    import spark.implicits._
+    val root = TempDirs.create("graft-ingest-gatedrift")
+    val modelPath = root.resolve("lm_model").toString
+    val trainDocs = Seq(
+      800L -> "the cat sat on the mat",
+      801L -> "the cat ran on the mat",
+      802L -> "pack my box with five dozen liquor jugs today",
+      803L -> "pack my box with six dozen liquor jugs today")
+      .toDF("doc_id", "text")
+    graft.operators.NgramLm.save(spark,
+      graft.operators.NgramLm.train(trainDocs, "doc_id", "text"), modelPath)
+    val model = graft.operators.NgramLm.load(spark, modelPath)
+    val fluent = "the cat sat on the mat"
+    val packDoc = "pack my box with five dozen liquor jugs today"
+    val ces = graft.operators.NgramLm.crossEntropy(
+        Seq(1L -> fluent, 2L -> "zz qq ww rr tt uu", 3L -> packDoc)
+          .toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cfg = IngestConfig(
+      corpusPath = root.resolve("corpus").toString,
+      bandIndexPath = root.resolve("band_index").toString,
+      metaDir = root.resolve("meta").toString,
+      lmModelPath = Some(modelPath),
+      lmGateMaxCe = (math.max(ces(1L), ces(3L)) + ces(2L)) / 2)
+    // three clean nights build the baseline (distinct fluent docs; the
+    // LM share is measured BEFORE the near-dup probe, so later probe
+    // drops never pollute it) — none may warn (n1/n2 have no baseline,
+    // n3's share matches it)
+    def fluentNight(ids: Range) =
+      ids.map(i => i.toLong -> s"the cat sat on the mat $i").toDF("doc_id", "text")
+    val (_, cleanWarns) = graft.core.Warn.capturing {
+      IngestPipeline.runNight(spark, fluentNight(1 to 5), "n1", cfg)
+      IngestPipeline.runNight(spark, fluentNight(11 to 15), "n2", cfg)
+      IngestPipeline.runNight(spark, fluentNight(21 to 25), "n3", cfg)
+    }
+    assert(!cleanWarns.exists(_.contains("flagged share")), cleanWarns.toString)
+    // the corpus-shifted night: 4 of 5 docs are gibberish the standing
+    // model flags — share jumps 0.0 → 0.8 against a 0.0 trailing median.
+    // The surviving doc is from the OTHER trained family so the near-dup
+    // probe (which sees the landed cat-sentence corpus) never drops it
+    val shifted = (Seq(31L -> packDoc) ++
+      (32L to 35L).map(i => i -> s"zz$i qq ww rr tt uu")).toDF("doc_id", "text")
+    val (n4, warns) = graft.core.Warn.capturing {
+      IngestPipeline.runNight(spark, shifted, "n4", cfg)
+    }
+    assert(n4.accepted == 1 && n4.dropped == 4, n4.toString)
+    val hit = warns.filter(_.contains("flagged share"))
+    assert(hit.nonEmpty, s"the shifted night must warn; got: $warns")
+    assert(hit.head.contains("ingest_lm_n4") && hit.head.contains("0.8000"),
+      hit.head)
+    // the audit surface: per-night shares straight from the execution log
+    val meta = new graft.meta.MetaStore(spark, cfg.metaDir)
+    val shares = GateDrift.gateShares(meta, "ingest_lm_")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(shares == Map("n1" -> 0.0, "n2" -> 0.0, "n3" -> 0.0, "n4" -> 0.8),
+      shares.toString)
+    // latest-wins on a replayed night's audit rows: hand-append a stale
+    // duplicate SUCCESS row for n4 with different counts — the NEWER row
+    // (already present) must keep ruling the surface... and a newer
+    // replacement supersedes it
+    val t0 = new java.sql.Timestamp(0L) // far in the past
+    meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
+      "x", t0, t0, "SUCCESS", "ingest_lm_n4", 10L, 0L, 1L, "", "")))
+    val still = GateDrift.gateShares(meta, "ingest_lm_")
+      .filter(col("night") === "n4").collect().head.getDouble(3)
+    assert(still == 0.8, s"stale replay row must not win: $still")
+    // pure trigger edges: no baseline under MinTrailing nights; both the
+    // factor and the absolute gap must clear
+    assert(!GateDrift.drifted(0.9, Seq(0.1)))
+    assert(GateDrift.drifted(0.8, Seq(0.0, 0.0, 0.0)))
+    assert(!GateDrift.drifted(0.04, Seq(0.0, 0.0))) // gap <= 0.05
+    assert(!GateDrift.drifted(0.30, Seq(0.2, 0.18, 0.22))) // < 2x median
+    assert(GateDrift.drifted(0.50, Seq(0.2, 0.18, 0.22)))
   }
 
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
