@@ -251,7 +251,11 @@ object ScaleBench {
       // the corpus (vs the frames path, which rebuilds postings per query);
       // (b) DSIR is linear scans + an 8192-row broadcast — nothing pairwise
       // — and the md5 portable-hash tax vs xxhash64 is quantified.
-      if (wanted("retrieval")) {
+      // build-only sub-tier for heap A/B controls (the round-20 spill
+      // accounting experiment re-runs JUST the build under two heaps in
+      // one session — same box, same scratch — without paying for the
+      // query/DSIR ops)
+      if (wanted("retrieval") || wanted("bm25build")) {
         val idxPath = s"$scratch/bm25_idx_$n"
         timedRuns(n, "bm25_index_build")(() => {
           graft.operators.Bm25Index.save(
@@ -259,6 +263,33 @@ object ScaleBench {
             idxPath, buckets = 64)
           spark.read.parquet(s"$idxPath/postings").count()
         })
+      }
+      // replay-litter fold: a 10%-of-corpus batch appends TWICE under one
+      // gen key (the crash-replay shape), then `compact` folds the
+      // duplicated posting rows. Claim under test: compact's input is the
+      // POSTINGS (no text re-tokenize, no explode), and litter-free
+      // storage returns byte-identical query behavior. Note the honest
+      // scope: term-bucket partitioning means any broad-vocabulary batch
+      // touches ALL buckets, so compact after a big replay is an
+      // index-sized rewrite — cheaper than save-rebuild (no corpus scan /
+      // explode / near-unique-key agg) but the same O(index) class.
+      // Requires the standing index from bm25build/retrieval.
+      if (wanted("bm25compact")) {
+        val idxPath = s"$scratch/bm25_idx_$n"
+        val replay = () => spark.read.parquet(s"$scratch/docs_$n")
+          .filter(col("doc_id") % 10 === 0)
+        timedRuns(n, "bm25_replay_append_x2")(() => {
+          graft.operators.Bm25Index.append(replay(), "doc_id", "text",
+            idxPath, gen = "replayed_night")
+          graft.operators.Bm25Index.append(replay(), "doc_id", "text",
+            idxPath, gen = "replayed_night")
+          spark.read.parquet(s"$idxPath/postings").count()
+        })
+        timedRuns(n, "bm25_compact")(() =>
+          graft.operators.Bm25Index.compact(spark, idxPath, "doc_id"))
+      }
+      if (wanted("retrieval")) {
+        val idxPath = s"$scratch/bm25_idx_$n"
         // three mid-frequency vocab terms (~2.4% of docs each)
         val q = Seq("w12", "w345", "w4999")
         timedRuns(n, "bm25_query_indexed")(() =>

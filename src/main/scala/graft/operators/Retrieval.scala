@@ -212,7 +212,12 @@ object Bm25Index {
       .withColumn(BucketCol, bucketOf(col(Bm25.TermCol), buckets))
       .repartition(col(BucketCol))
       // term-sorted row groups: parquet min/max stats then prune a query's
-      // `term IN` WITHIN each bucket file, not just across bucket dirs
+      // `term IN` WITHIN each bucket file, not just across bucket dirs.
+      // (A multi-task-per-bucket write — repartition on (bucket, term) —
+      // was measured round 20: it pays a full extra postings shuffle and
+      // the residual spill barely moves (25→19 GB accounting), because
+      // the spill lives in the near-unique-key agg, not the write sort;
+      // the single-task-per-bucket write stays.)
       .sortWithinPartitions(col(BucketCol), col(Bm25.TermCol))
       .write.mode(mode).partitionBy(BucketCol)
       .parquet(s"$path/postings")
@@ -319,7 +324,21 @@ object Bm25Index {
     // its rows are invisible to the litter detection below
     PartitionVacuum.repairAt(spark, post)
     val df = spark.read.parquet(post)
+    // Near-unique (id, term) keys make any hash agg's per-task table
+    // buffer ≈ that task's whole input (the build-path lesson at
+    // Bm25.postings) — and compact's input is the FULL postings read at
+    // few compact parquet splits, which spilled a measured 90 GB of 8 GB-
+    // heap accounting at 1M docs. Shuffle-first on the agg keys instead:
+    // the explicit repartition satisfies the aggregate's distribution (no
+    // second exchange) and slices the key space so each task's table is
+    // rows/parts — the same memory-sizing discipline as the build's
+    // pre-split, applied post-read because the expansion here is the
+    // parquet→UnsafeRow decode, not an explode.
+    val parts = math.max(
+      graft.core.ShuffleSizing.ensureFor(df, expansionFactor = 16.0),
+      spark.sparkContext.defaultParallelism * 8)
     val dupBuckets = df
+      .repartition(parts, col(BucketCol), col(id), col(Bm25.TermCol))
       .groupBy(col(BucketCol), col(id), col(Bm25.TermCol))
       .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
       .groupBy(col(BucketCol))
@@ -330,10 +349,12 @@ object Bm25Index {
     val folded = dupBuckets.map(_.getLong(1)).sum
     val survivors = df
       .filter(PartitionVacuum.partitionPred(BucketCol, touched))
+      .repartition(parts, col(id), col(Bm25.TermCol))
       .dropDuplicates(id, Bm25.TermCol)
-      // restore the bucket layout's file shape: one write task per bucket,
-      // term-sorted row groups for the query path's min/max pruning
-      .repartition(col(BucketCol))
+      // restore the bucket layout's file shape: multi-task writes per
+      // bucket (the build path's reasoning), term-sorted row groups for
+      // the query path's min/max pruning
+      .repartition(parts, col(BucketCol), col(Bm25.TermCol))
       .sortWithinPartitions(col(BucketCol), col(Bm25.TermCol))
     PartitionVacuum.replacePartitions(spark, post, BucketCol, touched,
       survivors)
