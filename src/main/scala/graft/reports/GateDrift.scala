@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.meta.MetaStore
 
 /**
- * Flagged-share drift monitor for the model-backed ingest gates (the LM
- * quality gate and the NB classifier gate of
- * [[IngestPipeline.runNight]]). Both gates score each night's batch
- * against a STANDING persisted model — and nothing used to warn when a
- * night's flagged share jumped, which is exactly how a stale model (or a
- * genuinely drifted corpus) announces itself: the same failure mode
+ * Flagged-share drift monitor for the standing-state ingest gates of
+ * [[IngestPipeline.runNight]]. Each gate's nightly flagged share is a
+ * one-number health signal whose jump names its own suspect: the LM and
+ * NB gates score against STANDING persisted models (jump = stale model
+ * or drifted corpus — the same failure mode
  * [[graft.operators.Sketches.nightDrift]] catches for column statistics,
- * here for the gates' drop rates.
+ * here for drop rates); the bloom exact gate's share is the re-crawl
+ * rate (jump = crawler re-fetch storm or an upstream dedup break); the
+ * eval gate's share is the contamination rate (jump = eval data leaking
+ * into the crawl). Nothing used to warn on any of them.
  *
  * The audit record is the standing execution log: each gate's logged row
  * already carries the night's input count (`records_inserted`) and drop

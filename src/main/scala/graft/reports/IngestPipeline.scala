@@ -45,10 +45,11 @@ import graft.ops.{Compaction, CompactionResult}
  *      [[graft.operators.NbClassifier]] model drop BEFORE the probe; the
  *      draw is id-hash-seeded, so a replayed night with stable ids
  *      re-derives the same verdicts. Drops ledger as
- *      reason='classifier_rejected'. After both model-backed gates, a
- *      flagged-share drift monitor ([[GateDrift]]) compares the night
- *      against the trailing nights' median and warns on a jump (stale
- *      model / drifted corpus) — informational, never a gate.
+ *      reason='classifier_rejected'. After the gates, a flagged-share
+ *      drift monitor ([[GateDrift]]) compares each configured gate's
+ *      night against its trailing nights' median and warns on a jump
+ *      (stale model / drifted corpus / re-crawl storm / eval leak) —
+ *      informational, never a gate.
  *   1. PROBE — MinHash the batch only (O(batch)), probe the persisted band
  *      index for batch-vs-corpus near-dup candidates (replay-idempotent:
  *      the batch's own ids are excluded from the corpus view), plus
@@ -549,12 +550,22 @@ object IngestPipeline {
           }
       }
 
-    // GATE-RATE DRIFT — the model-backed gates score against STANDING
-    // model artifacts, and a jump in a night's flagged share is the one
-    // signal that says "stale model or drifted corpus" (what
-    // Sketches.nightDrift is to column stats, this is to drop rates).
-    // Runs AFTER the gates' audit rows landed, reads only the
-    // metadata-sized execution log, warns, never gates.
+    // GATE-RATE DRIFT — every standing-state gate's flagged share is a
+    // one-number health signal, and a jump names its own suspect: the
+    // LM/NB gates score against STANDING model artifacts (jump = stale
+    // model or drifted corpus — what Sketches.nightDrift is to column
+    // stats, this is to drop rates); the exact gate's share is the
+    // re-crawl rate (jump = crawler re-fetch storm or upstream dedup
+    // break); the eval gate's share is the contamination rate (jump =
+    // eval data leaking into the crawl). Runs AFTER the gates' audit
+    // rows landed, reads only the metadata-sized execution log, warns,
+    // never gates.
+    if (cfg.bloomIndexPath.isDefined)
+      GateDrift.checkAfterNight(meta, "ingest_exact_", night,
+        rowsIn = batchRows, flagged = batchRows - gatedRows)
+    if (cfg.evalSetPath.isDefined)
+      GateDrift.checkAfterNight(meta, "ingest_eval_", night,
+        rowsIn = gatedRows, flagged = gatedRows - screenedRows)
     if (cfg.lmModelPath.isDefined)
       GateDrift.checkAfterNight(meta, "ingest_lm_", night,
         rowsIn = screenedRows, flagged = screenedRows - qualifiedRows)

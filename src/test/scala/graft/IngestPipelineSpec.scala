@@ -1112,6 +1112,23 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!GateDrift.drifted(0.04, Seq(0.0, 0.0))) // gap <= 0.05
     assert(!GateDrift.drifted(0.30, Seq(0.2, 0.18, 0.22))) // < 2x median
     assert(GateDrift.drifted(0.50, Seq(0.2, 0.18, 0.22)))
+    // the exact/eval gates monitor through the same surface: a hand-
+    // seeded re-crawl storm (share 0.02 → 0.60) fires for ingest_exact_
+    def seeded(nightK: String, in: Long, del: Long, ts: Long) =
+      graft.meta.ExecutionLogRow("x", new java.sql.Timestamp(ts),
+        new java.sql.Timestamp(ts), "SUCCESS", s"ingest_exact_$nightK",
+        in, 0L, del, "", "")
+    meta.appendExecutionLog(Seq(
+      seeded("m1", 100L, 2L, 1000L), seeded("m2", 100L, 2L, 2000L),
+      seeded("m3", 100L, 3L, 3000L), seeded("m4", 100L, 60L, 4000L)))
+    val (_, stormWarn) = graft.core.Warn.capturing {
+      GateDrift.checkAfterNight(meta, "ingest_exact_", "m4", 100L, 60L)
+    }
+    assert(stormWarn.exists(_.contains("ingest_exact_m4")), stormWarn.toString)
+    val (_, calmWarn) = graft.core.Warn.capturing {
+      GateDrift.checkAfterNight(meta, "ingest_exact_", "m3", 100L, 3L)
+    }
+    assert(!calmWarn.exists(_.contains("flagged share")), calmWarn.toString)
   }
 
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {
