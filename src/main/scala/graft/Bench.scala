@@ -327,7 +327,15 @@ object Bench {
       }
       def isBad(s: Seq[(Double, Double, Double)]): Boolean = {
         val loads = s.map(_._2).filter(_ >= 0)
-        spreadNoisy(s.map(_._1)) || (loads.nonEmpty && loads.min > loadBound) ||
+        // the loadavg trigger is min-of-SET by design (sustained load);
+        // a single-sample heavy set has no "sustained" evidence and its
+        // one post-run load1 sample is largely the query's OWN burst
+        // (load1 is a trailing EWMA) — applying the bound there would
+        // trip on every machine-saturating composition and burn its one
+        // capped retry. External-cores and the drift tier, both
+        // self-load-immune, still cover single samples.
+        val loadTrip = s.length >= 2 && loads.nonEmpty && loads.min > loadBound
+        spreadNoisy(s.map(_._1)) || loadTrip ||
           contendedSet(s.map(_._3).filter(_ >= 0), extBound) ||
           drifted(name, medianOf(s.map(_._1))) // retry tier: >1.3× filed
       }

@@ -419,7 +419,11 @@ object Dedup {
       s"minContainment must be in [0, 1], got $minContainment — a " +
         "percent-style value would silently flag NOTHING and let eval " +
         "data leak through the gate")
-    val pairs = containmentPairs(batch, evalSet, id, text, k, minOverlap,
+    // null ids fail the job loudly: a flagged null-id doc would BOTH
+    // ledger as contaminated AND survive the anti-join below (null never
+    // matches) — see Guards.requireIds
+    val checked = Guards.requireIds(batch, id, "Dedup.contaminationGate")
+    val pairs = containmentPairs(checked, evalSet, id, text, k, minOverlap,
         maxShingleDf)
       .filter(col("containment") >= minContainment)
     val w = org.apache.spark.sql.expressions.Window
@@ -431,7 +435,7 @@ object Dedup {
       .select(col(id), col("probe_id"))
       .localCheckpoint(true)
     val survivors = org.apache.spark.sql.graft.ColumnBridge
-      .pinnedWithMeasuredStats(batch.join(
+      .pinnedWithMeasuredStats(checked.join(
         broadcast(flagged.select(col(id))), Seq(id), "left_anti"))
     (survivors, flagged)
   }

@@ -196,11 +196,16 @@ object NbClassifier {
                  alpha: Double = Alpha): (DataFrame, DataFrame) = {
     require(!shape.isNaN && shape > 0.0,
       s"classifier gate needs a positive pareto shape, got $shape")
-    val flagged = drawn(logOdds(batch, id, text, model, alpha), id,
+    // guard at the GATE door, not only under the scoring path: a
+    // zero-token null-id doc produces no token rows, so the draw-side
+    // checkedId is never evaluated for it by codegen — the survivors
+    // side's join key below is what every such row must pass through
+    val b = Guards.requireIds(batch, id, "NbClassifier.paretoGate")
+    val flagged = drawn(logOdds(b, id, text, model, alpha), id,
         "log_odds", shape)
       .filter(col("noise") < lit(1.0) - col("keep_p"))
       .select(col(id), col("log_odds"), col("keep_p"), col("noise"))
-    val survivors = batch.join(flagged.select(col(id)), Seq(id), "left_anti")
+    val survivors = b.join(flagged.select(col(id)), Seq(id), "left_anti")
     (survivors, flagged)
   }
 

@@ -164,10 +164,14 @@ object NgramLm {
                   alpha: Double = Alpha): (DataFrame, DataFrame) = {
     require(!maxCe.isNaN && maxCe > 0.0,
       s"lm quality gate needs a positive cross-entropy ceiling, got $maxCe")
-    val flagged = crossEntropy(batch, id, text, model, alpha)
+    // null ids fail the job loudly: a flagged null-id doc would BOTH
+    // ledger as dropped AND survive the anti-join (null never matches) —
+    // see Guards.requireIds
+    val b = Guards.requireIds(batch, id, "NgramLm.qualityGate")
+    val flagged = crossEntropy(b, id, text, model, alpha)
       .filter(col("cross_entropy") > maxCe)
       .select(col(id), col("cross_entropy"))
-    val survivors = batch.join(flagged, Seq(id), "left_anti")
+    val survivors = b.join(flagged, Seq(id), "left_anti")
     (survivors, flagged)
   }
 

@@ -351,10 +351,14 @@ object Bm25Index {
       .filter(PartitionVacuum.partitionPred(BucketCol, touched))
       .repartition(parts, col(id), col(Bm25.TermCol))
       .dropDuplicates(id, Bm25.TermCol)
-      // restore the bucket layout's file shape: multi-task writes per
-      // bucket (the build path's reasoning), term-sorted row groups for
-      // the query path's min/max pruning
-      .repartition(parts, col(BucketCol), col(Bm25.TermCol))
+      // restore the bucket layout's file shape: ONE write task per bucket
+      // (the build's shape) — a multi-task write was measured 2.6 GB vs
+      // 18 GB spill accounting but shatters each compacted bucket into up
+      // to `parts` small files, taxing every later query's file opens;
+      // the accounting spill is benign (heap A/B, SCALE.md round 20),
+      // the file litter is not. Term-sorted row groups for the query
+      // path's min/max pruning.
+      .repartition(col(BucketCol))
       .sortWithinPartitions(col(BucketCol), col(Bm25.TermCol))
     PartitionVacuum.replacePartitions(spark, post, BucketCol, touched,
       survivors)

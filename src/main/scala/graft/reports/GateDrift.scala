@@ -103,8 +103,12 @@ object GateDrift {
                       factor: Double = DefaultFactor,
                       absGap: Double = DefaultAbsGap): Double = {
     val share = if (rowsIn <= 0) 0.0 else flagged.toDouble / rowsIn
-    val trailing = gateShares(meta, processPrefix, limit = window + 1)
-      .filter(col("night") =!= night)
+    // zero-input nights (empty weekend/holiday batches) say nothing about
+    // the gate: counting them as 0.0-share baselines would drag the
+    // median to 0 and make the next ORDINARY night false-fire — exclude
+    // them from the baseline (they stay visible in gateShares)
+    val trailing = gateShares(meta, processPrefix, limit = window + 8)
+      .filter(col("night") =!= night && col("rows_in") > 0)
       .limit(window)
       .select(col("flagged_share"))
       .collect().map(_.getDouble(0)).toSeq

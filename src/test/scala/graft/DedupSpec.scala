@@ -328,6 +328,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("contaminationGate fails loudly on a null-id batch doc, even zero-token") {
+    import spark.implicits._
+    val evalSet = Seq((900L, "quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    // the anti-join algebra cannot gate a null key: a flagged null-id doc
+    // would both ledger as contaminated AND land — the gate-door guard
+    // fails the job instead, including for zero-token docs the shingle
+    // path never sees
+    val nullId = Seq((Some(1L), "clean distinct words"), (None, "  "))
+      .toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.contaminationGate(nullId, evalSet, "id", "text", k = 3)._1.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null-id document")), e.getMessage)
+  }
+
   test("decontaminate drops only the containing docs; corpus side broadcasts") {
     import spark.implicits._
     val corpus = Seq(

@@ -1129,6 +1129,22 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
       GateDrift.checkAfterNight(meta, "ingest_exact_", "m3", 100L, 3L)
     }
     assert(!calmWarn.exists(_.contains("flagged share")), calmWarn.toString)
+    // zero-input nights (empty weekend batches) must not drag the
+    // baseline median to 0 and false-fire the next ordinary night
+    def nb(nightK: String, in: Long, del: Long, ts: Long) =
+      graft.meta.ExecutionLogRow("x", new java.sql.Timestamp(ts),
+        new java.sql.Timestamp(ts), "SUCCESS", s"ingest_nb_$nightK",
+        in, 0L, del, "", "")
+    meta.appendExecutionLog(Seq(
+      nb("k1", 100L, 10L, 1000L), nb("k2", 100L, 11L, 2000L),
+      nb("k3", 0L, 0L, 3000L), nb("k4", 0L, 0L, 4000L),
+      nb("k5", 0L, 0L, 5000L), nb("k6", 0L, 0L, 6000L),
+      nb("k7", 100L, 10L, 7000L)))
+    val (_, emptyCalm) = graft.core.Warn.capturing {
+      GateDrift.checkAfterNight(meta, "ingest_nb_", "k7", 100L, 10L)
+    }
+    assert(!emptyCalm.exists(_.contains("flagged share")),
+      s"a steady share after empty nights must not fire: $emptyCalm")
   }
 
   test("bloom maintain cadence: heavy retraction triggers a nightly rebuild, restoring precision") {

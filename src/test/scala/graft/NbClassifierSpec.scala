@@ -150,6 +150,16 @@ class NbClassifierSpec extends AnyFunSuite with SparkSpec {
       val (s, f) = NbClassifier.paretoGate(nullId, "doc_id", "text", m)
       s.collect() ++ f.collect()
     }
+    // the review-found hole: a null-id doc with ZERO tokens never reaches
+    // the scoring path (explode emits no rows, so a guard living only
+    // under it is skipped by codegen) — the gate-door guard must still
+    // fail it on the survivors side instead of silently landing it
+    val nullIdNoTokens = Seq((Some(42L), "good"), (None, "   "))
+      .toDF("doc_id", "text")
+    failsLoudly {
+      val (s, _) = NbClassifier.paretoGate(nullIdNoTokens, "doc_id", "text", m)
+      s.collect()
+    }
     // non-null frames are untouched by the guard
     assert(NbClassifier.paretoKeep(scoredOk, "doc_id").count() >= 0)
   }

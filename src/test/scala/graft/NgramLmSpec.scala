@@ -113,6 +113,19 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(fl.keySet === Set(51L) && fl(51L) === r6(math.log(2.0)))
     intercept[IllegalArgumentException](
       NgramLm.qualityGate(batch, "doc_id", "text", m, -1.0))
+    // a null-id doc fails the JOB loudly (even zero-token): the anti-join
+    // algebra cannot gate a null key — a flagged null-id doc would both
+    // ledger as dropped AND land
+    import spark.implicits._
+    val nullId = Seq((Some(60L), "a b a"), (None, "   "))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      NgramLm.qualityGate(nullId, "doc_id", "text", m, maxCe)._1.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null-id document")), e.getMessage)
   }
 
   test("rrf matches the definition: sum of 1/(k+rank), ranks only") {
