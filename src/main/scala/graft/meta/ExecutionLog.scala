@@ -70,16 +70,32 @@ final case class DmfSuspensionRow(
     metric_columns: Option[String],
     suspended: Boolean)
 
+/** JVM-wide serialization of metadata-log parquet appends: independent
+  * pipeline steps now run CONCURRENTLY (guide §2.6 — the index appends and
+  * the per-index maintenance sweeps touch disjoint roots), but their audit
+  * rows land in the SAME log directories, and two simultaneous
+  * FileOutputCommitter jobs against one path share a `_temporary` staging
+  * dir — one job's commit-time cleanup can delete the other's in-flight
+  * task output. The appends are single-row and driver-issued, so a plain
+  * lock costs microseconds of contention and removes the race entirely. */
+private object MetaStoreLocks {
+  val appendLock = new Object
+}
+
 final class MetaStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private def path(name: String) = s"$dir/$name"
 
   def appendExecutionLog(rows: Seq[ExecutionLogRow]): Unit =
-    rows.toDS().write.mode(SaveMode.Append).parquet(path("execution_log"))
+    MetaStoreLocks.appendLock.synchronized {
+      rows.toDS().write.mode(SaveMode.Append).parquet(path("execution_log"))
+    }
 
   def appendBatchControl(rows: Seq[BatchControlRow]): Unit =
-    rows.toDS().write.mode(SaveMode.Append).parquet(path("batch_control"))
+    MetaStoreLocks.appendLock.synchronized {
+      rows.toDS().write.mode(SaveMode.Append).parquet(path("batch_control"))
+    }
 
   def executionLog: DataFrame = spark.read.parquet(path("execution_log"))
 
@@ -206,6 +222,12 @@ object ExecutionLogger {
       java.util.UUID.randomUUID().toString, start,
       new java.sql.Timestamp(System.currentTimeMillis()),
       status, process, c._1, c._2, c._3, carrier, err)
+    // label the step's Spark jobs with the audit process name (thread-local,
+    // restored after) so the UI/job listeners attribute work to pipeline
+    // steps without cross-referencing the log's timestamps
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(process)
     try {
       val result = body
       meta.appendExecutionLog(Seq(row("SUCCESS", counts(result), "")))
@@ -214,6 +236,6 @@ object ExecutionLogger {
       case e: Throwable =>
         meta.appendExecutionLog(Seq(row("FAILED", (0L, 0L, 0L), sanitize(e.getMessage))))
         throw e
-    }
+    } finally sc.setJobDescription(prevDesc)
   }
 }

@@ -307,16 +307,14 @@ object Compaction {
     // the rewrite reads the path it overwrites — truncate lineage first
     // (the mergeIntoTable pattern); only the selected slice materializes
     val materialized = slice.localCheckpoint(true)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(modeKey)
-    try {
-      spark.conf.set(modeKey, "dynamic")
-      val w = materialized.write.mode(SaveMode.Overwrite)
-      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(path)
-    } finally before match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
-    }
+    // dynamic overwrite as a WRITER OPTION, not a session-conf set/restore:
+    // the option takes precedence over the conf and is scoped to this one
+    // write, so concurrent compactions (the pipeline's parallel per-index
+    // maintenance) can never race a conf restore into a STATIC overwrite —
+    // which would silently truncate every untouched partition
+    val w = materialized.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(path)
     // the rewrite replaced files under an unchanged path: a cached plan
     // (or cached listing) over it would keep serving the pre-compaction
     // files — some already deleted — so invalidate both

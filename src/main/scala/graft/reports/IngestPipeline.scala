@@ -342,6 +342,40 @@ object IngestPipeline {
       bloomRebuilt: Option[Boolean] = None,
       bm25Compaction: Option[CompactionResult] = None)
 
+  /** Run independent index/maintenance tasks CONCURRENTLY — guide §2.6:
+    * Spark's scheduler happily runs several jobs at once inside one
+    * application; the pipeline's per-index appends and sweeps touch
+    * disjoint roots and were sequential only because the driver called
+    * them sequentially. On a cluster the later jobs back-fill executors
+    * freed by the earlier jobs' stragglers; on the sf0.1 bench it removes
+    * dead driver time between many small fixed-cost jobs. 2–3 in flight
+    * is plenty (enough to fill the tail, not enough to fight over
+    * executors); pool threads are created by the calling thread, so
+    * Spark's inheritable local properties (job description/group) carry
+    * over. Audit-log appends stay safe under concurrency via
+    * [[graft.meta.MetaStoreLocks]]. The first failure rethrows after all
+    * tasks settle (a maintenance crash must surface, not race a pool
+    * shutdown). */
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.lengthCompare(2) < 0) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tasks.size, 3))
+      try {
+        val futs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+        var firstFailure: Option[Throwable] = None
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+          }
+        }
+        firstFailure.foreach(throw _)
+      } finally pool.shutdown()
+    }
+
   private def hashParams(cfg: IngestConfig): Map[String, String] = Map(
     "kind" -> "minhash", "shingleK" -> cfg.shingleK.toString,
     "numHashes" -> cfg.numHashes.toString, "bands" -> cfg.bands.toString,
@@ -585,10 +619,10 @@ object IngestPipeline {
           val nonePairs = batch.select(col(cfg.idCol).as("id_a"),
             col(cfg.idCol).as("id_b")).limit(0)
           val corpusPairs0 =
-            if (bootstrap) nonePairs
-            else BandIndex.probe(spark, cfg.bandIndexPath, banded, cfg.idCol,
-              cfg.maxBucket, cfg.strict,
-              excludeIds = Some(batch.select(col(cfg.idCol))))
+            if (bootstrap) None
+            else Some(BandIndex.probe(spark, cfg.bandIndexPath, banded,
+              cfg.idCol, cfg.maxBucket, cfg.strict,
+              excludeIds = Some(batch.select(col(cfg.idCol)))))
           val intraPairs0 = Dedup.pairsFromBanded(banded, cfg.idCol,
             cfg.maxBucket, caller = "IngestPipeline", strict = cfg.strict)
           // pin the pair frames UNCONDITIONALLY before the anti-join (and,
@@ -599,11 +633,27 @@ object IngestPipeline {
           // median vs 1248 MB / 14.1 GB / 24.0 s with the pins, EVEN WITH
           // the ledger's extra write on the pinned arm. Pair frames are
           // bounded (maxBucket caps bucket fanout), so the checkpoint is
-          // O(pairs) like the survivors pin itself
+          // O(pairs) like the survivors pin itself.
+          // ONE pin for BOTH frames (r21): the corpus and intra pair plans
+          // share the persisted `banded` parent and are bounded, so they
+          // union (source-tagged) into a single materialization — one
+          // driver-side action/AQE chain instead of two back-to-back — and
+          // the frames split back out as filters over the pinned blocks
+          // (no recompute, no shuffle). On a bootstrap night the corpus
+          // arm is statically empty: nothing unions and nothing pins for
+          // it (the old code paid a checkpoint job for a limit-0 frame).
           val bridge = org.apache.spark.sql.graft.ColumnBridge
-          val (cp, ip) =
-            (bridge.pinnedWithMeasuredStats(corpusPairs0),
-              bridge.pinnedWithMeasuredStats(intraPairs0))
+          val intraTagged = intraPairs0.withColumn("__src", lit("i"))
+          val tagged = bridge.pinnedWithMeasuredStats(corpusPairs0 match {
+            case Some(cp0) =>
+              intraTagged.unionByName(cp0.withColumn("__src", lit("c")))
+            case None => intraTagged
+          })
+          val cp = corpusPairs0 match {
+            case Some(_) => tagged.filter(col("__src") === "c").drop("__src")
+            case None => nonePairs
+          }
+          val ip = tagged.filter(col("__src") === "i").drop("__src")
           val corpusDups =
             cp.select(explode(array(col("id_a"), col("id_b"))).as(cfg.idCol))
           val intraDups = ip.select(col("id_b").as(cfg.idCol))
@@ -788,54 +838,62 @@ object IngestPipeline {
         }
       }
 
-      // 4. INDEX — appends touch only the partitions the survivors hit
+      // 4. INDEX — appends touch only the partitions the survivors hit.
+      // The per-index appends read only PINNED inputs (survivors, the
+      // persisted banded frame) and write disjoint roots, so they run
+      // concurrently (see [[inParallel]]) — on the IVFPQ-configured night
+      // the band append rides under the k-means bootstrap instead of
+      // serializing after it
       ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
-        BandIndex.append(
-          banded.join(survivors.select(col(cfg.idCol)), Seq(cfg.idCol),
-            "left_semi"), cfg.bandIndexPath)
-        if (bootstrap)
-          BandIndex.recordParams(spark, cfg.bandIndexPath, params)
-        cfg.ivfIndexPath.foreach { ip =>
-          val ipath = new org.apache.hadoop.fs.Path(ip)
-          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(ipath))
-            IvfIndex.save(survivors, cfg.idCol, cfg.embCol, ip,
-              numCentroids = cfg.ivfCentroids)
-          else
-            IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
-        }
-        cfg.ivfPqIndexPath.foreach { ip =>
-          val ipath = new org.apache.hadoop.fs.Path(ip)
-          if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(ipath))
-            graft.operators.IvfPqIndex.save(survivors, cfg.idCol, cfg.embCol,
-              ip, numCells = cfg.ivfPqCells, m = cfg.ivfPqM,
-              ksub = cfg.ivfPqKsub)
-          else
-            graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
-              cfg.embCol, ip)
-        }
-        cfg.bloomIndexPath.foreach { bp =>
-          graft.operators.BloomIndex.appendOrBootstrap(
-            graft.operators.BloomIndex.survivorKeys(survivors,
-              cfg.idCol, cfg.textCol),
-            "__exact_key", cfg.idCol, bp,
-            shards = cfg.bloomShards, bitsPerShard = cfg.bloomBitsPerShard)
-        }
-        cfg.bm25IndexPath.foreach { bp =>
-          val bpath = new org.apache.hadoop.fs.Path(bp)
-          // night id = the stats generation's idempotence key either way:
-          // a crash replay of this night replaces its own generation (a
-          // replayed BOOTSTRAP night takes the append arm — same key, so
-          // the constants still land exactly once)
-          if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(bpath))
-            graft.operators.Bm25Index.save(survivors, cfg.idCol,
-              cfg.textCol, bp, buckets = cfg.bm25Buckets, gen = night)
-          else
-            graft.operators.Bm25Index.append(survivors, cfg.idCol,
-              cfg.textCol, bp, gen = night)
-        }
+        inParallel(Seq[Option[() => Unit]](
+          Some { () =>
+            BandIndex.append(
+              banded.join(survivors.select(col(cfg.idCol)), Seq(cfg.idCol),
+                "left_semi"), cfg.bandIndexPath)
+            if (bootstrap)
+              BandIndex.recordParams(spark, cfg.bandIndexPath, params)
+          },
+          cfg.ivfIndexPath.map { ip => () =>
+            val ipath = new org.apache.hadoop.fs.Path(ip)
+            if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(ipath))
+              IvfIndex.save(survivors, cfg.idCol, cfg.embCol, ip,
+                numCentroids = cfg.ivfCentroids)
+            else
+              IvfIndex.append(survivors, cfg.idCol, cfg.embCol, ip)
+          },
+          cfg.ivfPqIndexPath.map { ip => () =>
+            val ipath = new org.apache.hadoop.fs.Path(ip)
+            if (!ipath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(ipath))
+              graft.operators.IvfPqIndex.save(survivors, cfg.idCol,
+                cfg.embCol, ip, numCells = cfg.ivfPqCells, m = cfg.ivfPqM,
+                ksub = cfg.ivfPqKsub)
+            else
+              graft.operators.IvfPqIndex.append(survivors, cfg.idCol,
+                cfg.embCol, ip)
+          },
+          cfg.bloomIndexPath.map { bp => () =>
+            graft.operators.BloomIndex.appendOrBootstrap(
+              graft.operators.BloomIndex.survivorKeys(survivors,
+                cfg.idCol, cfg.textCol),
+              "__exact_key", cfg.idCol, bp,
+              shards = cfg.bloomShards, bitsPerShard = cfg.bloomBitsPerShard)
+          },
+          cfg.bm25IndexPath.map { bp => () =>
+            val bpath = new org.apache.hadoop.fs.Path(bp)
+            // night id = the stats generation's idempotence key either way:
+            // a crash replay of this night replaces its own generation (a
+            // replayed BOOTSTRAP night takes the append arm — same key, so
+            // the constants still land exactly once)
+            if (!bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(bpath))
+              graft.operators.Bm25Index.save(survivors, cfg.idCol,
+                cfg.textCol, bp, buckets = cfg.bm25Buckets, gen = night)
+            else
+              graft.operators.Bm25Index.append(survivors, cfg.idCol,
+                cfg.textCol, bp, gen = night)
+          }).flatten)
       }
 
       // 5. MAINTAIN — partition-scoped sweep of per-night index litter,
@@ -843,65 +901,82 @@ object IngestPipeline {
       // round-14 — 2.6× probe slowdown from five nights of append litter,
       // restored by a seconds-cheap sweep), so the sweep belongs in the
       // cycle rather than deferred until probes degrade
-      val comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
-          cfg.carrier, (r: CompactionResult) =>
-            (0L, r.filesBefore - r.filesAfter, 0L)) {
-        // pending tombstones (out-of-band removeIds between nights) sweep
-        // on the same cadence as the file litter — the vacuum contract
-        // (bounded tombstone sets) is enforced BY the cycle, not by hope
-        BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
-        Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
-          cfg.compactTargetFileBytes)
-      }
-      val ivfComp = cfg.ivfIndexPath.map { ip =>
-        ExecutionLogger.logged(meta, s"ingest_compact_ivf_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          IvfIndex.vacuum(spark, ip)
-          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
-            cfg.compactTargetFileBytes)
-        }
-      }
-      val ivfPqComp = cfg.ivfPqIndexPath.map { ip =>
-        ExecutionLogger.logged(meta, s"ingest_compact_ivfpq_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          graft.operators.IvfPqIndex.vacuum(spark, ip)
-          Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
-            cfg.compactTargetFileBytes)
-        }
-      }
-      // fold/rewrite gates + stale-share-triggered rebuild live in
-      // BloomIndex.maintain — ONE maintenance entry shared with any other
-      // caller, so retraction traffic heals here on the same cadence that
-      // sweeps file litter (a rebuilt night logs rows_deleted=1 as its
-      // audit signal)
-      val bloomMaint = cfg.bloomIndexPath.map { bp =>
-        ExecutionLogger.logged(meta, s"ingest_compact_bloom_$night",
-            cfg.carrier, (r: (CompactionResult, Boolean)) =>
-              (0L, r._1.filesBefore - r._1.filesAfter,
-                if (r._2) 1L else 0L)) {
-          graft.operators.BloomIndex.maintain(spark, bp,
-            cfg.compactTargetFileBytes,
-            minFoldGenerations = cfg.bloomFoldGenerations,
-            ledgerMinExcessFiles = cfg.bloomLedgerMinExcessFiles,
-            rebuildShare = cfg.bloomRebuildShare)
-        }
-      }
+      // The per-index sweeps touch disjoint roots and run CONCURRENTLY
+      // (inParallel); each stays inside its own logged step (audit rows
+      // unchanged; appends serialize via MetaStoreLocks). Results land in
+      // vars behind the inParallel barrier (Future.get = happens-before).
+      var comp: CompactionResult = null
+      var ivfComp: Option[CompactionResult] = None
+      var ivfPqComp: Option[CompactionResult] = None
+      var bloomMaint: Option[(CompactionResult, Boolean)] = None
+      var bm25Comp: Option[CompactionResult] = None
+      inParallel(Seq[Option[() => Unit]](
+        Some { () =>
+          comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
+              cfg.carrier, (r: CompactionResult) =>
+                (0L, r.filesBefore - r.filesAfter, 0L)) {
+            // pending tombstones (out-of-band removeIds between nights)
+            // sweep on the same cadence as the file litter — the vacuum
+            // contract (bounded tombstone sets) is enforced BY the cycle,
+            // not by hope
+            BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
+            Compaction.compactPath(spark, cfg.bandIndexPath, Seq("band"),
+              cfg.compactTargetFileBytes)
+          }
+        },
+        cfg.ivfIndexPath.map { ip => () =>
+          ivfComp = Some(ExecutionLogger.logged(meta,
+              s"ingest_compact_ivf_$night",
+              cfg.carrier, (r: CompactionResult) =>
+                (0L, r.filesBefore - r.filesAfter, 0L)) {
+            IvfIndex.vacuum(spark, ip)
+            Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+              cfg.compactTargetFileBytes)
+          })
+        },
+        cfg.ivfPqIndexPath.map { ip => () =>
+          ivfPqComp = Some(ExecutionLogger.logged(meta,
+              s"ingest_compact_ivfpq_$night",
+              cfg.carrier, (r: CompactionResult) =>
+                (0L, r.filesBefore - r.filesAfter, 0L)) {
+            graft.operators.IvfPqIndex.vacuum(spark, ip)
+            Compaction.compactPath(spark, s"$ip/cells", Seq("cell"),
+              cfg.compactTargetFileBytes)
+          })
+        },
+        // fold/rewrite gates + stale-share-triggered rebuild live in
+        // BloomIndex.maintain — ONE maintenance entry shared with any other
+        // caller, so retraction traffic heals here on the same cadence that
+        // sweeps file litter (a rebuilt night logs rows_deleted=1 as its
+        // audit signal)
+        cfg.bloomIndexPath.map { bp => () =>
+          bloomMaint = Some(ExecutionLogger.logged(meta,
+              s"ingest_compact_bloom_$night",
+              cfg.carrier, (r: (CompactionResult, Boolean)) =>
+                (0L, r._1.filesBefore - r._1.filesAfter,
+                  if (r._2) 1L else 0L)) {
+            graft.operators.BloomIndex.maintain(spark, bp,
+              cfg.compactTargetFileBytes,
+              minFoldGenerations = cfg.bloomFoldGenerations,
+              ledgerMinExcessFiles = cfg.bloomLedgerMinExcessFiles,
+              rebuildShare = cfg.bloomRebuildShare)
+          })
+        },
+        cfg.bm25IndexPath.map { bp => () =>
+          bm25Comp = Some(ExecutionLogger.logged(meta,
+              s"ingest_compact_bm25_$night",
+              cfg.carrier, (r: CompactionResult) =>
+                (0L, r.filesBefore - r.filesAfter, 0L)) {
+            // out-of-band retractions sweep physically on the same cadence
+            // (vacuum also re-derives EXACT scoring constants); then the
+            // per-night posting-file litter bin-packs like every index
+            graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
+            Compaction.compactPath(spark, s"$bp/postings",
+              Seq(graft.operators.Bm25Index.BucketCol),
+              cfg.compactTargetFileBytes)
+          })
+        }).flatten)
       val bloomComp = bloomMaint.map(_._1)
-      val bm25Comp = cfg.bm25IndexPath.map { bp =>
-        ExecutionLogger.logged(meta, s"ingest_compact_bm25_$night",
-            cfg.carrier, (r: CompactionResult) =>
-              (0L, r.filesBefore - r.filesAfter, 0L)) {
-          // out-of-band retractions sweep physically on the same cadence
-          // (vacuum also re-derives EXACT scoring constants); then the
-          // per-night posting-file litter bin-packs like every index
-          graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
-          Compaction.compactPath(spark, s"$bp/postings",
-            Seq(graft.operators.Bm25Index.BucketCol),
-            cfg.compactTargetFileBytes)
-        }
-      }
 
       // 6. LOG — the night's commit record, written LAST: its presence is
       // what makes a later re-run of this night short-circuit. NOTE the
@@ -988,50 +1063,62 @@ object IngestPipeline {
       .distinct().localCheckpoint(true) // small by contract; pin once
     val requested = pinned.count()
     // a target that never bootstrapped holds nothing to retract — appending
-    // a tombstone set under a data-less root would break its first read
-    val corpusRemoved =
-      if (!exists(cfg.corpusPath)) 0L
-      else ExecutionLogger.logged(meta,
-          s"retract_corpus_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
-        graft.operators.Tombstones.append(spark, cfg.corpusPath, pinned)
-        graft.operators.PartitionVacuum.vacuum(spark, cfg.corpusPath,
-          cfg.corpusPath, cfg.loadDateCol, cfg.idCol)
-      }
-    val bandRemoved =
-      if (!exists(cfg.bandIndexPath)) 0L
-      else ExecutionLogger.logged(meta,
-          s"retract_band_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
-        BandIndex.removeIds(spark, cfg.bandIndexPath, pinned)
-        BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
-      }
-    val ivfRemoved = cfg.ivfIndexPath.filter(exists).map { ip =>
-      ExecutionLogger.logged(meta, s"retract_ivf_$label", cfg.carrier,
-          (n: Long) => (0L, n, 0L)) {
-        IvfIndex.removeIds(spark, ip, pinned)
-        IvfIndex.vacuum(spark, ip)
-      }
-    }
-    val ivfPqRemoved = cfg.ivfPqIndexPath.filter(exists).map { ip =>
-      ExecutionLogger.logged(meta, s"retract_ivfpq_$label", cfg.carrier,
-          (n: Long) => (0L, n, 0L)) {
-        graft.operators.IvfPqIndex.removeIds(spark, ip, pinned)
-        graft.operators.IvfPqIndex.vacuum(spark, ip)
-      }
-    }
-    val bloomRemoved = cfg.bloomIndexPath.filter(exists).map { bp =>
-      ExecutionLogger.logged(meta, s"retract_bloom_$label", cfg.carrier,
-          (n: Long) => (0L, n, 0L)) {
-        graft.operators.BloomIndex.removeIds(spark, bp, pinned)
-        graft.operators.BloomIndex.vacuum(spark, bp)
-      }
-    }
-    val bm25Removed = cfg.bm25IndexPath.filter(exists).map { bp =>
-      ExecutionLogger.logged(meta, s"retract_bm25_$label", cfg.carrier,
-          (n: Long) => (0L, n, 0L)) {
-        graft.operators.Bm25Index.removeIds(spark, bp, pinned)
-        graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
-      }
-    }
+    // a tombstone set under a data-less root would break its first read.
+    // The per-target tombstone+vacuum sequences touch disjoint roots and
+    // run CONCURRENTLY (inParallel; the step-4/5 reasoning) — results land
+    // in vars behind the barrier
+    var corpusRemoved = 0L
+    var bandRemoved = 0L
+    var ivfRemoved: Option[Long] = None
+    var ivfPqRemoved: Option[Long] = None
+    var bloomRemoved: Option[Long] = None
+    var bm25Removed: Option[Long] = None
+    inParallel(Seq[Option[() => Unit]](
+      if (!exists(cfg.corpusPath)) None
+      else Some { () =>
+        corpusRemoved = ExecutionLogger.logged(meta,
+            s"retract_corpus_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          graft.operators.Tombstones.append(spark, cfg.corpusPath, pinned)
+          graft.operators.PartitionVacuum.vacuum(spark, cfg.corpusPath,
+            cfg.corpusPath, cfg.loadDateCol, cfg.idCol)
+        }
+      },
+      if (!exists(cfg.bandIndexPath)) None
+      else Some { () =>
+        bandRemoved = ExecutionLogger.logged(meta,
+            s"retract_band_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          BandIndex.removeIds(spark, cfg.bandIndexPath, pinned)
+          BandIndex.vacuum(spark, cfg.bandIndexPath, cfg.idCol)
+        }
+      },
+      cfg.ivfIndexPath.filter(exists).map { ip => () =>
+        ivfRemoved = Some(ExecutionLogger.logged(meta,
+            s"retract_ivf_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          IvfIndex.removeIds(spark, ip, pinned)
+          IvfIndex.vacuum(spark, ip)
+        })
+      },
+      cfg.ivfPqIndexPath.filter(exists).map { ip => () =>
+        ivfPqRemoved = Some(ExecutionLogger.logged(meta,
+            s"retract_ivfpq_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          graft.operators.IvfPqIndex.removeIds(spark, ip, pinned)
+          graft.operators.IvfPqIndex.vacuum(spark, ip)
+        })
+      },
+      cfg.bloomIndexPath.filter(exists).map { bp => () =>
+        bloomRemoved = Some(ExecutionLogger.logged(meta,
+            s"retract_bloom_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          graft.operators.BloomIndex.removeIds(spark, bp, pinned)
+          graft.operators.BloomIndex.vacuum(spark, bp)
+        })
+      },
+      cfg.bm25IndexPath.filter(exists).map { bp => () =>
+        bm25Removed = Some(ExecutionLogger.logged(meta,
+            s"retract_bm25_$label", cfg.carrier, (n: Long) => (0L, n, 0L)) {
+          graft.operators.Bm25Index.removeIds(spark, bp, pinned)
+          graft.operators.Bm25Index.vacuum(spark, bp, cfg.idCol)
+        })
+      }).flatten)
     RetractResult(requested, corpusRemoved, bandRemoved, ivfRemoved,
       ivfPqRemoved, bloomRemoved, bm25Removed)
   }
