@@ -118,7 +118,9 @@ final class MetaStore(spark: SparkSession, dir: String) {
   def batchControl: DataFrame = spark.read.parquet(path("batch_control"))
 
   def appendDmfResults(rows: Seq[DmfResultRow]): Unit =
-    rows.toDS().write.mode(SaveMode.Append).parquet(path("dmf_results"))
+    MetaStoreLocks.appendLock.synchronized {
+      rows.toDS().write.mode(SaveMode.Append).parquet(path("dmf_results"))
+    }
 
   /** The persisted results log; empty (typed) before the first run, so
     * `references` on a fresh store reports no-executions instead of
@@ -153,9 +155,11 @@ final class MetaStore(spark: SparkSession, dir: String) {
       suspended: Boolean,
       ts: java.sql.Timestamp =
         new java.sql.Timestamp(System.currentTimeMillis())): Unit =
-    Seq(DmfSuspensionRow(ts, suspensionSeq.incrementAndGet(),
-        table, metricName, metricColumns, suspended))
-      .toDS().write.mode(SaveMode.Append).parquet(path("dmf_suspensions"))
+    MetaStoreLocks.appendLock.synchronized {
+      Seq(DmfSuspensionRow(ts, suspensionSeq.incrementAndGet(),
+          table, metricName, metricColumns, suspended))
+        .toDS().write.mode(SaveMode.Append).parquet(path("dmf_suspensions"))
+    }
 
   /** Replay the suspension event log into the set of currently-suspended
     * associations — `(table, metric, columns)` with columns None meaning a
@@ -199,8 +203,10 @@ final class MetaStore(spark: SparkSession, dir: String) {
   }
 
   def recordLoad(process: String, carrier: String, ts: java.sql.Timestamp): Unit =
-    Seq(HighWaterMark(process, carrier, ts)).toDS()
-      .write.mode(SaveMode.Append).parquet(path("high_water_mark"))
+    MetaStoreLocks.appendLock.synchronized {
+      Seq(HighWaterMark(process, carrier, ts)).toDS()
+        .write.mode(SaveMode.Append).parquet(path("high_water_mark"))
+    }
 }
 
 /**

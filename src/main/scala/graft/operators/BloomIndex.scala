@@ -366,8 +366,13 @@ object BloomIndex {
    * bounded-intermediate pin discipline (SCALE.md rounds 15/17/18).
    * Dropped frames are normalized to `(idCol, kept_id)`.
    */
+  /** `needDrops = false` (callers that never read the dropped frames —
+    * no drop ledger configured) skips the intermediate `joined` pin: the
+    * survivor pin below still materializes the probe exactly once, and
+    * the never-consumed drop frames stay lazy plans that cost nothing. */
   def exactGate(batch: DataFrame, idCol: String, textCol: String,
-      path: String, excludeIds: DataFrame): GateResult = {
+      path: String, excludeIds: DataFrame,
+      needDrops: Boolean = true): GateResult = {
     val spark = batch.sparkSession
     val keyCol = "__exact_key"
     val cols = batch.columns.toSeq
@@ -400,9 +405,14 @@ object BloomIndex {
         // scan + broadcast verify would execute once per consumer.
         // MEASURED stats: the plain checkpoint inherits the join-product
         // estimate (~189 TB for a 2 MB batch, measured round 19), which
-        // pinned the session's ShuffleSizing at its 4096-partition max
-        val joined = org.apache.spark.sql.graft.ColumnBridge
-          .pinnedWithMeasuredStats(intraSurvivors.join(verdict, Seq(keyCol)))
+        // pinned the session's ShuffleSizing at its 4096-partition max.
+        // With needDrops=false there IS only one consumer (the survivor
+        // pin) — the intermediate pin would be a pure extra action
+        val joined0 = intraSurvivors.join(verdict, Seq(keyCol))
+        val joined =
+          if (needDrops) org.apache.spark.sql.graft.ColumnBridge
+            .pinnedWithMeasuredStats(joined0)
+          else joined0
         (joined.filter(!col("is_dup")),
           joined.filter(col("is_dup")).select(col(idCol), col("kept_id")))
       }

@@ -464,7 +464,8 @@ object IngestPipeline {
                 (batchRows, 0L, batchRows - t._3)) {
             val gr = graft.operators.BloomIndex.exactGate(prepped,
               cfg.idCol, cfg.textCol, bp,
-              excludeIds = batch.select(col(cfg.idCol)))
+              excludeIds = batch.select(col(cfg.idCol)),
+              needDrops = cfg.dropLedger)
             val ledgerRows =
               if (!cfg.dropLedger) None
               else Some(gr.corpusDropped
@@ -612,9 +613,12 @@ object IngestPipeline {
     val banded = Dedup.lshBanded(classified, cfg.idCol, cfg.textCol,
       cfg.shingleK, cfg.numHashes, cfg.bands, cfg.portable).persist()
     try {
-      val (survivors, corpusPairs, intraPairs) =
+      // the survivor count is computed ONCE inside the step (over the
+      // pinned frame) and threaded out — the logged row and `accepted`
+      // used to each run their own count job
+      val (survivors, corpusPairs, intraPairs, accepted) =
         ExecutionLogger.logged(meta, s"ingest_probe_$night", cfg.carrier,
-            (t: (DataFrame, DataFrame, DataFrame)) => (t._1.count(), 0L, 0L)) {
+            (t: (DataFrame, DataFrame, DataFrame, Long)) => (t._4, 0L, 0L)) {
           if (!bootstrap) BandIndex.checkParams(spark, cfg.bandIndexPath, params)
           val nonePairs = batch.select(col(cfg.idCol).as("id_a"),
             col(cfg.idCol).as("id_b")).limit(0)
@@ -660,11 +664,11 @@ object IngestPipeline {
           // pin survivors BEFORE any append mutates what the plan reads
           // (measured stats throughout: inherited estimates here size every
           // downstream landing/index shuffle — see pinnedWithMeasuredStats)
-          (bridge.pinnedWithMeasuredStats(
+          val sv = bridge.pinnedWithMeasuredStats(
             classified.join(corpusDups.union(intraDups).distinct(),
-              Seq(cfg.idCol), "left_anti")), cp, ip)
+              Seq(cfg.idCol), "left_anti"))
+          (sv, cp, ip, sv.count())
         }
-      val accepted = survivors.count()
 
       // 1b. (opt-in) DROP LEDGER — one audited row per probe-dropped doc:
       // which doc, which kept doc it duplicated, and why. Probe pairs hold
@@ -733,15 +737,19 @@ object IngestPipeline {
       }
 
       // 3. VERIFY — re-check the dedup/identity guarantees on the LANDED
-      // corpus and persist the outcomes as DMF result rows. This runs
-      // BEFORE the index appends: under failOnDq a FAILing night must
-      // leave the standing indexes untouched — appending first would
-      // pollute them with rows of a landing the repair re-run then
+      // corpus and persist the outcomes as DMF result rows. Under failOnDq
+      // this runs (and is judged) BEFORE the index appends: a FAILing
+      // night must leave the standing indexes untouched — appending first
+      // would pollute them with rows of a landing the repair re-run then
       // REPLACES, and future batches would be probe-dropped as duplicates
       // of phantom content (the corpus itself is safe either way: the
-      // repair's dynamic overwrite replaces the night's partition)
-      val dqFailures = ExecutionLogger.logged(meta, s"ingest_dq_$night",
-          cfg.carrier, (n: Long) => (0L, 0L, n)) {
+      // repair's dynamic overwrite replaces the night's partition). Under
+      // the DEFAULT (record-and-continue) the night commits regardless of
+      // the DQ outcome, so the verify chain and the index/maintain chain
+      // are independent and run CONCURRENTLY (see the orchestration after
+      // the step definitions).
+      def runDqCheck(): Long = ExecutionLogger.logged(meta,
+          s"ingest_dq_$night", cfg.carrier, (n: Long) => (0L, 0L, n)) {
         val corpus = spark.read.parquet(cfg.corpusPath)
         val now = new java.sql.Timestamp(System.currentTimeMillis())
         // ONE corpus scan for all three checks (the column-form DMF
@@ -775,23 +783,6 @@ object IngestPipeline {
         })
         checks.count(_._2 != 0).toLong
       }
-      if (cfg.failOnDq && dqFailures > 0) {
-        // a FAILing night stops HERE: no index appends, no commit record.
-        // The bad landing sits in its own corpus partition until the
-        // repair re-run dynamic-overwrites it; the indexes hold nothing
-        // from this night, so the re-run's probe sees exactly the
-        // pre-night corpus. The FAILED audit row says why
-        meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
-          java.util.UUID.randomUUID().toString,
-          new java.sql.Timestamp(System.currentTimeMillis()),
-          new java.sql.Timestamp(System.currentTimeMillis()),
-          "FAILED", s"ingest_commit_$night", 0L, 0L, dqFailures, cfg.carrier,
-          s"$dqFailures DQ check(s) FAILED on the landed corpus — " +
-            "high-water mark withheld, index appends skipped; " +
-            "night stays re-runnable")))
-        return NightResult(night, batchRows, accepted, batchRows - accepted,
-          CompactionResult(0, 0L, 0L, 0L), dqFailures)
-      }
 
       // 3b. (opt-in) SKETCH — the night's landed contribution as mergeable
       // statistics state, O(batch) compute and O(groups) output. After the
@@ -799,7 +790,7 @@ object IngestPipeline {
       // repair re-run, so its stats must not enter the lifetime state.
       // Replay-idempotent like the landing itself (per-night dynamic
       // partition overwrite); deterministic survivors → identical rows
-      cfg.statsSketch.foreach { spec =>
+      def runSketchStep(): Unit = cfg.statsSketch.foreach { spec =>
         ExecutionLogger.logged(meta, s"ingest_sketch_$night", cfg.carrier,
             (_: Unit) => (accepted, 0L, 0L)) {
           graft.operators.Sketches.appendNight(survivors, spec,
@@ -811,7 +802,7 @@ object IngestPipeline {
       // answered from the sketch state alone and persisted as DMF result
       // rows (the q62 results-history surface). Informational: a drifted
       // night still commits — the FAIL rows are the operator's signal
-      val driftFailures = cfg.statsSketch.flatMap { spec =>
+      def runDriftStep(): Option[Long] = cfg.statsSketch.flatMap { spec =>
         cfg.driftTolerance.map { tol =>
           ExecutionLogger.logged(meta, s"ingest_drift_$night", cfg.carrier,
               (n: Long) => (0L, 0L, n)) {
@@ -844,6 +835,7 @@ object IngestPipeline {
       // concurrently (see [[inParallel]]) — on the IVFPQ-configured night
       // the band append rides under the k-means bootstrap instead of
       // serializing after it
+      def runIndexAppends(): Unit =
       ExecutionLogger.logged(meta, s"ingest_index_$night", cfg.carrier) {
         inParallel(Seq[Option[() => Unit]](
           Some { () =>
@@ -910,7 +902,7 @@ object IngestPipeline {
       var ivfPqComp: Option[CompactionResult] = None
       var bloomMaint: Option[(CompactionResult, Boolean)] = None
       var bm25Comp: Option[CompactionResult] = None
-      inParallel(Seq[Option[() => Unit]](
+      def runMaintain(): Unit = inParallel(Seq[Option[() => Unit]](
         Some { () =>
           comp = ExecutionLogger.logged(meta, s"ingest_compact_$night",
               cfg.carrier, (r: CompactionResult) =>
@@ -976,6 +968,52 @@ object IngestPipeline {
               cfg.compactTargetFileBytes)
           })
         }).flatten)
+
+      // ORCHESTRATION of steps 3–5. Under failOnDq the order is the
+      // original sequential one: VERIFY is the gate, a FAIL stops before
+      // any index append and withholds the commit record. Under the
+      // DEFAULT (record-and-continue) the night commits whatever VERIFY
+      // finds, so the verify chain (dq → sketch → drift — DMF rows and
+      // counts identical either way) and the index chain (appends →
+      // maintain, ordered within the chain: the sweeps read the roots the
+      // appends just grew) share no state and run CONCURRENTLY; the
+      // commit record still lands strictly LAST, behind the barrier.
+      var dqFailures = 0L
+      var driftFailures: Option[Long] = None
+      if (cfg.failOnDq) {
+        dqFailures = runDqCheck()
+        if (dqFailures > 0) {
+          // a FAILing night stops HERE: no index appends, no commit
+          // record. The bad landing sits in its own corpus partition until
+          // the repair re-run dynamic-overwrites it; the indexes hold
+          // nothing from this night, so the re-run's probe sees exactly
+          // the pre-night corpus. The FAILED audit row says why
+          meta.appendExecutionLog(Seq(graft.meta.ExecutionLogRow(
+            java.util.UUID.randomUUID().toString,
+            new java.sql.Timestamp(System.currentTimeMillis()),
+            new java.sql.Timestamp(System.currentTimeMillis()),
+            "FAILED", s"ingest_commit_$night", 0L, 0L, dqFailures,
+            cfg.carrier,
+            s"$dqFailures DQ check(s) FAILED on the landed corpus — " +
+              "high-water mark withheld, index appends skipped; " +
+              "night stays re-runnable")))
+          return NightResult(night, batchRows, accepted,
+            batchRows - accepted, CompactionResult(0, 0L, 0L, 0L),
+            dqFailures)
+        }
+        runSketchStep()
+        driftFailures = runDriftStep()
+        runIndexAppends()
+        runMaintain()
+      } else {
+        inParallel(Seq(
+          () => {
+            dqFailures = runDqCheck()
+            runSketchStep()
+            driftFailures = runDriftStep()
+          },
+          () => { runIndexAppends(); runMaintain() }))
+      }
       val bloomComp = bloomMaint.map(_._1)
 
       // 6. LOG — the night's commit record, written LAST: its presence is
