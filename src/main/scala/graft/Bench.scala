@@ -122,20 +122,33 @@ object Bench {
     externals.nonEmpty && externals.min > bound
 
   /** How many samples a set should still take after seeing its first:
-    * multi-second queries get ONE sample per set. The seven end-to-end
+    * genuinely heavy queries get ONE sample per set. The seven end-to-end
     * pipeline compositions (q74/q89/q90/q96/q100/q105/q112, ~12-22 s each)
     * at 3 reps plus retry sets pushed the round-19 driver bench past its
     * budget (BENCH_r19.json rc 124 — the third round without a usable
     * filed artifact). Their run-to-run variance is already tracked by the
     * ScaleBench tiers, and at 12+ s wall the one-time codegen cost a
     * multi-rep median exists to amortize is noise — so a set whose FIRST
-    * sample lands at/above `heavySec` stops there. Sub-second queries keep
-    * the full median-of-N discipline (they are the ones whose single-run
-    * numbers swing several-fold). A budget overrun forces single-sample
-    * for everything left: a degraded-but-complete artifact beats rc 124. */
+    * sample lands at/above 2×`heavySec` stops there.
+    *
+    * MEASUREMENT FIX (r21, documented in OPTIMIZATION_r21.md): the r20
+    * rule single-sampled at `heavySec` itself, which made the filed number
+    * of a 5–10 s-COLD query depend on suite-order codegen luck — q29's
+    * first in-suite run went 3.1 s → 7.4 s (and its FILED number 2.6 →
+    * 7.4, flagged suspect) when an unrelated earlier query's plan change
+    * stopped pre-warming its generated code; isolated, the query is a
+    * 2.0 s-warm / 6.3 s-cold constant at both commits. In the [heavySec,
+    * 2×heavySec) borderline zone cold ≈ 3× warm, so the cold single
+    * sample is mostly compile time, not the query — those sets now keep
+    * the full median-of-N discipline (the median of [cold, warm, warm] is
+    * a warm run, the same statistic every sub-5 s query always filed).
+    * Measured budget cost: ~6 borderline queries × 2 extra warm runs ≈
+    * +40 s of a ~380 s sampling phase. A budget overrun still forces
+    * single-sample for everything left: a degraded-but-complete artifact
+    * beats rc 124. */
   private[graft] def samplesPlanned(firstWall: Double, heavySec: Double,
       runs: Int, overBudget: Boolean): Int =
-    if (overBudget || firstWall >= heavySec) 1 else runs
+    if (overBudget || firstWall >= 2.0 * heavySec) 1 else runs
 
   /** Retry-set cap by weight class: heavy queries re-sample at most ONCE
     * (a retry doubles a 20 s query's cost; two could triple it), light
@@ -320,6 +333,12 @@ object Bench {
           if (i == 0) {
             planned = samplesPlanned(wall, heavySec, runs, overBudget())
             if (failures.contains(name)) planned = 1 // re-running a thrower buys nothing
+          } else if (overBudget()) {
+            // r20's ADVICE: the budget was only consulted at set START, so
+            // a multi-rep set begun just under the wire ran all its reps —
+            // stop mid-set once the budget trips (the samples already taken
+            // still file)
+            planned = i + 1
           }
           i += 1
         }
@@ -345,10 +364,12 @@ object Bench {
       }
       var best = takeSamples()
       var attempts = 1
-      // heavy sets (single-sampled) retry at most once; past the budget
-      // nothing retries — see retryCap
+      // heavy sets retry at most once; past the budget nothing retries —
+      // see retryCap. Heaviness is judged from the set's MAX wall (r20's
+      // ADVICE: a first sample just under heavySec whose retries run
+      // multi-second kept the full light-query retry cap)
       def capNow(): Int =
-        retryCap(best.headOption.exists(_._1 >= heavySec), maxRetries,
+        retryCap(best.exists(_._1 >= heavySec), maxRetries,
           overBudget())
       while (!failures.contains(name) && isBad(best) && attempts <= capNow()) {
         val next = takeSamples()

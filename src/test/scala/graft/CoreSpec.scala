@@ -374,11 +374,17 @@ class CoreSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("Bench sampling plan: heavy queries single-sample, budget overrun degrades, retries cap") {
-    // a set whose FIRST sample is multi-second stops at 1 (the seven
-    // ~12-22 s pipeline compositions at 3 reps + retries are what pushed
-    // BENCH_r19 past the driver budget to rc 124)
+    // a set whose FIRST sample is genuinely heavy (≥ 2×heavySec) stops at
+    // 1 (the seven ~12-22 s pipeline compositions at 3 reps + retries are
+    // what pushed BENCH_r19 past the driver budget to rc 124)
     assert(Bench.samplesPlanned(14.2, 5.0, 3, overBudget = false) == 1)
-    assert(Bench.samplesPlanned(5.0, 5.0, 3, overBudget = false) == 1) // at-threshold counts
+    assert(Bench.samplesPlanned(10.0, 5.0, 3, overBudget = false) == 1) // at-threshold counts
+    // the [heavySec, 2×heavySec) BORDERLINE zone keeps the median-of-N
+    // discipline: there cold ≈ 3× warm (codegen), and whether the first
+    // sample runs cold depends on suite-order luck — the r21 q29 lesson
+    // (filed 2.6 → 7.4 with no change on its own path)
+    assert(Bench.samplesPlanned(7.4, 5.0, 3, overBudget = false) == 3)
+    assert(Bench.samplesPlanned(5.0, 5.0, 3, overBudget = false) == 3)
     // sub-second queries keep the full median-of-N discipline
     assert(Bench.samplesPlanned(0.3, 5.0, 3, overBudget = false) == 3)
     assert(Bench.samplesPlanned(2.1, 5.0, 3, overBudget = false) == 3)
