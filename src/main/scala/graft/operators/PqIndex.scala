@@ -482,17 +482,28 @@ object PqIndex {
 
   /** The retrain coverage guard, shared by both retrain paths: equal
     * counts + zero missing ids ⇒ identical id sets (a same-sized corpus
-    * SNAPSHOT with swapped rows must fail too, not just a short one — one
-    * anti-join of two id columns, maintenance-op budget). On violation the
+    * SNAPSHOT with swapped rows must fail too, not just a short one). ONE
+    * full-outer join aggregation answers all three questions in a single
+    * job — the former shape ran two counts plus an anti-join count, three
+    * driver round-trips for one maintenance predicate. On violation the
     * staged directory is deleted and the index left untouched. */
   private[operators] def requireFullCoverage(spark: SparkSession,
       liveIds: DataFrame, stagedIds: DataFrame, stagedDir: String,
       op: String): Unit = {
-    val have = stagedIds.count()
-    val expect = liveIds.count()
-    val missing =
-      if (have != expect) -1L
-      else liveIds.join(stagedIds, Seq("vec_id"), "left_anti").count()
+    // per-key row counts FIRST (a duplicate id on either side must count
+    // as its row count, exactly like the former plain count() calls — a
+    // raw row-level outer join would multiply duplicates into a product)
+    val r = liveIds.groupBy(col("vec_id")).agg(count(lit(1)).as("__l"))
+      .join(stagedIds.groupBy(col("vec_id")).agg(count(lit(1)).as("__s")),
+        Seq("vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("__s")), lit(0L)).as("have"),
+        coalesce(sum(col("__l")), lit(0L)).as("expect"),
+        coalesce(sum(when(col("__s").isNull, col("__l"))), lit(0L))
+          .as("missing"))
+      .head()
+    val (have, expect, missing) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     if (have != expect || missing != 0) {
       new org.apache.hadoop.fs.Path(stagedDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -519,10 +519,11 @@ object IngestPipeline {
               else Some(flagged.select(col(cfg.idCol),
                 col("probe_id").cast("long").as("kept_id"),
                 lit("contaminated").as("reason")))
-            // pin: the survivors feed the next gate/probe AND this count
-            val survivors = org.apache.spark.sql.graft.ColumnBridge
-              .pinnedWithMeasuredStats(survivors0)
-            (survivors, ledgerRows, survivors.count())
+            // contaminationGate already returns measured-stats-PINNED
+            // survivors (they feed the next gate/probe and this count) —
+            // re-pinning here was a second materialization of the same
+            // blocks for nothing
+            (survivors0, ledgerRows, survivors0.count())
           }
       }
 
