@@ -141,15 +141,41 @@ object PqIndex {
         else Seq.empty[Column]) :+ col("__pid").asc: _*)
       .limit(ksub)
     val w = Window.partitionBy(col("s")).orderBy(col("__pid").asc)
-    var cents = sv.join(broadcast(seedIds), Seq("__pid"))
-      .withColumn("__rn", row_number().over(w)) // ksub×m rows — trivial sort
-      .select(col("s"), (col("__rn") - 1).cast("int").as("cent_id"),
-        col("sv").as("cvec"))
-      .localCheckpoint(true) // truncate lineage per round (iterative plan)
+    // codebooks live ON THE DRIVER between rounds — m×ksub rows by
+    // construction (the [[Similarity.kmeansCentroids]] r21 discipline):
+    // each Lloyd round is exactly ONE distributed action (the means
+    // aggregation, collected at ≤ m×ksub rows) instead of a
+    // localCheckpoint whose action also ran a cents⋈means join and a
+    // block-manager materialization. Arithmetic untouched — same
+    // expressions over the same values; a collect round-trip of doubles
+    // is exact, so codes are bit-identical to the checkpointed form.
+    val spark = corpus.sparkSession
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    def centsDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map { case (s, c, cv) =>
+          org.apache.spark.sql.Row(s, c, cv)
+        }.asJava, centSchema)
+    }
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      sv.join(broadcast(seedIds), Seq("__pid"))
+        .withColumn("__rn", row_number().over(w)) // ksub×m rows — trivial sort
+        .select(col("s"), (col("__rn") - 1).cast("int").as("cent_id"),
+          col("sv").as("cvec"))
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          if (r.isNullAt(2)) null else r.getSeq[Double](2))).toSeq
     (0 until iterations).foreach { _ =>
       // per-sub codeword array, broadcast; L2 argmin = argmin(cn2 - 2·x·c)
       // (the row's own norm is constant under the argmin)
-      val centArr = cents
+      val centArr = centsDf(cents)
         .groupBy(col("s")).agg(sort_array(collect_list(struct(
           col("cent_id"), col("cvec"), dot(col("cvec"), col("cvec")).as("cn2"))))
           .as("__cents"))
@@ -168,15 +194,14 @@ object PqIndex {
         .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
         .select(col("s"), col("cell"),
           transform(col("pm"), e => e.getField("mu")).as("mvec"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
       // empty cells keep their previous codeword
-      cents = cents.alias("c")
-        .join(means.alias("m"),
-          col("c.s") === col("m.s") && col("c.cent_id") === col("m.cell"), "left")
-        .select(col("c.s").as("s"), col("c.cent_id").as("cent_id"),
-          coalesce(col("m.mvec"), col("c.cvec")).as("cvec"))
-        .localCheckpoint(true)
+      cents = cents.map { case (s, c, old) =>
+        (s, c, means.getOrElse((s, c), old))
+      }
     }
-    cents
+    centsDf(cents)
   }
 
   /** Every subspace's codes must be exactly 0..k-1 (dense): the ADC table

@@ -261,15 +261,39 @@ object Similarity {
     // order (and nulling cent_id) silently — fail fast like every other
     // numeric-id surface
     PqIndex.requireNumericId(corpus, cId)
+    val spark = corpus.sparkSession
     val v = corpus.select(col(cId).cast("long").as("vid"),
         col(cVec).cast("array<double>").as("vec"))
       .withColumn("__vn2", norm2(col("vec")))
-    var cents = v.orderBy(col("vid").asc).limit(k)
-      .select(col("vid").cast("int").as("cent_id"), col("vec").as("cvec"))
-      .localCheckpoint(true) // truncate lineage per round (iterative plan growth)
+    // centroids live ON THE DRIVER between rounds — k rows by construction,
+    // so the former per-round localCheckpoint (a block-manager
+    // materialization plus a cents⋈means join inside every round's action)
+    // was pure orchestration cost. Each round is now exactly one
+    // distributed action (the means aggregation, collected at k rows); the
+    // empty-cell "keep previous centroid" fallback is a driver map lookup.
+    // Arithmetic untouched: same expressions over the same values, and a
+    // collect round-trip of doubles is exact — assignments and means are
+    // bit-identical to the checkpointed form (spec: probe results equal).
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)))
+    def centsDf(rows: Seq[(Int, Seq[Double])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map { case (id, cv) => org.apache.spark.sql.Row(id, cv) }.asJava,
+        centSchema)
+    }
+    var cents: Seq[(Int, Seq[Double])] =
+      v.orderBy(col("vid").asc).limit(k)
+        .select(col("vid").cast("int").as("cent_id"), col("vec").as("cvec"))
+        .collect().map(r => (r.getInt(0),
+          if (r.isNullAt(1)) null else r.getSeq[Double](1))).toSeq
 
     (0 until iterations).foreach { _ =>
-      val centArr = cents.agg(sort_array(collect_list(
+      val centArr = centsDf(cents).agg(sort_array(collect_list(
         struct(col("cent_id"), col("cvec"), norm2(col("cvec")).as("cn2")))).as("__cents"))
       // zero-shuffle nearest-centroid (cosine, same tie-break as ivfTopK);
       // sqrt(vn2 * cn2) keeps the exact arithmetic of the inline form
@@ -291,15 +315,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
           transform(col("pm"), e => e.getField("m")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       // empty cells (no assigned vectors) keep their previous centroid
-      cents = cents.alias("c")
-        .join(means.alias("m"), col("c.cent_id") === col("m.cent_id"), "left")
-        .select(col("c.cent_id").as("cent_id"),
-          coalesce(col("m.cvec"), col("c.cvec")).as("cvec"))
-        .localCheckpoint(true)
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
 
-    cents.select(col("cent_id"),
+    centsDf(cents).select(col("cent_id"),
         Vectors.quantizeHof(col("cvec")).as("__cent"))
       .withColumn("__centn", Vectors.dotQ(col("__cent"), col("__cent")))
   }
