@@ -24,6 +24,8 @@ object PipelineProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,32 +33,59 @@ object PipelineProfile {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // job-level attribution: record every job's wall time + call site so the
     // per-step log rows can be broken down further (guide §1.5)
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Seq[Int])]()
+    // per-stage (tasks, summed task ms) keyed by stage id
+    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double, Seq[Int])]()
+    // SQL execution id -> action description (e.g. "localCheckpoint at …")
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execDesc.put(s.executionId, s.description.linesIterator.next().take(80))
+          case _ => ()
+        }
         override def onJobStart(
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val p = Option(e.properties)
+          val eid = p.flatMap(x => Option(x.getProperty("spark.sql.execution.id")))
+            .getOrElse("-")
           val desc = p.flatMap(x => Option(x.getProperty("spark.job.description")))
-            .getOrElse("?") + " | " +
-            p.flatMap(x => Option(x.getProperty("callSite.short"))).getOrElse("?")
-          jobs.put(e.jobId, (desc, System.nanoTime()))
+            .getOrElse("?") + " | eid=" + eid
+          jobs.put(e.jobId, (desc, System.nanoTime(), e.stageIds.toSeq))
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          stageStats.put(si.stageId,
+            (si.numTasks, si.taskMetrics.executorRunTime
+              + (si.taskMetrics.jvmGCTime << 32) * 0)) // gc printed below
+          if (si.taskMetrics.jvmGCTime >= 500)
+            println(f"[profile] stage ${si.stageId}%4d gc=" +
+              f"${si.taskMetrics.jvmGCTime / 1e3}%6.2f s of " +
+              f"run=${si.taskMetrics.executorRunTime / 1e3}%6.2f s " +
+              f"tasks=${si.numTasks}")
         }
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          Option(jobs.remove(e.jobId)).foreach { case (desc, t0) =>
-            done.add((e.jobId, desc, (System.nanoTime() - t0) / 1e9))
+          Option(jobs.remove(e.jobId)).foreach { case (desc, t0, sids) =>
+            done.add((e.jobId, desc, (System.nanoTime() - t0) / 1e9, sids))
           }
         }
       })
     (1 to repeat).foreach { i =>
       done.clear()
+      val cm = org.apache.spark.metrics.source.CodegenMetrics
+      val c0 = cm.METRIC_COMPILATION_TIME.getCount
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val n = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] run $i: $name rows=$n wall=$wall%.2f s")
+      val compiles = cm.METRIC_COMPILATION_TIME.getCount - c0
+      println(f"[profile] run $i: $name rows=$n wall=$wall%.2f s " +
+        f"compiles=$compiles")
     }
     org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
     locally {
@@ -64,8 +93,21 @@ object PipelineProfile {
       val all = done.asScala.toSeq.sortBy(_._1)
       println(f"[profile] last run: ${all.size} jobs, " +
         f"${all.map(_._3).sum}%.2f s summed job wall")
-      all.filter(_._3 >= 0.05).foreach { case (id, desc, s) =>
-        println(f"[profile] job $id%4d $s%7.3f s  ${desc.take(110)}")
+      val seenStages = scala.collection.mutable.Set.empty[Int]
+      all.filter(_._3 >= 0.05).foreach { case (id, desc, s, sids) =>
+        // a stage listed by several AQE jobs ran once — charge it to the
+        // first job that lists it
+        val fresh = sids.filter(sid =>
+          !seenStages.contains(sid) && stageStats.containsKey(sid))
+        seenStages ++= fresh
+        val st = fresh.flatMap(sid => Option(stageStats.get(sid)))
+        val tasks = st.map(_._1).sum
+        val taskSec = st.map(_._2).sum / 1e3
+        val eid = desc.split("eid=").lastOption.getOrElse("-")
+        val ex = eid.toLongOption.flatMap(e => Option(execDesc.get(e)))
+          .getOrElse("?")
+        println(f"[profile] job $id%4d $s%7.3f s  tasks=$tasks%4d " +
+          f"taskSum=$taskSec%7.2f s  ${desc.take(40)}%-40s $ex")
       }
     }
     // newest scratch dir of this query's prefix (e.g. graft_q74_)

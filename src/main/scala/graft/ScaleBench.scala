@@ -110,6 +110,8 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // multi-query session: see GraftSession.builder codegen-cache note
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$scratch/spark-local")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")

@@ -30,6 +30,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // codegen-class cache sized for a MULTI-QUERY session: the default
+      // (100 entries) thrashes under the pipeline compositions — one
+      // audited ingest night plans ~260 distinct generated sources, so by
+      // the time the next night (structurally identical plans; literals
+      // live in the references array, not the source text) asks for the
+      // first source again it has been evicted, and EVERY stage pays a
+      // fresh Janino compile with all concurrent tasks blocked on it
+      // (measured: q100 re-ran 519 compiles on its second in-JVM run;
+      // ~0.45 s of blocked task time per compile × 32 tasks). 4096 classes
+      // ≈ a few hundred MB of heap at worst, GC-able on eviction — the
+      // right trade for any long-lived session running hundreds of
+      // distinct queries, local or cluster. Read once per JVM at first
+      // codegen, hence set at build time, not in tune().
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
       // timestamp type — read as Long and convert (see Tables.load).
